@@ -1,0 +1,108 @@
+"""Operations the reference's domain enumerates but never implemented.
+
+The reference declares crop / rotate / flip / grayscale operation types
+(reference: internal/domain/image.go:42-50) and rejects them at dispatch
+("unsupported operation type", image_processor.go:118-120). This framework
+implements all four on-device, so the full declared surface works.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from imageprocessor_tpu.ops.coords import quantize_go_xdraw
+
+
+def crop_image(img_u8, x: int, y: int, width: int, height: int):
+    """Rectangular crop, clamped to image bounds."""
+    h, w = int(img_u8.shape[0]), int(img_u8.shape[1])
+    x = max(0, min(x, w - 1))
+    y = max(0, min(y, h - 1))
+    width = max(1, min(width, w - x))
+    height = max(1, min(height, h - y))
+    return jax.lax.slice(img_u8, (y, x, 0), (y + height, x + width, img_u8.shape[2]))
+
+
+@functools.partial(jax.jit, static_argnames=("angle_deg",))
+def _rotate_arbitrary(img_u8, angle_deg: float):
+    """Rotate by an arbitrary angle about the center (bilinear, same canvas).
+
+    Out-of-source pixels are black, matching the zero-filled RGBA canvas a
+    Go implementation drawing into a fresh image would produce.
+    """
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    theta = jnp.deg2rad(jnp.float32(angle_deg))
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    # Inverse map: destination -> source
+    src_x = cos_t * xx + sin_t * yy + cx
+    src_y = -sin_t * xx + cos_t * yy + cy
+    x0 = jnp.floor(src_x).astype(jnp.int32)
+    y0 = jnp.floor(src_y).astype(jnp.int32)
+    fx = src_x - x0
+    fy = src_y - y0
+    valid = ((src_x >= -0.5) & (src_x <= w - 0.5) &
+             (src_y >= -0.5) & (src_y <= h - 0.5))
+
+    def gather(yi, xi):
+        yi = jnp.clip(yi, 0, h - 1)
+        xi = jnp.clip(xi, 0, w - 1)
+        return img_u8.astype(jnp.float32)[yi, xi]
+
+    p00 = gather(y0, x0)
+    p01 = gather(y0, x0 + 1)
+    p10 = gather(y0 + 1, x0)
+    p11 = gather(y0 + 1, x0 + 1)
+    top = p00 + (p01 - p00) * fx[..., None]
+    bot = p10 + (p11 - p10) * fx[..., None]
+    out = top + (bot - top) * fy[..., None]
+    out = jnp.where(valid[..., None], out, 0.0)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def rotate_image(img_u8, angle: float):
+    """Rotate counter-clockwise. Multiples of 90° are exact pixel shuffles
+    (lane/sublane transposes XLA handles natively); other angles use an
+    inverse-mapped bilinear sample on the same canvas."""
+    a = float(angle) % 360.0
+    if a == 0.0:
+        return img_u8
+    if a == 90.0:
+        return jnp.rot90(img_u8, k=1, axes=(0, 1))
+    if a == 180.0:
+        return jnp.rot90(img_u8, k=2, axes=(0, 1))
+    if a == 270.0:
+        return jnp.rot90(img_u8, k=3, axes=(0, 1))
+    return _rotate_arbitrary(img_u8, a)
+
+
+def flip_image(img_u8, direction: str = "horizontal"):
+    """Mirror horizontally (default) or vertically."""
+    if direction == "vertical":
+        return jnp.flip(img_u8, axis=0)
+    return jnp.flip(img_u8, axis=1)
+
+
+@jax.jit
+def grayscale_image(img_u8):
+    """Luma grayscale with Go stdlib arithmetic.
+
+    Go color.GrayModel: y = (299 r + 587 g + 114 b + 500) / 1000 computed
+    on 16-bit channels; replicated across RGB so output stays 3-channel.
+    """
+    x = img_u8[..., :3].astype(jnp.float32) * 257.0  # 8 -> 16 bit (v * 0x101)
+    y16 = (299.0 * x[..., 0] + 587.0 * x[..., 1] + 114.0 * x[..., 2] + 500.0) / 1000.0
+    y8 = jnp.clip(jnp.floor(y16) // 256, 0, 255)
+    out = jnp.repeat(y8[..., None], 3, axis=-1)
+    if img_u8.shape[-1] == 4:
+        out = jnp.concatenate([out, img_u8[..., 3:].astype(jnp.float32)], axis=-1)
+    return out.astype(jnp.uint8)
+
+
+__all__ = ["crop_image", "rotate_image", "flip_image", "grayscale_image",
+           "quantize_go_xdraw"]

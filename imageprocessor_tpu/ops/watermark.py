@@ -1,0 +1,279 @@
+"""Text watermark: host-rasterized glyph tile + on-device alpha composite.
+
+Reference behavior (operations/watermark.go:40-155): freetype renders the
+text string directly onto an RGBA copy of the image at one of seven anchor
+positions with a 20 px margin, color (R,G,B) at alpha = opacity*255,
+DPI 72, default font size 36, text box height = fontSize*1.2.
+
+TPU design: rasterizing vector glyphs is branchy scalar work that belongs
+on the host — but it only depends on (text, font, size), NOT on the image.
+So the coverage mask is rendered once per distinct watermark spec, cached,
+and shipped to the device as a small uint8 tile; the per-image work on
+device is a pure alpha blend over a Th x Tw window — bandwidth-trivial and
+batchable. Anchor arithmetic reproduces watermark.go:121-148 exactly
+(baseline-anchored points, margin 20), with proper edge clipping (the
+reference clips overhanging text; we shift the window and shift the tile
+read by the same amount, which is equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imageprocessor_tpu.domain.task import (
+    DEFAULT_WATERMARK_OPACITY,
+    DEFAULT_WATERMARK_TEXT,
+    WatermarkPosition,
+)
+
+_MARGIN = 20  # px, reference watermark.go:121
+
+
+@dataclass(frozen=True)
+class WatermarkTile:
+    """Host-rasterized coverage mask plus the metrics the anchor math needs.
+
+    coverage: (Th, Tw) float32 in [0, 1] — glyph coverage, baseline at row
+    `ascent`. width_px/height_px mirror the reference's text-box metrics
+    (watermark.go:109-116): advance-sum width, fontSize*1.2 height.
+    """
+
+    coverage: np.ndarray
+    width_px: int
+    height_px: int
+    ascent: int
+    descent: int
+
+
+_FONT_LOCK = threading.Lock()
+_TILE_CACHE: dict[tuple, WatermarkTile] = {}
+_DEFAULT_FONT_PATH: str | None = None
+
+
+def _default_font_path() -> str:
+    """Bundled-font lookup. The reference embeds Go-Regular
+    (watermark.go:29-38); this environment has no Go-Regular, so DejaVu Sans
+    (metrically similar humanist sans) is the default; override via the
+    `font_path` parameter or IMAGEPROCESSOR_FONT env var."""
+    global _DEFAULT_FONT_PATH
+    if _DEFAULT_FONT_PATH is None:
+        import os
+        env = os.environ.get("IMAGEPROCESSOR_FONT")
+        if env:
+            _DEFAULT_FONT_PATH = env
+        else:
+            import matplotlib
+            _DEFAULT_FONT_PATH = (
+                matplotlib.get_data_path() + "/fonts/ttf/DejaVuSans.ttf")
+    return _DEFAULT_FONT_PATH
+
+
+def rasterize_text(text: str, font_size: float = 36.0,
+                   font_path: str | None = None) -> WatermarkTile:
+    """Render `text` to a coverage tile (cached per (text, size, font)).
+
+    Uses FreeType via PIL at DPI 72 (1 pt == 1 px), matching the
+    reference's freetype context setup (watermark.go:96-104).
+    """
+    key = (text, float(font_size), font_path or "")
+    tile = _TILE_CACHE.get(key)
+    if tile is not None:
+        return tile
+    with _FONT_LOCK:
+        tile = _TILE_CACHE.get(key)
+        if tile is not None:
+            return tile
+        from PIL import Image, ImageDraw, ImageFont
+
+        font = ImageFont.truetype(font_path or _default_font_path(),
+                                  int(round(font_size)))
+        ascent, descent = font.getmetrics()
+        # Reference width = ceil(sum of glyph advances) (watermark.go:109-115)
+        width_px = int(np.ceil(font.getlength(text)))
+        height_px = int(np.ceil(font_size * 1.2))  # watermark.go:116
+        th = ascent + descent
+        tw = max(width_px + 8, 1)  # small slack for right-side overhang
+        img = Image.new("L", (tw, th), 0)
+        draw = ImageDraw.Draw(img)
+        draw.text((0, 0), text, fill=255, font=font)
+        coverage = np.asarray(img, dtype=np.float32) / 255.0
+        tile = WatermarkTile(coverage=coverage, width_px=width_px,
+                             height_px=height_px, ascent=ascent,
+                             descent=descent)
+        _TILE_CACHE[key] = tile
+        return tile
+
+
+def anchor_baseline(position: str, img_w, img_h, tile: WatermarkTile):
+    """Baseline origin (x, y) for the text, reference watermark.go:121-148.
+
+    Works with Python ints (static path) or traced int32 scalars/arrays
+    (batched path). Unknown positions fall through to bottom-right, like
+    the reference's default case.
+    """
+    w_px, h_px = tile.width_px, tile.height_px
+    pos = WatermarkPosition(position) if position in set(
+        p.value for p in WatermarkPosition) else WatermarkPosition.BOTTOM_RIGHT
+    if pos is WatermarkPosition.TOP_LEFT:
+        return _MARGIN + img_w * 0, _MARGIN + h_px + img_h * 0
+    if pos is WatermarkPosition.TOP_RIGHT:
+        return img_w - w_px - _MARGIN, _MARGIN + h_px + img_h * 0
+    if pos is WatermarkPosition.TOP_CENTER:
+        return (img_w - w_px) // 2, _MARGIN + h_px + img_h * 0
+    if pos is WatermarkPosition.BOTTOM_LEFT:
+        return _MARGIN + img_w * 0, img_h - _MARGIN
+    if pos is WatermarkPosition.BOTTOM_CENTER:
+        return (img_w - w_px) // 2, img_h - _MARGIN
+    if pos is WatermarkPosition.CENTER:
+        return (img_w - w_px) // 2, (img_h + h_px) // 2
+    return img_w - w_px - _MARGIN, img_h - _MARGIN  # bottom-right/default
+
+
+def parse_color(color_str: str, opacity: float) -> tuple[int, int, int, int]:
+    """"R,G,B[,A]" -> RGBA, reference parseColor (watermark.go:159-186).
+
+    Invalid strings fall back to white at opacity alpha — but note the
+    reference then *uses black* when parse errors (watermark.go:92-94);
+    callers pass the parsed flag accordingly.
+    """
+    s = color_str.replace(" ", "")
+    parts = s.split(",")
+    default_a = int(255 * opacity)
+    if len(parts) not in (3, 4):
+        raise ValueError("invalid color format")
+    try:
+        r, g, b = int(parts[0]), int(parts[1]), int(parts[2])
+    except ValueError as exc:
+        raise ValueError("invalid color values") from exc
+    clamp = lambda v: max(0, min(255, v))  # noqa: E731
+    a = default_a
+    if len(parts) == 4:
+        try:
+            a = clamp(int(parts[3]))
+        except ValueError:
+            a = default_a
+    return clamp(r), clamp(g), clamp(b), a
+
+
+def resolve_color(color_str: str, opacity: float) -> tuple[int, int, int, int]:
+    """Reference error path: parse failure -> black at opacity
+    (watermark.go:92-94)."""
+    try:
+        return parse_color(color_str, opacity)
+    except ValueError:
+        return 0, 0, 0, int(255 * opacity)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
+def _blend_at(img_f32, padded_tile, color_rgb, alpha, x0, y0,
+              valid_w, valid_h, tile_h: int, tile_w: int):
+    """Blend one tile into one image at (x0, y0) with clipping.
+
+    padded_tile: (3*tile_h, 3*tile_w) f32 — coverage tile centered in a zero
+    canvas so a shifted window read stays in bounds in both directions.
+    Negative/overflowing origins are handled by clamping the destination
+    window and shifting the tile read by the same amount (equivalent to the
+    reference's freetype clip, watermark.go:100).
+    """
+    h, w = img_f32.shape[0], img_f32.shape[1]
+    win_h, win_w = min(tile_h, h), min(tile_w, w)  # text may exceed the image
+    dx = jnp.clip(x0, 0, w - win_w)
+    dy = jnp.clip(y0, 0, h - win_h)
+    # The tile sits at [tile_h:2*tile_h, tile_w:2*tile_w] inside a 3x zero
+    # canvas, so a window clamped in either direction reads the correctly
+    # shifted coverage (zeros where the text falls outside the window).
+    tx = jnp.clip(dx - x0 + tile_w, 0, 3 * tile_w - win_w)
+    ty = jnp.clip(dy - y0 + tile_h, 0, 3 * tile_h - win_h)
+
+    cov = jax.lax.dynamic_slice(padded_tile, (ty, tx), (win_h, win_w))
+    # Mask out pixels beyond the image's valid extent (bucket padding) and
+    # beyond the intended (unclamped) draw rect.
+    rows = dy + jnp.arange(win_h, dtype=jnp.int32)[:, None]
+    cols = dx + jnp.arange(win_w, dtype=jnp.int32)[None, :]
+    inside = ((rows < valid_h) & (cols < valid_w)).astype(jnp.float32)
+    m = (cov * inside * alpha)[:, :, None]
+
+    region = jax.lax.dynamic_slice(img_f32, (dy, dx, 0),
+                                   (win_h, win_w, img_f32.shape[2]))
+    blended = region * (1.0 - m) + color_rgb[None, None, :] * m
+    return jax.lax.dynamic_update_slice(img_f32, blended, (dy, dx, 0))
+
+
+def _pad_tile(tile: WatermarkTile) -> np.ndarray:
+    th, tw = tile.coverage.shape
+    out = np.zeros((3 * th, 3 * tw), dtype=np.float32)
+    out[th:2 * th, tw:2 * tw] = tile.coverage
+    return out
+
+
+def watermark_image(img_u8, text: str = DEFAULT_WATERMARK_TEXT,
+                    position: str = "bottom-right",
+                    opacity: float = DEFAULT_WATERMARK_OPACITY,
+                    font_size: float = 36.0,
+                    font_color: str = "255,255,255",
+                    font_path: str | None = None):
+    """Reference `Watermarker.Process` core (watermark.go:40-155).
+
+    Single-image path: full-resolution alpha composite of the rasterized
+    text at the anchor position. Returns uint8 (H, W, C).
+    """
+    tile = rasterize_text(text, font_size, font_path)
+    r, g, b, a = resolve_color(font_color, opacity)
+    h, w = int(img_u8.shape[0]), int(img_u8.shape[1])
+    bx, by = anchor_baseline(position, w, h, tile)
+    x0 = int(bx)
+    y0 = int(by) - tile.ascent  # baseline -> tile top row
+    th, tw = tile.coverage.shape
+    out = _blend_at(
+        img_u8.astype(jnp.float32),
+        jnp.asarray(_pad_tile(tile)),
+        jnp.asarray([r, g, b], dtype=jnp.float32),
+        jnp.float32(a / 255.0),
+        jnp.int32(x0), jnp.int32(y0),
+        jnp.int32(w), jnp.int32(h),
+        tile_h=th, tile_w=tw,
+    )
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
+def _batched_blend(imgs_f32, padded_tile, color_rgb, alpha, x0, y0, hw,
+                   tile_h: int, tile_w: int):
+    def one(img, x, y, h_w):
+        return _blend_at(img, padded_tile, color_rgb, alpha, x, y,
+                         h_w[1], h_w[0], tile_h, tile_w)
+    return jax.vmap(one)(imgs_f32, x0, y0, hw)
+
+
+def batched_watermark(imgs_u8, src_hw, tile: WatermarkTile,
+                      position: str = "bottom-right",
+                      opacity: float = DEFAULT_WATERMARK_OPACITY,
+                      font_color: str = "255,255,255"):
+    """Watermark a padded bucket in place; positions follow each image's
+    valid (h, w) so the text lands relative to the true image, not the pad.
+
+    Returns (B, Hp, Wp, C) uint8 — valid region watermarked, padding
+    unspecified; the host crops to src_hw before encode.
+    """
+    r, g, b, a = resolve_color(font_color, opacity)
+    h = src_hw[:, 0].astype(jnp.int32)
+    w = src_hw[:, 1].astype(jnp.int32)
+    bx, by = anchor_baseline(position, w, h, tile)
+    x0 = bx.astype(jnp.int32)
+    y0 = (by - tile.ascent).astype(jnp.int32)
+    th, tw = tile.coverage.shape
+    out = _batched_blend(
+        imgs_u8.astype(jnp.float32),
+        jnp.asarray(_pad_tile(tile)),
+        jnp.asarray([r, g, b], dtype=jnp.float32),
+        jnp.float32(a / 255.0),
+        x0, y0, src_hw.astype(jnp.int32),
+        tile_h=th, tile_w=tw,
+    )
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
