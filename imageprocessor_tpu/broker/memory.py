@@ -1,0 +1,116 @@
+"""In-process broker — the standalone single-binary mode and test backend."""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from imageprocessor_tpu.broker.base import Broker, BrokerMessage, partition_for_key
+
+
+@dataclass
+class _Stored:
+    msg: BrokerMessage
+    # per consumer-group delivery state
+    done: set = field(default_factory=set)            # groups that acked
+    lease_until: dict = field(default_factory=dict)   # group -> expiry ts
+    lease_token: dict = field(default_factory=dict)   # group -> token
+
+
+class MemoryBroker(Broker):
+    def __init__(self, default_partitions: int = 3):
+        self._default_partitions = default_partitions
+        self._topics: dict[str, int] = {}
+        self._messages: dict[tuple[str, int], list[_Stored]] = defaultdict(list)
+        self._lock = threading.Condition()
+
+    def create_topic(self, topic: str, partitions: int = 3) -> None:
+        with self._lock:
+            self._topics.setdefault(topic, partitions)
+
+    def _partitions(self, topic: str) -> int:
+        return self._topics.setdefault(topic, self._default_partitions)
+
+    def produce(self, topic: str, key: bytes, value: bytes) -> BrokerMessage:
+        with self._lock:
+            p = partition_for_key(key, self._partitions(topic))
+            q = self._messages[(topic, p)]
+            msg = BrokerMessage(topic=topic, partition=p, offset=len(q),
+                                key=key, value=value)
+            q.append(_Stored(msg=msg))
+            self._lock.notify_all()
+            return msg
+
+    def poll(self, topic: str, group: str, max_n: int = 1,
+             lease_s: float = 60.0) -> list[BrokerMessage]:
+        now = time.monotonic()
+        out: list[BrokerMessage] = []
+        with self._lock:
+            for p in range(self._partitions(topic)):
+                for stored in self._messages.get((topic, p), []):
+                    if len(out) >= max_n:
+                        return out
+                    if group in stored.done:
+                        continue
+                    if stored.lease_until.get(group, 0.0) > now:
+                        continue
+                    token = uuid.uuid4().hex
+                    stored.lease_until[group] = now + lease_s
+                    stored.lease_token[group] = token
+                    m = BrokerMessage(**{**stored.msg.__dict__})
+                    m.token = token
+                    out.append(m)
+        return out
+
+    def _find(self, msg: BrokerMessage) -> _Stored | None:
+        q = self._messages.get((msg.topic, msg.partition), [])
+        if 0 <= msg.offset < len(q):
+            return q[msg.offset]
+        return None
+
+    def ack(self, msg: BrokerMessage) -> bool:
+        with self._lock:
+            stored = self._find(msg)
+            if stored is None:
+                return False
+            for g, token in list(stored.lease_token.items()):
+                if token == msg.token:
+                    stored.done.add(g)
+                    stored.lease_token.pop(g, None)
+                    stored.lease_until.pop(g, None)
+                    return True
+            return False
+
+    def nack(self, msg: BrokerMessage) -> None:
+        with self._lock:
+            stored = self._find(msg)
+            if stored is None:
+                return
+            for g, token in list(stored.lease_token.items()):
+                if token == msg.token:
+                    stored.lease_until[g] = 0.0
+                    stored.lease_token.pop(g, None)
+                    self._lock.notify_all()
+
+    def depth(self, topic: str, group: str) -> int:
+        with self._lock:
+            total = 0
+            for p in range(self._partitions(topic)):
+                for stored in self._messages.get((topic, p), []):
+                    if group not in stored.done:
+                        total += 1
+            return total
+
+    def wait_for_messages(self, topic: str, group: str, timeout: float) -> bool:
+        """Block until something may be deliverable (poll-free idle wait)."""
+        deadline = time.monotonic() + timeout
+        with self._lock:
+            while self.depth(topic, group) == 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._lock.wait(remaining)
+            return True

@@ -1,0 +1,189 @@
+"""Durable SQLite-backed broker.
+
+Provides the reference's Kafka delivery contract — partitioned topics,
+consumer groups, at-least-once commit-after-success (reference:
+internal/broker/kafka/consumer.go, worker.go:125-146) — on a single file,
+so the full async pipeline runs with zero external services. Redelivery is
+lease-based per message, which is strictly stronger than the reference's
+offset commits: its latestOffset race (consumer.go:33-44, documented in
+SURVEY.md §5) cannot occur here because acks are keyed by a unique
+delivery token, not a shared offset watermark.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+import time
+import uuid
+
+from imageprocessor_tpu.broker.base import Broker, BrokerMessage, partition_for_key
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS topics (
+    name TEXT PRIMARY KEY,
+    partitions INTEGER NOT NULL
+);
+CREATE TABLE IF NOT EXISTS messages (
+    topic TEXT NOT NULL,
+    partition INTEGER NOT NULL,
+    offset INTEGER NOT NULL,
+    key BLOB,
+    value BLOB NOT NULL,
+    created_at REAL NOT NULL,
+    PRIMARY KEY (topic, partition, offset)
+);
+CREATE TABLE IF NOT EXISTS deliveries (
+    topic TEXT NOT NULL,
+    partition INTEGER NOT NULL,
+    offset INTEGER NOT NULL,
+    grp TEXT NOT NULL,
+    state TEXT NOT NULL DEFAULT 'leased',   -- leased | done
+    token TEXT NOT NULL,
+    lease_until REAL NOT NULL,
+    PRIMARY KEY (topic, partition, offset, grp)
+);
+CREATE INDEX IF NOT EXISTS idx_deliveries_grp
+    ON deliveries(grp, topic, state, lease_until);
+"""
+
+
+class SQLiteBroker(Broker):
+    def __init__(self, path: str, default_partitions: int = 3):
+        if path != ":memory:":
+            import os
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._lock = threading.Lock()
+        self._default_partitions = default_partitions
+        with self._lock:
+            self._conn.execute("PRAGMA journal_mode=WAL")
+            self._conn.execute("PRAGMA synchronous=NORMAL")
+            self._conn.executescript(_SCHEMA)
+            self._conn.commit()
+
+    def create_topic(self, topic: str, partitions: int = 3) -> None:
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR IGNORE INTO topics (name, partitions) VALUES (?,?)",
+                (topic, partitions))
+            self._conn.commit()
+
+    def _partitions(self, topic: str) -> int:
+        row = self._conn.execute(
+            "SELECT partitions FROM topics WHERE name = ?", (topic,)).fetchone()
+        if row:
+            return row[0]
+        self._conn.execute(
+            "INSERT OR IGNORE INTO topics (name, partitions) VALUES (?,?)",
+            (topic, self._default_partitions))
+        return self._default_partitions
+
+    def produce(self, topic: str, key: bytes, value: bytes) -> BrokerMessage:
+        with self._lock:
+            p = partition_for_key(key, self._partitions(topic))
+            row = self._conn.execute(
+                "SELECT COALESCE(MAX(offset), -1) + 1 FROM messages"
+                " WHERE topic = ? AND partition = ?", (topic, p)).fetchone()
+            offset = row[0]
+            self._conn.execute(
+                "INSERT INTO messages (topic, partition, offset, key, value,"
+                " created_at) VALUES (?,?,?,?,?,?)",
+                (topic, p, offset, key, value, time.time()))
+            self._conn.commit()
+        return BrokerMessage(topic=topic, partition=p, offset=offset,
+                             key=key, value=value)
+
+    def poll(self, topic: str, group: str, max_n: int = 1,
+             lease_s: float = 60.0) -> list[BrokerMessage]:
+        now = time.time()
+        out: list[BrokerMessage] = []
+        with self._lock:
+            rows = self._conn.execute(
+                """
+                SELECT m.partition, m.offset, m.key, m.value
+                FROM messages m
+                LEFT JOIN deliveries d
+                  ON d.topic = m.topic AND d.partition = m.partition
+                 AND d.offset = m.offset AND d.grp = ?
+                WHERE m.topic = ?
+                  AND (d.state IS NULL
+                       OR (d.state = 'leased' AND d.lease_until < ?))
+                ORDER BY m.partition, m.offset
+                LIMIT ?
+                """, (group, topic, now, max_n)).fetchall()
+            for p, offset, key, value in rows:
+                token = uuid.uuid4().hex
+                self._conn.execute(
+                    "INSERT INTO deliveries (topic, partition, offset, grp,"
+                    " state, token, lease_until) VALUES (?,?,?,?,'leased',?,?)"
+                    " ON CONFLICT (topic, partition, offset, grp) DO UPDATE"
+                    " SET token = excluded.token,"
+                    "     lease_until = excluded.lease_until,"
+                    "     state = 'leased'",
+                    (topic, p, offset, group, token, now + lease_s))
+                out.append(BrokerMessage(topic=topic, partition=p,
+                                         offset=offset, key=key or b"",
+                                         value=value, token=token))
+            if rows:
+                self._conn.commit()
+        return out
+
+    def ack(self, msg: BrokerMessage) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE deliveries SET state = 'done'"
+                " WHERE topic = ? AND partition = ? AND offset = ?"
+                "   AND token = ? AND state = 'leased'",
+                (msg.topic, msg.partition, msg.offset, msg.token))
+            self._conn.commit()
+            return cur.rowcount > 0
+
+    def nack(self, msg: BrokerMessage) -> None:
+        with self._lock:
+            self._conn.execute(
+                "UPDATE deliveries SET lease_until = 0"
+                " WHERE topic = ? AND partition = ? AND offset = ?"
+                "   AND token = ? AND state = 'leased'",
+                (msg.topic, msg.partition, msg.offset, msg.token))
+            self._conn.commit()
+
+    def depth(self, topic: str, group: str) -> int:
+        with self._lock:
+            row = self._conn.execute(
+                """
+                SELECT COUNT(*)
+                FROM messages m
+                LEFT JOIN deliveries d
+                  ON d.topic = m.topic AND d.partition = m.partition
+                 AND d.offset = m.offset AND d.grp = ?
+                WHERE m.topic = ? AND (d.state IS NULL OR d.state != 'done')
+                """, (group, topic)).fetchone()
+            return row[0]
+
+    def purge_done(self, older_than_s: float = 3600.0) -> int:
+        """Garbage-collect fully-acked messages (retention)."""
+        cutoff = time.time() - older_than_s
+        with self._lock:
+            cur = self._conn.execute(
+                """
+                DELETE FROM messages
+                WHERE created_at < ?
+                  AND NOT EXISTS (
+                    SELECT 1 FROM deliveries d
+                    WHERE d.topic = messages.topic
+                      AND d.partition = messages.partition
+                      AND d.offset = messages.offset
+                      AND d.state != 'done')
+                  AND EXISTS (
+                    SELECT 1 FROM deliveries d2
+                    WHERE d2.topic = messages.topic
+                      AND d2.partition = messages.partition
+                      AND d2.offset = messages.offset)
+                """, (cutoff,))
+            self._conn.commit()
+            return cur.rowcount
+
+    def close(self) -> None:
+        with self._lock:
+            self._conn.close()

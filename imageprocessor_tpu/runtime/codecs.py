@@ -1,0 +1,189 @@
+"""Host image codecs and format negotiation.
+
+Decode/encode never run on the TPU — entropy coding is branchy scalar work.
+They run on host threads via OpenCV (libjpeg-turbo with SIMD, releases the
+GIL) with PIL as the fallback for GIF and exotic formats.
+
+Format rules replicate the reference exactly:
+* resize/thumbnail encode switch: jpg/jpeg->jpeg(q85), png->png, gif->gif,
+  anything else -> jpeg (operations/resize.go:78-91, thumbnail.go:66-85);
+* watermark re-encodes GIF input as JPEG (operations/watermark.go:73-74);
+* decode supports at least gif/jpeg/png like the reference's registered
+  decoders (image_processor.go:8-10) — plus webp/bmp/tiff, which the
+  reference's HTTP layer accepts but its worker then fails on.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from imageprocessor_tpu.errors import DecodeError
+
+try:  # OpenCV is the fast path; PIL covers the rest.
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+# --- content sniffing (http.DetectContentType subset for images) -----------
+
+_MAGIC = [
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
+]
+
+
+def detect_content_type(head: bytes) -> str:
+    """Magic-number sniff over the first 512 bytes, mirroring the upload
+    usecase's http.DetectContentType gate (usecase/image/image.go:44-54)."""
+    for magic, mime in _MAGIC:
+        if head.startswith(magic):
+            return mime
+    if len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "image/webp"
+    return "application/octet-stream"
+
+
+def format_from_content_type(content_type: str) -> str:
+    """MIME -> ImageFormat string (usecase/image/image.go:198-215)."""
+    for key in ("jpeg", "png", "gif", "webp", "bmp", "tiff"):
+        if key in content_type:
+            return key
+    return "jpeg"
+
+
+def mime_from_path(path: str) -> str:
+    """Extension -> content type (image_processor.go:164-182)."""
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    return {
+        "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+        "gif": "image/gif", "webp": "image/webp", "bmp": "image/bmp",
+        "tiff": "image/tiff", "tif": "image/tiff",
+    }.get(ext, "image/jpeg")
+
+
+def negotiate_format(requested: str, *, watermark: bool = False) -> str:
+    """Output-format rule per op family (resize.go:78-91, watermark.go:66-79)."""
+    fmt = (requested or "").lower()
+    if fmt in ("jpg", "jpeg"):
+        return "jpeg"
+    if fmt == "png":
+        return "png"
+    if fmt == "gif":
+        return "jpeg" if watermark else "gif"
+    return "jpeg"
+
+
+# --- decode -----------------------------------------------------------------
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode to (H, W, 3) uint8 RGB + detected format string.
+
+    Mirrors the worker's decode-once behavior (image_processor.go:47); a
+    failure raises DecodeError, which the worker maps to status=failed.
+    Alpha is composited the way Go's premultiplied RGBA pipeline renders
+    semi-transparent pixels when later JPEG-encoded: rgb * alpha
+    (i.e. over black).
+    """
+    mime = detect_content_type(data[:512])
+    fmt = format_from_content_type(mime) if mime != "application/octet-stream" else ""
+
+    if fmt == "gif" or not _HAS_CV2:
+        return _decode_pil(data, fmt)
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    arr = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+    if arr is None:
+        return _decode_pil(data, fmt)  # cv2 lacks the codec? try PIL
+    if arr.ndim == 2:
+        arr = cv2.cvtColor(arr, cv2.COLOR_GRAY2RGB)
+    elif arr.shape[2] == 4:
+        arr = cv2.cvtColor(arr, cv2.COLOR_BGRA2RGBA)
+        arr = _flatten_alpha(arr)
+    else:
+        arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+    if arr.dtype != np.uint8:
+        arr = (arr.astype(np.float64) * (255.0 / np.iinfo(arr.dtype).max)).astype(np.uint8) \
+            if np.issubdtype(arr.dtype, np.integer) else \
+            np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(arr), fmt or "jpeg"
+
+
+def _decode_pil(data: bytes, fmt_hint: str) -> tuple[np.ndarray, str]:
+    from PIL import Image, UnidentifiedImageError
+
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            fmt = (im.format or fmt_hint or "jpeg").lower()
+            if fmt == "jpg":
+                fmt = "jpeg"
+            im.seek(0)  # GIF: first frame only, like Go image.Decode
+            if im.mode in ("RGBA", "LA", "PA"):
+                arr = np.asarray(im.convert("RGBA"))
+                arr = _flatten_alpha(arr)
+            else:
+                arr = np.asarray(im.convert("RGB"))
+            return np.ascontiguousarray(arr), fmt
+    except UnidentifiedImageError as exc:
+        raise DecodeError(f"failed to decode image: {exc}") from exc
+    except Exception as exc:  # truncated files etc.
+        raise DecodeError(f"failed to decode image: {exc}") from exc
+
+
+def _flatten_alpha(rgba: np.ndarray) -> np.ndarray:
+    """Premultiply onto black: matches Go's RGBA (premultiplied) pipeline
+    feeding jpeg.Encode, which uses the premultiplied channels directly."""
+    a = rgba[..., 3:4].astype(np.float64) / 255.0
+    rgb = (rgba[..., :3].astype(np.float64) * a)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encode -----------------------------------------------------------------
+
+def encode_image(arr: np.ndarray, fmt: str, quality: int = 85) -> bytes:
+    """Encode (H, W, 3) uint8 RGB. JPEG quality defaults to 85
+    (domain/task.go:57)."""
+    fmt = fmt.lower()
+    if fmt == "jpg":
+        fmt = "jpeg"
+    if _HAS_CV2 and fmt in ("jpeg", "png", "bmp", "webp"):
+        bgr = cv2.cvtColor(np.ascontiguousarray(arr), cv2.COLOR_RGB2BGR)
+        if fmt == "jpeg":
+            ok, out = cv2.imencode(".jpg", bgr,
+                                   [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
+        elif fmt == "png":
+            # Speed-over-size: processed artifacts are cache objects with a
+            # 1-year lifetime (minio.go:126); compression level 1 keeps the
+            # single-core host from becoming the pipeline bottleneck.
+            ok, out = cv2.imencode(".png", bgr,
+                                   [cv2.IMWRITE_PNG_COMPRESSION, 1])
+        elif fmt == "webp":
+            ok, out = cv2.imencode(".webp", bgr,
+                                   [cv2.IMWRITE_WEBP_QUALITY, int(quality)])
+        else:
+            ok, out = cv2.imencode(".bmp", bgr)
+        if not ok:  # pragma: no cover
+            raise DecodeError(f"failed to encode {fmt}")
+        return out.tobytes()
+
+    from PIL import Image
+
+    bio = io.BytesIO()
+    im = Image.fromarray(arr)
+    if fmt == "gif":
+        # Go gif.Encode(nil) quantizes to a 256-color palette.
+        im.convert("P", palette=Image.ADAPTIVE).save(bio, format="GIF")
+    elif fmt == "jpeg":
+        im.save(bio, format="JPEG", quality=int(quality))
+    else:
+        im.save(bio, format=fmt.upper())
+    return bio.getvalue()

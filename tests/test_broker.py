@@ -1,0 +1,148 @@
+"""Broker contract tests run against both memory and sqlite backends."""
+
+import threading
+
+import pytest
+
+from imageprocessor_tpu.broker import MemoryBroker, SQLiteBroker
+from imageprocessor_tpu.broker.base import partition_for_key
+
+
+@pytest.fixture(params=["memory", "sqlite"])
+def broker(request, tmp_path):
+    if request.param == "memory":
+        b = MemoryBroker(default_partitions=3)
+    else:
+        b = SQLiteBroker(str(tmp_path / "broker.db"), default_partitions=3)
+    yield b
+    b.close()
+
+
+def test_produce_poll_ack(broker):
+    broker.create_topic("image-processing", 3)
+    m = broker.produce("image-processing", b"img-1", b"task-1")
+    assert m.offset == 0
+    got = broker.poll("image-processing", "g1", max_n=10)
+    assert len(got) == 1
+    assert got[0].value == b"task-1"
+    assert broker.ack(got[0]) is True
+    # acked messages never redeliver
+    assert broker.poll("image-processing", "g1", max_n=10) == []
+    assert broker.depth("image-processing", "g1") == 0
+
+
+def test_lease_prevents_double_delivery(broker):
+    broker.produce("t", b"k", b"v")
+    a = broker.poll("t", "g", max_n=1, lease_s=60)
+    assert len(a) == 1
+    # While leased, a second poll gets nothing
+    assert broker.poll("t", "g", max_n=1, lease_s=60) == []
+
+
+def test_lease_expiry_redelivers(broker):
+    broker.produce("t", b"k", b"v")
+    a = broker.poll("t", "g", max_n=1, lease_s=0.0)  # instantly expired
+    assert len(a) == 1
+    b = broker.poll("t", "g", max_n=1, lease_s=60)
+    assert len(b) == 1
+    assert b[0].value == b"v"
+    # The stale first delivery can no longer ack (token superseded)
+    assert broker.ack(a[0]) is False
+    assert broker.ack(b[0]) is True
+
+
+def test_nack_redelivers_immediately(broker):
+    broker.produce("t", b"k", b"v")
+    a = broker.poll("t", "g", max_n=1, lease_s=600)
+    broker.nack(a[0])
+    b = broker.poll("t", "g", max_n=1)
+    assert len(b) == 1
+
+
+def test_consumer_groups_are_independent(broker):
+    broker.produce("t", b"k", b"v")
+    a = broker.poll("t", "groupA", max_n=1)
+    assert len(a) == 1
+    broker.ack(a[0])
+    # Group B still sees the message (pub/sub across groups, Kafka semantics)
+    b = broker.poll("t", "groupB", max_n=1)
+    assert len(b) == 1
+
+
+def test_same_key_same_partition_ordered(broker):
+    broker.create_topic("t", 3)
+    for i in range(5):
+        broker.produce("t", b"img-A", f"m{i}".encode())
+    msgs = broker.poll("t", "g", max_n=10)
+    parts = {m.partition for m in msgs}
+    assert len(parts) == 1  # keyed messages land on one partition
+    assert [m.value for m in msgs] == [b"m0", b"m1", b"m2", b"m3", b"m4"]
+
+
+def test_different_keys_spread_partitions(broker):
+    broker.create_topic("t", 3)
+    for i in range(60):
+        broker.produce("t", f"img-{i}".encode(), b"x")
+    msgs = broker.poll("t", "g", max_n=100)
+    parts = {m.partition for m in msgs}
+    assert parts == {0, 1, 2}
+
+
+def test_partition_for_key_stable():
+    assert partition_for_key(b"abc", 3) == partition_for_key(b"abc", 3)
+    assert partition_for_key(b"", 1) == 0
+
+
+def test_batch_poll_for_microbatching(broker):
+    for i in range(10):
+        broker.produce("t", f"k{i}".encode(), f"v{i}".encode())
+    batch = broker.poll("t", "g", max_n=8)
+    assert len(batch) == 8
+    rest = broker.poll("t", "g", max_n=8)
+    assert len(rest) == 2
+
+
+def test_concurrent_consumers_share_without_dupes(broker):
+    n = 50
+    for i in range(n):
+        broker.produce("t", f"k{i}".encode(), str(i).encode())
+    seen: list[bytes] = []
+    lock = threading.Lock()
+
+    def consume():
+        while True:
+            msgs = broker.poll("t", "g", max_n=5, lease_s=30)
+            if not msgs:
+                return
+            for m in msgs:
+                assert broker.ack(m)
+            with lock:
+                seen.extend(m.value for m in msgs)
+
+    threads = [threading.Thread(target=consume) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(int(v) for v in seen) == list(range(n))
+
+
+def test_sqlite_broker_survives_reopen(tmp_path):
+    path = str(tmp_path / "durable.db")
+    b1 = SQLiteBroker(path)
+    b1.produce("t", b"k", b"persisted")
+    b1.close()
+    b2 = SQLiteBroker(path)
+    msgs = b2.poll("t", "g", max_n=1)
+    assert msgs and msgs[0].value == b"persisted"
+    b2.close()
+
+
+def test_sqlite_purge_done(tmp_path):
+    b = SQLiteBroker(str(tmp_path / "b.db"))
+    b.produce("t", b"k", b"v")
+    m = b.poll("t", "g", max_n=1)[0]
+    b.ack(m)
+    assert b.purge_done(older_than_s=0.0) == 1
+    assert b.poll("t", "g2", max_n=1) == []  # gone for all groups
+    b.close()

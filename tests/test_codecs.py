@@ -1,0 +1,131 @@
+"""Host codec tests: sniffing, decode/encode roundtrips, format rules."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imageprocessor_tpu.errors import DecodeError
+from imageprocessor_tpu.runtime import (
+    decode_image,
+    detect_content_type,
+    encode_image,
+    format_from_content_type,
+    mime_from_path,
+    negotiate_format,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def make_bytes(fmt, size=(64, 48), mode="RGB", smooth=False):
+    if smooth:  # JPEG is lossy; use a gradient so roundtrip error is small
+        yy = np.linspace(0, 255, size[1])[:, None]
+        xx = np.linspace(0, 255, size[0])[None, :]
+        arr = np.stack([yy + 0 * xx, 0 * yy + xx, (yy + xx) / 2],
+                       axis=-1).astype(np.uint8)
+    else:
+        arr = RNG.integers(0, 256, size=(size[1], size[0], 3), dtype=np.uint8)
+    im = Image.fromarray(arr, "RGB").convert(mode)
+    bio = io.BytesIO()
+    im.save(bio, format=fmt)
+    return bio.getvalue(), np.asarray(im.convert("RGB"))
+
+
+def test_detect_content_type_magic_numbers():
+    jpeg, _ = make_bytes("JPEG")
+    png, _ = make_bytes("PNG")
+    gif, _ = make_bytes("GIF", mode="P")
+    bmp, _ = make_bytes("BMP")
+    webp, _ = make_bytes("WEBP")
+    assert detect_content_type(jpeg[:512]) == "image/jpeg"
+    assert detect_content_type(png[:512]) == "image/png"
+    assert detect_content_type(gif[:512]) == "image/gif"
+    assert detect_content_type(bmp[:512]) == "image/bmp"
+    assert detect_content_type(webp[:512]) == "image/webp"
+    assert detect_content_type(b"not an image") == "application/octet-stream"
+
+
+@pytest.mark.parametrize("fmt,expected", [
+    ("JPEG", "jpeg"), ("PNG", "png"), ("BMP", "bmp"), ("WEBP", "webp")])
+def test_decode_roundtrip(fmt, expected):
+    data, rgb = make_bytes(fmt, smooth=(fmt in ("JPEG", "WEBP")))
+    arr, detected = decode_image(data)
+    assert detected == expected
+    assert arr.shape == rgb.shape
+    if fmt in ("PNG", "BMP"):  # lossless
+        np.testing.assert_array_equal(arr, rgb)
+    else:  # JPEG/WEBP are lossy; smooth input keeps error small
+        assert np.abs(arr.astype(int) - rgb.astype(int)).mean() < 10
+
+
+def test_decode_gif_first_frame():
+    data, rgb = make_bytes("GIF", mode="P")
+    arr, detected = decode_image(data)
+    assert detected == "gif"
+    assert arr.shape == rgb.shape
+
+
+def test_decode_rgba_premultiplies_onto_black():
+    arr = np.zeros((10, 10, 4), dtype=np.uint8)
+    arr[..., 0] = 200  # red
+    arr[..., 3] = 128  # half alpha
+    bio = io.BytesIO()
+    Image.fromarray(arr, "RGBA").save(bio, format="PNG")
+    out, _ = decode_image(bio.getvalue())
+    # premultiplied: 200 * 128/255 ~= 100
+    assert abs(int(out[5, 5, 0]) - 100) <= 2
+    assert out[5, 5, 1] == 0
+
+
+def test_decode_garbage_raises():
+    with pytest.raises(DecodeError):
+        decode_image(b"\x00\x01\x02 this is not an image at all" * 20)
+
+
+def test_encode_jpeg_decodes_back():
+    arr = RNG.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    data = encode_image(arr, "jpeg", quality=85)
+    assert data[:3] == b"\xff\xd8\xff"
+    back, fmt = decode_image(data)
+    assert fmt == "jpeg"
+    assert back.shape == arr.shape
+
+
+def test_encode_png_lossless():
+    arr = RNG.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    back, _ = decode_image(encode_image(arr, "png"))
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_encode_gif():
+    arr = np.zeros((32, 32, 3), dtype=np.uint8)
+    arr[:16] = [255, 0, 0]
+    data = encode_image(arr, "gif")
+    assert data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def test_negotiate_format_reference_rules():
+    assert negotiate_format("jpg") == "jpeg"
+    assert negotiate_format("jpeg") == "jpeg"
+    assert negotiate_format("png") == "png"
+    assert negotiate_format("gif") == "gif"
+    assert negotiate_format("tiff") == "jpeg"   # unknown -> jpeg
+    assert negotiate_format("") == "jpeg"
+    # watermark re-encodes gif as jpeg (watermark.go:73-74)
+    assert negotiate_format("gif", watermark=True) == "jpeg"
+    assert negotiate_format("png", watermark=True) == "png"
+
+
+def test_format_from_content_type():
+    assert format_from_content_type("image/jpeg") == "jpeg"
+    assert format_from_content_type("image/svg+xml") == "jpeg"  # default
+    assert format_from_content_type("image/webp") == "webp"
+
+
+def test_mime_from_path():
+    assert mime_from_path("processed/resize/x/1024x768.jpeg") == "image/jpeg"
+    assert mime_from_path("a/b.png") == "image/png"
+    assert mime_from_path("a/b.tif") == "image/tiff"
+    assert mime_from_path("noext") == "image/jpeg"

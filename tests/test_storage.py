@@ -1,0 +1,265 @@
+"""Storage backend tests: localfs object store, S3 SigV4 client against a
+stub server, SQLite metadata store semantics."""
+
+import datetime as dt
+import http.server
+import threading
+import uuid
+
+import pytest
+
+from imageprocessor_tpu.domain import Image, ImageStatus, OperationType, ProcessedImage
+from imageprocessor_tpu.storage import LocalFSObjectStore, SQLiteMetadataStore
+from imageprocessor_tpu.storage.metadata import NotFound
+from imageprocessor_tpu.storage.object_store import (
+    ObjectNotFound,
+    ObjectStoreError,
+    original_object_path,
+    sanitize_filename,
+    sanitize_object_path,
+)
+from imageprocessor_tpu.storage.s3 import S3ObjectStore, sign_v4
+
+
+# --- path logic --------------------------------------------------------------
+
+def test_original_path_scheme():
+    ns = 1755300000123456789  # 2025-08-15T...
+    path = original_object_path("photo.JPG", now_ns=ns)
+    t = dt.datetime.fromtimestamp(ns // 10**9, dt.timezone.utc)
+    assert path == f"original/{t.year:04d}/{t.month:02d}/{t.day:02d}/{ns}.jpg"
+
+
+def test_sanitize_rejects_traversal():
+    with pytest.raises(ObjectStoreError):
+        sanitize_object_path("../../etc/passwd")
+    with pytest.raises(ObjectStoreError):
+        sanitize_object_path("a/../../b")
+    assert sanitize_object_path("/abs/path") == "abs/path"
+    assert sanitize_object_path("a/b/../c") == "a/c"
+
+
+def test_sanitize_filename():
+    assert sanitize_filename("ok.png") == "ok.png"
+    assert "/" not in sanitize_filename("../../x/evil.png")
+    assert sanitize_filename("") == "upload"
+
+
+# --- localfs ----------------------------------------------------------------
+
+def test_localfs_crud(tmp_path):
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    path = store.save_original("cat.png", b"PNGDATA", "image/png")
+    assert path.startswith("original/")
+    assert store.get_object(path) == b"PNGDATA"
+    assert store.stat_object(path).size == 7
+
+    store.save_processed("processed/resize/id1/1024x768.jpeg", b"JPEG1")
+    store.save_processed("processed/thumbnails/id1/200.jpeg", b"JPEG2")
+    store.save_processed("processed/resize/id2/100x100.jpeg", b"JPEG3")
+    assert store.get_object("processed/resize/id1/1024x768.jpeg") == b"JPEG1"
+
+    # Overwrite is idempotent (replay safety)
+    store.save_processed("processed/resize/id1/1024x768.jpeg", b"JPEG1b")
+    assert store.get_object("processed/resize/id1/1024x768.jpeg") == b"JPEG1b"
+
+    n = store.delete_objects_with_prefix("processed/resize/id1/")
+    assert n == 1
+    with pytest.raises(ObjectNotFound):
+        store.get_object("processed/resize/id1/1024x768.jpeg")
+    assert store.get_object("processed/resize/id2/100x100.jpeg") == b"JPEG3"
+
+    store.delete_object(path)
+    with pytest.raises(ObjectNotFound):
+        store.get_object(path)
+    store.delete_object(path)  # second delete is a no-op
+
+
+def test_localfs_blocks_escape(tmp_path):
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    with pytest.raises(ObjectStoreError):
+        store.get_object("../../../etc/passwd")
+
+
+# --- SigV4 -------------------------------------------------------------------
+
+def test_sigv4_official_test_vector():
+    """AWS documented get-vanilla-query example (IAM ListUsers)."""
+    headers = sign_v4(
+        method="GET",
+        host="iam.amazonaws.com",
+        path="/",
+        query={"Action": "ListUsers", "Version": "2010-05-08"},
+        headers={"content-type": "application/x-www-form-urlencoded; charset=utf-8"},
+        payload_sha256="e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855",
+        access_key="AKIDEXAMPLE",
+        secret_key="wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        region="us-east-1",
+        service="iam",
+        now=dt.datetime(2015, 8, 30, 12, 36, 0, tzinfo=dt.timezone.utc),
+    )
+    assert headers["Authorization"] == (
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/iam/"
+        "aws4_request, SignedHeaders=content-type;host;x-amz-date, "
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+    )
+
+
+# --- S3 client against stub server -------------------------------------------
+
+class _StubS3(http.server.BaseHTTPRequestHandler):
+    objects: dict[str, bytes] = {}
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def _key(self):
+        return self.path.split("?")[0].lstrip("/")
+
+    def do_PUT(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        assert self.headers.get("Authorization", "").startswith("AWS4-HMAC-SHA256")
+        self.objects[self._key()] = body
+        self.send_response(200)
+        self.end_headers()
+
+    def do_GET(self):
+        key = self._key()
+        if "list-type=2" in (self.path.split("?") + [""])[1]:
+            import urllib.parse
+            q = urllib.parse.parse_qs(self.path.split("?")[1])
+            prefix = q.get("prefix", [""])[0]
+            bucket = key
+            keys = [k[len(bucket) + 1:] for k in self.objects
+                    if k.startswith(f"{bucket}/{prefix}") and k != bucket]
+            body = ("<?xml version='1.0'?><ListBucketResult>"
+                    + "".join(f"<Contents><Key>{k}</Key></Contents>" for k in keys)
+                    + "<IsTruncated>false</IsTruncated></ListBucketResult>").encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if key in self.objects:
+            body = self.objects[key]
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def do_HEAD(self):
+        key = self._key()
+        if key in self.objects or "/" not in key:  # bucket HEAD always ok
+            self.send_response(200)
+            self.send_header("Content-Length",
+                             str(len(self.objects.get(key, b""))))
+            self.end_headers()
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def do_DELETE(self):
+        self.objects.pop(self._key(), None)
+        self.send_response(204)
+        self.end_headers()
+
+
+@pytest.fixture()
+def stub_s3():
+    _StubS3.objects = {}
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _StubS3)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_s3_store_crud(stub_s3):
+    store = S3ObjectStore(endpoint=stub_s3, region="us-east-1",
+                          access_key="minioadmin", secret_key="minioadmin",
+                          bucket="images", use_ssl=False)
+    path = store.save_original("dog.jpeg", b"JPEGDATA", "image/jpeg")
+    assert store.get_object(path) == b"JPEGDATA"
+    store.save_processed("processed/resize/i1/64x64.jpeg", b"OUT1")
+    store.save_processed("processed/resize/i1/32x32.jpeg", b"OUT2")
+    store.save_processed("processed/thumbnails/i1/200.jpeg", b"OUT3")
+    assert store.stat_object("processed/resize/i1/64x64.jpeg").size == 4
+    n = store.delete_objects_with_prefix("processed/resize/i1/")
+    assert n == 2
+    with pytest.raises(ObjectNotFound):
+        store.get_object("processed/resize/i1/64x64.jpeg")
+    assert store.get_object("processed/thumbnails/i1/200.jpeg") == b"OUT3"
+    store.close()
+
+
+# --- SQLite metadata ----------------------------------------------------------
+
+def _image(**kw):
+    defaults = dict(
+        id=str(uuid.uuid4()), original_filename="a.png", original_size=10,
+        mime_type="image/png", status=ImageStatus.UPLOADED,
+        original_path="original/2026/08/16/1.png", bucket="images")
+    defaults.update(kw)
+    return Image(**defaults)
+
+
+def test_sqlite_metadata_roundtrip():
+    store = SQLiteMetadataStore(":memory:")
+    img = _image()
+    store.save_image(img)
+    got = store.get_image(img.id)
+    assert got.id == img.id
+    assert got.status is ImageStatus.UPLOADED
+
+    store.update_status(img.id, ImageStatus.PROCESSING)
+    assert store.get_image(img.id).status is ImageStatus.PROCESSING
+
+    with pytest.raises(NotFound):
+        store.get_image("nope")
+    with pytest.raises(NotFound):
+        store.update_status("nope", ImageStatus.FAILED)
+
+
+def test_sqlite_soft_delete_hides_image():
+    store = SQLiteMetadataStore(":memory:")
+    img = _image()
+    store.save_image(img)
+    store.update_status(img.id, ImageStatus.DELETED)
+    with pytest.raises(NotFound):
+        store.get_image(img.id)
+    assert store.list_images() == []
+
+
+def test_sqlite_processed_images():
+    store = SQLiteMetadataStore(":memory:")
+    img = _image()
+    store.save_image(img)
+    assert store.get_processed_by_operation(img.id, "resize") is None  # not error
+    store.save_processed_image(ProcessedImage(
+        id="", image_id=img.id, operation=OperationType.RESIZE,
+        path="processed/resize/x/1024x768.jpeg", status="completed"))
+    got = store.get_processed_by_operation(img.id, "resize")
+    assert got is not None
+    assert got.path == "processed/resize/x/1024x768.jpeg"
+    assert len(store.list_processed(img.id)) == 1
+    store.delete_processed_images(img.id)
+    assert store.get_processed_by_operation(img.id, "resize") is None
+
+
+def test_sqlite_list_newest_first_excludes_deleted():
+    store = SQLiteMetadataStore(":memory:")
+    now = dt.datetime.now(dt.timezone.utc)
+    a = _image(created_at=now - dt.timedelta(minutes=2))
+    b = _image(created_at=now - dt.timedelta(minutes=1))
+    c = _image(created_at=now)
+    for i in (a, b, c):
+        store.save_image(i)
+    store.update_status(b.id, ImageStatus.DELETED)
+    ids = [i.id for i in store.list_images()]
+    assert ids == [c.id, a.id]
+    assert [i.id for i in store.list_images(limit=1)] == [c.id]
+    assert [i.id for i in store.list_images(limit=1, offset=1)] == [a.id]
