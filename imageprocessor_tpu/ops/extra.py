@@ -104,5 +104,33 @@ def grayscale_image(img_u8):
     return out.astype(jnp.uint8)
 
 
+# --- batched bucket variants -------------------------------------------------
+
+@jax.jit
+def batched_grayscale(imgs_u8):
+    """Elementwise luma over a full bucket; padding is harmless."""
+    return grayscale_image(imgs_u8)
+
+
+@functools.partial(jax.jit, static_argnames=("direction",))
+def batched_flip(imgs_u8, src_hw, direction: str = "horizontal"):
+    """Per-image mirror inside a padded bucket.
+
+    A plain jnp.flip would mirror the padding into view; instead gather
+    with per-image reversed indices clamped to each image's valid extent.
+    """
+    if direction == "vertical":
+        n = imgs_u8.shape[1]
+        extent = src_hw[:, 0]
+        idx = extent[:, None] - 1 - jnp.arange(n, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(idx, 0, n - 1)
+        return jnp.take_along_axis(imgs_u8, idx[:, :, None, None], axis=1)
+    n = imgs_u8.shape[2]
+    extent = src_hw[:, 1]
+    idx = extent[:, None] - 1 - jnp.arange(n, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx, 0, n - 1)
+    return jnp.take_along_axis(imgs_u8, idx[:, None, :, None], axis=2)
+
+
 __all__ = ["crop_image", "rotate_image", "flip_image", "grayscale_image",
-           "quantize_go_xdraw"]
+           "batched_grayscale", "batched_flip", "quantize_go_xdraw"]

@@ -251,6 +251,65 @@ def _batched_blend(imgs_f32, padded_tile, color_rgb, alpha, x0, y0, hw,
     return jax.vmap(one)(imgs_f32, x0, y0, hw)
 
 
+def quantize_tile(tile: WatermarkTile, h_mult: int = 16,
+                  w_mult: int = 64) -> WatermarkTile:
+    """Zero-pad coverage to quantized dims so different watermark texts
+    share one compiled program (shape stability; content stays dynamic)."""
+    th, tw = tile.coverage.shape
+    qh = -(-th // h_mult) * h_mult
+    qw = -(-tw // w_mult) * w_mult
+    if (qh, qw) == (th, tw):
+        return tile
+    cov = np.zeros((qh, qw), dtype=np.float32)
+    cov[:th, :tw] = tile.coverage
+    return WatermarkTile(coverage=cov, width_px=tile.width_px,
+                         height_px=tile.height_px, ascent=tile.ascent,
+                         descent=tile.descent)
+
+
+def _anchor_traced(position: str, img_w, img_h, width_px, height_px):
+    """Anchor arithmetic (watermark.go:121-148) over traced scalars —
+    width_px/height_px are runtime inputs so text changes don't recompile."""
+    try:
+        pos = WatermarkPosition(position)
+    except ValueError:
+        pos = WatermarkPosition.BOTTOM_RIGHT
+    m = _MARGIN
+    if pos is WatermarkPosition.TOP_LEFT:
+        return m + 0 * img_w, m + height_px + 0 * img_h
+    if pos is WatermarkPosition.TOP_RIGHT:
+        return img_w - width_px - m, m + height_px + 0 * img_h
+    if pos is WatermarkPosition.TOP_CENTER:
+        return (img_w - width_px) // 2, m + height_px + 0 * img_h
+    if pos is WatermarkPosition.BOTTOM_LEFT:
+        return m + 0 * img_w, img_h - m
+    if pos is WatermarkPosition.BOTTOM_CENTER:
+        return (img_w - width_px) // 2, img_h - m
+    if pos is WatermarkPosition.CENTER:
+        return (img_w - width_px) // 2, (img_h + height_px) // 2
+    return img_w - width_px - m, img_h - m
+
+
+def batched_watermark_core(imgs_f32, src_hw, padded_tile, color_rgb, alpha,
+                           width_px, height_px, ascent, *, position: str,
+                           tile_h: int, tile_w: int):
+    """Jit-composable core: all image/text content is traced; only the
+    anchor position and (quantized) tile shape are static. Takes and
+    returns float32 so a fused pipeline shares the uint8 cast."""
+    w = src_hw[:, 1].astype(jnp.int32)
+    h = src_hw[:, 0].astype(jnp.int32)
+    bx, by = _anchor_traced(position, w, h,
+                            jnp.int32(width_px), jnp.int32(height_px))
+    x0 = bx.astype(jnp.int32)
+    y0 = (by - ascent).astype(jnp.int32)
+
+    def one(img, x, y, h_w):
+        return _blend_at(img, padded_tile, color_rgb, alpha, x, y,
+                         h_w[1], h_w[0], tile_h, tile_w)
+
+    return jax.vmap(one)(imgs_f32, x0, y0, src_hw.astype(jnp.int32))
+
+
 def batched_watermark(imgs_u8, src_hw, tile: WatermarkTile,
                       position: str = "bottom-right",
                       opacity: float = DEFAULT_WATERMARK_OPACITY,

@@ -1,0 +1,309 @@
+"""The processing engine: decode -> bucketed device batches -> encode/save.
+
+TPU-native replacement for the reference's per-image worker hot loop
+(reference: internal/worker/worker.go:112-148 + internal/usecase/processor/
+image_processor.go:39-127). Differences that matter:
+
+* N tasks are decoded on host threads (libjpeg-turbo releases the GIL),
+  grouped into padded resolution buckets, and processed as fused batched
+  XLA programs — one program run per (bucket, plan) group instead of one
+  op call per image;
+* per-image failure isolation: a bad JPEG fails that image only, the rest
+  of the batch proceeds (SURVEY.md §2 parallelism table, row 3);
+* fail-fast inside one image's op list, matching the reference
+  (image_processor.go:64-95): an encode/save error marks the image failed
+  and skips its remaining ops, but already-saved paths are reported.
+
+Engine results carry artifact details (path, size, mime) so the worker can
+write the same metadata rows the reference writes (worker.go:202-214).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from imageprocessor_tpu.domain import (
+    DEFAULT_JPEG_QUALITY,
+    ImageStatus,
+    OperationType,
+    ProcessingResult,
+    ProcessingTask,
+)
+from imageprocessor_tpu.errors import DecodeError, UnsupportedOperationError
+from imageprocessor_tpu.models.pipeline import PipelineModel, plan_output_specs
+from imageprocessor_tpu.models.plan import (
+    InvalidParamsError,
+    NormalizedOp,
+    OperationPlan,
+    normalize_operations,
+)
+from imageprocessor_tpu.ops import (
+    crop_image,
+    flip_image,
+    grayscale_image,
+    keep_aspect_dims,
+    resize_image,
+    rotate_image,
+    thumbnail_dims,
+    thumbnail_image,
+    watermark_image,
+)
+from imageprocessor_tpu.runtime.batcher import (
+    BatchItem,
+    group_items,
+    quantize_batch,
+)
+from imageprocessor_tpu.runtime.codecs import (
+    decode_image,
+    encode_image,
+    mime_from_path,
+    negotiate_format,
+)
+from imageprocessor_tpu.runtime.paths import generate_path
+from imageprocessor_tpu.utils import get_logger
+
+log = get_logger("engine")
+
+# Ops with fused batched kernels; the rest run per-image (still on device).
+BATCHABLE = {OperationType.RESIZE, OperationType.THUMBNAIL,
+             OperationType.WATERMARK, OperationType.GRAYSCALE,
+             OperationType.FLIP}
+
+
+@dataclass
+class Artifact:
+    operation: str
+    path: str
+    size: int
+    mime_type: str
+    format: str
+
+
+@dataclass
+class EngineResult:
+    """ProcessingResult plus the artifact metadata the DB rows need."""
+
+    result: ProcessingResult
+    artifacts: list[Artifact] = field(default_factory=list)
+
+
+class ProcessingEngine:
+    def __init__(self, object_store, *, codec_threads: int = 3,
+                 batch_size: int = 32, jpeg_quality: int = DEFAULT_JPEG_QUALITY):
+        self.store = object_store
+        self.model = PipelineModel()
+        self.batch_size = batch_size
+        self.jpeg_quality = jpeg_quality
+        self._pool = ThreadPoolExecutor(max_workers=max(codec_threads, 1),
+                                        thread_name_prefix="codec")
+
+    # ------------------------------------------------------------------ utils
+
+    def _failed(self, task: ProcessingTask, error: str) -> EngineResult:
+        return EngineResult(result=ProcessingResult(
+            id=task.id, image_id=task.image_id, status=ImageStatus.FAILED,
+            error=error))
+
+    def _encode_and_save(self, task: ProcessingTask, op: NormalizedOp,
+                         arr: np.ndarray, fmt: str) -> Artifact:
+        out_fmt = negotiate_format(fmt,
+                                   watermark=op.type is OperationType.WATERMARK)
+        data = encode_image(arr, out_fmt, quality=self.jpeg_quality)
+        path = generate_path(task.image_id, op, out_fmt)
+        mime = mime_from_path(path)
+        self.store.save_processed(path, data, mime)
+        return Artifact(operation=op.type.value, path=path, size=len(data),
+                        mime_type=mime, format=out_fmt)
+
+    # ------------------------------------------------------- single-image path
+
+    def _apply_single(self, arr: np.ndarray, op: NormalizedOp) -> np.ndarray:
+        t = op.type
+        if t is OperationType.RESIZE:
+            return np.asarray(resize_image(arr, op.width, op.height,
+                                           op.keep_aspect))
+        if t is OperationType.THUMBNAIL:
+            return np.asarray(thumbnail_image(arr, op.size, op.crop_to_fit))
+        if t is OperationType.WATERMARK:
+            return np.asarray(watermark_image(
+                arr, text=op.text, position=op.position, opacity=op.opacity,
+                font_size=op.font_size, font_color=op.font_color))
+        if t is OperationType.CROP:
+            return np.asarray(crop_image(arr, op.x, op.y, op.width, op.height))
+        if t is OperationType.ROTATE:
+            return np.asarray(rotate_image(arr, op.angle))
+        if t is OperationType.FLIP:
+            return np.asarray(flip_image(arr, op.direction))
+        if t is OperationType.GRAYSCALE:
+            return np.asarray(grayscale_image(arr))
+        raise UnsupportedOperationError(f"unsupported operation type: {t}")
+
+    def process_single(self, task: ProcessingTask, data: bytes) -> EngineResult:
+        """Reference-sequential path: used for plans without batched kernels
+        and as the correctness baseline for the batched path."""
+        try:
+            arr, detected_fmt = decode_image(data)
+        except DecodeError as exc:
+            return self._failed(task, f"Failed to decode image: {exc}")
+        fmt = (task.format or detected_fmt or "jpeg").lower()
+        try:
+            plan = normalize_operations(task.operations)
+        except (InvalidParamsError, UnsupportedOperationError, ValueError) as exc:
+            return self._failed(task, f"Operation failed: {exc}")
+
+        out = EngineResult(result=ProcessingResult(
+            id=task.id, image_id=task.image_id, status=ImageStatus.COMPLETED))
+        for op in plan:
+            try:
+                processed = self._apply_single(arr, op)
+                artifact = self._encode_and_save(task, op, processed, fmt)
+            except Exception as exc:  # fail-fast per reference
+                out.result.status = ImageStatus.FAILED
+                out.result.error = f"Operation {op.type.value} failed: {exc}"
+                return out
+            out.artifacts.append(artifact)
+            out.result.processed_paths[op.type.value] = artifact.path
+        return out
+
+    # ------------------------------------------------------------ batched path
+
+    def process_tasks(self, tasks_with_data: list[tuple[ProcessingTask, bytes]]
+                      ) -> list[EngineResult]:
+        """Process many tasks: decode pool -> bucket groups -> fused programs
+        -> encode pool. Returns results in input order."""
+        n = len(tasks_with_data)
+        results: list[EngineResult | None] = [None] * n
+
+        # 1. decode on host threads
+        def _dec(i):
+            return decode_image(tasks_with_data[i][1])
+
+        decoded = list(self._pool.map(_dec_safe(_dec), range(n)))
+
+        items: list[BatchItem] = []
+        plans: dict[int, OperationPlan] = {}
+        for i, ((task, _data), dec) in enumerate(zip(tasks_with_data, decoded)):
+            if isinstance(dec, Exception):
+                results[i] = self._failed(task,
+                                          f"Failed to decode image: {dec}")
+                continue
+            arr, detected = dec
+            try:
+                plan = normalize_operations(task.operations)
+            except (InvalidParamsError, UnsupportedOperationError, ValueError) as exc:
+                results[i] = self._failed(task, f"Operation failed: {exc}")
+                continue
+            fmt = (task.format or detected or "jpeg").lower()
+            if not all(op.type in BATCHABLE for op in plan):
+                results[i] = self._process_decoded_single(task, arr, fmt, plan)
+                continue
+            plans[i] = plan
+            items.append(BatchItem(item_id=str(i), image=arr,
+                                   plan_key=plan.compile_key(),
+                                   payload=(i, task, fmt, plan)))
+
+        # 2. group + run fused programs
+        for group in group_items(items, max_batch=self.batch_size):
+            self._run_group(group, results)
+
+        return [r if r is not None else self._failed(
+            tasks_with_data[i][0], "internal: no result produced")
+            for i, r in enumerate(results)]
+
+    def _process_decoded_single(self, task, arr, fmt, plan) -> EngineResult:
+        out = EngineResult(result=ProcessingResult(
+            id=task.id, image_id=task.image_id, status=ImageStatus.COMPLETED))
+        for op in plan:
+            try:
+                processed = self._apply_single(arr, op)
+                artifact = self._encode_and_save(task, op, processed, fmt)
+            except Exception as exc:
+                out.result.status = ImageStatus.FAILED
+                out.result.error = f"Operation {op.type.value} failed: {exc}"
+                return out
+            out.artifacts.append(artifact)
+            out.result.processed_paths[op.type.value] = artifact.path
+        return out
+
+    def _run_group(self, group, results: list) -> None:
+        plan: OperationPlan = group.items[0].payload[3]
+        b = quantize_batch(len(group.items))
+        imgs, src_hw = group.pack(pad_batch_to=b)
+
+        # Per-op, per-image valid output dims (host arithmetic, Go-exact)
+        out_hws: dict[int, np.ndarray] = {}
+        aspect_long: dict[int, int] = {}
+        for oi, op in enumerate(plan.ops):
+            if op.type is OperationType.RESIZE:
+                hw = np.zeros((b, 2), dtype=np.int32)
+                for i, it in enumerate(group.items):
+                    h, w = it.hw
+                    if op.keep_aspect:
+                        tw, th = keep_aspect_dims(w, h, op.width, op.height)
+                        hw[i] = (max(th, 1), max(tw, 1))
+                    else:
+                        hw[i] = (op.height, op.width)
+                hw[len(group.items):] = (1, 1)
+                out_hws[oi] = hw
+            elif op.type is OperationType.THUMBNAIL and not op.crop_to_fit:
+                hw = np.zeros((b, 2), dtype=np.int32)
+                long_side = op.size
+                for i, it in enumerate(group.items):
+                    h, w = it.hw
+                    tw, th = thumbnail_dims(w, h, op.size)
+                    hw[i] = (th, tw)
+                    long_side = max(long_side, th, tw)
+                hw[len(group.items):] = (1, 1)
+                out_hws[oi] = hw
+                aspect_long[oi] = long_side
+
+        specs = plan_output_specs(plan, group.bucket, aspect_long)
+        outs = self.model.run(plan, imgs, src_hw, out_hws, specs)
+        outs_np = [np.asarray(o) for o in outs]
+
+        # 3. crop + encode + save per image (codec pool), fail-fast per image
+        def _finish(idx_item):
+            i, it = idx_item
+            task_idx, task, fmt, _plan = it.payload
+            out = EngineResult(result=ProcessingResult(
+                id=task.id, image_id=task.image_id,
+                status=ImageStatus.COMPLETED))
+            h, w = it.hw
+            for oi, op in enumerate(plan.ops):
+                if op.type is OperationType.RESIZE or (
+                        op.type is OperationType.THUMBNAIL and not op.crop_to_fit):
+                    oh, ow = out_hws[oi][i]
+                    arr = outs_np[oi][i, :oh, :ow]
+                elif op.type is OperationType.THUMBNAIL:
+                    arr = outs_np[oi][i]
+                else:  # full-bucket canvas ops: crop to the valid extent
+                    arr = outs_np[oi][i, :h, :w]
+                try:
+                    artifact = self._encode_and_save(task, op, arr, fmt)
+                except Exception as exc:
+                    out.result.status = ImageStatus.FAILED
+                    out.result.error = (
+                        f"Operation {op.type.value} failed: {exc}")
+                    return task_idx, out
+                out.artifacts.append(artifact)
+                out.result.processed_paths[op.type.value] = artifact.path
+            return task_idx, out
+
+        for task_idx, res in self._pool.map(_finish,
+                                            enumerate(group.items)):
+            results[task_idx] = res
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True)
+
+
+def _dec_safe(fn):
+    def wrapper(i):
+        try:
+            return fn(i)
+        except Exception as exc:  # noqa: BLE001 — isolated per image
+            return exc
+    return wrapper

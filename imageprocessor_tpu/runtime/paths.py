@@ -1,0 +1,28 @@
+"""Deterministic output-path scheme.
+
+Byte-parity with the reference's generatePath (reference:
+internal/usecase/processor/image_processor.go:129-162):
+  resize    -> processed/resize/{imageID}/{W}x{H}.{fmt}   (requested dims,
+               even when keep_aspect shrinks the actual output)
+  thumbnail -> processed/thumbnails/{imageID}/{size}.{fmt}
+  watermark -> processed/watermarked/{imageID}/watermarked.{fmt}
+  other     -> processed/{op}/{imageID}/processed.{fmt}
+Deterministic paths make reprocessing idempotent — the at-least-once
+redelivery story depends on it (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+from imageprocessor_tpu.domain import OperationType
+from imageprocessor_tpu.models.plan import NormalizedOp
+
+
+def generate_path(image_id: str, op: NormalizedOp, fmt: str) -> str:
+    if op.type is OperationType.RESIZE:
+        return f"processed/resize/{image_id}/{op.width}x{op.height}.{fmt}"
+    if op.type is OperationType.THUMBNAIL:
+        size = op.size or 200
+        return f"processed/thumbnails/{image_id}/{size}.{fmt}"
+    if op.type is OperationType.WATERMARK:
+        return f"processed/watermarked/{image_id}/watermarked.{fmt}"
+    return f"processed/{op.type.value.lower()}/{image_id}/processed.{fmt}"

@@ -1,0 +1,93 @@
+"""Service entrypoints.
+
+Mirrors the reference's two binaries (reference: cmd/image-processor/main.go,
+cmd/worker/main.go) plus a standalone mode running both in one process
+with zero external services:
+
+    python -m imageprocessor_tpu.service api
+    python -m imageprocessor_tpu.service worker
+    python -m imageprocessor_tpu.service standalone [--port N] [--data DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import threading
+
+from imageprocessor_tpu import config as config_mod
+from imageprocessor_tpu.utils import get_logger, init_logging
+
+log = get_logger("main")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="imageprocessor_tpu.service")
+    parser.add_argument("mode", choices=["api", "worker", "standalone"])
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--data", type=str, default=None,
+                        help="standalone: data directory root")
+    parser.add_argument("--require-env", action="store_true",
+                        help="enforce reference-style required env vars")
+    args = parser.parse_args(argv)
+
+    cfg = config_mod.load(require=args.require_env)
+    if args.port:
+        cfg.server.addr = str(args.port)
+    if args.data:
+        cfg.storage.localfs_root = f"{args.data}/objects"
+        cfg.db.sqlite_path = f"{args.data}/metadata.db"
+        cfg.broker.sqlite_path = f"{args.data}/broker.db"
+    init_logging(cfg.log_level)
+
+    if args.mode == "api":
+        from imageprocessor_tpu.service.app import run_api
+        run_api(cfg)
+        return 0
+
+    if args.mode == "worker":
+        from imageprocessor_tpu.service.worker import Worker
+        worker = Worker(cfg)
+
+        def _sig(_s, _f):
+            log.info("Received shutdown signal, stopping worker...")
+            worker.stop()
+
+        signal.signal(signal.SIGINT, _sig)
+        signal.signal(signal.SIGTERM, _sig)
+        worker.run()
+        worker.close()
+        return 0
+
+    # standalone: shared in-process backends, worker thread + API server
+    from imageprocessor_tpu.broker.memory import MemoryBroker
+    from imageprocessor_tpu.service.app import build_app, run_api  # noqa: F401
+    from imageprocessor_tpu.service.worker import Worker
+    from imageprocessor_tpu.storage.metadata import build_metadata_store
+    from imageprocessor_tpu.storage.object_store import build_object_store
+    from aiohttp import web
+
+    broker = MemoryBroker(default_partitions=cfg.broker.partitions)
+    meta = build_metadata_store(cfg.db)
+    store = build_object_store(cfg.storage)
+    worker = Worker(cfg, meta=meta, store=store, broker=broker)
+    thread = threading.Thread(target=worker.run, name="worker", daemon=True)
+    thread.start()
+
+    app = build_app(cfg, meta=meta, store=store, broker=broker)
+
+    async def on_shutdown(_app):
+        worker.stop()
+
+    app.on_shutdown.append(on_shutdown)
+    log.info("Standalone mode", port=cfg.server.port)
+    web.run_app(app, port=cfg.server.port,
+                shutdown_timeout=cfg.server.shutdown_timeout_s, print=None)
+    worker.stop()
+    thread.join(timeout=5)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""aiohttp application wiring + lifecycle.
+
+Mirrors the reference's app wiring and graceful shutdown (reference:
+internal/app/app.go:33-127): construct stores/broker/usecase/handlers,
+serve until SIGINT/SIGTERM, drain within the shutdown timeout. Blocking
+storage/queue calls run on a thread pool off the event loop.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import functools
+import pathlib
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from aiohttp import web
+
+from imageprocessor_tpu.broker.base import build_broker
+from imageprocessor_tpu.config import Config
+from imageprocessor_tpu.service.handlers import ImageHandlers
+from imageprocessor_tpu.service.usecase import ImageUsecase
+from imageprocessor_tpu.storage.metadata import build_metadata_store
+from imageprocessor_tpu.storage.object_store import build_object_store
+from imageprocessor_tpu.utils import get_logger, init_logging
+from imageprocessor_tpu.utils.metrics import METRICS
+
+log = get_logger("app")
+
+_STATIC_DIR = pathlib.Path(__file__).parent / "static"
+
+
+@web.middleware
+async def logging_middleware(request: web.Request, handler):
+    """Request start/duration logging, skipping static assets
+    (reference: middleware.go:10-26, router.go:22-30)."""
+    is_static = request.path.startswith("/static") or request.path == "/"
+    start = time.monotonic()
+    if not is_static:
+        log.info("Request started", method=request.method, path=request.path)
+    try:
+        response = await handler(request)
+        return response
+    finally:
+        if not is_static:
+            dur_ms = (time.monotonic() - start) * 1000.0
+            METRICS.observe("http_request_ms", dur_ms)
+            log.info("Request completed", method=request.method,
+                     path=request.path, duration_ms=round(dur_ms, 2))
+
+
+@web.middleware
+async def recovery_middleware(request: web.Request, handler):
+    """Panic recovery -> 500 (reference: middleware.go:28-40)."""
+    try:
+        return await handler(request)
+    except web.HTTPException:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        log.error("Handler panic recovered", path=request.path,
+                  error=str(exc), exc_info=True)
+        return web.json_response(
+            {"error": "Internal Server Error",
+             "message": "Internal server error"}, status=500)
+
+
+def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Application:
+    """Construct the API application; injectable backends for tests
+    (the reference's contract.go DI seams)."""
+    init_logging(cfg.log_level)
+    meta = meta or build_metadata_store(cfg.db)
+    store = store or build_object_store(cfg.storage)
+    broker = broker or build_broker(cfg.broker)
+    broker.create_topic(cfg.broker.processing_topic, cfg.broker.partitions)
+    broker.create_topic(cfg.broker.results_topic, cfg.broker.partitions)
+
+    usecase = ImageUsecase(meta, store, broker,
+                           processing_topic=cfg.broker.processing_topic)
+    handlers = ImageHandlers(usecase)
+
+    app = web.Application(middlewares=[recovery_middleware, logging_middleware],
+                          client_max_size=DEFAULT_UPLOAD_LIMIT)
+    pool = ThreadPoolExecutor(max_workers=8, thread_name_prefix="io")
+
+    async def loop_runner(fn, *args):
+        return await asyncio.get_running_loop().run_in_executor(
+            pool, functools.partial(fn, *args))
+
+    app["loop_runner"] = loop_runner
+    app["usecase"] = usecase
+    app["stores"] = (meta, store, broker)
+
+    app.router.add_post("/api/images/upload", handlers.upload)
+    app.router.add_get("/api/images/{id}/status", handlers.get_status)
+    app.router.add_get("/api/images/{id}", handlers.get_image)
+    app.router.add_delete("/api/images/{id}", handlers.delete_image)
+    app.router.add_get("/api/images", handlers.list_images)
+    app.router.add_get("/api/health", handlers.health)
+    app.router.add_get("/api/metrics", _metrics_handler)
+
+    async def index(_request):
+        return web.FileResponse(_STATIC_DIR / "index.html")
+
+    if _STATIC_DIR.exists():
+        app.router.add_get("/", index)
+        app.router.add_static("/static/", _STATIC_DIR, name="static")
+
+    async def on_cleanup(_app):
+        pool.shutdown(wait=False)
+        for closer in (meta, store, broker):
+            try:
+                closer.close()
+            except Exception:
+                pass
+
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+async def _metrics_handler(_request):
+    return web.json_response(METRICS.snapshot())
+
+
+DEFAULT_UPLOAD_LIMIT = (32 << 20) + (1 << 20)  # 32 MiB file + form overhead
+
+
+def run_api(cfg: Config) -> None:
+    app = build_app(cfg)
+    log.info("Starting HTTP server", port=cfg.server.port)
+    web.run_app(app, port=cfg.server.port,
+                shutdown_timeout=cfg.server.shutdown_timeout_s,
+                print=None)

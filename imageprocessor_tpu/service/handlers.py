@@ -1,0 +1,243 @@
+"""HTTP handlers — route-for-route with the reference.
+
+DTO field names, status codes, default operations, validation messages and
+headers replicate internal/http-server/handler/image/image.go. Notable
+parity points:
+* 202 Accepted on upload, 204 on delete, 404 splits "Image not found" vs
+  "Processed version not found" (:279-325);
+* the GET Content-Type is the ORIGINAL's mime type even for processed
+  variants (:113) — reference behavior, kept for compatibility;
+* download filename is {name}_{operation}{ext} (:327-334);
+* no flags at all -> thumbnail(200, crop) + resize(1024x768, aspect)
+  (:252-275).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import posixpath
+
+from aiohttp import web
+
+from imageprocessor_tpu.domain import (
+    DEFAULT_MAX_UPLOAD_SIZE,
+    OperationParams,
+    OperationType,
+)
+from imageprocessor_tpu.errors import (
+    FileTooLargeError,
+    ImageNotFoundError,
+    InvalidFileFormatError,
+    ProcessedImageNotFoundError,
+)
+from imageprocessor_tpu.utils import get_logger
+
+log = get_logger("http")
+
+_ALLOWED_EXT = {".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff"}
+
+
+def _rfc3339(dt: _dt.datetime) -> str:
+    s = dt.isoformat()
+    return s.replace("+00:00", "Z")
+
+
+def _error_body(status: int, message: str, details: str = "") -> dict:
+    # ErrorResponse{error,message,details?} (dto.go:18-22); `error` carries
+    # the HTTP status text like Go's http.StatusText.
+    texts = {400: "Bad Request", 404: "Not Found",
+             413: "Request Entity Too Large", 500: "Internal Server Error"}
+    body = {"error": texts.get(status, "Error"), "message": message}
+    if details:
+        body["details"] = details
+    return body
+
+
+def _json_error(status: int, message: str, details: str = "") -> web.Response:
+    return web.json_response(_error_body(status, message, details),
+                             status=status)
+
+
+def parse_operations_from_form(form) -> list[OperationParams]:
+    """Default-operation rules (handler/image/image.go:222-277)."""
+    operations: list[OperationParams] = []
+    if form.get("thumbnail") == "true":
+        operations.append(OperationParams(
+            OperationType.THUMBNAIL, {"size": 200, "crop_to_fit": True}))
+    if form.get("resize") == "true":
+        operations.append(OperationParams(
+            OperationType.RESIZE,
+            {"width": 1024, "height": 768, "keep_aspect": True}))
+    if form.get("watermark") == "true":
+        params = {"text": "© ImageProcessor", "opacity": 0.5,
+                  "position": "bottom-right"}
+        text = form.get("watermark_text")
+        if text:
+            params["text"] = text
+        operations.append(OperationParams(OperationType.WATERMARK, params))
+    if not operations:
+        operations = [
+            OperationParams(OperationType.THUMBNAIL,
+                            {"size": 200, "crop_to_fit": True}),
+            OperationParams(OperationType.RESIZE,
+                            {"width": 1024, "height": 768,
+                             "keep_aspect": True}),
+        ]
+    return operations
+
+
+class ImageHandlers:
+    def __init__(self, usecase):
+        self.usecase = usecase
+
+    async def upload(self, request: web.Request) -> web.Response:
+        try:
+            reader = await request.multipart()
+        except Exception:
+            return _json_error(400, "Invalid request format")
+
+        file_bytes: bytes | None = None
+        filename = ""
+        file_ct = ""
+        form: dict[str, str] = {}
+        async for part in reader:
+            if part.name == "file":
+                filename = part.filename or ""
+                file_ct = part.headers.get("Content-Type", "")
+                chunks = []
+                total = 0
+                while True:
+                    chunk = await part.read_chunk(1 << 20)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+                    if total > DEFAULT_MAX_UPLOAD_SIZE:
+                        return _json_error(
+                            413, "File too large")
+                    chunks.append(chunk)
+                file_bytes = b"".join(chunks)
+            else:
+                form[part.name] = (await part.read()).decode(
+                    "utf-8", "replace")
+
+        if file_bytes is None:
+            return _json_error(400, "File is required")
+
+        # validateFile (image.go:194-220)
+        ext = posixpath.splitext(filename)[1].lower()
+        if ext not in _ALLOWED_EXT:
+            return _json_error(
+                400,
+                "Unsupported file format. Allowed: jpg, jpeg, png, gif, "
+                "webp, bmp")
+        if not file_ct.startswith("image/"):
+            return _json_error(400, "File must be an image")
+
+        operations = parse_operations_from_form(form)
+        loop = request.app["loop_runner"]
+        try:
+            img = await loop(self.usecase.upload_image, file_bytes, filename,
+                             file_ct, operations)
+        except InvalidFileFormatError:
+            return _json_error(400, "Unsupported file format")
+        except FileTooLargeError:
+            return _json_error(413, "File too large")
+        except Exception as exc:
+            log.error("Upload failed", filename=filename, error=str(exc))
+            return _json_error(500, "Failed to upload file", str(exc))
+
+        return web.json_response({
+            "id": img.id,
+            "filename": img.original_filename,
+            "status": str(img.status),
+            "size": img.original_size,
+            "created_at": _rfc3339(img.created_at),
+        }, status=202)
+
+    async def get_image(self, request: web.Request) -> web.Response:
+        image_id = request.match_info.get("id", "")
+        operation = request.query.get("operation", "")
+        if not image_id:
+            return _json_error(400, "Image ID is required")
+        loop = request.app["loop_runner"]
+        try:
+            img, blob, _path = await loop(self.usecase.get_image, image_id,
+                                          operation)
+        except ImageNotFoundError:
+            return _json_error(404, "Image not found")
+        except ProcessedImageNotFoundError:
+            return _json_error(404, "Processed version not found")
+        except Exception as exc:
+            log.error("Failed to get image", image_id=image_id,
+                      error=str(exc))
+            return _json_error(500, "Failed to get image", str(exc))
+
+        filename = img.original_filename
+        if operation:
+            stem, ext = posixpath.splitext(filename)
+            filename = f"{stem}_{operation}{ext}"
+        return web.Response(
+            body=blob,
+            headers={
+                "Content-Type": img.mime_type,
+                "Content-Disposition": f'inline; filename="{filename}"',
+                "Cache-Control": "public, max-age=3600",
+            })
+
+    async def get_status(self, request: web.Request) -> web.Response:
+        image_id = request.match_info.get("id", "")
+        if not image_id:
+            return _json_error(400, "Image ID is required")
+        loop = request.app["loop_runner"]
+        try:
+            status = await loop(self.usecase.get_status, image_id)
+        except ImageNotFoundError:
+            return _json_error(404, "Image not found")
+        except Exception as exc:
+            log.error("Failed to get status", image_id=image_id,
+                      error=str(exc))
+            return _json_error(500, "Failed to get status", str(exc))
+        return web.json_response({"id": image_id, "status": str(status)})
+
+    async def delete_image(self, request: web.Request) -> web.Response:
+        image_id = request.match_info.get("id", "")
+        if not image_id:
+            return _json_error(400, "Image ID is required")
+        loop = request.app["loop_runner"]
+        try:
+            await loop(self.usecase.delete_image, image_id)
+        except ImageNotFoundError:
+            return _json_error(404, "Image not found")
+        except Exception as exc:
+            log.error("Failed to delete image", image_id=image_id,
+                      error=str(exc))
+            return _json_error(500, "Failed to delete image", str(exc))
+        return web.Response(status=204)
+
+    async def list_images(self, request: web.Request) -> web.Response:
+        limit, offset = 50, 0
+        try:
+            cand = int(request.query.get("limit", ""))
+            if 0 < cand <= 100:
+                limit = cand
+        except ValueError:
+            pass
+        try:
+            cand = int(request.query.get("offset", ""))
+            if cand >= 0:
+                offset = cand
+        except ValueError:
+            pass
+        loop = request.app["loop_runner"]
+        try:
+            images = await loop(self.usecase.list_images, limit, offset)
+        except Exception as exc:
+            log.error("Failed to list images", error=str(exc))
+            return _json_error(500, "Failed to list images", str(exc))
+        return web.json_response([
+            {"id": i.id, "filename": i.original_filename, "size": i.original_size,
+             "status": str(i.status), "created_at": _rfc3339(i.created_at)}
+            for i in images])
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})

@@ -1,0 +1,186 @@
+"""Queue worker: broker poll -> engine micro-batches -> metadata + ack.
+
+Replaces the reference's goroutine-pool worker (reference:
+internal/worker/worker.go:76-234) with a batch loop shaped for the TPU:
+instead of N goroutines each handling one message, one loop polls up to
+`batch_size` messages, the engine processes them as fused device batches,
+and acks land per message after its metadata writes — the reference's
+commit-after-success contract (worker.go:125-146) with per-image
+granularity.
+
+Failure policy (SURVEY.md §5 failure detection):
+* decode/param failures are PERMANENT: status=failed is recorded and the
+  message is acked — no poison-message loop (the reference leaves these
+  uncommitted, which replays them forever on rebalance);
+* blob-fetch / infra errors are TRANSIENT: status=failed recorded
+  best-effort and the message nacked for redelivery, matching the
+  reference's leave-uncommitted-for-retry behavior;
+* every completion/failure is also published to the results topic
+  (the reference declares `SendResult` but never calls it — here the
+  topic is live).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from imageprocessor_tpu.broker.base import Broker, BrokerMessage, build_broker
+from imageprocessor_tpu.config import Config
+from imageprocessor_tpu.domain import ImageStatus, ProcessedImage, ProcessingTask
+from imageprocessor_tpu.runtime.engine import EngineResult, ProcessingEngine
+from imageprocessor_tpu.storage.metadata import MetadataStore, build_metadata_store
+from imageprocessor_tpu.storage.object_store import ObjectStore, build_object_store
+from imageprocessor_tpu.utils import get_logger
+from imageprocessor_tpu.utils.metrics import METRICS
+
+log = get_logger("worker")
+
+_PERMANENT_MARKERS = ("Failed to decode image", "Operation failed:",
+                      "failed to unmarshal task", "parameter is required",
+                      "must be positive", "unsupported operation")
+
+
+class Worker:
+    def __init__(self, cfg: Config, *, meta: MetadataStore | None = None,
+                 store: ObjectStore | None = None,
+                 broker: Broker | None = None,
+                 engine: ProcessingEngine | None = None):
+        self.cfg = cfg
+        self.meta = meta or build_metadata_store(cfg.db)
+        self.store = store or build_object_store(cfg.storage)
+        self.broker = broker or build_broker(cfg.broker)
+        self.broker.create_topic(cfg.broker.processing_topic,
+                                 cfg.broker.partitions)
+        self.broker.create_topic(cfg.broker.results_topic,
+                                 cfg.broker.partitions)
+        self.engine = engine or ProcessingEngine(
+            self.store, codec_threads=cfg.worker.concurrency,
+            batch_size=cfg.worker.batch_size)
+        self._stop = threading.Event()
+        self._idle_sleep = max(cfg.worker.batch_deadline_ms / 1000.0, 0.005)
+
+    # ---------------------------------------------------------------- one poll
+
+    def run_once(self, max_n: int | None = None) -> int:
+        """Poll one micro-batch, process it, ack/nack. Returns #messages."""
+        topic = self.cfg.broker.processing_topic
+        group = self.cfg.broker.group_id
+        msgs = self.broker.poll(topic, group,
+                                max_n=max_n or self.cfg.worker.batch_size,
+                                lease_s=300.0)
+        if not msgs:
+            return 0
+        t0 = time.monotonic()
+        parsed: list[tuple[BrokerMessage, ProcessingTask | None, bytes | None]] = []
+        for msg in msgs:
+            try:
+                task = ProcessingTask.from_json(msg.value)
+                if not task.image_id:
+                    raise ValueError("missing ImageID")
+            except Exception as exc:
+                log.error("Failed to unmarshal task", offset=msg.offset,
+                          error=str(exc))
+                self.broker.ack(msg)  # malformed payload: permanent
+                METRICS.inc("worker_malformed_tasks")
+                continue
+            try:
+                blob = self.store.get_object(task.original_path)
+            except Exception as exc:
+                log.error("Failed to get original image",
+                          image_id=task.image_id, path=task.original_path,
+                          error=str(exc))
+                self._mark_failed(task.image_id)
+                self.broker.nack(msg)  # transient: redeliver
+                METRICS.inc("worker_fetch_failures")
+                continue
+            parsed.append((msg, task, blob))
+
+        if not parsed:
+            return len(msgs)
+
+        results = self.engine.process_tasks(
+            [(task, blob) for (_m, task, blob) in parsed])
+
+        for (msg, task, _blob), eng_res in zip(parsed, results):
+            self._record(task, eng_res)
+            res = eng_res.result
+            if res.status is ImageStatus.COMPLETED:
+                self.broker.ack(msg)
+                METRICS.inc("worker_completed")
+            elif self._is_permanent(res.error):
+                self.broker.ack(msg)
+                METRICS.inc("worker_failed_permanent")
+            else:
+                self.broker.nack(msg)
+                METRICS.inc("worker_failed_transient")
+            try:
+                self.broker.produce(self.cfg.broker.results_topic,
+                                    task.image_id.encode(), res.to_json())
+            except Exception:
+                log.error("Failed to publish result", image_id=task.image_id)
+
+        dur = (time.monotonic() - t0) * 1000.0
+        METRICS.observe("worker_batch_ms", dur)
+        METRICS.inc("worker_images", len(parsed))
+        log.info("Batch processed", size=len(parsed),
+                 duration_ms=round(dur, 1))
+        return len(msgs)
+
+    @staticmethod
+    def _is_permanent(error: str) -> bool:
+        return any(m in error for m in _PERMANENT_MARKERS)
+
+    def _mark_failed(self, image_id: str) -> None:
+        try:
+            self.meta.update_status(image_id, ImageStatus.FAILED)
+        except Exception:
+            log.error("Failed to update status to failed", image_id=image_id)
+
+    def _record(self, task: ProcessingTask, eng_res: EngineResult) -> None:
+        """Persist processed rows + final status (worker.go:202-232)."""
+        res = eng_res.result
+        for artifact in eng_res.artifacts:
+            try:
+                self.meta.save_processed_image(ProcessedImage(
+                    id="", image_id=task.image_id,
+                    operation=artifact.operation, path=artifact.path,
+                    size=artifact.size, mime_type=artifact.mime_type,
+                    format=artifact.format, status="completed"))
+            except Exception as exc:
+                log.error("Failed to save processed row",
+                          image_id=task.image_id,
+                          operation=artifact.operation, error=str(exc))
+        status = (ImageStatus.COMPLETED if res.status is ImageStatus.COMPLETED
+                  else ImageStatus.FAILED)
+        try:
+            self.meta.update_status(task.image_id, status)
+        except Exception:
+            log.error("Failed to update final status",
+                      image_id=task.image_id)
+        if res.status is not ImageStatus.COMPLETED:
+            log.error("Image processing failed", image_id=task.image_id,
+                      error=res.error)
+
+    # ------------------------------------------------------------------- loop
+
+    def run(self) -> None:
+        log.info("Worker started", batch_size=self.cfg.worker.batch_size,
+                 group=self.cfg.broker.group_id)
+        while not self._stop.is_set():
+            n = self.run_once()
+            if n == 0:
+                self._stop.wait(self._idle_sleep)
+        log.info("Worker stopped gracefully")
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def close(self) -> None:
+        self.stop()
+        self.engine.close()
+        for closer in (self.meta, self.store, self.broker):
+            try:
+                closer.close()
+            except Exception:
+                pass

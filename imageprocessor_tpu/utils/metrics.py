@@ -1,0 +1,64 @@
+"""Lightweight process metrics: counters + streaming histograms.
+
+The reference has no metrics subsystem (SURVEY.md §5 — only log-line
+durations); this framework exposes per-stage counters/latency percentiles
+at GET /api/metrics and from the worker's periodic stats line. Lock-light:
+one mutex, bounded reservoir per histogram.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from collections import defaultdict
+
+
+class Metrics:
+    _RESERVOIR = 2048
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counters: dict[str, float] = defaultdict(float)
+        self._samples: dict[str, list[float]] = defaultdict(list)
+        self._counts: dict[str, int] = defaultdict(int)
+
+    def inc(self, name: str, value: float = 1.0) -> None:
+        with self._lock:
+            self._counters[name] += value
+
+    def observe(self, name: str, value: float) -> None:
+        with self._lock:
+            self._counts[name] += 1
+            samples = self._samples[name]
+            if len(samples) < self._RESERVOIR:
+                samples.append(value)
+            else:  # reservoir sampling keeps percentiles unbiased
+                j = random.randrange(self._counts[name])
+                if j < self._RESERVOIR:
+                    samples[j] = value
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out: dict = {"counters": dict(self._counters), "timings": {}}
+            for name, samples in self._samples.items():
+                if not samples:
+                    continue
+                s = sorted(samples)
+                n = len(s)
+                out["timings"][name] = {
+                    "count": self._counts[name],
+                    "p50": s[n // 2],
+                    "p90": s[min(int(n * 0.9), n - 1)],
+                    "p99": s[min(int(n * 0.99), n - 1)],
+                    "max": s[-1],
+                }
+            return out
+
+    def reset(self) -> None:
+        with self._lock:
+            self._counters.clear()
+            self._samples.clear()
+            self._counts.clear()
+
+
+METRICS = Metrics()

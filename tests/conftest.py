@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The environment's TPU plugin overrides JAX_PLATFORMS at import time;
+# force CPU explicitly so tests never touch the (single, shared) real chip.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

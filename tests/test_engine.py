@@ -1,0 +1,178 @@
+"""Engine integration tests: batched path vs single path vs oracle."""
+
+import io
+import uuid
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.domain import (
+    ImageStatus,
+    OperationParams,
+    OperationType,
+    ProcessingTask,
+)
+from imageprocessor_tpu.runtime.codecs import decode_image
+from imageprocessor_tpu.runtime.engine import ProcessingEngine
+from imageprocessor_tpu.storage import LocalFSObjectStore
+from tests.oracle import psnr, resize_go, thumbnail_go
+
+RNG = np.random.default_rng(21)
+
+
+def png_bytes(h, w):
+    arr = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="PNG")
+    return bio.getvalue(), arr
+
+
+def default_task(image_id=None, ops=None, fmt="png"):
+    return ProcessingTask(
+        id=str(uuid.uuid4()), image_id=image_id or str(uuid.uuid4()),
+        original_path="original/x.png", bucket="images",
+        operations=ops or [
+            OperationParams(OperationType.THUMBNAIL,
+                            {"size": 200, "crop_to_fit": True}),
+            OperationParams(OperationType.RESIZE,
+                            {"width": 256, "height": 192, "keep_aspect": True}),
+        ], format=fmt)
+
+
+@pytest.fixture()
+def engine(tmp_path):
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, codec_threads=2, batch_size=8)
+    yield eng, store
+    eng.close()
+
+
+def test_single_path_default_plan(engine):
+    eng, store = engine
+    data, arr = png_bytes(300, 400)
+    task = default_task()
+    out = eng.process_single(task, data)
+    assert out.result.status is ImageStatus.COMPLETED
+    assert set(out.result.processed_paths) == {"thumbnail", "resize"}
+    thumb_path = out.result.processed_paths["thumbnail"]
+    assert thumb_path == f"processed/thumbnails/{task.image_id}/200.png"
+    resize_path = out.result.processed_paths["resize"]
+    assert resize_path == f"processed/resize/{task.image_id}/256x192.png"
+
+    # Verify stored artifact content matches the oracle (PNG = lossless)
+    thumb, _ = decode_image(store.get_object(thumb_path))
+    ref = thumbnail_go(arr, 200, crop_to_fit=True)
+    assert psnr(thumb, ref) > 45.0
+    rsz, _ = decode_image(store.get_object(resize_path))
+    assert rsz.shape == resize_go(arr, 256, 192, keep_aspect=True).shape
+
+
+def test_batched_path_matches_single(engine):
+    eng, store = engine
+    inputs = []
+    for shape in [(300, 400), (400, 300), (333, 517), (300, 400), (256, 256)]:
+        data, arr = png_bytes(*shape)
+        inputs.append((default_task(), data))
+    results = eng.process_tasks(inputs)
+    assert len(results) == 5
+    for (task, data), res in zip(inputs, results):
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        # cross-check against the single-image reference path
+        single = eng.process_single(default_task(task.image_id), data)
+        for op in ("thumbnail", "resize"):
+            got, _ = decode_image(store.get_object(res.result.processed_paths[op]))
+            want, _ = decode_image(
+                store.get_object(single.result.processed_paths[op]))
+            assert got.shape == want.shape
+            assert psnr(got, want) > 50.0, f"{op} diverged"
+
+
+def test_batched_watermark_plan(engine):
+    eng, store = engine
+    data, arr = png_bytes(300, 400)
+    task = default_task(ops=[OperationParams(
+        OperationType.WATERMARK,
+        {"text": "hello", "opacity": 0.5, "position": "bottom-right"})])
+    res = eng.process_tasks([(task, data)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    path = res.result.processed_paths["watermark"]
+    assert path == f"processed/watermarked/{task.image_id}/watermarked.png"
+    out, _ = decode_image(store.get_object(path))
+    assert out.shape == arr.shape
+    assert (out != arr).any()
+
+
+def test_decode_failure_isolated_in_batch(engine):
+    eng, _store = engine
+    good, _ = png_bytes(200, 200)
+    inputs = [(default_task(), good),
+              (default_task(), b"garbage not an image"),
+              (default_task(), good)]
+    results = eng.process_tasks(inputs)
+    assert results[0].result.status is ImageStatus.COMPLETED
+    assert results[1].result.status is ImageStatus.FAILED
+    assert "Failed to decode image" in results[1].result.error
+    assert results[2].result.status is ImageStatus.COMPLETED
+
+
+def test_invalid_params_fail_task(engine):
+    eng, _store = engine
+    data, _ = png_bytes(100, 100)
+    task = default_task(ops=[OperationParams(OperationType.RESIZE,
+                                             {"width": "abc", "height": 10})])
+    res = eng.process_tasks([(task, data)])[0]
+    assert res.result.status is ImageStatus.FAILED
+    assert "width parameter is required" in res.result.error
+
+
+def test_gif_watermark_reencodes_as_jpeg(engine):
+    eng, _store = engine
+    arr = RNG.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).convert("P").save(bio, format="GIF")
+    task = default_task(
+        ops=[OperationParams(OperationType.WATERMARK, {"text": "x"})],
+        fmt="gif")
+    res = eng.process_tasks([(task, bio.getvalue())])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    assert res.result.processed_paths["watermark"].endswith("watermarked.jpeg")
+
+
+def test_nonbatchable_plan_takes_single_path(engine):
+    eng, store = engine
+    data, arr = png_bytes(120, 160)
+    task = default_task(ops=[
+        OperationParams(OperationType.CROP,
+                        {"x": 10, "y": 10, "width": 50, "height": 40}),
+        OperationParams(OperationType.GRAYSCALE, {}),
+    ])
+    res = eng.process_tasks([(task, data)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    crop_path = res.result.processed_paths["crop"]
+    assert crop_path == f"processed/crop/{task.image_id}/processed.png"
+    cropped, _ = decode_image(store.get_object(crop_path))
+    np.testing.assert_array_equal(cropped, arr[10:50, 10:60])
+    assert "grayscale" in res.result.processed_paths
+
+
+def test_artifacts_carry_metadata(engine):
+    eng, _store = engine
+    data, _ = png_bytes(100, 150)
+    res = eng.process_tasks([(default_task(), data)])[0]
+    assert len(res.artifacts) == 2
+    for a in res.artifacts:
+        assert a.size > 0
+        assert a.mime_type == "image/png"
+        assert a.format == "png"
+
+
+def test_mixed_plans_in_one_call(engine):
+    eng, _store = engine
+    d1, _ = png_bytes(200, 200)
+    d2, _ = png_bytes(200, 200)
+    t1 = default_task()
+    t2 = default_task(ops=[OperationParams(OperationType.GRAYSCALE, {})])
+    results = eng.process_tasks([(t1, d1), (t2, d2)])
+    assert set(results[0].result.processed_paths) == {"thumbnail", "resize"}
+    assert set(results[1].result.processed_paths) == {"grayscale"}
