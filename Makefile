@@ -1,0 +1,41 @@
+# Developer workflow (parity with the reference Makefile's targets,
+# reference: Makefile:1-31, adapted to the Python/TPU stack).
+
+PY ?= python
+
+.PHONY: test test-fast lint bench bench-smoke standalone api worker \
+        dryrun clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x --ignore=tests/test_service_e2e.py
+
+bench:
+	$(PY) bench.py
+
+bench-smoke:
+	$(PY) bench.py --smoke
+
+standalone:
+	$(PY) -m imageprocessor_tpu.service standalone --port 8034 --data ./data
+
+api:
+	$(PY) -m imageprocessor_tpu.service api
+
+worker:
+	$(PY) -m imageprocessor_tpu.service worker
+
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+docker-up:
+	docker compose -f deploy/docker-compose.yaml up -d
+
+docker-down:
+	docker compose -f deploy/docker-compose.yaml down
+
+clean:
+	rm -rf data/ .pytest_cache __pycache__

@@ -96,7 +96,6 @@ class PipelineModel:
         """wm_static: op index -> (tile_h, tile_w, position) statics."""
 
         def step(imgs_u8, src_hw, out_hws, wm_args):
-            x_f32 = imgs_u8.astype(jnp.float32)
             outputs = []
             for i, spec in enumerate(specs):
                 op = spec.op
@@ -114,11 +113,9 @@ class PipelineModel:
                 elif op.type is OperationType.WATERMARK:
                     th, tw, position = wm_static[i]
                     tile_arr, color, alpha, wpx, hpx, ascent = wm_args[i]
-                    blended = batched_watermark_core(
-                        x_f32, src_hw, tile_arr, color, alpha, wpx, hpx,
-                        ascent, position=position, tile_h=th, tile_w=tw)
-                    outputs.append(jnp.clip(jnp.round(blended), 0, 255)
-                                   .astype(jnp.uint8))
+                    outputs.append(batched_watermark_core(
+                        imgs_u8, src_hw, tile_arr, color, alpha, wpx, hpx,
+                        ascent, position=position, tile_h=th, tile_w=tw))
                 elif op.type is OperationType.GRAYSCALE:
                     outputs.append(batched_grayscale(imgs_u8))
                 elif op.type is OperationType.FLIP:

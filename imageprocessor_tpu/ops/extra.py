@@ -124,12 +124,12 @@ def batched_flip(imgs_u8, src_hw, direction: str = "horizontal"):
         extent = src_hw[:, 0]
         idx = extent[:, None] - 1 - jnp.arange(n, dtype=jnp.int32)[None, :]
         idx = jnp.clip(idx, 0, n - 1)
-        return jnp.take_along_axis(imgs_u8, idx[:, :, None, None], axis=1)
+        return jnp.take_along_axis(imgs_u8, idx[:, :, None, None], axis=1, mode='promise_in_bounds')
     n = imgs_u8.shape[2]
     extent = src_hw[:, 1]
     idx = extent[:, None] - 1 - jnp.arange(n, dtype=jnp.int32)[None, :]
     idx = jnp.clip(idx, 0, n - 1)
-    return jnp.take_along_axis(imgs_u8, idx[:, None, :, None], axis=2)
+    return jnp.take_along_axis(imgs_u8, idx[:, None, :, None], axis=2, mode='promise_in_bounds')
 
 
 __all__ = ["crop_image", "rotate_image", "flip_image", "grayscale_image",

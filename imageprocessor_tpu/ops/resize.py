@@ -105,16 +105,20 @@ def batched_resize_bilinear(imgs_u8, src_hw, out_hw, out_h: int, out_w: int):
     """
     b = imgs_u8.shape[0]
     src_h_cap, src_w_cap = imgs_u8.shape[1], imgs_u8.shape[2]
-    x = imgs_u8.astype(jnp.float32)
 
+    # Gather rows while still uint8 — 4x less HBM traffic than casting the
+    # whole bucket to f32 first; the cast happens on the (much smaller)
+    # gathered rows.
     ri0, ri1, rf = _batched_coords(out_h, src_hw[:, 0], out_hw[:, 0], src_h_cap)
-    top = jnp.take_along_axis(x, ri0[:, :, None, None], axis=1)
-    bot = jnp.take_along_axis(x, ri1[:, :, None, None], axis=1)
+    top = jnp.take_along_axis(imgs_u8, ri0[:, :, None, None], axis=1,
+                              mode='promise_in_bounds').astype(jnp.float32)
+    bot = jnp.take_along_axis(imgs_u8, ri1[:, :, None, None], axis=1,
+                              mode='promise_in_bounds').astype(jnp.float32)
     x = top + (bot - top) * rf[:, :, None, None]                     # (B, out_h, Wp, C)
 
     ci0, ci1, cf = _batched_coords(out_w, src_hw[:, 1], out_hw[:, 1], src_w_cap)
-    left = jnp.take_along_axis(x, ci0[:, None, :, None], axis=2)
-    right = jnp.take_along_axis(x, ci1[:, None, :, None], axis=2)
+    left = jnp.take_along_axis(x, ci0[:, None, :, None], axis=2, mode='promise_in_bounds')
+    right = jnp.take_along_axis(x, ci1[:, None, :, None], axis=2, mode='promise_in_bounds')
     x = left + (right - left) * cf[:, None, :, None]                 # (B, out_h, out_w, C)
 
     del b

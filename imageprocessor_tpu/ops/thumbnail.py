@@ -70,8 +70,8 @@ def batched_thumbnail(imgs_u8, src_hw, size: int):
     crop_x = jnp.where(w > h, (w - h) // 2, 0)
     crop_y = jnp.where(w > h, 0, (h - w) // 2)
 
-    x = imgs_u8.astype(jnp.float32)
     # Row coords: src = (d + .5) * side/size - .5 + crop_y, clamped to crop.
+    # Gathers run on uint8 (4x less HBM traffic); casts follow the gather.
     dst = jnp.arange(size, dtype=jnp.float32)[None, :]
     scale = side.astype(jnp.float32)[:, None] / float(size)
     src_r = (dst + 0.5) * scale - 0.5
@@ -82,8 +82,10 @@ def batched_thumbnail(imgs_u8, src_hw, size: int):
     ri0 = jnp.minimum(ri0, imgs_u8.shape[1] - 1)
     ri1 = jnp.minimum(ri1, imgs_u8.shape[1] - 1)
     rf = src_r - ri0.astype(jnp.float32)
-    top = jnp.take_along_axis(x, ri0[:, :, None, None], axis=1)
-    bot = jnp.take_along_axis(x, ri1[:, :, None, None], axis=1)
+    top = jnp.take_along_axis(imgs_u8, ri0[:, :, None, None], axis=1,
+                              mode='promise_in_bounds').astype(jnp.float32)
+    bot = jnp.take_along_axis(imgs_u8, ri1[:, :, None, None], axis=1,
+                              mode='promise_in_bounds').astype(jnp.float32)
     x = top + (bot - top) * rf[:, :, None, None]
 
     src_c = (dst + 0.5) * scale - 0.5
@@ -94,7 +96,7 @@ def batched_thumbnail(imgs_u8, src_hw, size: int):
     ci0 = jnp.minimum(ci0, imgs_u8.shape[2] - 1)
     ci1 = jnp.minimum(ci1, imgs_u8.shape[2] - 1)
     cf = src_c - ci0.astype(jnp.float32)
-    left = jnp.take_along_axis(x, ci0[:, None, :, None], axis=2)
-    right = jnp.take_along_axis(x, ci1[:, None, :, None], axis=2)
+    left = jnp.take_along_axis(x, ci0[:, None, :, None], axis=2, mode='promise_in_bounds')
+    right = jnp.take_along_axis(x, ci1[:, None, :, None], axis=2, mode='promise_in_bounds')
     x = left + (right - left) * cf[:, None, :, None]
     return quantize_go_xdraw(x)

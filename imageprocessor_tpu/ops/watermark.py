@@ -171,9 +171,13 @@ def resolve_color(color_str: str, opacity: float) -> tuple[int, int, int, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
-def _blend_at(img_f32, padded_tile, color_rgb, alpha, x0, y0,
+def _blend_at(img_u8, padded_tile, color_rgb, alpha, x0, y0,
               valid_w, valid_h, tile_h: int, tile_w: int):
-    """Blend one tile into one image at (x0, y0) with clipping.
+    """Blend one tile into one uint8 image at (x0, y0) with clipping.
+
+    Only the Th x Tw window round-trips through float32 — the rest of the
+    image is untouched uint8, so a 12 MP watermark costs a ~tile-sized
+    blend plus (at worst) one uint8 copy, never a full f32 materialization.
 
     padded_tile: (3*tile_h, 3*tile_w) f32 — coverage tile centered in a zero
     canvas so a shifted window read stays in bounds in both directions.
@@ -181,7 +185,7 @@ def _blend_at(img_f32, padded_tile, color_rgb, alpha, x0, y0,
     window and shifting the tile read by the same amount (equivalent to the
     reference's freetype clip, watermark.go:100).
     """
-    h, w = img_f32.shape[0], img_f32.shape[1]
+    h, w = img_u8.shape[0], img_u8.shape[1]
     win_h, win_w = min(tile_h, h), min(tile_w, w)  # text may exceed the image
     dx = jnp.clip(x0, 0, w - win_w)
     dy = jnp.clip(y0, 0, h - win_h)
@@ -199,10 +203,12 @@ def _blend_at(img_f32, padded_tile, color_rgb, alpha, x0, y0,
     inside = ((rows < valid_h) & (cols < valid_w)).astype(jnp.float32)
     m = (cov * inside * alpha)[:, :, None]
 
-    region = jax.lax.dynamic_slice(img_f32, (dy, dx, 0),
-                                   (win_h, win_w, img_f32.shape[2]))
-    blended = region * (1.0 - m) + color_rgb[None, None, :] * m
-    return jax.lax.dynamic_update_slice(img_f32, blended, (dy, dx, 0))
+    region = jax.lax.dynamic_slice(img_u8, (dy, dx, 0),
+                                   (win_h, win_w, img_u8.shape[2]))
+    blended = (region.astype(jnp.float32) * (1.0 - m)
+               + color_rgb[None, None, :] * m)
+    blended_u8 = jnp.clip(jnp.round(blended), 0, 255).astype(jnp.uint8)
+    return jax.lax.dynamic_update_slice(img_u8, blended_u8, (dy, dx, 0))
 
 
 def _pad_tile(tile: WatermarkTile) -> np.ndarray:
@@ -230,8 +236,8 @@ def watermark_image(img_u8, text: str = DEFAULT_WATERMARK_TEXT,
     x0 = int(bx)
     y0 = int(by) - tile.ascent  # baseline -> tile top row
     th, tw = tile.coverage.shape
-    out = _blend_at(
-        img_u8.astype(jnp.float32),
+    return _blend_at(
+        jnp.asarray(img_u8),
         jnp.asarray(_pad_tile(tile)),
         jnp.asarray([r, g, b], dtype=jnp.float32),
         jnp.float32(a / 255.0),
@@ -239,16 +245,6 @@ def watermark_image(img_u8, text: str = DEFAULT_WATERMARK_TEXT,
         jnp.int32(w), jnp.int32(h),
         tile_h=th, tile_w=tw,
     )
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
-
-
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
-def _batched_blend(imgs_f32, padded_tile, color_rgb, alpha, x0, y0, hw,
-                   tile_h: int, tile_w: int):
-    def one(img, x, y, h_w):
-        return _blend_at(img, padded_tile, color_rgb, alpha, x, y,
-                         h_w[1], h_w[0], tile_h, tile_w)
-    return jax.vmap(one)(imgs_f32, x0, y0, hw)
 
 
 def quantize_tile(tile: WatermarkTile, h_mult: int = 16,
@@ -290,12 +286,13 @@ def _anchor_traced(position: str, img_w, img_h, width_px, height_px):
     return img_w - width_px - m, img_h - m
 
 
-def batched_watermark_core(imgs_f32, src_hw, padded_tile, color_rgb, alpha,
+def batched_watermark_core(imgs_u8, src_hw, padded_tile, color_rgb, alpha,
                            width_px, height_px, ascent, *, position: str,
                            tile_h: int, tile_w: int):
     """Jit-composable core: all image/text content is traced; only the
-    anchor position and (quantized) tile shape are static. Takes and
-    returns float32 so a fused pipeline shares the uint8 cast."""
+    anchor position and (quantized) tile shape are static. uint8 in/out —
+    only the blend window touches float32, so the full-resolution frame
+    never materializes as f32 in HBM."""
     w = src_hw[:, 1].astype(jnp.int32)
     h = src_hw[:, 0].astype(jnp.int32)
     bx, by = _anchor_traced(position, w, h,
@@ -307,7 +304,7 @@ def batched_watermark_core(imgs_f32, src_hw, padded_tile, color_rgb, alpha,
         return _blend_at(img, padded_tile, color_rgb, alpha, x, y,
                          h_w[1], h_w[0], tile_h, tile_w)
 
-    return jax.vmap(one)(imgs_f32, x0, y0, src_hw.astype(jnp.int32))
+    return jax.vmap(one)(imgs_u8, x0, y0, src_hw.astype(jnp.int32))
 
 
 def batched_watermark(imgs_u8, src_hw, tile: WatermarkTile,
@@ -321,18 +318,13 @@ def batched_watermark(imgs_u8, src_hw, tile: WatermarkTile,
     unspecified; the host crops to src_hw before encode.
     """
     r, g, b, a = resolve_color(font_color, opacity)
-    h = src_hw[:, 0].astype(jnp.int32)
-    w = src_hw[:, 1].astype(jnp.int32)
-    bx, by = anchor_baseline(position, w, h, tile)
-    x0 = bx.astype(jnp.int32)
-    y0 = (by - tile.ascent).astype(jnp.int32)
     th, tw = tile.coverage.shape
-    out = _batched_blend(
-        imgs_u8.astype(jnp.float32),
+    return batched_watermark_core(
+        jnp.asarray(imgs_u8), jnp.asarray(src_hw, dtype=jnp.int32),
         jnp.asarray(_pad_tile(tile)),
         jnp.asarray([r, g, b], dtype=jnp.float32),
         jnp.float32(a / 255.0),
-        x0, y0, src_hw.astype(jnp.int32),
-        tile_h=th, tile_w=tw,
+        jnp.int32(tile.width_px), jnp.int32(tile.height_px),
+        jnp.int32(tile.ascent),
+        position=position, tile_h=th, tile_w=tw,
     )
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)

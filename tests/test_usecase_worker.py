@@ -1,0 +1,209 @@
+"""Usecase + worker behavior tests (fast, no HTTP layer)."""
+
+import io
+import uuid
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.broker.memory import MemoryBroker
+from imageprocessor_tpu.config import load as load_config
+from imageprocessor_tpu.domain import (
+    ImageStatus,
+    OperationParams,
+    OperationType,
+    ProcessingResult,
+    ProcessingTask,
+)
+from imageprocessor_tpu.errors import (
+    FileTooLargeError,
+    ImageNotFoundError,
+    InvalidFileFormatError,
+    MessageQueueError,
+    ProcessedImageNotFoundError,
+)
+from imageprocessor_tpu.service.usecase import ImageUsecase
+from imageprocessor_tpu.service.worker import Worker
+from imageprocessor_tpu.storage import LocalFSObjectStore, SQLiteMetadataStore
+
+RNG = np.random.default_rng(9)
+
+
+def png_bytes(h=60, w=80):
+    arr = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="PNG")
+    return bio.getvalue()
+
+
+DEFAULT_OPS = [OperationParams(OperationType.THUMBNAIL,
+                               {"size": 32, "crop_to_fit": True})]
+
+
+@pytest.fixture()
+def stack(tmp_path):
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    return ImageUsecase(meta, store, broker), meta, store, broker
+
+
+def test_upload_happy_path(stack):
+    uc, meta, store, broker = stack
+    img = uc.upload_image(png_bytes(), "a.png", "image/png", DEFAULT_OPS)
+    assert img.status is ImageStatus.PROCESSING
+    assert img.mime_type == "image/png"
+    # blob stored
+    assert store.get_object(img.original_path)
+    # task queued with Go wire shape, keyed by image id
+    msgs = broker.poll("image-processing", "g", max_n=1)
+    assert msgs and msgs[0].key == img.id.encode()
+    task = ProcessingTask.from_json(msgs[0].value)
+    assert task.image_id == img.id
+    assert task.format == "png"
+
+
+def test_upload_rejects_non_image_content(stack):
+    uc, _meta, store, broker = stack
+    with pytest.raises(InvalidFileFormatError):
+        uc.upload_image(b"plain text not an image", "a.png", "image/png",
+                        DEFAULT_OPS)
+    assert broker.depth("image-processing", "g") == 0
+
+
+def test_upload_rejects_oversize(stack):
+    uc, *_ = stack
+    with pytest.raises(FileTooLargeError):
+        uc.upload_image(b"\xff" * ((32 << 20) + 1), "big.png", "image/png",
+                        DEFAULT_OPS)
+
+
+def test_upload_rolls_back_blob_on_queue_failure(stack, tmp_path):
+    uc, meta, store, broker = stack
+
+    def boom(*a, **k):
+        raise RuntimeError("kafka down")
+
+    broker.produce = boom
+    with pytest.raises(MessageQueueError):
+        uc.upload_image(png_bytes(), "b.png", "image/png", DEFAULT_OPS)
+    # Original blob was cleaned up (defer rollback, image.go:58-64)
+    import os
+    orig_root = os.path.join(str(tmp_path / "objects"), "original")
+    files = []
+    for dp, _dn, fn in os.walk(orig_root):
+        files.extend(fn)
+    assert files == []
+
+
+def test_get_status_and_not_found(stack):
+    uc, *_ = stack
+    img = uc.upload_image(png_bytes(), "c.png", "image/png", DEFAULT_OPS)
+    assert uc.get_status(img.id) is ImageStatus.PROCESSING
+    with pytest.raises(ImageNotFoundError):
+        uc.get_status("missing")
+
+
+def test_get_image_processed_not_found(stack):
+    uc, *_ = stack
+    img = uc.upload_image(png_bytes(), "d.png", "image/png", DEFAULT_OPS)
+    with pytest.raises(ProcessedImageNotFoundError):
+        uc.get_image(img.id, "thumbnail")
+
+
+# --- worker -------------------------------------------------------------------
+
+@pytest.fixture()
+def worker_stack(tmp_path):
+    cfg = load_config({})
+    cfg.worker.batch_size = 4
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    uc = ImageUsecase(meta, store, broker)
+    worker = Worker(cfg, meta=meta, store=store, broker=broker)
+    yield uc, worker, meta, store, broker
+    worker.engine.close()
+
+
+def test_worker_processes_and_acks(worker_stack):
+    uc, worker, meta, store, broker = worker_stack
+    img = uc.upload_image(png_bytes(), "w.png", "image/png", DEFAULT_OPS)
+    n = worker.run_once()
+    assert n == 1
+    assert meta.get_image(img.id).status is ImageStatus.COMPLETED
+    rows = meta.list_processed(img.id)
+    assert len(rows) == 1
+    assert rows[0].operation is OperationType.THUMBNAIL
+    assert rows[0].size > 0
+    assert store.get_object(rows[0].path)
+    # message acked, nothing redelivers
+    assert broker.poll("image-processing", worker.cfg.broker.group_id,
+                       max_n=4) == []
+    # result published to the results topic
+    res_msgs = broker.poll("image-processed", "observer", max_n=4)
+    assert len(res_msgs) == 1
+    res = ProcessingResult.from_json(res_msgs[0].value)
+    assert res.status is ImageStatus.COMPLETED
+    assert res.image_id == img.id
+
+
+def test_worker_acks_malformed_payload(worker_stack):
+    _uc, worker, _meta, _store, broker = worker_stack
+    broker.produce("image-processing", b"k", b"this is not json")
+    assert worker.run_once() == 1
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 0  # acked, no loop
+
+
+def test_worker_permanent_failure_acked_and_marked(worker_stack):
+    uc, worker, meta, _store, broker = worker_stack
+    # valid upload, then poison the stored blob so decode fails
+    img = uc.upload_image(png_bytes(), "p.png", "image/png", DEFAULT_OPS)
+    _img_blob_path = meta.get_image(img.id).original_path
+    _store = worker.store
+    _store.save_processed(_img_blob_path, b"corrupted not an image")
+    assert worker.run_once() == 1
+    assert meta.get_image(img.id).status is ImageStatus.FAILED
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 0  # acked
+
+
+def test_worker_transient_fetch_failure_nacks(worker_stack):
+    uc, worker, meta, store, broker = worker_stack
+    img = uc.upload_image(png_bytes(), "t.png", "image/png", DEFAULT_OPS)
+    # delete blob -> fetch fails -> nack for redelivery
+    store.delete_object(meta.get_image(img.id).original_path)
+    assert worker.run_once() == 1
+    assert meta.get_image(img.id).status is ImageStatus.FAILED
+    # still deliverable (nacked)
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 1
+
+
+def test_worker_batch_mixed_outcomes(worker_stack):
+    uc, worker, meta, _store, broker = worker_stack
+    good = uc.upload_image(png_bytes(), "g1.png", "image/png", DEFAULT_OPS)
+    # malformed direct inject
+    broker.produce("image-processing", b"bad", b"{broken")
+    good2 = uc.upload_image(png_bytes(), "g2.png", "image/png", DEFAULT_OPS)
+    assert worker.run_once() == 3
+    assert meta.get_image(good.id).status is ImageStatus.COMPLETED
+    assert meta.get_image(good2.id).status is ImageStatus.COMPLETED
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 0
+
+
+def test_delete_removes_artifacts(worker_stack):
+    uc, worker, meta, store, _broker = worker_stack
+    img = uc.upload_image(png_bytes(), "del.png", "image/png", DEFAULT_OPS)
+    worker.run_once()
+    path = meta.list_processed(img.id)[0].path
+    assert store.get_object(path)
+    uc.delete_image(img.id)
+    from imageprocessor_tpu.storage.object_store import ObjectNotFound
+    with pytest.raises(ObjectNotFound):
+        store.get_object(path)
+    with pytest.raises(ImageNotFoundError):
+        uc.get_status(img.id)
