@@ -46,58 +46,54 @@ def make_inputs(batch: int, src_h: int, src_w: int, bucket_h: int,
 
 def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
                           resize_to=(768, 1024), thumb=200):
+    """Time the PRODUCTION fused step (PipelineModel: Pallas resample +
+    XLA watermark with input donation) on the live accelerator."""
     import jax
 
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.models.pipeline import PipelineModel, plan_output_specs
+    from imageprocessor_tpu.models.plan import normalize_operations
     from imageprocessor_tpu.ops.coords import keep_aspect_dims
-    from imageprocessor_tpu.ops.resize import batched_resize_bilinear
-    from imageprocessor_tpu.ops.thumbnail import batched_thumbnail
-    from imageprocessor_tpu.ops.watermark import (
-        _pad_tile,
-        batched_watermark_core,
-        quantize_tile,
-        rasterize_text,
-        resolve_color,
-    )
     from imageprocessor_tpu.runtime.batcher import bucket_for
 
     src_h, src_w = src_hw_px
     bucket_h, bucket_w = bucket_for(src_h, src_w)
     imgs_np, src_hw_np = make_inputs(batch, src_h, src_w, bucket_h, bucket_w)
 
-    tw_, th_ = None, None
-    tile = quantize_tile(rasterize_text("© ImageProcessor", 36.0))
-    th_, tw_ = tile.coverage.shape
-    r, g, b, a = resolve_color("255,255,255", 0.5)
-    padded_tile = np.asarray(_pad_tile(tile))
-    color = np.asarray([r, g, b], dtype=np.float32)
-    alpha = np.float32(a / 255.0)
-    wm_m = np.asarray([tile.width_px, tile.height_px, tile.ascent], np.int32)
-
+    plan = normalize_operations([
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": thumb, "crop_to_fit": True}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": resize_to[1], "height": resize_to[0],
+                         "keep_aspect": True}),
+        OperationParams(OperationType.WATERMARK,
+                        {"text": "© ImageProcessor"}),
+    ])
     out_w, out_h = keep_aspect_dims(src_w, src_h, resize_to[1], resize_to[0])
     out_hw_np = np.tile(np.asarray([[out_h, out_w]], np.int32), (batch, 1))
+    out_hws = {1: out_hw_np}
+    specs = plan_output_specs(plan, (bucket_h, bucket_w))
 
-    def step(imgs, src_hw, out_hw, tile_arr, col, al, m):
-        t = batched_thumbnail(imgs, src_hw, thumb)
-        rz = batched_resize_bilinear(imgs, src_hw, out_hw,
-                                     out_h=resize_to[0], out_w=resize_to[1])
-        wm = batched_watermark_core(imgs, src_hw, tile_arr, col, al,
-                                    m[0], m[1], m[2],
-                                    position="bottom-right",
-                                    tile_h=th_, tile_w=tw_)
-        return t, rz, wm
-
-    jitted = jax.jit(step)
+    model = PipelineModel()
+    pallas_plans, pallas_args = model._pallas_setup(
+        plan, (bucket_h, bucket_w), batch, src_hw_np.astype(np.int32),
+        out_hws, specs)
+    prog = model.get_program(plan, (bucket_h, bucket_w), batch, specs,
+                             pallas_plans)
+    wm_args = model.prepare_wm_args(plan)
+    dummy = np.zeros((batch, 2), dtype=np.int32)
+    hws = tuple(np.asarray(out_hws.get(i, dummy), dtype=np.int32)
+                for i in range(len(plan.ops)))
 
     dev = jax.devices()[0]
-    statics = [jax.device_put(x, dev)
-               for x in (src_hw_np, out_hw_np, padded_tile, color, alpha, wm_m)]
+    src_hw_dev = jax.device_put(src_hw_np.astype(np.int32), dev)
 
     # Warmup: compile, first run, and BOTH transfer directions — on the
     # tunneled dev TPU the first D2H lazily initializes a slow path (~85 s)
     # that must not land inside a timed region.
     t_compile0 = time.monotonic()
-    imgs_dev = jax.device_put(imgs_np, dev)
-    outs = jitted(imgs_dev, *statics)
+    outs = prog(jax.device_put(imgs_np, dev), src_hw_dev, hws, wm_args,
+                pallas_args)
     for o in outs:
         o.block_until_ready()
     compile_s = time.monotonic() - t_compile0
@@ -113,31 +109,44 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     np.asarray(probe_dev)
     d2h_mbps = 4.0 / max(time.monotonic() - t0, 1e-9)
 
-    # (1) Device-resident rate: inputs stay in HBM, all iterations are
-    # dispatched back-to-back, outputs forced at the end. This is the
-    # chip-throughput number (production H2D/D2H runs on PCIe/DMA and
-    # overlaps with compute; here the dev tunnel would mask the chip).
-    compute_iters = max(iters, 3)
-    t1 = time.monotonic()
-    last = None
-    for _ in range(compute_iters):
-        last = jitted(imgs_dev, *statics)
-    for o in last:
-        o.block_until_ready()
-    compute_s = time.monotonic() - t1
-    device_rate = batch * compute_iters / compute_s
+    # Device-resident rate. `block_until_ready` does not reliably await
+    # remote execution on the tunneled backend, so iterations are chained
+    # (the watermark output — same shape as the source — feeds the next
+    # step, which also keeps the donation semantics honest) and the slope
+    # between a short and a long chain cancels dispatch/fetch constants.
+    wm_idx = 2
 
-    # (2) Streaming rate through the dev tunnel: fresh H2D per batch plus
-    # D2H of the small artifacts (thumbnail + resize); the full-res
-    # watermark stays device-side (production would DMA it to the encode
-    # pool; the tunnel's ~15 MB/s would only measure the tunnel).
+    def _chain(k: int) -> float:
+        cur = jax.device_put(imgs_np, dev)
+        out = None
+        t0 = time.monotonic()
+        for _ in range(k):
+            out = prog(cur, src_hw_dev, hws, wm_args, pallas_args)
+            cur = out[wm_idx]
+        np.asarray(out[0].reshape(-1)[0])
+        return time.monotonic() - t0
+
+    _chain(2)  # warm both cache entries
+    compute_iters = max(iters, 6)
+    samples = []
+    for _ in range(3):
+        t2 = _chain(2)
+        tk = _chain(compute_iters + 2)
+        samples.append(max((tk - t2) / compute_iters, 1e-9))
+    samples.sort()
+    compute_s_per_batch = samples[len(samples) // 2]
+    device_rate = batch / compute_s_per_batch
+
+    # Streaming rate through the dev tunnel: fresh H2D per batch plus D2H
+    # of the small artifacts (thumbnail + resize); the full-res watermark
+    # stays device-side (production DMAs it to the encode pool; fetching
+    # it here would only measure the tunnel).
     t2 = time.monotonic()
     for _ in range(iters):
         src = jax.device_put(imgs_np, dev)
-        t, rz, wm = jitted(src, *statics)
-        np.asarray(t)
-        np.asarray(rz)
-        wm.block_until_ready()
+        outs = prog(src, src_hw_dev, hws, wm_args, pallas_args)
+        np.asarray(outs[0])
+        np.asarray(outs[1])
     stream_s = time.monotonic() - t2
     stream_rate = batch * iters / stream_s
 
@@ -149,6 +158,7 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
         "compile_s": compile_s,
         "batch": batch,
         "bucket": [bucket_h, bucket_w],
+        "pallas": bool(pallas_plans),
         "platform": dev.platform,
         "device": str(dev),
     }

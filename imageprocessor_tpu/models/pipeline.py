@@ -32,6 +32,7 @@ import numpy as np
 
 from imageprocessor_tpu.domain import OperationType
 from imageprocessor_tpu.models.plan import NormalizedOp, OperationPlan
+from imageprocessor_tpu.ops import pallas_resample
 from imageprocessor_tpu.ops.extra import batched_flip, batched_grayscale
 from imageprocessor_tpu.ops.resize import batched_resize_bilinear
 from imageprocessor_tpu.ops.thumbnail import batched_thumbnail
@@ -43,6 +44,17 @@ from imageprocessor_tpu.ops.watermark import (
     rasterize_text,
     resolve_color,
 )
+
+# Pallas path limits: beyond this bucket width the kernel's f32 band
+# exceeds the VMEM budget; fall back to the XLA gather path.
+_PALLAS_MAX_W = 6144
+
+
+def _quant_scale(s: float) -> float:
+    q = 1.0
+    while q < s and q < 32.0:
+        q *= 2.0
+    return q
 
 
 @dataclass(frozen=True)
@@ -82,24 +94,55 @@ def plan_output_specs(plan: OperationPlan, bucket: tuple[int, int],
 
 
 class PipelineModel:
-    """Builds and caches fused programs keyed by (plan, bucket, B, canvases)."""
+    """Builds and caches fused programs keyed by (plan, bucket, B, canvases).
 
-    def __init__(self, device=None):
+    use_pallas: resample ops run through the Pallas planar kernel
+    (ops/pallas_resample.py) when the backend is TPU and the bucket fits
+    the VMEM budget; defaults to auto-detect. The XLA gather path remains
+    as fallback and as the CPU/test implementation.
+    """
+
+    def __init__(self, device=None, use_pallas: bool | None = None,
+                 pallas_interpret: bool = False):
         self._cache: dict[tuple, Callable] = {}
         self._lock = threading.Lock()
         self._device = device
+        self._pallas_interpret = pallas_interpret
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    def _pallas_eligible(self, op: NormalizedOp, bucket: tuple[int, int]) -> bool:
+        if not self.use_pallas or bucket[1] > _PALLAS_MAX_W:
+            return False
+        return op.type in (OperationType.RESIZE, OperationType.THUMBNAIL)
 
     # -- program construction -------------------------------------------------
 
     def _build(self, plan: OperationPlan, specs: tuple[OpOutputSpec, ...],
-               wm_static: dict[int, tuple[int, int, str]]):
+               wm_static: dict[int, tuple[int, int, str]],
+               pallas_plans: dict[int, pallas_resample.ResamplePlan]):
         """wm_static: op index -> (tile_h, tile_w, position) statics."""
+        interpret = self._pallas_interpret
 
-        def step(imgs_u8, src_hw, out_hws, wm_args):
+        def step(imgs_u8, src_hw, out_hws, wm_args, presample_args):
             outputs = []
+            planar = None
+            if pallas_plans:
+                planar = jnp.transpose(imgs_u8, (0, 3, 1, 2))
             for i, spec in enumerate(specs):
                 op = spec.op
-                if op.type is OperationType.RESIZE:
+                if i in pallas_plans:
+                    rp = pallas_plans[i]
+                    call = pallas_resample._build_call(rp, interpret)
+                    a = presample_args[i]
+                    out_p = call(a[0], planar, *a[1:])
+                    out = jnp.transpose(out_p, (0, 2, 3, 1))
+                    # Kernel canvas is 128-padded; crop to the spec canvas
+                    # so downstream consumers see identical shapes on both
+                    # the Pallas and XLA paths.
+                    outputs.append(out[:, :spec.canvas[0], :spec.canvas[1]])
+                elif op.type is OperationType.RESIZE:
                     outputs.append(batched_resize_bilinear(
                         imgs_u8, src_hw, out_hws[i],
                         out_h=spec.canvas[0], out_w=spec.canvas[1]))
@@ -127,12 +170,18 @@ class PipelineModel:
                         "per-image path")
             return tuple(outputs)
 
-        return jax.jit(step)
+        # Donating the source batch lets XLA alias the watermark output onto
+        # the input buffer: the full-resolution "copy" becomes an in-place
+        # region blend (the input is never reused after a step).
+        return jax.jit(step, donate_argnums=(0,))
 
     # -- public API ------------------------------------------------------------
 
     def get_program(self, plan: OperationPlan, bucket: tuple[int, int],
-                    batch: int, specs: tuple[OpOutputSpec, ...]):
+                    batch: int, specs: tuple[OpOutputSpec, ...],
+                    pallas_plans: dict[int, pallas_resample.ResamplePlan]
+                    | None = None):
+        pallas_plans = pallas_plans or {}
         wm_static: dict[int, tuple[int, int, str]] = {}
         for i, op in enumerate(plan.ops):
             if op.type is OperationType.WATERMARK:
@@ -141,11 +190,12 @@ class PipelineModel:
                 wm_static[i] = (th, tw, op.position)
         key = (plan.compile_key(), bucket, batch,
                tuple(s.canvas for s in specs),
-               tuple(sorted(wm_static.items())))
+               tuple(sorted(wm_static.items())),
+               tuple(sorted(pallas_plans.items())))
         with self._lock:
             prog = self._cache.get(key)
             if prog is None:
-                prog = self._build(plan, specs, wm_static)
+                prog = self._build(plan, specs, wm_static, pallas_plans)
                 self._cache[key] = prog
         return prog
 
@@ -167,6 +217,48 @@ class PipelineModel:
             )
         return out
 
+    def _pallas_setup(self, plan: OperationPlan, bucket: tuple[int, int],
+                      batch: int, src_hw: np.ndarray,
+                      out_hws: dict[int, np.ndarray],
+                      specs: tuple[OpOutputSpec, ...]):
+        """Host-side: eligibility, static plans, per-batch index arrays."""
+        pallas_plans: dict[int, pallas_resample.ResamplePlan] = {}
+        pallas_args: dict[int, tuple] = {}
+        for i, op in enumerate(plan.ops):
+            if not self._pallas_eligible(op, bucket):
+                continue
+            spec = specs[i]
+            if op.type is OperationType.THUMBNAIL and op.crop_to_fit:
+                side = np.minimum(src_hw[:, 0], src_hw[:, 1]).astype(np.int64)
+                crop_yx = np.stack([
+                    np.where(src_hw[:, 0] > src_hw[:, 1],
+                             (src_hw[:, 0] - src_hw[:, 1]) // 2, 0),
+                    np.where(src_hw[:, 1] > src_hw[:, 0],
+                             (src_hw[:, 1] - src_hw[:, 0]) // 2, 0),
+                ], axis=1).astype(np.int64)
+                crop_hw = np.stack([side, side], axis=1)
+                out_hw = np.tile(np.asarray([[op.size, op.size]], np.int32),
+                                 (batch, 1))
+                eff = crop_hw
+            else:
+                crop_yx = crop_hw = None
+                out_hw = np.asarray(out_hws[i], dtype=np.int32)
+                eff = src_hw
+            qs_h = _quant_scale(float(np.max(
+                eff[:, 0] / np.maximum(out_hw[:, 0], 1))))
+            qs_w = _quant_scale(float(np.max(
+                eff[:, 1] / np.maximum(out_hw[:, 1], 1))))
+            rp = pallas_resample.make_plan(
+                batch, 3, bucket[0], bucket[1],
+                spec.canvas[0], spec.canvas[1], qs_h, qs_w)
+            args = pallas_resample.make_args(rp, src_hw, out_hw,
+                                             crop_yx=crop_yx, crop_hw=crop_hw)
+            pallas_plans[i] = rp
+            pallas_args[i] = tuple(jnp.asarray(v) for v in (
+                args.band_starts, args.rows0, args.rows1, args.rowf,
+                args.col_starts, args.cols0, args.cols1, args.colf))
+        return pallas_plans, pallas_args
+
     def run(self, plan: OperationPlan, imgs_u8: np.ndarray,
             src_hw: np.ndarray, out_hws: dict[int, np.ndarray],
             specs: tuple[OpOutputSpec, ...]) -> list[Any]:
@@ -177,13 +269,16 @@ class PipelineModel:
         Returns device arrays in op order.
         """
         b, hb, wb = imgs_u8.shape[0], imgs_u8.shape[1], imgs_u8.shape[2]
-        prog = self.get_program(plan, (hb, wb), b, specs)
+        src_hw = np.asarray(src_hw, dtype=np.int32)
+        pallas_plans, pallas_args = self._pallas_setup(
+            plan, (hb, wb), b, src_hw, out_hws, specs)
+        prog = self.get_program(plan, (hb, wb), b, specs, pallas_plans)
         wm_args = self.prepare_wm_args(plan)
         dummy = np.zeros((b, 2), dtype=np.int32)
         hws = tuple(np.asarray(out_hws.get(i, dummy), dtype=np.int32)
                     for i in range(len(plan.ops)))
-        outs = prog(jnp.asarray(imgs_u8), jnp.asarray(src_hw, dtype=jnp.int32),
-                    hws, wm_args)
+        outs = prog(jnp.asarray(imgs_u8), jnp.asarray(src_hw), hws, wm_args,
+                    pallas_args)
         return list(outs)
 
     def cache_size(self) -> int:

@@ -1,0 +1,316 @@
+"""Pallas fused planar resample — the hot-path TPU kernel.
+
+Replaces the XLA two-pass gather resize for the production pipeline. One
+kernel instance computes a full bilinear resample (resize, or thumbnail via
+a crop window folded into the source coordinates) over a planar
+(B, C, H, W) uint8 bucket:
+
+* grid (B, C, row-tiles); each step manually DMAs only the contiguous band
+  of source rows its output tile needs (HBM -> VMEM, double-use of the
+  sublane axis), so a downscale reads each source byte at most once and the
+  f32 vertical intermediate lives entirely in VMEM — the XLA version
+  round-trips a (B, OH, W, C) float32 tensor through HBM;
+* the horizontal pass runs on the MXU as banded one-hot matmuls: for each
+  128-column output chunk a (col_band, 128) bilinear-weight matrix is built
+  in-registers from iota comparisons and contracted against the VMEM
+  vertical band. Bands are 128-aligned so the lane slice is free;
+* all u8 compute is routed via i32 (Mosaic has no i8 vector arithmetic and
+  no direct u8<->f32 casts).
+
+Planar layout matters: (H, W, C=3) puts 3 channels on the 128-lane axis and
+runs ~3.5 GB/s on v5e; (C, H, W) runs >100 GB/s (measured). The pipeline
+transposes HWC->CHW on device (~145 GB/s) before calling this kernel.
+
+Index arrays (per image row/col source indices + lerp weights + band
+starts) are precomputed on host in numpy — they are tiny, change per batch,
+and are plain kernel inputs, so image content and mixed per-image scales
+never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pick_tile(n: int) -> int:
+    for cand in (64, 32, 16, 8):
+        if n % cand == 0:
+            return cand
+    return 8
+
+
+@dataclass(frozen=True)
+class ResamplePlan:
+    """Static geometry for one compiled kernel instance."""
+
+    batch: int
+    channels: int
+    src_h: int
+    src_w: int
+    out_h: int          # padded canvas rows (multiple of tile_rows)
+    out_w: int          # padded canvas cols (multiple of 128)
+    tile_rows: int
+    band_rows: int      # source rows DMA'd per tile
+    col_band: int       # source cols per output chunk (128-aligned)
+
+    @property
+    def n_row_tiles(self) -> int:
+        return self.out_h // self.tile_rows
+
+    @property
+    def n_col_chunks(self) -> int:
+        return self.out_w // 128
+
+
+@dataclass
+class ResampleArgs:
+    """Per-batch runtime inputs (host-computed, no recompile)."""
+
+    band_starts: np.ndarray  # (B * T,) int32
+    rows0: np.ndarray        # (B, T * TH) int32, band-relative y0
+    rows1: np.ndarray        # (B, T * TH) int32, band-relative y1
+    rowf: np.ndarray         # (B, T * TH) f32
+    col_starts: np.ndarray   # (B, K) int32, 128-aligned absolute col starts
+    cols0: np.ndarray        # (B, K * 128) int32, band-relative c0
+    cols1: np.ndarray        # (B, K * 128) int32
+    colf: np.ndarray         # (B, K * 128) f32
+
+
+def make_plan(batch: int, channels: int, src_h: int, src_w: int,
+              out_h: int, out_w: int, max_scale_h: float,
+              max_scale_w: float) -> ResamplePlan:
+    tile_rows = _pick_tile(_round_up(out_h, 8))
+    out_h_pad = _round_up(out_h, tile_rows)
+    out_w_pad = _round_up(out_w, 128)
+    # +12: 2 rows bilinear support + up to 8 rows lost to the 8-aligned
+    # DMA start (HBM sublane tiling) + slack.
+    band = int(np.ceil(tile_rows * max(max_scale_h, 1e-6))) + 12
+    band_rows = min(_round_up(max(band, tile_rows + 2), 8), src_h)
+    cband = int(np.ceil(128 * max(max_scale_w, 1e-6))) + 4 + 128
+    col_band = min(_round_up(cband, 128), _round_up(src_w, 128))
+    return ResamplePlan(batch=batch, channels=channels, src_h=src_h,
+                        src_w=src_w, out_h=out_h_pad, out_w=out_w_pad,
+                        tile_rows=tile_rows, band_rows=band_rows,
+                        col_band=col_band)
+
+
+def _axis_coords(out_valid: np.ndarray, src_valid: np.ndarray,
+                 src_offset: np.ndarray, out_len: int, cap: int):
+    """Go half-pixel source coords per image: (B, out_len) i0/i1/frac.
+
+    out rows beyond out_valid get index 0 / frac 0 (computed, discarded).
+    src_offset shifts into a crop window (thumbnail center-crop).
+    """
+    b = out_valid.shape[0]
+    dst = np.arange(out_len, dtype=np.float64)[None, :]
+    scale = (src_valid.astype(np.float64)
+             / np.maximum(out_valid, 1).astype(np.float64))[:, None]
+    src = (dst + 0.5) * scale - 0.5
+    hi = np.maximum(src_valid.astype(np.float64) - 1.0, 0.0)[:, None]
+    src = np.clip(src, 0.0, hi)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, np.maximum(src_valid[:, None] - 1, 0))
+    frac = (src - i0).astype(np.float32)
+    i0 = i0 + src_offset[:, None]
+    i1 = i1 + src_offset[:, None]
+    np.clip(i0, 0, cap - 1, out=i0)
+    np.clip(i1, 0, cap - 1, out=i1)
+    del b
+    return i0.astype(np.int32), i1.astype(np.int32), frac
+
+
+def make_args(plan: ResamplePlan, src_hw: np.ndarray, out_hw: np.ndarray,
+              crop_yx: np.ndarray | None = None,
+              crop_hw: np.ndarray | None = None) -> ResampleArgs:
+    """Build the per-batch index arrays.
+
+    src_hw: (B, 2) valid source dims; out_hw: (B, 2) valid output dims.
+    crop_yx/crop_hw: optional per-image source crop window (thumbnail).
+    """
+    b = plan.batch
+    th, t = plan.tile_rows, plan.n_row_tiles
+    ck, k = 128, plan.n_col_chunks
+
+    eff_h = (crop_hw[:, 0] if crop_hw is not None else src_hw[:, 0])
+    eff_w = (crop_hw[:, 1] if crop_hw is not None else src_hw[:, 1])
+    off_y = (crop_yx[:, 0] if crop_yx is not None else
+             np.zeros(b, dtype=np.int64))
+    off_x = (crop_yx[:, 1] if crop_yx is not None else
+             np.zeros(b, dtype=np.int64))
+
+    r0, r1, rf = _axis_coords(out_hw[:, 0], eff_h, off_y, plan.out_h,
+                              plan.src_h)
+    c0, c1, cf = _axis_coords(out_hw[:, 1], eff_w, off_x, plan.out_w,
+                              plan.src_w)
+
+    # Row bands: per (image, tile) the first row's y0, clamped so the DMA
+    # window stays inside the bucket; indices become band-relative.
+    band_starts = np.zeros((b, t), dtype=np.int32)
+    rows0 = np.zeros((b, t * th), dtype=np.int32)
+    rows1 = np.zeros((b, t * th), dtype=np.int32)
+    for i in range(b):
+        for j in range(t):
+            lo, hi = j * th, (j + 1) * th
+            start = int(min(r0[i, lo], plan.src_h - plan.band_rows))
+            start = (max(start, 0) // 8) * 8  # HBM sublane tiling alignment
+            band_starts[i, j] = start
+            rows0[i, lo:hi] = np.clip(r0[i, lo:hi] - start, 0,
+                                      plan.band_rows - 1)
+            rows1[i, lo:hi] = np.clip(r1[i, lo:hi] - start, 0,
+                                      plan.band_rows - 1)
+
+    # Col bands: 128-aligned absolute starts; indices band-relative.
+    col_starts = np.zeros((b, k), dtype=np.int32)
+    cols0 = np.zeros((b, k * ck), dtype=np.int32)
+    cols1 = np.zeros((b, k * ck), dtype=np.int32)
+    for i in range(b):
+        for j in range(k):
+            lo, hi = j * ck, (j + 1) * ck
+            start = (int(c0[i, lo]) // 128) * 128
+            start = max(0, min(start, plan.src_w - plan.col_band))
+            col_starts[i, j] = start
+            cols0[i, lo:hi] = np.clip(c0[i, lo:hi] - start, 0,
+                                      plan.col_band - 1)
+            cols1[i, lo:hi] = np.clip(c1[i, lo:hi] - start, 0,
+                                      plan.col_band - 1)
+
+    # Vector inputs are laid out (tiles, 1, lane) — the leading axis is
+    # untiled in VMEM, so the kernel can index it with arbitrary dynamic
+    # values (lane-dim offsets would need 128-alignment Mosaic can't prove).
+    return ResampleArgs(
+        band_starts=band_starts.reshape(-1),
+        rows0=rows0.reshape(b * t, 1, th),
+        rows1=rows1.reshape(b * t, 1, th),
+        rowf=rf.astype(np.float32).reshape(b * t, 1, th),
+        col_starts=col_starts,
+        cols0=cols0.reshape(b * k, 1, ck),
+        cols1=cols1.reshape(b * k, 1, ck),
+        colf=cf.astype(np.float32).reshape(b * k, 1, ck))
+
+
+def _kernel(plan: ResamplePlan, interpret: bool):
+    th = plan.tile_rows
+    t = plan.n_row_tiles
+    k = plan.n_col_chunks
+    ck = 128
+    band_rows = plan.band_rows
+    cband = plan.col_band
+    # pl.multiple_of is a compile-hint; the interpreter can't evaluate it.
+    aligned = (lambda v, m: v) if interpret else pl.multiple_of
+
+    def kernel(starts_ref,                     # scalar prefetch (B*T,)
+               src_ref,                        # ANY (B, C, H, W) u8
+               rows0_ref, rows1_ref, rowf_ref,  # VMEM, full (B, T*TH)
+               colbs_ref,                      # SMEM, full (B, K)
+               cols0_ref, cols1_ref, colf_ref,  # VMEM, full (B, K*CK)
+               out_ref,                        # VMEM (1, 1, TH, OWp)
+               band, vband_ref, sem):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        tt = pl.program_id(2)
+
+        start = aligned(starts_ref[b * t + tt], 8)
+        cp = pltpu.make_async_copy(
+            src_ref.at[b, c, pl.ds(start, band_rows), :], band, sem)
+        cp.start()
+        cp.wait()
+
+        # Both passes are banded one-hot matmuls on the MXU — Mosaic has no
+        # dynamic single-row vector loads, and matmuls beat a TH-step scalar
+        # loop anyway. u8 -> i32 -> f32 (no direct u8->f32 cast in Mosaic).
+        band_f32 = band[:].astype(jnp.int32).astype(jnp.float32)
+
+        r0 = rows0_ref[b * t + tt]   # (1, TH)
+        r1 = rows1_ref[b * t + tt]
+        rf = rowf_ref[b * t + tt]
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (band_rows, th), 0)
+        wr = (jnp.where(iota_r == r0, 1.0 - rf, 0.0)
+              + jnp.where(iota_r == r1, rf, 0.0))             # (BAND, TH)
+        vband_ref[:] = jax.lax.dot_general(
+            wr, band_f32, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (TH, W)
+
+        for j in range(k):
+            cs = aligned(colbs_ref[b, j], 128)
+            sub = vband_ref[:, pl.ds(cs, cband)]
+            i0 = cols0_ref[b * k + j]   # (1, CK) i32
+            i1 = cols1_ref[b * k + j]
+            f = colf_ref[b * k + j]     # (1, CK) f32
+            iota = jax.lax.broadcasted_iota(jnp.int32, (cband, ck), 0)
+            w = (jnp.where(iota == i0, 1.0 - f, 0.0)
+                 + jnp.where(iota == i1, f, 0.0))
+            chunk = jnp.dot(sub, w, preferred_element_type=jnp.float32)
+            q = jnp.clip(jnp.floor(chunk * (257.0 / 256.0)), 0.0, 255.0)
+            out_ref[0, 0, :, j * ck:(j + 1) * ck] = (
+                q.astype(jnp.int32).astype(jnp.uint8))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call(plan: ResamplePlan, interpret: bool):
+    th, t = plan.tile_rows, plan.n_row_tiles
+    k = plan.n_col_chunks
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan.batch, plan.channels, t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # src
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # rows0 (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # rows1 (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # rowf  (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # colbs (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # cols0 (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # cols1 (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # colf  (full)
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, plan.out_w),
+                               lambda b, c, tt, s: (b, c, tt, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((plan.band_rows, plan.src_w), jnp.uint8),
+            pltpu.VMEM((th, plan.src_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    flops = (plan.batch * plan.channels * t * k
+             * 2 * th * plan.col_band * 128)
+    call = pl.pallas_call(
+        _kernel(plan, interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.batch, plan.channels, plan.out_h, plan.out_w), jnp.uint8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=plan.batch * plan.channels
+            * plan.n_row_tiles * plan.band_rows * plan.src_w,
+            transcendentals=0),
+    )
+    return call
+
+
+def planar_resample(src_chw_u8, plan: ResamplePlan, args: ResampleArgs,
+                    *, interpret: bool = False):
+    """Run the kernel: (B, C, H, W) u8 -> (B, C, out_h, out_w) u8."""
+    call = _build_call(plan, interpret)
+    return call(
+        jnp.asarray(args.band_starts),
+        src_chw_u8,
+        jnp.asarray(args.rows0), jnp.asarray(args.rows1),
+        jnp.asarray(args.rowf),
+        jnp.asarray(args.col_starts),
+        jnp.asarray(args.cols0), jnp.asarray(args.cols1),
+        jnp.asarray(args.colf),
+    )

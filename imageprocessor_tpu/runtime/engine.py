@@ -64,6 +64,7 @@ from imageprocessor_tpu.runtime.codecs import (
 )
 from imageprocessor_tpu.runtime.paths import generate_path
 from imageprocessor_tpu.utils import get_logger
+from imageprocessor_tpu.utils.metrics import METRICS
 
 log = get_logger("engine")
 
@@ -178,10 +179,16 @@ class ProcessingEngine:
         results: list[EngineResult | None] = [None] * n
 
         # 1. decode on host threads
+        import time as _time
+
         def _dec(i):
             return decode_image(tasks_with_data[i][1])
 
+        t_dec = _time.monotonic()
         decoded = list(self._pool.map(_dec_safe(_dec), range(n)))
+        METRICS.observe("engine_decode_ms",
+                        (_time.monotonic() - t_dec) * 1000.0)
+        METRICS.inc("engine_decoded_images", n)
 
         items: list[BatchItem] = []
         plans: dict[int, OperationPlan] = {}
@@ -260,9 +267,15 @@ class ProcessingEngine:
                 out_hws[oi] = hw
                 aspect_long[oi] = long_side
 
+        import time as _time
+
         specs = plan_output_specs(plan, group.bucket, aspect_long)
+        t_dev = _time.monotonic()
         outs = self.model.run(plan, imgs, src_hw, out_hws, specs)
         outs_np = [np.asarray(o) for o in outs]
+        METRICS.observe("engine_device_ms",
+                        (_time.monotonic() - t_dev) * 1000.0)
+        METRICS.inc("engine_device_images", len(group.items))
 
         # 3. crop + encode + save per image (codec pool), fail-fast per image
         def _finish(idx_item):
