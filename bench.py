@@ -78,26 +78,41 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     pallas_plans, pallas_args = model._pallas_setup(
         plan, (bucket_h, bucket_w), batch, src_hw_np.astype(np.int32),
         out_hws, specs)
-    prog = model.get_program(plan, (bucket_h, bucket_w), batch, specs,
-                             pallas_plans)
+    raw_step = model.get_raw_step(plan, specs, pallas_plans)
     wm_args = model.prepare_wm_args(plan)
     dummy = np.zeros((batch, 2), dtype=np.int32)
-    hws = tuple(np.asarray(out_hws.get(i, dummy), dtype=np.int32)
-                for i in range(len(plan.ops)))
 
     dev = jax.devices()[0]
     src_hw_dev = jax.device_put(src_hw_np.astype(np.int32), dev)
+    hws = tuple(jax.device_put(np.asarray(out_hws.get(i, dummy),
+                                          dtype=np.int32), dev)
+                for i in range(len(plan.ops)))
 
-    # Warmup: compile, first run, and BOTH transfer directions — on the
-    # tunneled dev TPU the first D2H lazily initializes a slow path (~85 s)
-    # that must not land inside a timed region.
+    # On-device K-iteration loop: ONE dispatch runs the fused step K times
+    # (the watermark output chains into the next iteration; a tiny XOR
+    # dependence on the other outputs stops XLA from dead-coding them).
+    # Slope between two K values cancels dispatch + fetch constants — the
+    # tunnel's per-RPC latency/jitter (tens of ms) never enters the
+    # per-batch estimate.
+    def looped(img0, k):
+        def body(_i, img):
+            outs = raw_step(img, src_hw_dev, hws, wm_args, pallas_args)
+            wm = outs[2]
+            dep = (outs[0][:, :1, :1, :1] ^ outs[1][:, :1, :1, :1])
+            return jax.lax.dynamic_update_slice(
+                wm, wm[:, :1, :1, :1] ^ dep, (0, 0, 0, 0))
+        # k is traced: one compile serves every chain length.
+        return jax.lax.fori_loop(0, k, body, img0)
+
+    loop_j = jax.jit(looped)
+
+    # Warmup: compile, first run, and both transfer directions — the
+    # tunneled dev TPU lazily initializes a slow D2H path (~85 s) that
+    # must not land inside a timed region.
     t_compile0 = time.monotonic()
-    outs = prog(jax.device_put(imgs_np, dev), src_hw_dev, hws, wm_args,
-                pallas_args)
-    for o in outs:
-        o.block_until_ready()
+    imgs_dev = jax.device_put(imgs_np, dev)
+    np.asarray(loop_j(imgs_dev, 2).reshape(-1)[0])
     compile_s = time.monotonic() - t_compile0
-    np.asarray(outs[0])  # D2H warm (lazy tunnel init)
 
     # Transfer bandwidth probe (steady-state)
     probe = np.zeros((4 << 20,), dtype=np.uint8)
@@ -109,49 +124,47 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     np.asarray(probe_dev)
     d2h_mbps = 4.0 / max(time.monotonic() - t0, 1e-9)
 
-    # Device-resident rate. `block_until_ready` does not reliably await
-    # remote execution on the tunneled backend, so iterations are chained
-    # (the watermark output — same shape as the source — feeds the next
-    # step, which also keeps the donation semantics honest) and the slope
-    # between a short and a long chain cancels dispatch/fetch constants.
-    wm_idx = 2
-
-    def _chain(k: int) -> float:
-        cur = jax.device_put(imgs_np, dev)
-        out = None
+    def _timed(k: int) -> float:
         t0 = time.monotonic()
-        for _ in range(k):
-            out = prog(cur, src_hw_dev, hws, wm_args, pallas_args)
-            cur = out[wm_idx]
-        np.asarray(out[0].reshape(-1)[0])
+        np.asarray(loop_j(imgs_dev, k).reshape(-1)[0])
         return time.monotonic() - t0
 
-    _chain(2)  # warm both cache entries
-    compute_iters = max(iters, 6)
-    samples = []
-    for _ in range(3):
-        t2 = _chain(2)
-        tk = _chain(compute_iters + 2)
-        samples.append(max((tk - t2) / compute_iters, 1e-9))
-    samples.sort()
-    compute_s_per_batch = samples[len(samples) // 2]
-    device_rate = batch / compute_s_per_batch
+    # Calibrate the chain so device work dwarfs RPC jitter (~0.1 s).
+    k_small = 4
+    _timed(k_small)
+    k_big = 16
+    tb = _timed(k_big)
+    while tb < 1.5 and k_big < 1024:
+        k_big *= 4
+        tb = _timed(k_big)
+
+    slopes = []
+    for _ in range(2):
+        ts = _timed(k_small)
+        tb = _timed(k_big)
+        slopes.append(max((tb - ts) / (k_big - k_small), 1e-9))
+    per_batch_s = sum(slopes) / len(slopes)
+    device_rate = batch / per_batch_s
+    slope_rate = device_rate
 
     # Streaming rate through the dev tunnel: fresh H2D per batch plus D2H
     # of the small artifacts (thumbnail + resize); the full-res watermark
     # stays device-side (production DMAs it to the encode pool; fetching
     # it here would only measure the tunnel).
+    prog = model.get_program(plan, (bucket_h, bucket_w), batch, specs,
+                             pallas_plans)
     t2 = time.monotonic()
-    for _ in range(iters):
+    for _ in range(max(iters // 2, 2)):
         src = jax.device_put(imgs_np, dev)
         outs = prog(src, src_hw_dev, hws, wm_args, pallas_args)
         np.asarray(outs[0])
         np.asarray(outs[1])
     stream_s = time.monotonic() - t2
-    stream_rate = batch * iters / stream_s
+    stream_rate = batch * max(iters // 2, 2) / stream_s
 
     return {
         "device_step_images_per_sec": device_rate,
+        "device_step_images_per_sec_slope": slope_rate,
         "tunnel_stream_images_per_sec": stream_rate,
         "tunnel_h2d_mbps": h2d_mbps,
         "tunnel_d2h_mbps": d2h_mbps,
@@ -238,6 +251,9 @@ def main() -> int:
         "unit": "images/sec",
         "vs_baseline": round(value / 2500.0, 4),
         "psnr_db_vs_oracle": min(round(psnr_db, 2), 99.99),
+        "device_step_images_per_sec_slope": round(
+            dev["device_step_images_per_sec_slope"], 2),
+        "pallas": dev["pallas"],
         "tunnel_stream_images_per_sec": round(
             dev["tunnel_stream_images_per_sec"], 2),
         "tunnel_h2d_mbps": round(dev["tunnel_h2d_mbps"], 1),

@@ -170,10 +170,14 @@ class PipelineModel:
                         "per-image path")
             return tuple(outputs)
 
+        return step
+
+    def _build_jitted(self, plan, specs, wm_static, pallas_plans):
         # Donating the source batch lets XLA alias the watermark output onto
         # the input buffer: the full-resolution "copy" becomes an in-place
         # region blend (the input is never reused after a step).
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(self._build(plan, specs, wm_static, pallas_plans),
+                       donate_argnums=(0,))
 
     # -- public API ------------------------------------------------------------
 
@@ -195,9 +199,22 @@ class PipelineModel:
         with self._lock:
             prog = self._cache.get(key)
             if prog is None:
-                prog = self._build(plan, specs, wm_static, pallas_plans)
+                prog = self._build_jitted(plan, specs, wm_static,
+                                          pallas_plans)
                 self._cache[key] = prog
         return prog
+
+    def get_raw_step(self, plan: OperationPlan, specs, pallas_plans=None):
+        """Un-jitted step function — for callers composing it into larger
+        programs (e.g. the benchmark's on-device fori_loop harness)."""
+        pallas_plans = pallas_plans or {}
+        wm_static: dict[int, tuple[int, int, str]] = {}
+        for i, op in enumerate(plan.ops):
+            if op.type is OperationType.WATERMARK:
+                tile = quantize_tile(rasterize_text(op.text, op.font_size))
+                th, tw = tile.coverage.shape
+                wm_static[i] = (th, tw, op.position)
+        return self._build(plan, specs, wm_static, pallas_plans)
 
     def prepare_wm_args(self, plan: OperationPlan) -> dict[int, tuple]:
         """Runtime watermark inputs (tile content, color, metrics)."""

@@ -28,6 +28,11 @@ try:  # OpenCV is the fast path; PIL covers the rest.
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
+# The native C++ shim (libjpeg-turbo via ctypes, native/ipcodec.cpp) skips
+# OpenCV's BGR conversion pass and adds DCT-domain scaled decode; gated so
+# environments without a toolchain fall back transparently.
+from imageprocessor_tpu.runtime import nativecodec as _native
+
 
 # --- content sniffing (http.DetectContentType subset for images) -----------
 
@@ -97,6 +102,12 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     mime = detect_content_type(data[:512])
     fmt = format_from_content_type(mime) if mime != "application/octet-stream" else ""
 
+    if fmt == "jpeg" and _native.available():
+        try:
+            return _native.decode_jpeg(data), "jpeg"
+        except _native.NativeCodecError:
+            pass  # corrupt or exotic JPEG: try the other decoders
+
     if fmt == "gif" or not _HAS_CV2:
         return _decode_pil(data, fmt)
 
@@ -155,6 +166,11 @@ def encode_image(arr: np.ndarray, fmt: str, quality: int = 85) -> bytes:
     fmt = fmt.lower()
     if fmt == "jpg":
         fmt = "jpeg"
+    if fmt == "jpeg" and _native.available():
+        try:
+            return _native.encode_jpeg(arr, quality=quality)
+        except _native.NativeCodecError:  # pragma: no cover
+            pass
     if _HAS_CV2 and fmt in ("jpeg", "png", "bmp", "webp"):
         bgr = cv2.cvtColor(np.ascontiguousarray(arr), cv2.COLOR_RGB2BGR)
         if fmt == "jpeg":

@@ -1,0 +1,147 @@
+"""ctypes bindings for the native ipcodec shim (native/ipcodec.cpp).
+
+The shim is the framework's C++ host-runtime component: libjpeg-turbo
+decode/encode with DCT-domain scaled decode (decode a 12 MP JPEG straight
+to 1/8 size for thumbnail-only plans) and header-only probing for the
+bucketer. Loading is lazy and fully gated: if the shared library is absent
+it is built on demand with g++ (toolchain is part of the deployment
+image); if that fails, callers fall back to the OpenCV/PIL path in
+runtime/codecs.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+_SRC = _REPO_ROOT / "native" / "ipcodec.cpp"
+_LIB = _REPO_ROOT / "native" / "libipcodec.so"
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+class NativeCodecError(RuntimeError):
+    pass
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", str(_SRC),
+             "-o", str(_LIB), "-ljpeg"],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not _LIB.exists() and _SRC.exists():
+            if not _build():
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _load_failed = True
+            return None
+        lib.ip_jpeg_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.ip_jpeg_probe.restype = ctypes.c_int
+        lib.ip_jpeg_scaled_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.ip_jpeg_scaled_dims.restype = ctypes.c_int
+        lib.ip_jpeg_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.ip_jpeg_decode.restype = ctypes.c_int
+        lib.ip_jpeg_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.ip_jpeg_encode.restype = ctypes.c_int
+        lib.ip_free.argtypes = [ctypes.c_void_p]
+        lib.ip_free.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def probe_jpeg(data: bytes) -> tuple[int, int, int]:
+    """(width, height, components) from the header, no entropy decode."""
+    lib = _load()
+    if lib is None:
+        raise NativeCodecError("native codec unavailable")
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.ip_jpeg_probe(data, len(data), ctypes.byref(w),
+                           ctypes.byref(h), ctypes.byref(c))
+    if rc != 0:
+        raise NativeCodecError(f"probe failed (rc={rc})")
+    return w.value, h.value, c.value
+
+
+def decode_jpeg(data: bytes, scale_num: int = 8) -> np.ndarray:
+    """Decode to (H, W, 3) uint8 RGB at scale scale_num/8 (1..8).
+
+    scale_num < 8 performs the downscale in the DCT domain — for a
+    thumbnail-only task, decoding at 1/4 scale costs roughly 1/10th of a
+    full 12 MP decode.
+    """
+    if not 1 <= scale_num <= 8:
+        raise ValueError("scale_num must be in 1..8")
+    lib = _load()
+    if lib is None:
+        raise NativeCodecError("native codec unavailable")
+    ow = ctypes.c_int()
+    oh = ctypes.c_int()
+    rc = lib.ip_jpeg_scaled_dims(data, len(data), scale_num,
+                                 ctypes.byref(ow), ctypes.byref(oh))
+    if rc != 0:
+        raise NativeCodecError(f"bad jpeg (rc={rc})")
+    out = np.empty((oh.value, ow.value, 3), dtype=np.uint8)
+    rc = lib.ip_jpeg_decode(data, len(data), scale_num,
+                            out.ctypes.data_as(ctypes.c_void_p),
+                            out.strides[0])
+    if rc != 0:
+        raise NativeCodecError(f"decode failed (rc={rc})")
+    return out
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise NativeCodecError("native codec unavailable")
+    rgb = np.ascontiguousarray(rgb[:, :, :3], dtype=np.uint8)
+    out_p = ctypes.c_void_p()
+    out_len = ctypes.c_size_t()
+    rc = lib.ip_jpeg_encode(rgb.ctypes.data_as(ctypes.c_void_p),
+                            rgb.shape[1], rgb.shape[0], rgb.strides[0],
+                            int(quality), ctypes.byref(out_p),
+                            ctypes.byref(out_len))
+    if rc != 0:
+        raise NativeCodecError(f"encode failed (rc={rc})")
+    try:
+        return ctypes.string_at(out_p, out_len.value)
+    finally:
+        lib.ip_free(out_p)
