@@ -235,7 +235,10 @@ class ProcessingEngine:
             out.result.processed_paths[op.type.value] = artifact.path
         return out
 
-    def _run_group(self, group, results: list) -> None:
+    def device_group(self, group):
+        """Stage 2: run one packed group's fused program; returns the
+        host-side outputs + geometry needed to finish each image.
+        Reusable by both the batch worker and the pipelined worker."""
         plan: OperationPlan = group.items[0].payload[3]
         b = quantize_batch(len(group.items))
         imgs, src_hw = group.pack(pad_batch_to=b)
@@ -276,37 +279,46 @@ class ProcessingEngine:
         METRICS.observe("engine_device_ms",
                         (_time.monotonic() - t_dev) * 1000.0)
         METRICS.inc("engine_device_images", len(group.items))
+        return plan, outs_np, out_hws
 
-        # 3. crop + encode + save per image (codec pool), fail-fast per image
-        def _finish(idx_item):
-            i, it = idx_item
-            task_idx, task, fmt, _plan = it.payload
-            out = EngineResult(result=ProcessingResult(
-                id=task.id, image_id=task.image_id,
-                status=ImageStatus.COMPLETED))
-            h, w = it.hw
-            for oi, op in enumerate(plan.ops):
-                if op.type is OperationType.RESIZE or (
-                        op.type is OperationType.THUMBNAIL and not op.crop_to_fit):
-                    oh, ow = out_hws[oi][i]
-                    arr = outs_np[oi][i, :oh, :ow]
-                elif op.type is OperationType.THUMBNAIL:
-                    arr = outs_np[oi][i]
-                else:  # full-bucket canvas ops: crop to the valid extent
-                    arr = outs_np[oi][i, :h, :w]
-                try:
-                    artifact = self._encode_and_save(task, op, arr, fmt)
-                except Exception as exc:
-                    out.result.status = ImageStatus.FAILED
-                    out.result.error = (
-                        f"Operation {op.type.value} failed: {exc}")
-                    return task_idx, out
-                out.artifacts.append(artifact)
-                out.result.processed_paths[op.type.value] = artifact.path
-            return task_idx, out
+    def finish_item(self, group, i: int, plan, outs_np, out_hws
+                    ) -> EngineResult:
+        """Stage 3 for one image: crop valid regions, encode, save.
+        Fail-fast across the image's op list (reference semantics)."""
+        it = group.items[i]
+        _task_idx, task, fmt, _plan = it.payload
+        out = EngineResult(result=ProcessingResult(
+            id=task.id, image_id=task.image_id,
+            status=ImageStatus.COMPLETED))
+        h, w = it.hw
+        for oi, op in enumerate(plan.ops):
+            if op.type is OperationType.RESIZE or (
+                    op.type is OperationType.THUMBNAIL and not op.crop_to_fit):
+                oh, ow = out_hws[oi][i]
+                arr = outs_np[oi][i, :oh, :ow]
+            elif op.type is OperationType.THUMBNAIL:
+                arr = outs_np[oi][i]
+            else:  # full-bucket canvas ops: crop to the valid extent
+                arr = outs_np[oi][i, :h, :w]
+            try:
+                artifact = self._encode_and_save(task, op, arr, fmt)
+            except Exception as exc:
+                out.result.status = ImageStatus.FAILED
+                out.result.error = f"Operation {op.type.value} failed: {exc}"
+                return out
+            out.artifacts.append(artifact)
+            out.result.processed_paths[op.type.value] = artifact.path
+        return out
+
+    def _run_group(self, group, results: list) -> None:
+        plan, outs_np, out_hws = self.device_group(group)
+
+        def _finish(i):
+            task_idx = group.items[i].payload[0]
+            return task_idx, self.finish_item(group, i, plan, outs_np, out_hws)
 
         for task_idx, res in self._pool.map(_finish,
-                                            enumerate(group.items)):
+                                            range(len(group.items))):
             results[task_idx] = res
 
     def close(self) -> None:

@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="standalone: data directory root")
     parser.add_argument("--require-env", action="store_true",
                         help="enforce reference-style required env vars")
+    parser.add_argument("--pipelined", action="store_true",
+                        help="worker: streaming decode/device/encode stages "
+                             "with deadline batching (lower p99 under load)")
     args = parser.parse_args(argv)
 
     cfg = config_mod.load(require=args.require_env)
@@ -47,7 +50,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.mode == "worker":
-        from imageprocessor_tpu.service.worker import Worker
+        if args.pipelined:
+            from imageprocessor_tpu.service.pipelined import PipelinedWorker as Worker
+        else:
+            from imageprocessor_tpu.service.worker import Worker
         worker = Worker(cfg)
 
         def _sig(_s, _f):

@@ -75,7 +75,8 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
     broker.create_topic(cfg.broker.results_topic, cfg.broker.partitions)
 
     usecase = ImageUsecase(meta, store, broker,
-                           processing_topic=cfg.broker.processing_topic)
+                           processing_topic=cfg.broker.processing_topic,
+                           retries=cfg.retry_strategy())
     handlers = ImageHandlers(usecase)
 
     app = web.Application(middlewares=[recovery_middleware, logging_middleware],

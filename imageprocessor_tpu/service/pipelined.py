@@ -1,0 +1,236 @@
+"""Pipelined worker: decode, device, and encode stages run concurrently.
+
+The batch worker (service/worker.py) serializes its phases per poll:
+decode all -> device -> encode all. This worker overlaps them across
+micro-batches — the TPU-native expansion of the reference's
+goroutine-pool concurrency (SURVEY.md §2 parallelism table row 1:
+"decode thread pool feeding per-device micro-batch queues"):
+
+  stage 1 (fetch/decode threads): poll broker -> fetch blob -> decode ->
+           DeadlineBatcher (flush on batch size OR deadline — the p99
+           latency lever, SURVEY.md §7 hard part (d))
+  stage 2 (device thread): pack group -> fused program -> host outputs
+  stage 3 (encode pool): crop/encode/save/record/ack per image
+
+At-least-once semantics are identical to the batch worker: each message
+is acked only after its metadata writes, permanent failures are acked
+with status=failed, transient ones nacked for redelivery.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+
+from imageprocessor_tpu.broker.base import BrokerMessage
+from imageprocessor_tpu.config import Config
+from imageprocessor_tpu.domain import ImageStatus, ProcessingTask
+from imageprocessor_tpu.errors import DecodeError
+from imageprocessor_tpu.errors import UnsupportedOperationError
+from imageprocessor_tpu.models.plan import (
+    InvalidParamsError,
+    normalize_operations,
+)
+from imageprocessor_tpu.runtime.batcher import BatchItem, DeadlineBatcher
+from imageprocessor_tpu.runtime.codecs import decode_image
+from imageprocessor_tpu.runtime.engine import BATCHABLE, EngineResult
+from imageprocessor_tpu.service.worker import Worker
+from imageprocessor_tpu.storage.object_store import ObjectNotFound
+from imageprocessor_tpu.utils import get_logger, retry_sync
+from imageprocessor_tpu.utils.metrics import METRICS
+from imageprocessor_tpu.utils.tracing import span
+
+log = get_logger("pipelined")
+
+_SENTINEL = object()
+
+
+class PipelinedWorker(Worker):
+    """Three-stage streaming worker. `run()` blocks until `stop()`."""
+
+    def __init__(self, cfg: Config, **kw):
+        super().__init__(cfg, **kw)
+        depth = max(cfg.worker.max_queue_depth, 8)
+        self._group_q: queue.Queue = queue.Queue(maxsize=8)
+        self._finish_q: queue.Queue = queue.Queue(maxsize=8)
+        self._batcher = DeadlineBatcher(
+            batch_size=cfg.worker.batch_size,
+            deadline_ms=cfg.worker.batch_deadline_ms)
+        self._batcher_lock = threading.Lock()
+        self._inflight = threading.Semaphore(depth)
+
+    # ---------------------------------------------------------------- stage 1
+
+    def _decode_stage(self) -> None:
+        topic = self.cfg.broker.processing_topic
+        group_id = self.cfg.broker.group_id
+        while not self._stop.is_set():
+            msgs = self.broker.poll(topic, group_id,
+                                    max_n=self.cfg.worker.batch_size,
+                                    lease_s=300.0)
+            if not msgs:
+                self._flush_due()
+                self._stop.wait(self._idle_sleep)
+                continue
+            for msg in msgs:
+                self._inflight.acquire()
+                self._handle_message(msg)
+            self._flush_due()
+        # drain: flush whatever is pending
+        with self._batcher_lock:
+            for group in self._batcher.flush_all():
+                self._group_q.put(group)
+        self._group_q.put(_SENTINEL)
+
+    def _handle_message(self, msg: BrokerMessage) -> None:
+        try:
+            task = ProcessingTask.from_json(msg.value)
+            if not task.image_id:
+                raise ValueError("missing ImageID")
+        except Exception as exc:
+            log.error("Failed to unmarshal task", offset=msg.offset,
+                      error=str(exc))
+            self.broker.ack(msg)
+            self._inflight.release()
+            METRICS.inc("worker_malformed_tasks")
+            return
+        try:
+            blob = retry_sync(
+                self.cfg.retry_strategy(),
+                lambda path=task.original_path: self.store.get_object(path),
+                retryable=lambda e: not isinstance(e, ObjectNotFound))
+        except Exception as exc:
+            log.error("Failed to get original image", image_id=task.image_id,
+                      error=str(exc))
+            self._mark_failed(task.image_id)
+            self.broker.nack(msg)
+            self._inflight.release()
+            METRICS.inc("worker_fetch_failures")
+            return
+        try:
+            with span("decode"):
+                arr, detected = decode_image(blob)
+            plan = normalize_operations(task.operations)
+            if not all(op.type in BATCHABLE for op in plan):
+                raise _SinglePath(arr, detected, plan)
+        except _SinglePath as sp:
+            fmt = (task.format or sp.detected or "jpeg").lower()
+            res = self.engine._process_decoded_single(task, sp.arr, fmt,
+                                                      sp.plan)
+            self._complete(msg, task, res)
+            return
+        except (DecodeError, InvalidParamsError,
+                UnsupportedOperationError, ValueError) as exc:
+            prefix = ("Failed to decode image" if isinstance(exc, DecodeError)
+                      else "Operation failed")
+            res = self.engine._failed(task, f"{prefix}: {exc}")
+            self._complete(msg, task, res)
+            return
+
+        fmt = (task.format or detected or "jpeg").lower()
+        item = BatchItem(item_id=task.id, image=arr,
+                         plan_key=plan.compile_key(),
+                         payload=(msg, task, fmt, plan))
+        with self._batcher_lock:
+            group = self._batcher.add(item)
+        if group is not None:
+            self._group_q.put(group)
+
+    def _flush_due(self) -> None:
+        with self._batcher_lock:
+            due = self._batcher.due()
+        for group in due:
+            self._group_q.put(group)
+
+    # ---------------------------------------------------------------- stage 2
+
+    def _device_stage(self) -> None:
+        while True:
+            group = self._group_q.get()
+            if group is _SENTINEL:
+                self._finish_q.put(_SENTINEL)
+                return
+            try:
+                with span("device"):
+                    plan, outs_np, out_hws = self.engine.device_group(group)
+                self._finish_q.put((group, plan, outs_np, out_hws))
+            except Exception as exc:
+                log.error("Device stage failed", error=str(exc),
+                          exc_info=True)
+                for it in group.items:
+                    msg, task, _fmt, _plan = it.payload
+                    res = self.engine._failed(
+                        task, f"Operation failed: device error: {exc}")
+                    self._complete(msg, task, res)
+
+    # ---------------------------------------------------------------- stage 3
+
+    def _finish_stage(self) -> None:
+        while True:
+            entry = self._finish_q.get()
+            if entry is _SENTINEL:
+                return
+            group, plan, outs_np, out_hws = entry
+
+            def _one(i):
+                msg, task, _fmt, _plan = group.items[i].payload
+                with span("encode"):
+                    res = self.engine.finish_item(group, i, plan, outs_np,
+                                                  out_hws)
+                self._complete(msg, task, res)
+
+            list(self.engine._pool.map(_one, range(len(group.items))))
+
+    def _complete(self, msg: BrokerMessage, task: ProcessingTask,
+                  eng_res: EngineResult) -> None:
+        """Record metadata + ack/nack + publish result (commit-after-
+        success, worker.go:125-146 semantics)."""
+        try:
+            self._record(task, eng_res)
+            res = eng_res.result
+            if res.status is ImageStatus.COMPLETED:
+                self.broker.ack(msg)
+                METRICS.inc("worker_completed")
+            elif self._is_permanent(res.error):
+                self.broker.ack(msg)
+                METRICS.inc("worker_failed_permanent")
+            else:
+                self.broker.nack(msg)
+                METRICS.inc("worker_failed_transient")
+            try:
+                self.broker.produce(self.cfg.broker.results_topic,
+                                    task.image_id.encode(), res.to_json())
+            except Exception:
+                log.error("Failed to publish result", image_id=task.image_id)
+        finally:
+            self._inflight.release()
+
+    # ------------------------------------------------------------------- run
+
+    def run(self) -> None:
+        log.info("Pipelined worker started",
+                 batch_size=self.cfg.worker.batch_size,
+                 deadline_ms=self.cfg.worker.batch_deadline_ms)
+        device_t = threading.Thread(target=self._device_stage,
+                                    name="device", daemon=True)
+        finish_t = threading.Thread(target=self._finish_stage,
+                                    name="finish", daemon=True)
+        device_t.start()
+        finish_t.start()
+        try:
+            self._decode_stage()
+        finally:
+            device_t.join(timeout=60)
+            finish_t.join(timeout=60)
+        log.info("Pipelined worker stopped gracefully")
+
+
+class _SinglePath(Exception):
+    """Control-flow: plan contains ops without batched kernels."""
+
+    def __init__(self, arr, detected, plan):
+        super().__init__()
+        self.arr = arr
+        self.detected = detected
+        self.plan = plan

@@ -38,9 +38,14 @@ from imageprocessor_tpu.errors import (
 from imageprocessor_tpu.runtime.codecs import detect_content_type, format_from_content_type
 from imageprocessor_tpu.storage.metadata import MetadataStore, NotFound
 from imageprocessor_tpu.storage.object_store import ObjectNotFound, ObjectStore
-from imageprocessor_tpu.utils import get_logger
+from imageprocessor_tpu.utils import RetryStrategy, get_logger, retry_sync
 
 log = get_logger("usecase")
+
+# Retryable = transient I/O; NotFound/ObjectNotFound are definitive answers
+# (the reference applies its retry.Strategy inside the repository layer the
+# same way — wbf dbpg/kafka wrap every call, postgres.go:36 etc.).
+_def_retryable = (lambda exc: not isinstance(exc, (NotFound, ObjectNotFound)))
 
 _OP_PREFIXES = ("resize", "thumbnails", "watermarked", "crop", "rotate",
                 "flip", "grayscale")
@@ -48,11 +53,18 @@ _OP_PREFIXES = ("resize", "thumbnails", "watermarked", "crop", "rotate",
 
 class ImageUsecase:
     def __init__(self, meta: MetadataStore, store: ObjectStore, broker,
-                 processing_topic: str = KAFKA_TOPIC_PROCESSING):
+                 processing_topic: str = KAFKA_TOPIC_PROCESSING,
+                 retries: RetryStrategy | None = None):
         self.meta = meta
         self.store = store
         self.broker = broker
         self.topic = processing_topic
+        self.retries = retries or RetryStrategy()
+
+    def _retry(self, fn):
+        """Exponential-backoff retry around one storage/queue call
+        (reference: wbf retry.Strategy on every repo call)."""
+        return retry_sync(self.retries, fn, retryable=_def_retryable)
 
     def upload_image(self, data: bytes, filename: str, content_type: str,
                      operations: list[OperationParams]) -> Image:
@@ -68,8 +80,8 @@ class ImageUsecase:
         original_path = ""
         try:
             try:
-                original_path = self.store.save_original(
-                    filename, data, detected)
+                original_path = self._retry(
+                    lambda: self.store.save_original(filename, data, detected))
             except Exception as exc:
                 raise StorageError(str(exc)) from exc
 
@@ -79,7 +91,7 @@ class ImageUsecase:
                 status=ImageStatus.UPLOADED, original_path=original_path,
                 bucket="images")
             try:
-                self.meta.save_image(img)
+                self._retry(lambda: self.meta.save_image(img))
             except Exception as exc:
                 raise DatabaseError(str(exc)) from exc
 
@@ -89,8 +101,8 @@ class ImageUsecase:
                 operations=operations,
                 format=str(format_from_content_type(detected)))
             try:
-                self.broker.produce(self.topic, image_id.encode(),
-                                    task.to_json())
+                self._retry(lambda: self.broker.produce(
+                    self.topic, image_id.encode(), task.to_json()))
             except Exception as exc:
                 try:
                     self.meta.update_status(image_id, ImageStatus.FAILED)
@@ -100,7 +112,8 @@ class ImageUsecase:
                 raise MessageQueueError(str(exc)) from exc
 
             try:
-                self.meta.update_status(image_id, ImageStatus.PROCESSING)
+                self._retry(lambda: self.meta.update_status(
+                    image_id, ImageStatus.PROCESSING))
                 img.status = ImageStatus.PROCESSING
             except Exception:
                 # Reference keeps status=uploaded on this failure (:105-110)
@@ -122,7 +135,7 @@ class ImageUsecase:
                   ) -> tuple[Image, bytes, str]:
         """Returns (metadata, blob, served_path)."""
         try:
-            img = self.meta.get_image(image_id)
+            img = self._retry(lambda: self.meta.get_image(image_id))
         except NotFound:
             raise ImageNotFoundError(image_id) from None
         except Exception as exc:
@@ -130,7 +143,8 @@ class ImageUsecase:
 
         if not operation:
             try:
-                return img, self.store.get_object(img.original_path), \
+                return img, self._retry(
+                    lambda: self.store.get_object(img.original_path)), \
                     img.original_path
             except ObjectNotFound as exc:
                 raise StorageError(str(exc)) from exc
@@ -138,13 +152,15 @@ class ImageUsecase:
                 raise StorageError(str(exc)) from exc
 
         try:
-            processed = self.meta.get_processed_by_operation(image_id, operation)
+            processed = self._retry(
+                lambda: self.meta.get_processed_by_operation(image_id, operation))
         except Exception as exc:
             raise DatabaseError(str(exc)) from exc
         if processed is None:
             raise ProcessedImageNotFoundError(f"{image_id}/{operation}")
         try:
-            return img, self.store.get_object(processed.path), processed.path
+            return img, self._retry(
+                lambda: self.store.get_object(processed.path)), processed.path
         except ObjectNotFound as exc:
             raise StorageError(str(exc)) from exc
         except Exception as exc:
@@ -152,7 +168,7 @@ class ImageUsecase:
 
     def get_status(self, image_id: str) -> ImageStatus:
         try:
-            return self.meta.get_image(image_id).status
+            return self._retry(lambda: self.meta.get_image(image_id)).status
         except NotFound:
             raise ImageNotFoundError(image_id) from None
         except Exception as exc:
@@ -201,6 +217,6 @@ class ImageUsecase:
 
     def list_images(self, limit: int = 50, offset: int = 0) -> list[Image]:
         try:
-            return self.meta.list_images(limit, offset)
+            return self._retry(lambda: self.meta.list_images(limit, offset))
         except Exception as exc:
             raise DatabaseError(str(exc)) from exc

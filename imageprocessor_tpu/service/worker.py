@@ -30,8 +30,12 @@ from imageprocessor_tpu.config import Config
 from imageprocessor_tpu.domain import ImageStatus, ProcessedImage, ProcessingTask
 from imageprocessor_tpu.runtime.engine import EngineResult, ProcessingEngine
 from imageprocessor_tpu.storage.metadata import MetadataStore, build_metadata_store
-from imageprocessor_tpu.storage.object_store import ObjectStore, build_object_store
-from imageprocessor_tpu.utils import get_logger
+from imageprocessor_tpu.storage.object_store import (
+    ObjectNotFound,
+    ObjectStore,
+    build_object_store,
+)
+from imageprocessor_tpu.utils import get_logger, retry_sync
 from imageprocessor_tpu.utils.metrics import METRICS
 
 log = get_logger("worker")
@@ -85,7 +89,12 @@ class Worker:
                 METRICS.inc("worker_malformed_tasks")
                 continue
             try:
-                blob = self.store.get_object(task.original_path)
+                # Retry transient storage errors (reference wraps every
+                # MinIO call in retry.Strategy); a missing blob is final.
+                blob = retry_sync(
+                    self.cfg.retry_strategy(),
+                    lambda path=task.original_path: self.store.get_object(path),
+                    retryable=lambda e: not isinstance(e, ObjectNotFound))
             except Exception as exc:
                 log.error("Failed to get original image",
                           image_id=task.image_id, path=task.original_path,

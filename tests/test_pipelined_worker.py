@@ -1,0 +1,109 @@
+"""Pipelined worker tests: streaming stages, deadline flush, failure paths."""
+
+import io
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.broker.memory import MemoryBroker
+from imageprocessor_tpu.config import load as load_config
+from imageprocessor_tpu.domain import (
+    ImageStatus,
+    OperationParams,
+    OperationType,
+)
+from imageprocessor_tpu.service.pipelined import PipelinedWorker
+from imageprocessor_tpu.service.usecase import ImageUsecase
+from imageprocessor_tpu.storage import LocalFSObjectStore, SQLiteMetadataStore
+from imageprocessor_tpu.utils import RetryStrategy
+
+RNG = np.random.default_rng(61)
+
+OPS = [OperationParams(OperationType.THUMBNAIL,
+                       {"size": 32, "crop_to_fit": True})]
+
+
+def png_bytes(h=64, w=80):
+    arr = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="PNG")
+    return bio.getvalue()
+
+
+@pytest.fixture()
+def harness(tmp_path):
+    cfg = load_config({})
+    cfg.worker.batch_size = 4
+    cfg.worker.batch_deadline_ms = 30
+    cfg.retries_attempts = 1
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    uc = ImageUsecase(meta, store, broker,
+                      retries=RetryStrategy(attempts=1, delay_ms=1))
+    worker = PipelinedWorker(cfg, meta=meta, store=store, broker=broker)
+    worker._idle_sleep = 0.01
+    thread = threading.Thread(target=worker.run, daemon=True)
+    thread.start()
+    yield uc, meta, broker, worker
+    worker.stop()
+    thread.join(timeout=20)
+    worker.engine.close()
+
+
+def wait_for(fn, timeout=180, interval=0.05):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if fn():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_single_upload_flows_through(harness):
+    uc, meta, broker, _w = harness
+    img = uc.upload_image(png_bytes(), "a.png", "image/png", OPS)
+    assert wait_for(lambda: meta.get_image(img.id).status
+                    is ImageStatus.COMPLETED), "never completed"
+    rows = meta.list_processed(img.id)
+    assert len(rows) == 1
+    # acked: nothing left for the group
+    assert broker.depth("image-processing",
+                        _w.cfg.broker.group_id) == 0
+
+
+def test_burst_of_mixed_sizes(harness):
+    uc, meta, _broker, _w = harness
+    ids = []
+    for i in range(10):
+        h, w = 40 + 7 * i, 90 - 3 * i
+        img = uc.upload_image(png_bytes(h, w), f"b{i}.png", "image/png", OPS)
+        ids.append(img.id)
+    assert wait_for(lambda: all(
+        meta.get_image(i).status is ImageStatus.COMPLETED for i in ids))
+
+
+def test_poison_and_good_interleaved(harness):
+    uc, meta, broker, w = harness
+    broker.produce("image-processing", b"x", b"{not json")
+    good = uc.upload_image(png_bytes(), "g.png", "image/png", OPS)
+    assert wait_for(lambda: meta.get_image(good.id).status
+                    is ImageStatus.COMPLETED)
+    # malformed message was acked away, not looping
+    assert wait_for(lambda: broker.depth(
+        "image-processing", w.cfg.broker.group_id) == 0)
+
+
+def test_nonbatchable_plan_single_path(harness):
+    uc, meta, _broker, _w = harness
+    img = uc.upload_image(
+        png_bytes(), "c.png", "image/png",
+        [OperationParams(OperationType.CROP,
+                         {"x": 2, "y": 2, "width": 20, "height": 20})])
+    assert wait_for(lambda: meta.get_image(img.id).status
+                    is ImageStatus.COMPLETED)
+    rows = meta.list_processed(img.id)
+    assert rows[0].operation is OperationType.CROP

@@ -41,12 +41,18 @@ DEFAULT_OPS = [OperationParams(OperationType.THUMBNAIL,
                                {"size": 32, "crop_to_fit": True})]
 
 
+from imageprocessor_tpu.utils import RetryStrategy
+
+_FAST_RETRIES = RetryStrategy(attempts=2, delay_ms=1)
+
+
 @pytest.fixture()
 def stack(tmp_path):
     meta = SQLiteMetadataStore(":memory:")
     store = LocalFSObjectStore(str(tmp_path / "objects"))
     broker = MemoryBroker()
-    return ImageUsecase(meta, store, broker), meta, store, broker
+    return (ImageUsecase(meta, store, broker, retries=_FAST_RETRIES),
+            meta, store, broker)
 
 
 def test_upload_happy_path(stack):
@@ -121,7 +127,7 @@ def worker_stack(tmp_path):
     meta = SQLiteMetadataStore(":memory:")
     store = LocalFSObjectStore(str(tmp_path / "objects"))
     broker = MemoryBroker()
-    uc = ImageUsecase(meta, store, broker)
+    uc = ImageUsecase(meta, store, broker, retries=_FAST_RETRIES)
     worker = Worker(cfg, meta=meta, store=store, broker=broker)
     yield uc, worker, meta, store, broker
     worker.engine.close()
