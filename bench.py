@@ -27,6 +27,13 @@ import time
 
 import numpy as np
 
+_T0 = time.monotonic()
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def make_inputs(batch: int, src_h: int, src_w: int, bucket_h: int,
                 bucket_w: int):
@@ -74,11 +81,16 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     out_hws = {1: out_hw_np}
     specs = plan_output_specs(plan, (bucket_h, bucket_w))
 
+    _progress("building model/plans")
     model = PipelineModel()
+    layout = ("chw" if model.supports_planar(plan, (bucket_h, bucket_w))
+              else "hwc")
+    if layout == "chw":
+        imgs_np = np.ascontiguousarray(np.transpose(imgs_np, (0, 3, 1, 2)))
     pallas_plans, pallas_args = model._pallas_setup(
         plan, (bucket_h, bucket_w), batch, src_hw_np.astype(np.int32),
         out_hws, specs)
-    raw_step = model.get_raw_step(plan, specs, pallas_plans)
+    raw_step = model.get_raw_step(plan, specs, pallas_plans, layout)
     wm_args = model.prepare_wm_args(plan)
     dummy = np.zeros((batch, 2), dtype=np.int32)
 
@@ -109,11 +121,13 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     # Warmup: compile, first run, and both transfer directions — the
     # tunneled dev TPU lazily initializes a slow D2H path (~85 s) that
     # must not land inside a timed region.
+    _progress("warmup: compile + first run + D2H init")
     t_compile0 = time.monotonic()
     imgs_dev = jax.device_put(imgs_np, dev)
     np.asarray(loop_j(imgs_dev, 2).reshape(-1)[0])
     compile_s = time.monotonic() - t_compile0
 
+    _progress(f"warmup done (compile_s={compile_s:.1f})")
     # Transfer bandwidth probe (steady-state)
     probe = np.zeros((4 << 20,), dtype=np.uint8)
     t0 = time.monotonic()
@@ -129,6 +143,7 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
         np.asarray(loop_j(imgs_dev, k).reshape(-1)[0])
         return time.monotonic() - t0
 
+    _progress("calibrating chain length")
     # Calibrate the chain so device work dwarfs RPC jitter (~0.1 s).
     k_small = 4
     _timed(k_small)
@@ -138,6 +153,7 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
         k_big *= 4
         tb = _timed(k_big)
 
+    _progress(f"measuring (k_small={k_small}, k_big={k_big})")
     slopes = []
     for _ in range(2):
         ts = _timed(k_small)
@@ -151,8 +167,9 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     # of the small artifacts (thumbnail + resize); the full-res watermark
     # stays device-side (production DMAs it to the encode pool; fetching
     # it here would only measure the tunnel).
+    _progress("streaming measurement")
     prog = model.get_program(plan, (bucket_h, bucket_w), batch, specs,
-                             pallas_plans)
+                             pallas_plans, layout)
     t2 = time.monotonic()
     for _ in range(max(iters // 2, 2)):
         src = jax.device_put(imgs_np, dev)
@@ -172,6 +189,7 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
         "batch": batch,
         "bucket": [bucket_h, bucket_w],
         "pallas": bool(pallas_plans),
+        "layout": layout,
         "platform": dev.platform,
         "device": str(dev),
     }
@@ -254,6 +272,7 @@ def main() -> int:
         "device_step_images_per_sec_slope": round(
             dev["device_step_images_per_sec_slope"], 2),
         "pallas": dev["pallas"],
+        "layout": dev["layout"],
         "tunnel_stream_images_per_sec": round(
             dev["tunnel_stream_images_per_sec"], 2),
         "tunnel_h2d_mbps": round(dev["tunnel_h2d_mbps"], 1),

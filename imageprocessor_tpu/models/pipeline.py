@@ -33,17 +33,27 @@ import numpy as np
 from imageprocessor_tpu.domain import OperationType
 from imageprocessor_tpu.models.plan import NormalizedOp, OperationPlan
 from imageprocessor_tpu.ops import pallas_resample
-from imageprocessor_tpu.ops.extra import batched_flip, batched_grayscale
+from imageprocessor_tpu.ops.extra import (
+    batched_flip,
+    batched_grayscale,
+    batched_grayscale_planar,
+)
 from imageprocessor_tpu.ops.resize import batched_resize_bilinear
 from imageprocessor_tpu.ops.thumbnail import batched_thumbnail
 from imageprocessor_tpu.ops.watermark import (
     WatermarkTile,
     _pad_tile,
     batched_watermark_core,
+    batched_watermark_core_planar,
     quantize_tile,
     rasterize_text,
     resolve_color,
 )
+
+# Ops the fully-planar (CHW end-to-end) pipeline supports. Plans outside
+# this set fall back to the HWC layout (with its on-device transpose).
+PLANAR_OPS = {OperationType.RESIZE, OperationType.THUMBNAIL,
+              OperationType.WATERMARK, OperationType.GRAYSCALE}
 
 # Pallas path limits: beyond this bucket width the kernel's f32 band
 # exceeds the VMEM budget; fall back to the XLA gather path.
@@ -103,7 +113,8 @@ class PipelineModel:
     """
 
     def __init__(self, device=None, use_pallas: bool | None = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 resample_dtype: str = "bfloat16"):
         self._cache: dict[tuple, Callable] = {}
         self._lock = threading.Lock()
         self._device = device
@@ -111,6 +122,10 @@ class PipelineModel:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # bf16 matmuls keep PSNR well above the 45 dB contract (pixels are
+        # exact in bf16; only lerp weights round) at ~4x the MXU rate;
+        # set "float32" for bit-level oracle parity.
+        self.resample_dtype = resample_dtype
 
     def _pallas_eligible(self, op: NormalizedOp, bucket: tuple[int, int]) -> bool:
         if not self.use_pallas or bucket[1] > _PALLAS_MAX_W:
@@ -121,9 +136,44 @@ class PipelineModel:
 
     def _build(self, plan: OperationPlan, specs: tuple[OpOutputSpec, ...],
                wm_static: dict[int, tuple[int, int, str]],
-               pallas_plans: dict[int, pallas_resample.ResamplePlan]):
-        """wm_static: op index -> (tile_h, tile_w, position) statics."""
+               pallas_plans: dict[int, pallas_resample.ResamplePlan],
+               layout: str = "hwc"):
+        """wm_static: op index -> (tile_h, tile_w, position) statics.
+
+        layout='chw': the batch arrives planar (B, 3, H, W) — decoded
+        straight to planes by the native codec — and every output stays
+        planar; no transpose appears anywhere in the program. Only valid
+        when all ops are in PLANAR_OPS and resamples go through Pallas.
+        """
         interpret = self._pallas_interpret
+
+        if layout == "chw":
+            def step_chw(imgs_chw, src_hw, out_hws, wm_args, presample_args):
+                outputs = []
+                for i, spec in enumerate(specs):
+                    op = spec.op
+                    if i in pallas_plans:
+                        rp = pallas_plans[i]
+                        call = pallas_resample._build_call(rp, interpret)
+                        a = presample_args[i]
+                        out_p = call(a[0], imgs_chw, *a[1:])
+                        outputs.append(
+                            out_p[:, :, :spec.canvas[0], :spec.canvas[1]])
+                    elif op.type is OperationType.WATERMARK:
+                        th, tw, position = wm_static[i]
+                        tile_arr, color, alpha, wpx, hpx, ascent = wm_args[i]
+                        outputs.append(batched_watermark_core_planar(
+                            imgs_chw, src_hw, tile_arr, color, alpha, wpx,
+                            hpx, ascent, position=position, tile_h=th,
+                            tile_w=tw))
+                    elif op.type is OperationType.GRAYSCALE:
+                        outputs.append(batched_grayscale_planar(imgs_chw))
+                    else:
+                        raise NotImplementedError(
+                            f"{op.type} unsupported in planar layout")
+                return tuple(outputs)
+
+            return step_chw
 
         def step(imgs_u8, src_hw, out_hws, wm_args, presample_args):
             outputs = []
@@ -172,19 +222,28 @@ class PipelineModel:
 
         return step
 
-    def _build_jitted(self, plan, specs, wm_static, pallas_plans):
+    def _build_jitted(self, plan, specs, wm_static, pallas_plans,
+                      layout: str = "hwc"):
         # Donating the source batch lets XLA alias the watermark output onto
         # the input buffer: the full-resolution "copy" becomes an in-place
         # region blend (the input is never reused after a step).
-        return jax.jit(self._build(plan, specs, wm_static, pallas_plans),
+        return jax.jit(self._build(plan, specs, wm_static, pallas_plans,
+                                   layout),
                        donate_argnums=(0,))
 
     # -- public API ------------------------------------------------------------
 
+    def supports_planar(self, plan: OperationPlan,
+                        bucket: tuple[int, int]) -> bool:
+        """True when the whole plan can run in the CHW end-to-end layout."""
+        if not self.use_pallas or bucket[1] > _PALLAS_MAX_W:
+            return False
+        return all(op.type in PLANAR_OPS for op in plan.ops)
+
     def get_program(self, plan: OperationPlan, bucket: tuple[int, int],
                     batch: int, specs: tuple[OpOutputSpec, ...],
                     pallas_plans: dict[int, pallas_resample.ResamplePlan]
-                    | None = None):
+                    | None = None, layout: str = "hwc"):
         pallas_plans = pallas_plans or {}
         wm_static: dict[int, tuple[int, int, str]] = {}
         for i, op in enumerate(plan.ops):
@@ -195,16 +254,17 @@ class PipelineModel:
         key = (plan.compile_key(), bucket, batch,
                tuple(s.canvas for s in specs),
                tuple(sorted(wm_static.items())),
-               tuple(sorted(pallas_plans.items())))
+               tuple(sorted(pallas_plans.items())), layout)
         with self._lock:
             prog = self._cache.get(key)
             if prog is None:
                 prog = self._build_jitted(plan, specs, wm_static,
-                                          pallas_plans)
+                                          pallas_plans, layout)
                 self._cache[key] = prog
         return prog
 
-    def get_raw_step(self, plan: OperationPlan, specs, pallas_plans=None):
+    def get_raw_step(self, plan: OperationPlan, specs, pallas_plans=None,
+                     layout: str = "hwc"):
         """Un-jitted step function — for callers composing it into larger
         programs (e.g. the benchmark's on-device fori_loop harness)."""
         pallas_plans = pallas_plans or {}
@@ -214,7 +274,7 @@ class PipelineModel:
                 tile = quantize_tile(rasterize_text(op.text, op.font_size))
                 th, tw = tile.coverage.shape
                 wm_static[i] = (th, tw, op.position)
-        return self._build(plan, specs, wm_static, pallas_plans)
+        return self._build(plan, specs, wm_static, pallas_plans, layout)
 
     def prepare_wm_args(self, plan: OperationPlan) -> dict[int, tuple]:
         """Runtime watermark inputs (tile content, color, metrics)."""
@@ -267,7 +327,8 @@ class PipelineModel:
                 eff[:, 1] / np.maximum(out_hw[:, 1], 1))))
             rp = pallas_resample.make_plan(
                 batch, 3, bucket[0], bucket[1],
-                spec.canvas[0], spec.canvas[1], qs_h, qs_w)
+                spec.canvas[0], spec.canvas[1], qs_h, qs_w,
+                compute_dtype=self.resample_dtype)
             args = pallas_resample.make_args(rp, src_hw, out_hw,
                                              crop_yx=crop_yx, crop_hw=crop_hw)
             pallas_plans[i] = rp
@@ -278,18 +339,25 @@ class PipelineModel:
 
     def run(self, plan: OperationPlan, imgs_u8: np.ndarray,
             src_hw: np.ndarray, out_hws: dict[int, np.ndarray],
-            specs: tuple[OpOutputSpec, ...]) -> list[Any]:
+            specs: tuple[OpOutputSpec, ...], layout: str = "hwc"
+            ) -> list[Any]:
         """Execute the fused program for one padded group.
 
-        imgs_u8: (B, Hb, Wb, 3); src_hw: (B, 2); out_hws: op index ->
-        (B, 2) valid output dims (only needed for resample ops).
-        Returns device arrays in op order.
+        imgs_u8: (B, Hb, Wb, 3) for layout='hwc' or (B, 3, Hb, Wb) for
+        layout='chw'; src_hw: (B, 2); out_hws: op index -> (B, 2) valid
+        output dims (only needed for resample ops). Returns device arrays
+        in op order (same layout as the input).
         """
-        b, hb, wb = imgs_u8.shape[0], imgs_u8.shape[1], imgs_u8.shape[2]
+        b = imgs_u8.shape[0]
+        if layout == "chw":
+            hb, wb = imgs_u8.shape[2], imgs_u8.shape[3]
+        else:
+            hb, wb = imgs_u8.shape[1], imgs_u8.shape[2]
         src_hw = np.asarray(src_hw, dtype=np.int32)
         pallas_plans, pallas_args = self._pallas_setup(
             plan, (hb, wb), b, src_hw, out_hws, specs)
-        prog = self.get_program(plan, (hb, wb), b, specs, pallas_plans)
+        prog = self.get_program(plan, (hb, wb), b, specs, pallas_plans,
+                                layout)
         wm_args = self.prepare_wm_args(plan)
         dummy = np.zeros((b, 2), dtype=np.int32)
         hws = tuple(np.asarray(out_hws.get(i, dummy), dtype=np.int32)

@@ -63,6 +63,11 @@ class ResamplePlan:
     tile_rows: int
     band_rows: int      # source rows DMA'd per tile
     col_band: int       # source cols per output chunk (128-aligned)
+    # "bfloat16" runs the one-hot matmuls at full MXU rate (pixels 0..255
+    # are exact in bf16; the lerp weights carry <=2^-9 relative error, so
+    # outputs stay within ~0.5 LSB — PSNR > 45 dB holds). "float32" is
+    # bit-faithful to the oracle within 1 LSB.
+    compute_dtype: str = "float32"
 
     @property
     def n_row_tiles(self) -> int:
@@ -89,7 +94,8 @@ class ResampleArgs:
 
 def make_plan(batch: int, channels: int, src_h: int, src_w: int,
               out_h: int, out_w: int, max_scale_h: float,
-              max_scale_w: float) -> ResamplePlan:
+              max_scale_w: float,
+              compute_dtype: str = "float32") -> ResamplePlan:
     tile_rows = _pick_tile(_round_up(out_h, 8))
     out_h_pad = _round_up(out_h, tile_rows)
     out_w_pad = _round_up(out_w, 128)
@@ -102,7 +108,7 @@ def make_plan(batch: int, channels: int, src_h: int, src_w: int,
     return ResamplePlan(batch=batch, channels=channels, src_h=src_h,
                         src_w=src_w, out_h=out_h_pad, out_w=out_w_pad,
                         tile_rows=tile_rows, band_rows=band_rows,
-                        col_band=col_band)
+                        col_band=col_band, compute_dtype=compute_dtype)
 
 
 def _axis_coords(out_valid: np.ndarray, src_valid: np.ndarray,
@@ -206,6 +212,7 @@ def _kernel(plan: ResamplePlan, interpret: bool):
     ck = 128
     band_rows = plan.band_rows
     cband = plan.col_band
+    cdtype = jnp.bfloat16 if plan.compute_dtype == "bfloat16" else jnp.float32
     # pl.multiple_of is a compile-hint; the interpreter can't evaluate it.
     aligned = (lambda v, m: v) if interpret else pl.multiple_of
 
@@ -228,18 +235,19 @@ def _kernel(plan: ResamplePlan, interpret: bool):
 
         # Both passes are banded one-hot matmuls on the MXU — Mosaic has no
         # dynamic single-row vector loads, and matmuls beat a TH-step scalar
-        # loop anyway. u8 -> i32 -> f32 (no direct u8->f32 cast in Mosaic).
-        band_f32 = band[:].astype(jnp.int32).astype(jnp.float32)
+        # loop anyway. u8 -> i32 -> f32/bf16 (no direct u8->f32 in Mosaic);
+        # accumulation is always f32 via preferred_element_type.
+        band_c = band[:].astype(jnp.int32).astype(cdtype)
 
         r0 = rows0_ref[b * t + tt]   # (1, TH)
         r1 = rows1_ref[b * t + tt]
         rf = rowf_ref[b * t + tt]
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (band_rows, th), 0)
         wr = (jnp.where(iota_r == r0, 1.0 - rf, 0.0)
-              + jnp.where(iota_r == r1, rf, 0.0))             # (BAND, TH)
+              + jnp.where(iota_r == r1, rf, 0.0)).astype(cdtype)  # (BAND, TH)
         vband_ref[:] = jax.lax.dot_general(
-            wr, band_f32, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (TH, W)
+            wr, band_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdtype)    # (TH, W)
 
         for j in range(k):
             cs = aligned(colbs_ref[b, j], 128)
@@ -249,7 +257,7 @@ def _kernel(plan: ResamplePlan, interpret: bool):
             f = colf_ref[b * k + j]     # (1, CK) f32
             iota = jax.lax.broadcasted_iota(jnp.int32, (cband, ck), 0)
             w = (jnp.where(iota == i0, 1.0 - f, 0.0)
-                 + jnp.where(iota == i1, f, 0.0))
+                 + jnp.where(iota == i1, f, 0.0)).astype(cdtype)
             chunk = jnp.dot(sub, w, preferred_element_type=jnp.float32)
             q = jnp.clip(jnp.floor(chunk * (257.0 / 256.0)), 0.0, 255.0)
             out_ref[0, 0, :, j * ck:(j + 1) * ck] = (
@@ -280,7 +288,9 @@ def _build_call(plan: ResamplePlan, interpret: bool):
                                lambda b, c, tt, s: (b, c, tt, 0)),
         scratch_shapes=[
             pltpu.VMEM((plan.band_rows, plan.src_w), jnp.uint8),
-            pltpu.VMEM((th, plan.src_w), jnp.float32),
+            pltpu.VMEM((th, plan.src_w),
+                       jnp.bfloat16 if plan.compute_dtype == "bfloat16"
+                       else jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )

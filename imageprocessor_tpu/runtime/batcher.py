@@ -49,16 +49,26 @@ def quantize_batch(n: int, cap: int = MAX_BATCH) -> int:
 
 @dataclass
 class BatchItem:
-    """One decoded image waiting for device processing."""
+    """One decoded image waiting for device processing.
+
+    layout='hwc': image is (h, w, 3). layout='chw': image is (3, hb, wb)
+    already zero-padded to its resolution bucket (the native planar
+    decoder writes straight into the bucket canvas) and `valid_hw`
+    carries the true dims.
+    """
 
     item_id: str               # task / image id, opaque to the batcher
-    image: np.ndarray          # (h, w, 3) uint8
+    image: np.ndarray
     plan_key: Hashable
     payload: Any = None        # caller context (task, metadata, ...)
+    layout: str = "hwc"
+    valid_hw: tuple[int, int] | None = None
     enqueued_at: float = field(default_factory=time.monotonic)
 
     @property
     def hw(self) -> tuple[int, int]:
+        if self.valid_hw is not None:
+            return self.valid_hw
         return int(self.image.shape[0]), int(self.image.shape[1])
 
 
@@ -68,18 +78,32 @@ class Group:
     plan_key: Hashable
     items: list[BatchItem]
 
+    @property
+    def layout(self) -> str:
+        return self.items[0].layout if self.items else "hwc"
+
     def pack(self, pad_batch_to: int | None = None
              ) -> tuple[np.ndarray, np.ndarray]:
-        """Pad items into (B, Hb, Wb, 3) + (B, 2) valid dims."""
+        """Pad items into a batch canvas + (B, 2) valid dims.
+
+        hwc items -> (B, Hb, Wb, 3); chw items (already bucket-padded by
+        the planar decoder) -> (B, 3, Hb, Wb).
+        """
         hb, wb = self.bucket
         n = len(self.items)
         b = pad_batch_to or n
-        imgs = np.zeros((b, hb, wb, 3), dtype=np.uint8)
         src_hw = np.zeros((b, 2), dtype=np.int32)
-        for i, it in enumerate(self.items):
-            h, w = it.hw
-            imgs[i, :h, :w] = it.image[:, :, :3]
-            src_hw[i] = (h, w)
+        if self.layout == "chw":
+            imgs = np.zeros((b, 3, hb, wb), dtype=np.uint8)
+            for i, it in enumerate(self.items):
+                imgs[i] = it.image
+                src_hw[i] = it.hw
+        else:
+            imgs = np.zeros((b, hb, wb, 3), dtype=np.uint8)
+            for i, it in enumerate(self.items):
+                h, w = it.hw
+                imgs[i, :h, :w] = it.image[:, :, :3]
+                src_hw[i] = (h, w)
         # Duplicate the last real image into pad rows so the program never
         # sees (0,0) extents (harmless — pad outputs are discarded).
         for i in range(n, b):
@@ -89,11 +113,12 @@ class Group:
 
 def group_items(items: list[BatchItem],
                 max_batch: int = MAX_BATCH) -> list[Group]:
-    """Group by (bucket, plan) preserving arrival order; split at max_batch."""
+    """Group by (bucket, plan, layout) preserving arrival order; split at
+    max_batch."""
     buckets: dict[tuple, list[BatchItem]] = defaultdict(list)
     order: list[tuple] = []
     for it in items:
-        key = (bucket_for(*it.hw), it.plan_key)
+        key = (bucket_for(*it.hw), it.plan_key, it.layout)
         if key not in buckets:
             order.append(key)
         buckets[key].append(it)
@@ -122,7 +147,7 @@ class DeadlineBatcher:
         self._pending: dict[tuple, list[BatchItem]] = defaultdict(list)
 
     def add(self, item: BatchItem) -> Group | None:
-        key = (bucket_for(*item.hw), item.plan_key)
+        key = (bucket_for(*item.hw), item.plan_key, item.layout)
         q = self._pending[key]
         q.append(item)
         if len(q) >= self.batch_size:

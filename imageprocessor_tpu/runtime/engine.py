@@ -56,8 +56,11 @@ from imageprocessor_tpu.runtime.batcher import (
     group_items,
     quantize_batch,
 )
+from imageprocessor_tpu.runtime import nativecodec
+from imageprocessor_tpu.runtime.batcher import bucket_for
 from imageprocessor_tpu.runtime.codecs import (
     decode_image,
+    detect_content_type,
     encode_image,
     mime_from_path,
     negotiate_format,
@@ -109,10 +112,22 @@ class ProcessingEngine:
             error=error))
 
     def _encode_and_save(self, task: ProcessingTask, op: NormalizedOp,
-                         arr: np.ndarray, fmt: str) -> Artifact:
+                         arr: np.ndarray, fmt: str,
+                         layout: str = "hwc") -> Artifact:
         out_fmt = negotiate_format(fmt,
                                    watermark=op.type is OperationType.WATERMARK)
-        data = encode_image(arr, out_fmt, quality=self.jpeg_quality)
+        if layout == "chw":
+            if out_fmt == "jpeg" and nativecodec.available():
+                # Stride-aware planar encode: no host transpose, no copy.
+                data = nativecodec.encode_jpeg_planar(
+                    arr, width=arr.shape[2], height=arr.shape[1],
+                    quality=self.jpeg_quality)
+            else:
+                data = encode_image(np.ascontiguousarray(
+                    np.transpose(arr, (1, 2, 0))), out_fmt,
+                    quality=self.jpeg_quality)
+        else:
+            data = encode_image(arr, out_fmt, quality=self.jpeg_quality)
         path = generate_path(task.image_id, op, out_fmt)
         mime = mime_from_path(path)
         self.store.save_processed(path, data, mime)
@@ -178,39 +193,66 @@ class ProcessingEngine:
         n = len(tasks_with_data)
         results: list[EngineResult | None] = [None] * n
 
-        # 1. decode on host threads
+        # Plans first: planar-eligible JPEG tasks decode straight to their
+        # padded planar bucket (native codec), skipping both the device
+        # transpose and the host pack copy.
         import time as _time
 
+        plans: dict[int, OperationPlan] = {}
+        for i, (task, _data) in enumerate(tasks_with_data):
+            try:
+                plans[i] = normalize_operations(task.operations)
+            except (InvalidParamsError, UnsupportedOperationError,
+                    ValueError) as exc:
+                results[i] = self._failed(task, f"Operation failed: {exc}")
+
         def _dec(i):
-            return decode_image(tasks_with_data[i][1])
+            data = tasks_with_data[i][1]
+            plan = plans.get(i)
+            if (plan is not None and nativecodec.available()
+                    and detect_content_type(data[:512]) == "image/jpeg"
+                    and self.model.supports_planar(plan, (1, 1))):
+                try:
+                    w, h, _c = nativecodec.probe_jpeg(data)
+                    bucket = bucket_for(h, w)
+                    if bucket[1] <= 6144:  # pallas width budget
+                        arr = nativecodec.decode_jpeg_planar(
+                            data, pad_hw=bucket)
+                        return arr, "jpeg", "chw", (h, w)
+                except nativecodec.NativeCodecError:
+                    pass  # fall through to the generic decoder
+            arr, detected = decode_image(data)
+            return arr, detected, "hwc", None
 
         t_dec = _time.monotonic()
-        decoded = list(self._pool.map(_dec_safe(_dec), range(n)))
+        decoded = list(self._pool.map(
+            _dec_safe(_dec), [i for i in range(n) if results[i] is None]))
         METRICS.observe("engine_decode_ms",
                         (_time.monotonic() - t_dec) * 1000.0)
         METRICS.inc("engine_decoded_images", n)
 
         items: list[BatchItem] = []
-        plans: dict[int, OperationPlan] = {}
-        for i, ((task, _data), dec) in enumerate(zip(tasks_with_data, decoded)):
+        pending = [i for i in range(n) if results[i] is None]
+        for i, dec in zip(pending, decoded):
+            task = tasks_with_data[i][0]
             if isinstance(dec, Exception):
                 results[i] = self._failed(task,
                                           f"Failed to decode image: {dec}")
                 continue
-            arr, detected = dec
-            try:
-                plan = normalize_operations(task.operations)
-            except (InvalidParamsError, UnsupportedOperationError, ValueError) as exc:
-                results[i] = self._failed(task, f"Operation failed: {exc}")
-                continue
+            arr, detected, layout, valid_hw = dec
+            plan = plans[i]
             fmt = (task.format or detected or "jpeg").lower()
             if not all(op.type in BATCHABLE for op in plan):
+                if layout == "chw":  # single path works on HWC arrays
+                    arr = np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+                    h, w = valid_hw
+                    arr = arr[:h, :w]
                 results[i] = self._process_decoded_single(task, arr, fmt, plan)
                 continue
-            plans[i] = plan
             items.append(BatchItem(item_id=str(i), image=arr,
                                    plan_key=plan.compile_key(),
-                                   payload=(i, task, fmt, plan)))
+                                   payload=(i, task, fmt, plan),
+                                   layout=layout, valid_hw=valid_hw))
 
         # 2. group + run fused programs
         for group in group_items(items, max_batch=self.batch_size):
@@ -273,16 +315,24 @@ class ProcessingEngine:
         import time as _time
 
         specs = plan_output_specs(plan, group.bucket, aspect_long)
+        layout = group.layout
+        if layout == "chw" and not self.model.supports_planar(plan,
+                                                              group.bucket):
+            # Planar decode happened but the bucket/plan fell out of the
+            # planar budget: repack as HWC (rare; wide panoramas).
+            imgs = np.ascontiguousarray(np.transpose(imgs, (0, 2, 3, 1)))
+            layout = "hwc"
         t_dev = _time.monotonic()
-        outs = self.model.run(plan, imgs, src_hw, out_hws, specs)
+        outs = self.model.run(plan, imgs, src_hw, out_hws, specs,
+                              layout=layout)
         outs_np = [np.asarray(o) for o in outs]
         METRICS.observe("engine_device_ms",
                         (_time.monotonic() - t_dev) * 1000.0)
         METRICS.inc("engine_device_images", len(group.items))
-        return plan, outs_np, out_hws
+        return plan, outs_np, out_hws, layout
 
-    def finish_item(self, group, i: int, plan, outs_np, out_hws
-                    ) -> EngineResult:
+    def finish_item(self, group, i: int, plan, outs_np, out_hws,
+                    layout: str = "hwc") -> EngineResult:
         """Stage 3 for one image: crop valid regions, encode, save.
         Fail-fast across the image's op list (reference semantics)."""
         it = group.items[i]
@@ -291,17 +341,21 @@ class ProcessingEngine:
             id=task.id, image_id=task.image_id,
             status=ImageStatus.COMPLETED))
         h, w = it.hw
+        planar = layout == "chw"
         for oi, op in enumerate(plan.ops):
             if op.type is OperationType.RESIZE or (
                     op.type is OperationType.THUMBNAIL and not op.crop_to_fit):
                 oh, ow = out_hws[oi][i]
-                arr = outs_np[oi][i, :oh, :ow]
+                arr = (outs_np[oi][i][:, :oh, :ow] if planar
+                       else outs_np[oi][i, :oh, :ow])
             elif op.type is OperationType.THUMBNAIL:
                 arr = outs_np[oi][i]
             else:  # full-bucket canvas ops: crop to the valid extent
-                arr = outs_np[oi][i, :h, :w]
+                arr = (outs_np[oi][i][:, :h, :w] if planar
+                       else outs_np[oi][i, :h, :w])
             try:
-                artifact = self._encode_and_save(task, op, arr, fmt)
+                artifact = self._encode_and_save(task, op, arr, fmt,
+                                                 layout=layout)
             except Exception as exc:
                 out.result.status = ImageStatus.FAILED
                 out.result.error = f"Operation {op.type.value} failed: {exc}"
@@ -311,11 +365,12 @@ class ProcessingEngine:
         return out
 
     def _run_group(self, group, results: list) -> None:
-        plan, outs_np, out_hws = self.device_group(group)
+        plan, outs_np, out_hws, layout = self.device_group(group)
 
         def _finish(i):
             task_idx = group.items[i].payload[0]
-            return task_idx, self.finish_item(group, i, plan, outs_np, out_hws)
+            return task_idx, self.finish_item(group, i, plan, outs_np,
+                                              out_hws, layout)
 
         for task_idx, res in self._pool.map(_finish,
                                             range(len(group.items))):

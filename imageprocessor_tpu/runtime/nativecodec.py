@@ -76,6 +76,15 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.ip_jpeg_encode.restype = ctypes.c_int
+        lib.ip_jpeg_decode_planar.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.ip_jpeg_decode_planar.restype = ctypes.c_int
+        lib.ip_jpeg_encode_planar.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.ip_jpeg_encode_planar.restype = ctypes.c_int
         lib.ip_free.argtypes = [ctypes.c_void_p]
         lib.ip_free.restype = None
         _lib = lib
@@ -126,6 +135,70 @@ def decode_jpeg(data: bytes, scale_num: int = 8) -> np.ndarray:
     if rc != 0:
         raise NativeCodecError(f"decode failed (rc={rc})")
     return out
+
+
+def decode_jpeg_planar(data: bytes, scale_num: int = 8,
+                       pad_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """Decode straight to planar (3, H, W) uint8 — the layout the TPU
+    pipeline wants — optionally into a zero-padded (3, pad_h, pad_w)
+    bucket canvas, avoiding both a device transpose and a host repack."""
+    if not 1 <= scale_num <= 8:
+        raise ValueError("scale_num must be in 1..8")
+    lib = _load()
+    if lib is None:
+        raise NativeCodecError("native codec unavailable")
+    ow = ctypes.c_int()
+    oh = ctypes.c_int()
+    rc = lib.ip_jpeg_scaled_dims(data, len(data), scale_num,
+                                 ctypes.byref(ow), ctypes.byref(oh))
+    if rc != 0:
+        raise NativeCodecError(f"bad jpeg (rc={rc})")
+    if pad_hw is None:
+        ph, pw = oh.value, ow.value
+    else:
+        ph, pw = pad_hw
+        if ph < oh.value or pw < ow.value:
+            raise ValueError("pad_hw smaller than decoded size")
+    out = np.zeros((3, ph, pw), dtype=np.uint8)
+    rc = lib.ip_jpeg_decode_planar(data, len(data), scale_num,
+                                   out.ctypes.data_as(ctypes.c_void_p),
+                                   out.strides[1], ph)
+    if rc != 0:
+        raise NativeCodecError(f"planar decode failed (rc={rc})")
+    return out
+
+
+def encode_jpeg_planar(planes: np.ndarray, width: int, height: int,
+                       quality: int = 85) -> bytes:
+    """Encode the valid (height, width) window of a planar (3, H, W)
+    array — interleaving happens inside the native scanline loop, so no
+    host-side transpose ever materializes. Accepts top-left-anchored
+    views of larger planes without copying (stride-aware)."""
+    lib = _load()
+    if lib is None:
+        raise NativeCodecError("native codec unavailable")
+    if planes.ndim != 3 or planes.shape[0] != 3:
+        raise ValueError("expected (3, H, W) planar array")
+    if height > planes.shape[1] or width > planes.shape[2]:
+        raise ValueError("valid window exceeds plane dims")
+    if planes.dtype != np.uint8:
+        planes = planes.astype(np.uint8)
+    s0, s1, s2 = planes.strides
+    if s2 != 1 or s1 <= 0 or s0 % s1 != 0:
+        planes = np.ascontiguousarray(planes)
+        s0, s1, _ = planes.strides
+    out_p = ctypes.c_void_p()
+    out_len = ctypes.c_size_t()
+    rc = lib.ip_jpeg_encode_planar(
+        planes.ctypes.data_as(ctypes.c_void_p), width, height,
+        s1, s0 // s1, int(quality),
+        ctypes.byref(out_p), ctypes.byref(out_len))
+    if rc != 0:
+        raise NativeCodecError(f"planar encode failed (rc={rc})")
+    try:
+        return ctypes.string_at(out_p, out_len.value)
+    finally:
+        lib.ip_free(out_p)
 
 
 def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:

@@ -153,8 +153,9 @@ class PipelinedWorker(Worker):
                 return
             try:
                 with span("device"):
-                    plan, outs_np, out_hws = self.engine.device_group(group)
-                self._finish_q.put((group, plan, outs_np, out_hws))
+                    plan, outs_np, out_hws, layout = \
+                        self.engine.device_group(group)
+                self._finish_q.put((group, plan, outs_np, out_hws, layout))
             except Exception as exc:
                 log.error("Device stage failed", error=str(exc),
                           exc_info=True)
@@ -171,13 +172,13 @@ class PipelinedWorker(Worker):
             entry = self._finish_q.get()
             if entry is _SENTINEL:
                 return
-            group, plan, outs_np, out_hws = entry
+            group, plan, outs_np, out_hws, layout = entry
 
             def _one(i):
                 msg, task, _fmt, _plan = group.items[i].payload
                 with span("encode"):
                     res = self.engine.finish_item(group, i, plan, outs_np,
-                                                  out_hws)
+                                                  out_hws, layout)
                 self._complete(msg, task, res)
 
             list(self.engine._pool.map(_one, range(len(group.items))))

@@ -102,6 +102,115 @@ int ip_jpeg_decode(const uint8_t* data, size_t len, int scale_num,
   return 0;
 }
 
+// Decode to PLANAR RGB (3 separate planes, C-H-W layout) with DCT-domain
+// scaling. `out` holds 3 * plane_h * plane_stride bytes (plane-major).
+// The TPU pipeline consumes planar uint8 — (H, W, 3) puts the 3 channels
+// on the 128-lane axis and runs ~30x slower than (3, H, W) — so decoding
+// straight to planar deletes a 2x-full-frame device transpose per batch.
+int ip_jpeg_decode_planar(const uint8_t* data, size_t len, int scale_num,
+                          uint8_t* out, int plane_stride, int plane_h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silence_output;
+  uint8_t* row = nullptr;
+  if (setjmp(jerr.setjmp_buffer)) {
+    free(row);
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = scale_num;
+  cinfo.scale_denom = 8;
+  cinfo.dct_method = JDCT_ISLOW;
+  jpeg_start_decompress(&cinfo);
+  const size_t w = cinfo.output_width;
+  row = static_cast<uint8_t*>(malloc(w * 3));
+  if (row == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  uint8_t* r_plane = out;
+  uint8_t* g_plane = out + static_cast<size_t>(plane_h) * plane_stride;
+  uint8_t* b_plane = g_plane + static_cast<size_t>(plane_h) * plane_stride;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const size_t y = cinfo.output_scanline;
+    JSAMPROW rp = row;
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    uint8_t* r = r_plane + y * static_cast<size_t>(plane_stride);
+    uint8_t* g = g_plane + y * static_cast<size_t>(plane_stride);
+    uint8_t* b = b_plane + y * static_cast<size_t>(plane_stride);
+    for (size_t x = 0; x < w; ++x) {
+      r[x] = row[3 * x];
+      g[x] = row[3 * x + 1];
+      b[x] = row[3 * x + 2];
+    }
+  }
+  free(row);
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Encode PLANAR RGB (3 planes, plane_stride bytes apart per row) to JPEG.
+int ip_jpeg_encode_planar(const uint8_t* planes, int w, int h,
+                          int plane_stride, int plane_h, int quality,
+                          uint8_t** out, size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silence_output;
+  unsigned char* buf = nullptr;
+  unsigned long buflen = 0;
+  uint8_t* row = static_cast<uint8_t*>(malloc(static_cast<size_t>(w) * 3));
+  if (row == nullptr) return 3;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    free(row);
+    if (buf != nullptr) free(buf);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buflen);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const uint8_t* r_plane = planes;
+  const uint8_t* g_plane = planes + static_cast<size_t>(plane_h) * plane_stride;
+  const uint8_t* b_plane = g_plane + static_cast<size_t>(plane_h) * plane_stride;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const size_t y = cinfo.next_scanline;
+    const uint8_t* r = r_plane + y * static_cast<size_t>(plane_stride);
+    const uint8_t* g = g_plane + y * static_cast<size_t>(plane_stride);
+    const uint8_t* b = b_plane + y * static_cast<size_t>(plane_stride);
+    for (int x = 0; x < w; ++x) {
+      row[3 * x] = r[x];
+      row[3 * x + 1] = g[x];
+      row[3 * x + 2] = b[x];
+    }
+    JSAMPROW rp = row;
+    jpeg_write_scanlines(&cinfo, &rp, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  free(row);
+  *out = buf;
+  *out_len = buflen;
+  return 0;
+}
+
 // Scaled output dimensions for scale_num/8 without decoding.
 int ip_jpeg_scaled_dims(const uint8_t* data, size_t len, int scale_num,
                         int* out_w, int* out_h) {

@@ -84,3 +84,29 @@ def test_pallas_band_edges_large_downscale():
     ref = resize_go(originals[0], 80, 64)
     assert psnr(out[0], ref) > 45.0
     assert np.abs(out[0].astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_pallas_bf16_mode_meets_psnr_contract():
+    """bfloat16 matmul mode must stay above the 45 dB product bar."""
+    b = 2
+    hb, wb = 512, 640
+    imgs = np.zeros((b, hb, wb, 3), dtype=np.uint8)
+    src_hw = np.zeros((b, 2), dtype=np.int32)
+    originals = []
+    for i in range(b):
+        img = RNG.integers(0, 256, size=(hb - 10 * i, wb - 20 * i, 3),
+                           dtype=np.uint8)
+        originals.append(img)
+        imgs[i, :img.shape[0], :img.shape[1]] = img
+        src_hw[i] = img.shape[:2]
+    out_hw = np.tile(np.asarray([[96, 128]], np.int32), (b, 1))
+    plan = make_plan(b, 3, hb, wb, 96, 128, 512 / 96, 640 / 128,
+                     compute_dtype="bfloat16")
+    args = make_args(plan, src_hw, out_hw)
+    planar = np.transpose(imgs, (0, 3, 1, 2)).copy()
+    out = np.asarray(planar_resample(planar, plan, args, interpret=True))
+    hwc = np.transpose(out, (0, 2, 3, 1))[:, :96, :128]
+    for i, img in enumerate(originals):
+        ref = resize_go(img, 128, 96)
+        p = psnr(hwc[i], ref)
+        assert p > 45.0, f"bf16 psnr {p:.1f} below contract"
