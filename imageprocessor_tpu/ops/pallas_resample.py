@@ -43,13 +43,6 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _pick_tile(n: int) -> int:
-    for cand in (64, 32, 16, 8):
-        if n % cand == 0:
-            return cand
-    return 8
-
-
 @dataclass(frozen=True)
 class ResamplePlan:
     """Static geometry for one compiled kernel instance."""
@@ -92,11 +85,27 @@ class ResampleArgs:
     colf: np.ndarray         # (B, K * 128) f32
 
 
+_VMEM_BUDGET = 10 * 1024 * 1024  # band u8 + vband, leave room for weights
+
+
 def make_plan(batch: int, channels: int, src_h: int, src_w: int,
               out_h: int, out_w: int, max_scale_h: float,
               max_scale_w: float,
               compute_dtype: str = "float32") -> ResamplePlan:
-    tile_rows = _pick_tile(_round_up(out_h, 8))
+    # Prefer the largest row tile that fits the VMEM budget — small tiles
+    # (e.g. TH=8 for a 200-row thumbnail) run the MXU at <10% M-dim
+    # utilization and triple the number of band DMAs. Padding the output
+    # canvas up to a 64-row multiple costs a few % extra compute and wins
+    # it back many times over.
+    dt_bytes = 2 if compute_dtype == "bfloat16" else 4
+    tile_rows = 8
+    for cand in (64, 32, 16, 8):
+        band_c = int(np.ceil(cand * max(max_scale_h, 1e-6))) + 12
+        band_c = min(_round_up(max(band_c, cand + 2), 8), src_h)
+        vmem = band_c * src_w + cand * src_w * dt_bytes
+        if vmem <= _VMEM_BUDGET:
+            tile_rows = cand
+            break
     out_h_pad = _round_up(out_h, tile_rows)
     out_w_pad = _round_up(out_w, 128)
     # +12: 2 rows bilinear support + up to 8 rows lost to the 8-aligned
