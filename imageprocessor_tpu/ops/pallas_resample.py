@@ -92,20 +92,25 @@ def make_plan(batch: int, channels: int, src_h: int, src_w: int,
               out_h: int, out_w: int, max_scale_h: float,
               max_scale_w: float,
               compute_dtype: str = "float32") -> ResamplePlan:
-    # Prefer the largest row tile that fits the VMEM budget — small tiles
-    # (e.g. TH=8 for a 200-row thumbnail) run the MXU at <10% M-dim
-    # utilization and triple the number of band DMAs. Padding the output
-    # canvas up to a 64-row multiple costs a few % extra compute and wins
-    # it back many times over.
+    # Row-tile selection drives both MXU M-utilization (bigger tile =
+    # wider matmuls, fewer DMAs) and read amplification (the canvas pads
+    # to a tile multiple; each tile's band re-reads its boundary rows).
+    # Pick the tile minimizing total band rows DMA'd within the VMEM
+    # budget, tie-breaking toward larger tiles — e.g. a 200-row thumbnail
+    # at 15x scale picks 40 (1.04x read amp) over 64 (1.35x) or 8 (tiny
+    # matmuls, 3x the DMA count).
     dt_bytes = 2 if compute_dtype == "bfloat16" else 4
-    tile_rows = 8
-    for cand in (64, 32, 16, 8):
+    tile_rows, best_cost = 8, None
+    for cand in range(64, 7, -8):
         band_c = int(np.ceil(cand * max(max_scale_h, 1e-6))) + 12
         band_c = min(_round_up(max(band_c, cand + 2), 8), src_h)
         vmem = band_c * src_w + cand * src_w * dt_bytes
-        if vmem <= _VMEM_BUDGET:
-            tile_rows = cand
-            break
+        if vmem > _VMEM_BUDGET:
+            continue
+        n_tiles = -(-out_h // cand)
+        cost = n_tiles * band_c + n_tiles * 24  # rows read + per-DMA tax
+        if best_cost is None or cost < best_cost * 0.98:
+            tile_rows, best_cost = cand, cost
     out_h_pad = _round_up(out_h, tile_rows)
     out_w_pad = _round_up(out_w, 128)
     # +12: 2 rows bilinear support + up to 8 rows lost to the 8-aligned

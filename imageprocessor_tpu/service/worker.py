@@ -176,10 +176,23 @@ class Worker:
     def run(self) -> None:
         log.info("Worker started", batch_size=self.cfg.worker.batch_size,
                  group=self.cfg.broker.group_id)
+        last_purge = time.monotonic()
         while not self._stop.is_set():
             n = self.run_once()
             if n == 0:
                 self._stop.wait(self._idle_sleep)
+            # Retention: durable brokers garbage-collect fully-acked
+            # messages (Kafka's analog is segment retention).
+            if time.monotonic() - last_purge > 300:
+                last_purge = time.monotonic()
+                purge = getattr(self.broker, "purge_done", None)
+                if purge is not None:
+                    try:
+                        removed = purge(older_than_s=3600.0)
+                        if removed:
+                            log.info("Purged acked messages", count=removed)
+                    except Exception:
+                        log.error("Broker purge failed")
         log.info("Worker stopped gracefully")
 
     def stop(self) -> None:
