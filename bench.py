@@ -87,10 +87,19 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
               else "hwc")
     if layout == "chw":
         imgs_np = np.ascontiguousarray(np.transpose(imgs_np, (0, 3, 1, 2)))
+    fused_meta, fused_arrays = (None, None)
+    if layout == "chw":
+        fused_meta, fused_arrays = model._fused_setup(
+            plan, (bucket_h, bucket_w), batch, src_hw_np.astype(np.int32),
+            out_hws)
+    skip = fused_meta[:2] if fused_meta else ()
     pallas_plans, pallas_args = model._pallas_setup(
         plan, (bucket_h, bucket_w), batch, src_hw_np.astype(np.int32),
-        out_hws, specs)
-    raw_step = model.get_raw_step(plan, specs, pallas_plans, layout)
+        out_hws, specs, skip=skip)
+    if fused_arrays is not None:
+        pallas_args["fused"] = fused_arrays
+    raw_step = model.get_raw_step(plan, specs, pallas_plans, layout,
+                                  fused_meta)
     wm_args = model.prepare_wm_args(plan)
     dummy = np.zeros((batch, 2), dtype=np.int32)
 
@@ -169,7 +178,7 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     # it here would only measure the tunnel).
     _progress("streaming measurement")
     prog = model.get_program(plan, (bucket_h, bucket_w), batch, specs,
-                             pallas_plans, layout)
+                             pallas_plans, layout, fused_meta)
     t2 = time.monotonic()
     for _ in range(max(iters // 2, 2)):
         src = jax.device_put(imgs_np, dev)
@@ -188,7 +197,7 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
         "compile_s": compile_s,
         "batch": batch,
         "bucket": [bucket_h, bucket_w],
-        "pallas": bool(pallas_plans),
+        "pallas": ("fused" if fused_meta else bool(pallas_plans)),
         "layout": layout,
         "platform": dev.platform,
         "device": str(dev),

@@ -32,7 +32,7 @@ import numpy as np
 
 from imageprocessor_tpu.domain import OperationType
 from imageprocessor_tpu.models.plan import NormalizedOp, OperationPlan
-from imageprocessor_tpu.ops import pallas_resample
+from imageprocessor_tpu.ops import pallas_fused, pallas_resample
 from imageprocessor_tpu.ops.extra import (
     batched_flip,
     batched_grayscale,
@@ -137,7 +137,7 @@ class PipelineModel:
     def _build(self, plan: OperationPlan, specs: tuple[OpOutputSpec, ...],
                wm_static: dict[int, tuple[int, int, str]],
                pallas_plans: dict[int, pallas_resample.ResamplePlan],
-               layout: str = "hwc"):
+               layout: str = "hwc", fused_meta=None):
         """wm_static: op index -> (tile_h, tile_w, position) statics.
 
         layout='chw': the batch arrives planar (B, 3, H, W) — decoded
@@ -149,10 +149,22 @@ class PipelineModel:
 
         if layout == "chw":
             def step_chw(imgs_chw, src_hw, out_hws, wm_args, presample_args):
+                fused_outs = {}
+                if fused_meta is not None:
+                    i_t, i_r, fplan = fused_meta
+                    fcall = pallas_fused._build_call(fplan, interpret)
+                    fa = presample_args["fused"]
+                    rz, th = fcall(fa[0], fa[1], fa[2], imgs_chw, *fa[3:])
+                    fused_outs[i_r] = rz[:, :, :specs[i_r].canvas[0],
+                                         :specs[i_r].canvas[1]]
+                    fused_outs[i_t] = th[:, :, :specs[i_t].canvas[0],
+                                         :specs[i_t].canvas[1]]
                 outputs = []
                 for i, spec in enumerate(specs):
                     op = spec.op
-                    if i in pallas_plans:
+                    if i in fused_outs:
+                        outputs.append(fused_outs[i])
+                    elif i in pallas_plans:
                         rp = pallas_plans[i]
                         call = pallas_resample._build_call(rp, interpret)
                         a = presample_args[i]
@@ -223,12 +235,12 @@ class PipelineModel:
         return step
 
     def _build_jitted(self, plan, specs, wm_static, pallas_plans,
-                      layout: str = "hwc"):
+                      layout: str = "hwc", fused_meta=None):
         # Donating the source batch lets XLA alias the watermark output onto
         # the input buffer: the full-resolution "copy" becomes an in-place
         # region blend (the input is never reused after a step).
         return jax.jit(self._build(plan, specs, wm_static, pallas_plans,
-                                   layout),
+                                   layout, fused_meta),
                        donate_argnums=(0,))
 
     # -- public API ------------------------------------------------------------
@@ -243,7 +255,7 @@ class PipelineModel:
     def get_program(self, plan: OperationPlan, bucket: tuple[int, int],
                     batch: int, specs: tuple[OpOutputSpec, ...],
                     pallas_plans: dict[int, pallas_resample.ResamplePlan]
-                    | None = None, layout: str = "hwc"):
+                    | None = None, layout: str = "hwc", fused_meta=None):
         pallas_plans = pallas_plans or {}
         wm_static: dict[int, tuple[int, int, str]] = {}
         for i, op in enumerate(plan.ops):
@@ -254,17 +266,17 @@ class PipelineModel:
         key = (plan.compile_key(), bucket, batch,
                tuple(s.canvas for s in specs),
                tuple(sorted(wm_static.items())),
-               tuple(sorted(pallas_plans.items())), layout)
+               tuple(sorted(pallas_plans.items())), layout, fused_meta)
         with self._lock:
             prog = self._cache.get(key)
             if prog is None:
                 prog = self._build_jitted(plan, specs, wm_static,
-                                          pallas_plans, layout)
+                                          pallas_plans, layout, fused_meta)
                 self._cache[key] = prog
         return prog
 
     def get_raw_step(self, plan: OperationPlan, specs, pallas_plans=None,
-                     layout: str = "hwc"):
+                     layout: str = "hwc", fused_meta=None):
         """Un-jitted step function — for callers composing it into larger
         programs (e.g. the benchmark's on-device fori_loop harness)."""
         pallas_plans = pallas_plans or {}
@@ -274,7 +286,8 @@ class PipelineModel:
                 tile = quantize_tile(rasterize_text(op.text, op.font_size))
                 th, tw = tile.coverage.shape
                 wm_static[i] = (th, tw, op.position)
-        return self._build(plan, specs, wm_static, pallas_plans, layout)
+        return self._build(plan, specs, wm_static, pallas_plans, layout,
+                           fused_meta)
 
     def prepare_wm_args(self, plan: OperationPlan) -> dict[int, tuple]:
         """Runtime watermark inputs (tile content, color, metrics)."""
@@ -294,14 +307,58 @@ class PipelineModel:
             )
         return out
 
+    def _fused_setup(self, plan: OperationPlan, bucket: tuple[int, int],
+                     batch: int, src_hw: np.ndarray,
+                     out_hws: dict[int, np.ndarray]):
+        """Try the single-sweep fused resize+thumbnail kernel for the
+        default service plan shape. Returns (fused_meta, arrays) or
+        (None, None) when the plan/geometry doesn't fit."""
+        i_t = i_r = None
+        for i, op in enumerate(plan.ops):
+            if (op.type is OperationType.THUMBNAIL and op.crop_to_fit
+                    and i_t is None):
+                i_t = i
+            elif op.type is OperationType.RESIZE and i_r is None:
+                i_r = i
+        if i_t is None or i_r is None or i_r not in out_hws:
+            return None, None
+        r_out_hw = np.asarray(out_hws[i_r], dtype=np.int32)
+        t_size = plan.ops[i_t].size
+        sc_rh = src_hw[:, 0] / np.maximum(r_out_hw[:, 0], 1)
+        sc_rw = src_hw[:, 1] / np.maximum(r_out_hw[:, 1], 1)
+        side = np.minimum(src_hw[:, 0], src_hw[:, 1])
+        sc_t = side / max(t_size, 1)
+        if sc_rh.min() < 1.0 or sc_t.min() < 1.0:
+            return None, None  # upscales blow up the per-band row chunk
+        fplan = pallas_fused.make_fused_plan(
+            batch, bucket[0], bucket[1],
+            plan.ops[i_r].height, plan.ops[i_r].width, t_size,
+            float(sc_rh.min()), float(sc_rh.max()),
+            float(sc_t.min()), float(sc_t.max()),
+            float(sc_rw.max()), float(sc_t.max()),
+            compute_dtype=self.resample_dtype)
+        fargs = pallas_fused.make_fused_args(fplan, src_hw, r_out_hw)
+        if not fargs.ok:
+            return None, None
+        arrays = tuple(jnp.asarray(v) for v in (
+            fargs.band_starts, fargs.r_lo, fargs.t_lo,
+            fargs.r_rows0, fargs.r_rows1, fargs.r_rowf,
+            fargs.t_rows0, fargs.t_rows1, fargs.t_rowf,
+            fargs.r_colbs, fargs.r_cols0, fargs.r_cols1, fargs.r_colf,
+            fargs.t_colbs, fargs.t_cols0, fargs.t_cols1, fargs.t_colf))
+        return (i_t, i_r, fplan), arrays
+
     def _pallas_setup(self, plan: OperationPlan, bucket: tuple[int, int],
                       batch: int, src_hw: np.ndarray,
                       out_hws: dict[int, np.ndarray],
-                      specs: tuple[OpOutputSpec, ...]):
+                      specs: tuple[OpOutputSpec, ...],
+                      skip: tuple = ()):
         """Host-side: eligibility, static plans, per-batch index arrays."""
         pallas_plans: dict[int, pallas_resample.ResamplePlan] = {}
         pallas_args: dict[int, tuple] = {}
         for i, op in enumerate(plan.ops):
+            if i in skip:
+                continue
             if not self._pallas_eligible(op, bucket):
                 continue
             spec = specs[i]
@@ -354,10 +411,17 @@ class PipelineModel:
         else:
             hb, wb = imgs_u8.shape[1], imgs_u8.shape[2]
         src_hw = np.asarray(src_hw, dtype=np.int32)
+        fused_meta, fused_arrays = (None, None)
+        if layout == "chw":
+            fused_meta, fused_arrays = self._fused_setup(
+                plan, (hb, wb), b, src_hw, out_hws)
+        skip = fused_meta[:2] if fused_meta else ()
         pallas_plans, pallas_args = self._pallas_setup(
-            plan, (hb, wb), b, src_hw, out_hws, specs)
+            plan, (hb, wb), b, src_hw, out_hws, specs, skip=skip)
+        if fused_arrays is not None:
+            pallas_args["fused"] = fused_arrays
         prog = self.get_program(plan, (hb, wb), b, specs, pallas_plans,
-                                layout)
+                                layout, fused_meta)
         wm_args = self.prepare_wm_args(plan)
         dummy = np.zeros((b, 2), dtype=np.int32)
         hws = tuple(np.asarray(out_hws.get(i, dummy), dtype=np.int32)

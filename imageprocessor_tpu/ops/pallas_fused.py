@@ -1,0 +1,451 @@
+"""Fused two-output Pallas kernel: resize + thumbnail in ONE source sweep.
+
+The default service plan (thumbnail 200 crop + resize 1024x768 keep-aspect,
+reference handler/image/image.go:252-275) runs two resample kernels that
+each stream the full 12 MP source from HBM. This kernel sweeps the source
+once: the grid iterates over fixed source row *bands*, and each band step
+computes every output row — of BOTH artifacts — whose bilinear support
+lives in that band.
+
+Mechanics:
+* Output blocks are VMEM-resident across the whole band sweep (their
+  BlockSpec index is constant in the band axis), flushed once per (b, c).
+* Each band writes a fixed-size chunk of M output rows starting at an
+  8-aligned offset (Mosaic dynamic-store alignment). Chunks of adjacent
+  bands overlap; trailing rows of a chunk whose sources lie beyond the
+  band hold garbage, but the NEXT band rewrites them correctly — grid
+  steps for one (b, c) execute in order, so the last write wins.
+* Bands that own no rows for an image (small image in a tall bucket)
+  write their chunk into a garbage zone of M extra canvas rows; the host
+  crops to the true output size afterwards.
+* Per-(image, band) geometry (band start, write offset, band-relative
+  row indices + lerp weights) is precomputed on host into arrays indexed
+  by an untiled leading axis — content never recompiles.
+
+Same arithmetic as ops/pallas_resample.py (one-hot matmul passes, Go
+half-pixel sampling, 16-bit-path quantization); validated against the
+same float64 oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imageprocessor_tpu.ops.pallas_resample import _axis_coords
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@dataclass(frozen=True)
+class FusedPlan:
+    batch: int
+    channels: int
+    src_h: int
+    src_w: int
+    own_rows: int        # source rows owned per band
+    band_rows: int       # source rows DMA'd per band (>= own + support)
+    # resize output
+    r_out_h: int         # valid canvas rows (pre-garbage-zone)
+    r_out_w: int         # 128-padded canvas cols
+    r_rows: int          # M_r: output rows written per band (mult of 8)
+    r_col_band: int
+    # thumbnail output
+    t_size: int          # true requested thumbnail size
+    t_out: int           # canvas rows (t_size padded to 8)
+    t_out_w: int         # canvas cols (t_size padded to 128)
+    t_rows: int          # M_t
+    t_col_band: int
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def n_bands(self) -> int:
+        return -(-self.src_h // self.own_rows)
+
+    @property
+    def r_alloc_h(self) -> int:  # canvas + garbage zone
+        return self.r_out_h + self.r_rows
+
+    @property
+    def t_alloc_h(self) -> int:
+        return self.t_out + self.t_rows
+
+
+@dataclass
+class FusedArgs:
+    band_starts: np.ndarray   # (B*NB,) int32, 8-aligned
+    r_lo: np.ndarray          # (B*NB,) int32, 8-aligned write offsets
+    t_lo: np.ndarray          # (B*NB,) int32
+    r_rows0: np.ndarray       # (B*NB, 1, M_r) band-relative y0
+    r_rows1: np.ndarray
+    r_rowf: np.ndarray
+    t_rows0: np.ndarray       # (B*NB, 1, M_t)
+    t_rows1: np.ndarray
+    t_rowf: np.ndarray
+    r_colbs: np.ndarray       # (B, K_r)
+    r_cols0: np.ndarray       # (B*K_r, 1, 128)
+    r_cols1: np.ndarray
+    r_colf: np.ndarray
+    t_colbs: np.ndarray       # (B, K_t)
+    t_cols0: np.ndarray       # (B*K_t, 1, 128)
+    t_cols1: np.ndarray
+    t_colf: np.ndarray
+    ok: bool = True           # False: geometry didn't fit -> caller falls back
+
+
+def make_fused_plan(batch: int, src_h: int, src_w: int,
+                    r_out_h: int, r_out_w: int, t_out: int,
+                    min_scale_r: float, max_scale_r: float,
+                    min_scale_t: float, max_scale_t: float,
+                    max_scale_w_r: float, max_scale_w_t: float,
+                    compute_dtype: str = "bfloat16") -> FusedPlan:
+    dt = 2 if compute_dtype == "bfloat16" else 4
+    # Write offsets are floor-8-aligned in OUTPUT rows, which shifts a
+    # band's first needed source row down by up to 7*scale for EACH
+    # output — slack must cover the larger scale (the thumbnail's).
+    slack = int(np.ceil(8 * max(max_scale_r, max_scale_t))) + 24
+    own = 512
+    while own > 64:
+        band = min(_round_up(own + slack, 8), src_h)
+        m_r = _round_up(int(np.ceil(own / max(min_scale_r, 1e-6))) + 10, 8)
+        m_t = _round_up(int(np.ceil(own / max(min_scale_t, 1e-6))) + 10, 8)
+        vmem = (2 * band * src_w                # double-buffered u8 bands
+                + m_r * src_w * dt              # resize vband
+                + m_t * src_w * dt              # thumb vband
+                + (r_out_h + m_r) * _round_up(r_out_w, 128)
+                + (t_out + m_t) * _round_up(t_out, 128))
+        if vmem <= 11 * 1024 * 1024:
+            break
+        own //= 2
+    band = min(_round_up(own + slack, 8), src_h)
+    m_r = _round_up(int(np.ceil(own / max(min_scale_r, 1e-6))) + 10, 8)
+    m_t = _round_up(int(np.ceil(own / max(min_scale_t, 1e-6))) + 10, 8)
+    cband_r = min(_round_up(int(np.ceil(128 * max_scale_w_r)) + 132, 128),
+                  _round_up(src_w, 128))
+    cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
+                  _round_up(src_w, 128))
+    return FusedPlan(batch=batch, channels=3, src_h=src_h, src_w=src_w,
+                     own_rows=own, band_rows=band,
+                     r_out_h=_round_up(r_out_h, 8),
+                     r_out_w=_round_up(r_out_w, 128), r_rows=m_r,
+                     r_col_band=cband_r,
+                     t_size=t_out, t_out=_round_up(t_out, 8),
+                     t_out_w=_round_up(t_out, 128), t_rows=m_t,
+                     t_col_band=cband_t, compute_dtype=compute_dtype)
+
+
+def _band_rows_args(plan: FusedPlan, out_len_pad: int, alloc_h: int,
+                    m_rows: int, r0, r1, rf, out_valid: np.ndarray):
+    """Per-(image, band) write offsets + band-relative row geometry.
+
+    Returns (starts_rel_ok, lo, rows0, rows1, rowf). `starts` are chosen
+    by the caller (shared between outputs); here we compute, for a given
+    absolute band ownership range, which output rows it owns.
+    """
+    b = plan.batch
+    nb = plan.n_bands
+    lo = np.zeros((b, nb), dtype=np.int32)
+    rows0 = np.zeros((b, nb, m_rows), dtype=np.int32)
+    rows1 = np.zeros((b, nb, m_rows), dtype=np.int32)
+    rowf = np.zeros((b, nb, m_rows), dtype=np.float32)
+    starts = np.zeros((b, nb), dtype=np.int64)
+    max_abs = np.zeros((b, nb), dtype=np.int64)  # highest src row needed
+    ok = True
+    for i in range(b):
+        n_out = int(out_valid[i])
+        y0 = r0[i]
+        for j in range(nb):
+            own_lo = j * plan.own_rows
+            own_hi = min((j + 1) * plan.own_rows, plan.src_h)
+            # output rows whose y0 lands in [own_lo, own_hi)
+            sel = np.nonzero((y0[:n_out] >= own_lo)
+                             & (y0[:n_out] < own_hi))[0]
+            if sel.size == 0:
+                lo[i, j] = out_len_pad  # garbage zone
+                starts[i, j] = max(0, min(own_lo, plan.src_h
+                                          - plan.band_rows))
+                continue
+            first = (int(sel[0]) // 8) * 8
+            cnt = min(m_rows, alloc_h - first)
+            if int(sel[-1]) - first + 1 > m_rows:
+                ok = False  # band owns more rows than the static chunk
+            lo[i, j] = first
+            bs = max(0, min(int(y0[first]),
+                            plan.src_h - plan.band_rows))
+            bs = (bs // 8) * 8
+            starts[i, j] = bs
+            hi_row = min(first + cnt, n_out)
+            rows0[i, j, :hi_row - first] = np.clip(
+                r0[i, first:hi_row] - bs, 0, plan.band_rows - 1)
+            rows1[i, j, :hi_row - first] = np.clip(
+                r1[i, first:hi_row] - bs, 0, plan.band_rows - 1)
+            rowf[i, j, :hi_row - first] = rf[i, first:hi_row]
+            # Highest source row this band must cover CORRECTLY: the last
+            # output row it OWNS (later rows are rewritten by later bands).
+            owned_last = int(sel[-1])
+            max_abs[i, j] = int(r1[i, owned_last])
+            if max_abs[i, j] - bs >= plan.band_rows:
+                ok = False  # own rows spill past the static band
+    return (ok, starts, max_abs, lo,
+            rows0.reshape(b * nb, 1, m_rows),
+            rows1.reshape(b * nb, 1, m_rows),
+            rowf.reshape(b * nb, 1, m_rows))
+
+
+def _col_args(plan_src_w: int, col_band: int, out_w_pad: int,
+              c0, c1, cf):
+    b = c0.shape[0]
+    ck = 128
+    k = out_w_pad // ck
+    colbs = np.zeros((b, k), dtype=np.int32)
+    cols0 = np.zeros((b, k * ck), dtype=np.int32)
+    cols1 = np.zeros((b, k * ck), dtype=np.int32)
+    for i in range(b):
+        for j in range(k):
+            lo_c, hi_c = j * ck, (j + 1) * ck
+            start = (int(c0[i, lo_c]) // 128) * 128
+            start = max(0, min(start, plan_src_w - col_band))
+            colbs[i, j] = start
+            cols0[i, lo_c:hi_c] = np.clip(c0[i, lo_c:hi_c] - start, 0,
+                                          col_band - 1)
+            cols1[i, lo_c:hi_c] = np.clip(c1[i, lo_c:hi_c] - start, 0,
+                                          col_band - 1)
+    return (colbs, cols0.reshape(b * k, 1, ck),
+            cols1.reshape(b * k, 1, ck),
+            cf.astype(np.float32).reshape(b * k, 1, ck))
+
+
+def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
+                    r_out_hw: np.ndarray) -> FusedArgs:
+    """src_hw: (B,2) valid source dims; r_out_hw: (B,2) valid resize dims.
+    Thumbnail geometry (center square crop -> t_out x t_out) derives from
+    src_hw."""
+    b = plan.batch
+    # resize rows (absolute source coords)
+    r0, r1, rf = _axis_coords(r_out_hw[:, 0], src_hw[:, 0],
+                              np.zeros(b, np.int64), plan.r_alloc_h,
+                              plan.src_h)
+    ok_r, starts_r, max_r, r_lo, rr0, rr1, rrf = _band_rows_args(
+        plan, plan.r_out_h, plan.r_alloc_h, plan.r_rows, r0, r1, rf,
+        r_out_hw[:, 0])
+
+    # thumbnail rows: crop offset + scale side/t_out
+    side = np.minimum(src_hw[:, 0], src_hw[:, 1]).astype(np.int64)
+    off_y = np.where(src_hw[:, 0] > src_hw[:, 1],
+                     (src_hw[:, 0] - src_hw[:, 1]) // 2, 0).astype(np.int64)
+    off_x = np.where(src_hw[:, 1] > src_hw[:, 0],
+                     (src_hw[:, 1] - src_hw[:, 0]) // 2, 0).astype(np.int64)
+    t_valid = np.full(b, plan.t_size, dtype=np.int64)
+    t0, t1, tf = _axis_coords(t_valid, side, off_y, plan.t_alloc_h,
+                              plan.src_h)
+    ok_t, starts_t, max_t, t_lo, tt0, tt1, ttf = _band_rows_args(
+        plan, plan.t_out, plan.t_alloc_h, plan.t_rows, t0, t1, tf, t_valid)
+
+    # Shared band start must cover both outputs' needs: take the min and
+    # verify the shared window still spans each output's highest owned
+    # source row.
+    starts = np.minimum(starts_r, starts_t)
+    ok = ok_r and ok_t
+    # re-relativize row indices to the shared start
+    for i in range(b):
+        for j in range(plan.n_bands):
+            d_r = int(starts_r[i, j] - starts[i, j])
+            d_t = int(starts_t[i, j] - starts[i, j])
+            idx = i * plan.n_bands + j
+            if d_r:
+                rr0[idx] = np.clip(rr0[idx] + d_r, 0, plan.band_rows - 1)
+                rr1[idx] = np.clip(rr1[idx] + d_r, 0, plan.band_rows - 1)
+            if d_t:
+                tt0[idx] = np.clip(tt0[idx] + d_t, 0, plan.band_rows - 1)
+                tt1[idx] = np.clip(tt1[idx] + d_t, 0, plan.band_rows - 1)
+            if (max_r[i, j] - starts[i, j] >= plan.band_rows
+                    or max_t[i, j] - starts[i, j] >= plan.band_rows):
+                ok = False
+            if starts[i, j] + plan.band_rows > plan.src_h:
+                ok = False  # DMA would run past the bucket
+
+    # columns
+    rc0, rc1, rcf = _axis_coords(r_out_hw[:, 1], src_hw[:, 1],
+                                 np.zeros(b, np.int64), plan.r_out_w,
+                                 plan.src_w)
+    r_colbs, r_cols0, r_cols1, r_colf = _col_args(
+        plan.src_w, plan.r_col_band, plan.r_out_w, rc0, rc1, rcf)
+    tc0, tc1, tcf = _axis_coords(t_valid, side, off_x, plan.t_out_w,
+                                 plan.src_w)
+    t_colbs, t_cols0, t_cols1, t_colf = _col_args(
+        plan.src_w, plan.t_col_band, plan.t_out_w, tc0, tc1, tcf)
+
+    return FusedArgs(
+        band_starts=starts.astype(np.int32).reshape(-1),
+        r_lo=r_lo.astype(np.int32).reshape(-1),
+        t_lo=t_lo.astype(np.int32).reshape(-1),
+        r_rows0=rr0, r_rows1=rr1, r_rowf=rrf,
+        t_rows0=tt0, t_rows1=tt1, t_rowf=ttf,
+        r_colbs=r_colbs, r_cols0=r_cols0, r_cols1=r_cols1, r_colf=r_colf,
+        t_colbs=t_colbs, t_cols0=t_cols0, t_cols1=t_cols1, t_colf=t_colf,
+        ok=ok)
+
+
+def _kernel(plan: FusedPlan, interpret: bool):
+    nb = plan.n_bands
+    band_rows = plan.band_rows
+    ck = 128
+    cdtype = (jnp.bfloat16 if plan.compute_dtype == "bfloat16"
+              else jnp.float32)
+    aligned = (lambda v, m: v) if interpret else pl.multiple_of
+
+    k_r = plan.r_out_w // ck
+    k_t = plan.t_out_w // ck
+
+    def kernel(starts_ref, rlo_ref, tlo_ref,           # scalar prefetch
+               src_ref,
+               rr0_ref, rr1_ref, rrf_ref,
+               tt0_ref, tt1_ref, ttf_ref,
+               rcbs_ref, rc0_ref, rc1_ref, rcf_ref,
+               tcbs_ref, tc0_ref, tc1_ref, tcf_ref,
+               out_r_ref, out_t_ref,
+               band2, vband_r, vband_t, sems):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        j = pl.program_id(2)
+        n_c = pl.num_programs(1)
+        slot = b * nb + j
+
+        # Double-buffered band DMA: grid steps run sequentially, so the
+        # scratch persists and step g waits on the copy step g-1 started
+        # (classic pipeline, pallas guide §double-buffering). Bank is
+        # global-step parity; the prefetch targets the NEXT step's
+        # (b, c, band) coordinates.
+        g = (b * n_c + c) * nb + j
+        total = plan.batch * n_c * nb
+        bank = jax.lax.rem(g, 2)
+
+        def dma_for(step, to_bank):
+            nb_i = step // (n_c * nb)
+            rem = jax.lax.rem(step, n_c * nb)
+            nc_i = rem // nb
+            nj_i = jax.lax.rem(rem, nb)
+            s = aligned(starts_ref[nb_i * nb + nj_i], 8)
+            return pltpu.make_async_copy(
+                src_ref.at[nb_i, nc_i, pl.ds(s, band_rows), :],
+                band2.at[to_bank], sems.at[to_bank])
+
+        @pl.when(g == 0)
+        def _():
+            dma_for(g, bank).start()
+
+        dma_for(g, bank).wait()
+
+        @pl.when(g + 1 < total)
+        def _():
+            dma_for(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+        band_c = band2[bank].astype(jnp.int32).astype(cdtype)
+
+        def resample(rows0_ref, rows1_ref, rowf_ref, m_rows, vband_ref,
+                     cbs_ref, c0_ref, c1_ref, cf_ref, kk, cband, out_ref,
+                     lo_ref):
+            r0 = rows0_ref[slot]
+            r1 = rows1_ref[slot]
+            rf = rowf_ref[slot]
+            iota_r = jax.lax.broadcasted_iota(jnp.int32,
+                                              (band_rows, m_rows), 0)
+            wr = (jnp.where(iota_r == r0, 1.0 - rf, 0.0)
+                  + jnp.where(iota_r == r1, rf, 0.0)).astype(cdtype)
+            vband_ref[:] = jax.lax.dot_general(
+                wr, band_c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cdtype)
+            lo = aligned(lo_ref[slot], 8)
+            for q in range(kk):
+                cs = aligned(cbs_ref[b, q], 128)
+                sub = vband_ref[:, pl.ds(cs, cband)]
+                i0 = c0_ref[b * kk + q]
+                i1 = c1_ref[b * kk + q]
+                f = cf_ref[b * kk + q]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (cband, ck), 0)
+                w = (jnp.where(iota == i0, 1.0 - f, 0.0)
+                     + jnp.where(iota == i1, f, 0.0)).astype(cdtype)
+                chunk = jnp.dot(sub, w, preferred_element_type=jnp.float32)
+                qv = jnp.clip(jnp.floor(chunk * (257.0 / 256.0)), 0.0, 255.0)
+                out_ref[0, 0, pl.ds(lo, m_rows), q * ck:(q + 1) * ck] = (
+                    qv.astype(jnp.int32).astype(jnp.uint8))
+
+        resample(rr0_ref, rr1_ref, rrf_ref, plan.r_rows, vband_r,
+                 rcbs_ref, rc0_ref, rc1_ref, rcf_ref, k_r, plan.r_col_band,
+                 out_r_ref, rlo_ref)
+        resample(tt0_ref, tt1_ref, ttf_ref, plan.t_rows, vband_t,
+                 tcbs_ref, tc0_ref, tc1_ref, tcf_ref, k_t, plan.t_col_band,
+                 out_t_ref, tlo_ref)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_call(plan: FusedPlan, interpret: bool):
+    cdtype = (jnp.bfloat16 if plan.compute_dtype == "bfloat16"
+              else jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(plan.batch, plan.channels, plan.n_bands),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]      # src
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6         # row args
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),             # r colbs
+           pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.SMEM),             # t colbs
+           pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 1, plan.r_alloc_h, plan.r_out_w),
+                         lambda b, c, j, *s: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, plan.t_alloc_h, plan.t_out_w),
+                         lambda b, c, j, *s: (b, c, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan.band_rows, plan.src_w), jnp.uint8),
+            pltpu.VMEM((plan.r_rows, plan.src_w), cdtype),
+            pltpu.VMEM((plan.t_rows, plan.src_w), cdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel(plan, interpret),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.batch, plan.channels,
+                                  plan.r_alloc_h, plan.r_out_w), jnp.uint8),
+            jax.ShapeDtypeStruct((plan.batch, plan.channels,
+                                  plan.t_alloc_h, plan.t_out_w), jnp.uint8),
+        ),
+        interpret=interpret,
+    )
+
+
+def fused_resample(src_chw_u8, plan: FusedPlan, args: FusedArgs,
+                   *, interpret: bool = False):
+    """(B, C, H, W) u8 -> (resize (B,C,r_alloc,r_out_w),
+    thumb (B,C,t_alloc,t_out_w)) u8; caller crops the valid regions."""
+    call = _build_call(plan, interpret)
+    return call(
+        jnp.asarray(args.band_starts), jnp.asarray(args.r_lo),
+        jnp.asarray(args.t_lo),
+        src_chw_u8,
+        jnp.asarray(args.r_rows0), jnp.asarray(args.r_rows1),
+        jnp.asarray(args.r_rowf),
+        jnp.asarray(args.t_rows0), jnp.asarray(args.t_rows1),
+        jnp.asarray(args.t_rowf),
+        jnp.asarray(args.r_colbs), jnp.asarray(args.r_cols0),
+        jnp.asarray(args.r_cols1), jnp.asarray(args.r_colf),
+        jnp.asarray(args.t_colbs), jnp.asarray(args.t_cols0),
+        jnp.asarray(args.t_cols1), jnp.asarray(args.t_colf),
+    )
