@@ -227,6 +227,126 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
             "jpeg_bytes_12mp": len(jpeg)}
 
 
+def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
+                  deadline_ms: float = 25.0):
+    """p99 queue-to-processed latency through the real worker stack.
+
+    Stands up the full in-process stack (usecase -> broker -> batch worker
+    -> engine on the live accelerator) and measures produce-to-result
+    latency from the results topic, mixing in a 12 MP image every
+    `big_every` uploads. Run with --latency.
+    """
+    import tempfile
+    import threading
+
+    from imageprocessor_tpu.broker.memory import MemoryBroker
+    from imageprocessor_tpu.config import load as load_config
+    from imageprocessor_tpu.domain import (
+        OperationParams,
+        OperationType,
+        ProcessingResult,
+    )
+    from imageprocessor_tpu.runtime.codecs import encode_image
+    from imageprocessor_tpu.service.usecase import ImageUsecase
+    from imageprocessor_tpu.service.worker import Worker
+    from imageprocessor_tpu.storage import (
+        LocalFSObjectStore,
+        SQLiteMetadataStore,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ipbench-")
+    cfg = load_config({})
+    cfg.worker.batch_size = 16
+    cfg.worker.batch_deadline_ms = deadline_ms
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(f"{tmp}/objects")
+    broker = MemoryBroker()
+    uc = ImageUsecase(meta, store, broker)
+    worker = Worker(cfg, meta=meta, store=store, broker=broker)
+    worker._idle_sleep = 0.002
+
+    ops = [OperationParams(OperationType.THUMBNAIL,
+                           {"size": 200, "crop_to_fit": True}),
+           OperationParams(OperationType.RESIZE,
+                           {"width": 1024, "height": 768,
+                            "keep_aspect": True})]
+
+    h, w = size
+    imgs, _ = make_inputs(1, h, w, h, w)
+    small_jpeg = encode_image(imgs[0], "jpeg", 85)
+    big, _ = make_inputs(1, 3000, 4000, 3000, 4000)
+    big_jpeg = encode_image(big[0], "jpeg", 85)
+
+    # Warmup must cover every (bucket, quantized-batch-size) program the
+    # load phase can hit — each cold compile through the dev tunnel costs
+    # tens of seconds and would otherwise land inside the timed window.
+    _progress("latency warmup: compiling bucket x batch-size programs")
+    for data, copies in ((small_jpeg, (16, 8, 4, 2, 1)),
+                         (big_jpeg, (4, 2, 1))):
+        for n in copies:
+            for i in range(n):
+                uc.upload_image(data, f"warm{n}-{i}.jpg", "image/jpeg", ops)
+            while worker.run_once(max_n=n) > 0:
+                pass
+    while worker.run_once() > 0:  # drain stragglers
+        pass
+    broker.poll("image-processed", "bench-warm", max_n=1000)
+    _progress("latency warmup done")
+
+    t_start: dict[str, float] = {}
+    t_done: dict[str, float] = {}
+    stop = threading.Event()
+
+    def consume_results():
+        while not stop.is_set() and len(t_done) < n_images:
+            for msg in broker.poll("image-processed", "bench", max_n=32):
+                res = ProcessingResult.from_json(msg.value)
+                if res.image_id in t_start:
+                    t_done[res.image_id] = time.monotonic()
+                broker.ack(msg)
+            time.sleep(0.001)
+
+    worker_t = threading.Thread(target=worker.run, daemon=True)
+    results_t = threading.Thread(target=consume_results, daemon=True)
+    worker_t.start()
+    results_t.start()
+
+    for i in range(n_images):
+        data = big_jpeg if (i + 1) % big_every == 0 else small_jpeg
+        img = uc.upload_image(data, f"l{i}.jpg", "image/jpeg", ops)
+        t_start[img.id] = time.monotonic()
+        time.sleep(0.005)  # ~200 uploads/sec arrival process
+
+    deadline = time.monotonic() + 300
+    while len(t_done) < n_images and time.monotonic() < deadline:
+        time.sleep(0.01)
+    worker.stop()
+    stop.set()
+
+    lat = sorted((t_done[k] - t_start[k]) * 1000.0
+                 for k in t_done if k in t_start)
+    if not lat:
+        raise RuntimeError("no latencies measured")
+    pct = lambda p: lat[min(int(len(lat) * p), len(lat) - 1)]  # noqa: E731
+    return {
+        "metric": "p99 queue-to-processed latency",
+        "value": round(pct(0.99), 1),
+        "unit": "ms",
+        "vs_baseline": round(500.0 / max(pct(0.99), 1e-3), 4),
+        "p50_ms": round(pct(0.50), 1),
+        "p90_ms": round(pct(0.90), 1),
+        "p99_ms": round(pct(0.99), 1),
+        "max_ms": round(lat[-1], 1),
+        "n": len(lat),
+        "note": ("full stack: upload -> queue -> batch worker -> device "
+                 "engine -> storage -> results topic; vs_baseline = "
+                 "500ms target / p99 (>1 beats target). On the dev "
+                 "environment H2D runs through a ~35 MB/s tunnel, which "
+                 "dominates the queue-to-processed path; production "
+                 "PCIe/DMA moves the same batch in milliseconds."),
+    }
+
+
 def quick_psnr_check():
     """Fidelity gate: batched device output vs float64 oracle."""
     sys.path.insert(0, "tests")
@@ -248,9 +368,15 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes, fast verification run")
+    parser.add_argument("--latency", action="store_true",
+                        help="p99 queue-to-processed through the full stack")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
     args = parser.parse_args()
+
+    if args.latency:
+        print(json.dumps(bench_latency()))
+        return 0
 
     if args.smoke:
         dev = bench_device_pipeline(batch=args.batch or 2,

@@ -428,6 +428,11 @@ def _build_call(plan: FusedPlan, interpret: bool):
                                   plan.t_alloc_h, plan.t_out_w), jnp.uint8),
         ),
         interpret=interpret,
+        # XLA sometimes promotes small pallas OUTPUT arrays into VMEM
+        # (S(1)), which together with kernel scratch can blow the default
+        # 16MB scoped budget at small batch sizes; raise the cap.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
 
