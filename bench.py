@@ -311,10 +311,13 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
     worker_t.start()
     results_t.start()
 
+    is_big: dict[str, bool] = {}
     for i in range(n_images):
-        data = big_jpeg if (i + 1) % big_every == 0 else small_jpeg
+        big_one = big_every > 0 and (i + 1) % big_every == 0
+        data = big_jpeg if big_one else small_jpeg
         img = uc.upload_image(data, f"l{i}.jpg", "image/jpeg", ops)
         t_start[img.id] = time.monotonic()
+        is_big[img.id] = big_one
         time.sleep(0.005)  # ~200 uploads/sec arrival process
 
     deadline = time.monotonic() + 300
@@ -325,9 +328,14 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
 
     lat = sorted((t_done[k] - t_start[k]) * 1000.0
                  for k in t_done if k in t_start)
+    small_lat = sorted((t_done[k] - t_start[k]) * 1000.0
+                       for k in t_done if k in t_start and not is_big[k])
     if not lat:
         raise RuntimeError("no latencies measured")
     pct = lambda p: lat[min(int(len(lat) * p), len(lat) - 1)]  # noqa: E731
+    spct = (lambda p: small_lat[min(int(len(small_lat) * p),
+                                    len(small_lat) - 1)]) if small_lat \
+        else (lambda p: 0.0)
     return {
         "metric": "p99 queue-to-processed latency",
         "value": round(pct(0.99), 1),
@@ -337,6 +345,8 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
         "p90_ms": round(pct(0.90), 1),
         "p99_ms": round(pct(0.99), 1),
         "max_ms": round(lat[-1], 1),
+        "small_p50_ms": round(spct(0.50), 1),
+        "small_p99_ms": round(spct(0.99), 1),
         "n": len(lat),
         "note": ("full stack: upload -> queue -> batch worker -> device "
                  "engine -> storage -> results topic; vs_baseline = "

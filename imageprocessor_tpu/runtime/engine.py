@@ -96,9 +96,12 @@ class EngineResult:
 
 class ProcessingEngine:
     def __init__(self, object_store, *, codec_threads: int = 3,
-                 batch_size: int = 32, jpeg_quality: int = DEFAULT_JPEG_QUALITY):
+                 batch_size: int = 32, jpeg_quality: int = DEFAULT_JPEG_QUALITY,
+                 use_pallas: bool | None = None,
+                 compute_dtype: str = "bfloat16"):
         self.store = object_store
-        self.model = PipelineModel()
+        self.model = PipelineModel(use_pallas=use_pallas,
+                                   resample_dtype=compute_dtype)
         self.batch_size = batch_size
         self.jpeg_quality = jpeg_quality
         self._pool = ThreadPoolExecutor(max_workers=max(codec_threads, 1),
@@ -325,7 +328,40 @@ class ProcessingEngine:
         t_dev = _time.monotonic()
         outs = self.model.run(plan, imgs, src_hw, out_hws, specs,
                               layout=layout)
-        outs_np = [np.asarray(o) for o in outs]
+        # Crop device-side to the group's max valid extent before D2H —
+        # canvases are padded well past the real outputs (e.g. a 480x640
+        # upload's resize is valid 480x640 inside a 768x1024 canvas), so
+        # this regularly cuts transfer bytes 2-3x. Crop dims quantize up
+        # to /64 and the batch stays padded, so slice shapes (and their
+        # compiled programs) are reused across groups.
+        n_real = len(group.items)
+
+        def _q64(n: int, cap: int) -> int:
+            return min(-(-n // 64) * 64, cap)
+
+        max_h = int(max(it.hw[0] for it in group.items))
+        max_w = int(max(it.hw[1] for it in group.items))
+        cropped = []
+        for oi, op in enumerate(plan.ops):
+            o = outs[oi]
+            cv_h, cv_w = (o.shape[2], o.shape[3]) if layout == "chw" \
+                else (o.shape[1], o.shape[2])
+            if op.type is OperationType.RESIZE or (
+                    op.type is OperationType.THUMBNAIL
+                    and not op.crop_to_fit):
+                mh = _q64(int(out_hws[oi][:n_real, 0].max()), cv_h)
+                mw = _q64(int(out_hws[oi][:n_real, 1].max()), cv_w)
+            elif op.type is OperationType.THUMBNAIL:
+                cropped.append(o)
+                continue
+            else:
+                mh = _q64(max_h, cv_h)
+                mw = _q64(max_w, cv_w)
+            if layout == "chw":
+                cropped.append(o[:, :, :mh, :mw])
+            else:
+                cropped.append(o[:, :mh, :mw])
+        outs_np = [np.asarray(o) for o in cropped]
         METRICS.observe("engine_device_ms",
                         (_time.monotonic() - t_dev) * 1000.0)
         METRICS.inc("engine_device_images", len(group.items))

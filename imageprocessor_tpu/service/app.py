@@ -130,4 +130,5 @@ def run_api(cfg: Config) -> None:
     log.info("Starting HTTP server", port=cfg.server.port)
     web.run_app(app, port=cfg.server.port,
                 shutdown_timeout=cfg.server.shutdown_timeout_s,
+                keepalive_timeout=cfg.server.idle_timeout_s,
                 print=None)

@@ -60,7 +60,14 @@ class Worker:
                                  cfg.broker.partitions)
         self.engine = engine or ProcessingEngine(
             self.store, codec_threads=cfg.worker.concurrency,
-            batch_size=cfg.worker.batch_size)
+            batch_size=cfg.worker.batch_size,
+            # True in config means "where supported" (auto-detect platform);
+            # False hard-disables the Pallas paths.
+            use_pallas=(None if cfg.device.use_pallas else False),
+            compute_dtype=(cfg.device.compute_dtype
+                           if cfg.device.compute_dtype in ("float32",
+                                                           "bfloat16")
+                           else "bfloat16"))
         self._stop = threading.Event()
         self._idle_sleep = max(cfg.worker.batch_deadline_ms / 1000.0, 0.005)
 
