@@ -49,20 +49,25 @@ class MemoryBroker(Broker):
         now = time.monotonic()
         out: list[BrokerMessage] = []
         with self._lock:
+            # Oldest-first across partitions (offset interleave) so no
+            # partition starves while another drains — Kafka's consumer
+            # fairness analog.
+            candidates = []
             for p in range(self._partitions(topic)):
                 for stored in self._messages.get((topic, p), []):
-                    if len(out) >= max_n:
-                        return out
                     if group in stored.done:
                         continue
                     if stored.lease_until.get(group, 0.0) > now:
                         continue
-                    token = uuid.uuid4().hex
-                    stored.lease_until[group] = now + lease_s
-                    stored.lease_token[group] = token
-                    m = BrokerMessage(**{**stored.msg.__dict__})
-                    m.token = token
-                    out.append(m)
+                    candidates.append(stored)
+            candidates.sort(key=lambda s: (s.msg.offset, s.msg.partition))
+            for stored in candidates[:max_n]:
+                token = uuid.uuid4().hex
+                stored.lease_until[group] = now + lease_s
+                stored.lease_token[group] = token
+                m = BrokerMessage(**{**stored.msg.__dict__})
+                m.token = token
+                out.append(m)
         return out
 
     def _find(self, msg: BrokerMessage) -> _Stored | None:

@@ -109,7 +109,7 @@ class SQLiteBroker(Broker):
                 WHERE m.topic = ?
                   AND (d.state IS NULL
                        OR (d.state = 'leased' AND d.lease_until < ?))
-                ORDER BY m.partition, m.offset
+                ORDER BY m.created_at, m.partition, m.offset
                 LIMIT ?
                 """, (group, topic, now, max_n)).fetchall()
             for p, offset, key, value in rows:

@@ -189,6 +189,29 @@ class ProcessingEngine:
 
     # ------------------------------------------------------------ batched path
 
+    def decode_for_plan(self, data: bytes, plan: OperationPlan | None
+                        ) -> tuple[np.ndarray, str, str, tuple | None]:
+        """Decode one blob, choosing the layout the device path wants.
+
+        Planar-eligible JPEG tasks decode straight into their padded CHW
+        bucket via the native codec (no device transpose, no host pack
+        copy); everything else decodes to HWC. Returns
+        (array, detected_format, layout, valid_hw_or_None).
+        """
+        if (plan is not None and nativecodec.available()
+                and detect_content_type(data[:512]) == "image/jpeg"
+                and self.model.supports_planar(plan, (1, 1))):
+            try:
+                w, h, _c = nativecodec.probe_jpeg(data)
+                bucket = bucket_for(h, w)
+                if bucket[1] <= 6144:  # pallas width budget
+                    arr = nativecodec.decode_jpeg_planar(data, pad_hw=bucket)
+                    return arr, "jpeg", "chw", (h, w)
+            except nativecodec.NativeCodecError:
+                pass  # fall through to the generic decoder
+        arr, detected = decode_image(data)
+        return arr, detected, "hwc", None
+
     def process_tasks(self, tasks_with_data: list[tuple[ProcessingTask, bytes]]
                       ) -> list[EngineResult]:
         """Process many tasks: decode pool -> bucket groups -> fused programs
@@ -210,22 +233,7 @@ class ProcessingEngine:
                 results[i] = self._failed(task, f"Operation failed: {exc}")
 
         def _dec(i):
-            data = tasks_with_data[i][1]
-            plan = plans.get(i)
-            if (plan is not None and nativecodec.available()
-                    and detect_content_type(data[:512]) == "image/jpeg"
-                    and self.model.supports_planar(plan, (1, 1))):
-                try:
-                    w, h, _c = nativecodec.probe_jpeg(data)
-                    bucket = bucket_for(h, w)
-                    if bucket[1] <= 6144:  # pallas width budget
-                        arr = nativecodec.decode_jpeg_planar(
-                            data, pad_hw=bucket)
-                        return arr, "jpeg", "chw", (h, w)
-                except nativecodec.NativeCodecError:
-                    pass  # fall through to the generic decoder
-            arr, detected = decode_image(data)
-            return arr, detected, "hwc", None
+            return self.decode_for_plan(tasks_with_data[i][1], plans.get(i))
 
         t_dec = _time.monotonic()
         decoded = list(self._pool.map(

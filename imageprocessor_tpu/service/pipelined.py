@@ -33,7 +33,6 @@ from imageprocessor_tpu.models.plan import (
     normalize_operations,
 )
 from imageprocessor_tpu.runtime.batcher import BatchItem, DeadlineBatcher
-from imageprocessor_tpu.runtime.codecs import decode_image
 from imageprocessor_tpu.runtime.engine import BATCHABLE, EngineResult
 from imageprocessor_tpu.service.worker import Worker
 from imageprocessor_tpu.storage.object_store import ObjectNotFound
@@ -109,10 +108,17 @@ class PipelinedWorker(Worker):
             METRICS.inc("worker_fetch_failures")
             return
         try:
-            with span("decode"):
-                arr, detected = decode_image(blob)
             plan = normalize_operations(task.operations)
+            with span("decode"):
+                arr, detected, layout, valid_hw = \
+                    self.engine.decode_for_plan(blob, plan)
             if not all(op.type in BATCHABLE for op in plan):
+                if layout == "chw":
+                    import numpy as _np
+
+                    h, w = valid_hw
+                    arr = _np.ascontiguousarray(
+                        _np.transpose(arr, (1, 2, 0)))[:h, :w]
                 raise _SinglePath(arr, detected, plan)
         except _SinglePath as sp:
             fmt = (task.format or sp.detected or "jpeg").lower()
@@ -131,7 +137,8 @@ class PipelinedWorker(Worker):
         fmt = (task.format or detected or "jpeg").lower()
         item = BatchItem(item_id=task.id, image=arr,
                          plan_key=plan.compile_key(),
-                         payload=(msg, task, fmt, plan))
+                         payload=(msg, task, fmt, plan),
+                         layout=layout, valid_hw=valid_hw)
         with self._batcher_lock:
             group = self._batcher.add(item)
         if group is not None:
