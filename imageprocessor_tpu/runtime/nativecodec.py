@@ -85,6 +85,17 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.ip_jpeg_encode_planar.restype = ctypes.c_int
+        lib.ip_jpeg_coef_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.ip_jpeg_coef_dims.restype = ctypes.c_int
+        lib.ip_jpeg_read_coefs.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.ip_jpeg_read_coefs.restype = ctypes.c_int
         lib.ip_free.argtypes = [ctypes.c_void_p]
         lib.ip_free.restype = None
         _lib = lib
@@ -166,6 +177,52 @@ def decode_jpeg_planar(data: bytes, scale_num: int = 8,
     if rc != 0:
         raise NativeCodecError(f"planar decode failed (rc={rc})")
     return out
+
+
+def read_jpeg_coefficients(data: bytes):
+    """Entropy-decode ONLY: quantized DCT coefficient planes + quant tables.
+
+    This is the host side of TPU-side JPEG decode — the sequential Huffman
+    pass stays here (~1/3 of a full decode), while dequant + iDCT +
+    upsample + color conversion run on the accelerator
+    (ops/jpeg_decode.py). Returns (planes, qtabs, (img_w, img_h), sampling)
+    where planes[c] is int16 (blocks_h*8, blocks_w*8) with each 8x8 block
+    at its spatial position, and qtabs is (ncomp, 8, 8) float32.
+    """
+    lib = _load()
+    if lib is None:
+        raise NativeCodecError("native codec unavailable")
+    ncomp = ctypes.c_int()
+    iw = ctypes.c_int()
+    ih = ctypes.c_int()
+    cbw = (ctypes.c_int * 4)()
+    cbh = (ctypes.c_int * 4)()
+    hs = (ctypes.c_int * 4)()
+    vs = (ctypes.c_int * 4)()
+    rc = lib.ip_jpeg_coef_dims(data, len(data), ctypes.byref(ncomp),
+                               ctypes.byref(iw), ctypes.byref(ih),
+                               cbw, cbh, hs, vs)
+    if rc != 0:
+        raise NativeCodecError(f"coef dims failed (rc={rc})")
+    n = ncomp.value
+    if n not in (1, 3):
+        raise NativeCodecError(f"unsupported component count {n}")
+    planes = [np.zeros((cbh[c] * 8, cbw[c] * 8), dtype=np.int16)
+              for c in range(n)]
+    while len(planes) < 3:
+        planes.append(np.zeros((8, 8), dtype=np.int16))
+    qt = np.zeros((3, 64), dtype=np.uint16)
+    rc = lib.ip_jpeg_read_coefs(
+        data, len(data),
+        planes[0].ctypes.data_as(ctypes.c_void_p),
+        planes[1].ctypes.data_as(ctypes.c_void_p),
+        planes[2].ctypes.data_as(ctypes.c_void_p),
+        qt.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise NativeCodecError(f"read coefs failed (rc={rc})")
+    sampling = [(hs[c], vs[c]) for c in range(n)]
+    return (planes[:n], qt[:n].reshape(n, 8, 8).astype(np.float32),
+            (iw.value, ih.value), sampling)
 
 
 def encode_jpeg_planar(planes: np.ndarray, width: int, height: int,

@@ -278,4 +278,122 @@ int ip_jpeg_encode(const uint8_t* rgb, int w, int h, int stride, int quality,
 
 void ip_free(void* p) { free(p); }
 
+// --- DCT-coefficient access (TPU-side decode support) ----------------------
+//
+// The expensive parts of JPEG decode (dequant + iDCT + upsample + color
+// convert) are dense math that belongs on the TPU; only the sequential
+// Huffman decode stays on host. ip_jpeg_read_coefs extracts the quantized
+// coefficient planes + quant tables; the device turns them into pixels.
+
+// Phase 1: dimensions. comp_w/comp_h are in 8x8 BLOCKS per component.
+int ip_jpeg_coef_dims(const uint8_t* data, size_t len, int* ncomp,
+                      int* img_w, int* img_h,
+                      int* comp_bw, int* comp_bh,   // [4] each
+                      int* h_samp, int* v_samp) {   // [4] each
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silence_output;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *ncomp = cinfo.num_components;
+  *img_w = static_cast<int>(cinfo.image_width);
+  *img_h = static_cast<int>(cinfo.image_height);
+  for (int c = 0; c < cinfo.num_components && c < 4; ++c) {
+    jpeg_component_info* ci = &cinfo.comp_info[c];
+    // width_in_blocks is only valid after start; compute from sampling.
+    long cw = (static_cast<long>(cinfo.image_width) * ci->h_samp_factor
+               + cinfo.max_h_samp_factor * 8L - 1)
+              / (cinfo.max_h_samp_factor * 8L);
+    long ch = (static_cast<long>(cinfo.image_height) * ci->v_samp_factor
+               + cinfo.max_v_samp_factor * 8L - 1)
+              / (cinfo.max_v_samp_factor * 8L);
+    comp_bw[c] = static_cast<int>(cw);
+    comp_bh[c] = static_cast<int>(ch);
+    h_samp[c] = ci->h_samp_factor;
+    v_samp[c] = ci->v_samp_factor;
+  }
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Phase 2: fill caller buffers. For component c:
+//   coefs[c]: int16 array of shape (comp_bh*8, comp_bw*8) — each 8x8 block
+//             stored at its spatial position, natural (row-major) order;
+//   qtab[c]:  64 uint16, natural order.
+int ip_jpeg_read_coefs(const uint8_t* data, size_t len,
+                       int16_t* coef0, int16_t* coef1, int16_t* coef2,
+                       uint16_t* qtab /* 3*64 */) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.emit_message = silence_output;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jvirt_barray_ptr* arrays = jpeg_read_coefficients(&cinfo);
+  if (arrays == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  int16_t* outs[3] = {coef0, coef1, coef2};
+  // libjpeg natural-order zigzag inverse table
+  static const int kZigzagToNatural[64] = {
+      0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+  (void)kZigzagToNatural;
+  for (int c = 0; c < cinfo.num_components && c < 3; ++c) {
+    jpeg_component_info* ci = &cinfo.comp_info[c];
+    const JDIMENSION bw = ci->width_in_blocks;
+    const JDIMENSION bh = ci->height_in_blocks;
+    const size_t row_px = static_cast<size_t>(bw) * 8;
+    int16_t* out = outs[c];
+    if (out == nullptr) continue;
+    // quant table: libjpeg keeps quantval in natural order.
+    if (ci->quant_table != nullptr) {
+      for (int k = 0; k < 64; ++k)
+        qtab[c * 64 + k] = ci->quant_table->quantval[k];
+    } else if (cinfo.quant_tbl_ptrs[ci->quant_tbl_no] != nullptr) {
+      for (int k = 0; k < 64; ++k)
+        qtab[c * 64 + k] =
+            cinfo.quant_tbl_ptrs[ci->quant_tbl_no]->quantval[k];
+    }
+    for (JDIMENSION by = 0; by < bh; ++by) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), arrays[c], by, 1, FALSE);
+      for (JDIMENSION bx = 0; bx < bw; ++bx) {
+        const JCOEF* blk = rows[0][bx];  // natural order, quantized
+        int16_t* base = out + static_cast<size_t>(by) * 8 * row_px
+                        + static_cast<size_t>(bx) * 8;
+        for (int r = 0; r < 8; ++r) {
+          memcpy(base + static_cast<size_t>(r) * row_px, blk + r * 8,
+                 8 * sizeof(int16_t));
+        }
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 }  // extern "C"
