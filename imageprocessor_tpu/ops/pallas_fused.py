@@ -131,9 +131,9 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
     m_r = _round_up(int(np.ceil(own / max(min_scale_r, 1e-6))) + 10, 8)
     m_t = _round_up(int(np.ceil(own / max(min_scale_t, 1e-6))) + 10, 8)
     cband_r = min(_round_up(int(np.ceil(128 * max_scale_w_r)) + 132, 128),
-                  _round_up(src_w, 128))
+                  src_w)
     cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
-                  _round_up(src_w, 128))
+                  src_w)
     return FusedPlan(batch=batch, channels=3, src_h=src_h, src_w=src_w,
                      own_rows=own, band_rows=band,
                      r_out_h=_round_up(r_out_h, 8),
@@ -367,8 +367,11 @@ def _kernel(plan: FusedPlan, interpret: bool):
                 preferred_element_type=jnp.float32).astype(cdtype)
             lo = aligned(lo_ref[slot], 8)
             for q in range(kk):
-                cs = aligned(cbs_ref[b, q], 128)
-                sub = vband_ref[:, pl.ds(cs, cband)]
+                if cband >= plan.src_w:
+                    sub = vband_ref[:]   # full width: static slice
+                else:
+                    cs = aligned(cbs_ref[b, q], 128)
+                    sub = vband_ref[:, pl.ds(cs, cband)]
                 i0 = c0_ref[b * kk + q]
                 i1 = c1_ref[b * kk + q]
                 f = cf_ref[b * kk + q]

@@ -118,7 +118,9 @@ def make_plan(batch: int, channels: int, src_h: int, src_w: int,
     band = int(np.ceil(tile_rows * max(max_scale_h, 1e-6))) + 12
     band_rows = min(_round_up(max(band, tile_rows + 2), 8), src_h)
     cband = int(np.ceil(128 * max(max_scale_w, 1e-6))) + 4 + 128
-    col_band = min(_round_up(cband, 128), _round_up(src_w, 128))
+    # Cap at the true width: when the cap wins the kernel slices the full
+    # vband statically (narrow buckets are often not 128-multiples).
+    col_band = min(_round_up(cband, 128), src_w)
     return ResamplePlan(batch=batch, channels=channels, src_h=src_h,
                         src_w=src_w, out_h=out_h_pad, out_w=out_w_pad,
                         tile_rows=tile_rows, band_rows=band_rows,
@@ -264,8 +266,11 @@ def _kernel(plan: ResamplePlan, interpret: bool):
             preferred_element_type=jnp.float32).astype(cdtype)    # (TH, W)
 
         for j in range(k):
-            cs = aligned(colbs_ref[b, j], 128)
-            sub = vband_ref[:, pl.ds(cs, cband)]
+            if cband >= plan.src_w:
+                sub = vband_ref[:]      # full width: static slice
+            else:
+                cs = aligned(colbs_ref[b, j], 128)
+                sub = vband_ref[:, pl.ds(cs, cband)]
             i0 = cols0_ref[b * k + j]   # (1, CK) i32
             i1 = cols1_ref[b * k + j]
             f = colf_ref[b * k + j]     # (1, CK) f32

@@ -68,3 +68,38 @@ def test_supports_planar_gate():
     ok_plan = normalize_operations(
         [OperationParams(OperationType.GRAYSCALE, {})])
     assert not off.supports_planar(ok_plan, (256, 256))
+
+
+def test_chw_upscale_skips_fused_and_still_matches():
+    """Upscale plans can't use the fused sweep (per-band row chunks blow
+    up); the per-op Pallas kernels must take over transparently."""
+    plan = normalize_operations([
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": 64, "crop_to_fit": True}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": 512, "height": 384, "keep_aspect": True}),
+    ])
+    shapes = [(120, 160)]
+    bucket = (128, 160)
+    imgs = np.zeros((1, *bucket, 3), dtype=np.uint8)
+    imgs[0, :120, :160] = RNG.integers(0, 256, size=(120, 160, 3),
+                                       dtype=np.uint8)
+    src_hw = np.asarray([[120, 160]], dtype=np.int32)
+    tw, th = keep_aspect_dims(160, 120, 512, 384)
+    out_hws = {1: np.asarray([[th, tw]], dtype=np.int32)}
+    specs = plan_output_specs(plan, bucket)
+
+    chw_model = PipelineModel(use_pallas=True, pallas_interpret=True)
+    meta, _ = chw_model._fused_setup(plan, bucket, 1, src_hw, out_hws)
+    assert meta is None  # upscale -> fused declined
+
+    planar_in = np.transpose(imgs, (0, 3, 1, 2)).copy()
+    outs = [np.asarray(o) for o in
+            chw_model.run(plan, planar_in, src_hw, out_hws, specs,
+                          layout="chw")]
+    ref_model = PipelineModel(use_pallas=False)
+    refs = [np.asarray(o) for o in
+            ref_model.run(plan, imgs, src_hw, out_hws, specs)]
+    assert psnr(np.transpose(outs[0][0], (1, 2, 0)), refs[0][0]) > 45.0
+    assert psnr(np.transpose(outs[1][0], (1, 2, 0))[:th, :tw],
+                refs[1][0, :th, :tw]) > 45.0
