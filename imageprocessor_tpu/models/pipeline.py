@@ -465,6 +465,92 @@ class PipelineModel:
                     pallas_args)
         return list(outs)
 
+    def run_sharded(self, mesh, plan: OperationPlan, imgs_u8: np.ndarray,
+                    src_hw: np.ndarray, out_hws: dict[int, np.ndarray],
+                    specs: tuple[OpOutputSpec, ...], layout: str = "hwc"
+                    ) -> list[Any]:
+        """Data-parallel execution over a `jax.sharding.Mesh` 'data' axis.
+
+        The step runs under shard_map (required for Pallas kernels on a
+        mesh — XLA cannot auto-partition custom calls), batch axis sharded,
+        watermark args replicated. Every per-image index array shards
+        cleanly because its leading axis is batch-major; the Pallas plans
+        are built for the LOCAL batch. Images are independent, so no
+        collectives cross the ICI — the mesh buys pure throughput.
+        """
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        n = int(mesh.shape["data"])
+        b = imgs_u8.shape[0]
+        if b % n != 0:
+            raise ValueError(f"batch {b} not divisible by data axis {n}")
+        b_local = b // n
+        if layout == "chw":
+            hb, wb = imgs_u8.shape[2], imgs_u8.shape[3]
+        else:
+            hb, wb = imgs_u8.shape[1], imgs_u8.shape[2]
+        src_hw = np.asarray(src_hw, dtype=np.int32)
+
+        # Plans sized for the local shard; args built globally and sharded
+        # (geometry is per-image, batch-major, so shards slice cleanly).
+        fused_meta, fused_arrays = (None, None)
+        if layout == "chw":
+            fused_meta, fused_arrays = self._fused_setup(
+                plan, (hb, wb), b_local, src_hw[:b_local],
+                {k: np.asarray(v)[:b_local] for k, v in out_hws.items()})
+            if fused_meta is not None:
+                # rebuild args for the FULL batch with the local plan's
+                # geometry so shard slices line up
+                i_t, i_r, fplan = fused_meta
+                fargs = pallas_fused.make_fused_args(
+                    pallas_fused.FusedPlan(**{**fplan.__dict__,
+                                              "batch": b}),
+                    src_hw, np.asarray(out_hws[i_r], dtype=np.int32))
+                if not fargs.ok:
+                    fused_meta, fused_arrays = None, None
+                else:
+                    fused_arrays = tuple(jnp.asarray(v) for v in (
+                        fargs.band_starts, fargs.r_lo, fargs.t_lo,
+                        fargs.r_rows0, fargs.r_rows1, fargs.r_rowf,
+                        fargs.t_rows0, fargs.t_rows1, fargs.t_rowf,
+                        fargs.r_colbs, fargs.r_cols0, fargs.r_cols1,
+                        fargs.r_colf, fargs.t_colbs, fargs.t_cols0,
+                        fargs.t_cols1, fargs.t_colf))
+        skip = fused_meta[:2] if fused_meta else ()
+        # Per-op pallas plans for the local batch; args for the global.
+        local_plans, _ = self._pallas_setup(
+            plan, (hb, wb), b_local, src_hw[:b_local],
+            {k: np.asarray(v)[:b_local] for k, v in out_hws.items()},
+            specs, skip=skip)
+        _, global_args = self._pallas_setup(
+            plan, (hb, wb), b, src_hw, out_hws, specs, skip=skip)
+        if fused_arrays is not None:
+            global_args["fused"] = fused_arrays
+        raw = self.get_raw_step(plan, specs, local_plans, layout, fused_meta)
+        wm_args = self.prepare_wm_args(plan)
+        dummy = np.zeros((b, 2), dtype=np.int32)
+        hws = tuple(np.asarray(out_hws.get(i, dummy), dtype=np.int32)
+                    for i in range(len(plan.ops)))
+
+        shard = P("data")
+        repl = P()
+        args_spec = jax.tree.map(lambda _: shard, global_args)
+        wm_spec = jax.tree.map(lambda _: repl, wm_args)
+        hws_spec = tuple(shard for _ in hws)
+
+        fn = shard_map(
+            raw, mesh=mesh,
+            in_specs=(shard, shard, hws_spec, wm_spec, args_spec),
+            out_specs=shard)
+        jitted = jax.jit(fn)
+        outs = jitted(jnp.asarray(imgs_u8), jnp.asarray(src_hw), hws,
+                      wm_args, global_args)
+        return list(outs)
+
     def cache_size(self) -> int:
         with self._lock:
             return len(self._cache)
