@@ -34,9 +34,11 @@ from imageprocessor_tpu.domain import OperationType
 from imageprocessor_tpu.models.plan import NormalizedOp, OperationPlan
 from imageprocessor_tpu.ops import pallas_fused, pallas_resample
 from imageprocessor_tpu.ops.extra import (
+    batched_crop,
     batched_flip,
     batched_grayscale,
     batched_grayscale_planar,
+    batched_rotate,
 )
 from imageprocessor_tpu.ops.resize import batched_resize_bilinear
 from imageprocessor_tpu.ops.thumbnail import batched_thumbnail
@@ -232,6 +234,14 @@ class PipelineModel:
                 elif op.type is OperationType.FLIP:
                     outputs.append(batched_flip(imgs_u8, src_hw,
                                                 direction=op.direction))
+                elif op.type is OperationType.CROP:
+                    ch = min(op.height, imgs_u8.shape[1])
+                    cw = min(op.width, imgs_u8.shape[2])
+                    outputs.append(batched_crop(imgs_u8, src_hw,
+                                                x=op.x, y=op.y,
+                                                width=cw, height=ch))
+                elif op.type is OperationType.ROTATE:
+                    outputs.append(batched_rotate(imgs_u8, src_hw, op.angle))
                 else:
                     raise NotImplementedError(
                         f"{op.type} has no batched kernel; engine uses the "

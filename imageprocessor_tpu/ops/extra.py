@@ -142,5 +142,90 @@ def batched_flip(imgs_u8, src_hw, direction: str = "horizontal"):
     return jnp.take_along_axis(imgs_u8, idx[:, None, :, None], axis=2, mode='promise_in_bounds')
 
 
+@functools.partial(jax.jit, static_argnames=("x", "y", "width", "height"))
+def batched_crop(imgs_u8, src_hw, x: int, y: int, width: int, height: int):
+    """Plan-static crop rect, clamped per image like the single-image op.
+
+    Output canvas (B, height, width, C); each image's valid extent is
+    (min(height, h_i - y_i), min(width, w_i - x_i)) with the same origin
+    clamping as crop_image — the engine computes those dims host-side.
+    """
+    h_i = src_hw[:, 0]
+    w_i = src_hw[:, 1]
+    cx = jnp.clip(jnp.int32(x), 0, jnp.maximum(w_i - 1, 0))
+    cy = jnp.clip(jnp.int32(y), 0, jnp.maximum(h_i - 1, 0))
+
+    def one(img, sy, sx):
+        return jax.lax.dynamic_slice(
+            img, (sy, sx, 0), (height, width, img.shape[2]))
+
+    return jax.vmap(one)(imgs_u8, cy, cx)
+
+
+def batched_rotate(imgs_u8, src_hw, angle: float):
+    """Per-image rotate inside a padded bucket.
+
+    90° multiples are exact shuffles composed from transpose + the
+    extent-aware batched flip (output valid dims swap for 90/270; the
+    output canvas is the transposed bucket). Other angles inverse-map
+    about each image's own center; out-of-source pixels are black.
+    """
+    a = float(angle) % 360.0
+    if a == 0.0:
+        return imgs_u8
+    if a in (90.0, 270.0):
+        tr = jnp.transpose(imgs_u8, (0, 2, 1, 3))     # (B, Wb, Hb, C)
+        hw_t = src_hw[:, ::-1]                         # valid (w_i, h_i)
+        if a == 90.0:   # out[y, x] = in[x, w_i - 1 - y]
+            return batched_flip(tr, hw_t, direction="vertical")
+        return batched_flip(tr, hw_t, direction="horizontal")
+    if a == 180.0:
+        out = batched_flip(imgs_u8, src_hw, direction="horizontal")
+        return batched_flip(out, src_hw, direction="vertical")
+    return _batched_rotate_arbitrary(imgs_u8, src_hw, a)
+
+
+@functools.partial(jax.jit, static_argnames=("angle_deg",))
+def _batched_rotate_arbitrary(imgs_u8, src_hw, angle_deg: float):
+    hb, wb = imgs_u8.shape[1], imgs_u8.shape[2]
+    theta = jnp.deg2rad(jnp.float32(angle_deg))
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    yy = jnp.arange(hb, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(wb, dtype=jnp.float32)[None, :]
+
+    def one(img, hw):
+        h = hw[0].astype(jnp.float32)
+        w = hw[1].astype(jnp.float32)
+        cy, cx = (h - 1.0) / 2.0, (w - 1.0) / 2.0
+        dy = yy - cy
+        dx = xx - cx
+        src_x = cos_t * dx + sin_t * dy + cx
+        src_y = -sin_t * dx + cos_t * dy + cy
+        x0 = jnp.floor(src_x).astype(jnp.int32)
+        y0 = jnp.floor(src_y).astype(jnp.int32)
+        fx = src_x - x0
+        fy = src_y - y0
+        valid = ((src_x >= -0.5) & (src_x <= w - 0.5)
+                 & (src_y >= -0.5) & (src_y <= h - 0.5))
+
+        def g(yi, xi):
+            # Clamp to the image's own extent (not the bucket) so edge
+            # samples replicate border pixels exactly like the
+            # single-image op, never the zero padding.
+            yi = jnp.clip(yi, 0, hw[0] - 1)
+            xi = jnp.clip(xi, 0, hw[1] - 1)
+            return img[yi, xi].astype(jnp.float32)
+
+        top = g(y0, x0) + (g(y0, x0 + 1) - g(y0, x0)) * fx[..., None]
+        bot = (g(y0 + 1, x0)
+               + (g(y0 + 1, x0 + 1) - g(y0 + 1, x0)) * fx[..., None])
+        out = top + (bot - top) * fy[..., None]
+        out = jnp.where(valid[..., None], out, 0.0)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    return jax.vmap(one)(imgs_u8, src_hw.astype(jnp.int32))
+
+
 __all__ = ["crop_image", "rotate_image", "flip_image", "grayscale_image",
-           "batched_grayscale", "batched_flip", "quantize_go_xdraw"]
+           "batched_grayscale", "batched_grayscale_planar", "batched_flip",
+           "batched_crop", "batched_rotate", "quantize_go_xdraw"]

@@ -74,7 +74,7 @@ log = get_logger("engine")
 # Ops with fused batched kernels; the rest run per-image (still on device).
 BATCHABLE = {OperationType.RESIZE, OperationType.THUMBNAIL,
              OperationType.WATERMARK, OperationType.GRAYSCALE,
-             OperationType.FLIP}
+             OperationType.FLIP, OperationType.CROP, OperationType.ROTATE}
 
 
 @dataclass
@@ -322,6 +322,23 @@ class ProcessingEngine:
                 hw[len(group.items):] = (1, 1)
                 out_hws[oi] = hw
                 aspect_long[oi] = long_side
+            elif op.type is OperationType.CROP:
+                # Same per-image clamping as the single-image op.
+                hw = np.ones((b, 2), dtype=np.int32)
+                for i, it in enumerate(group.items):
+                    h, w = it.hw
+                    cx = max(0, min(op.x, w - 1))
+                    cy = max(0, min(op.y, h - 1))
+                    hw[i] = (max(1, min(op.height, h - cy)),
+                             max(1, min(op.width, w - cx)))
+                out_hws[oi] = hw
+            elif op.type is OperationType.ROTATE:
+                hw = np.ones((b, 2), dtype=np.int32)
+                swap = (op.angle % 180.0) == 90.0
+                for i, it in enumerate(group.items):
+                    h, w = it.hw
+                    hw[i] = (w, h) if swap else (h, w)
+                out_hws[oi] = hw
 
         import time as _time
 
@@ -354,9 +371,7 @@ class ProcessingEngine:
             o = outs[oi]
             cv_h, cv_w = (o.shape[2], o.shape[3]) if layout == "chw" \
                 else (o.shape[1], o.shape[2])
-            if op.type is OperationType.RESIZE or (
-                    op.type is OperationType.THUMBNAIL
-                    and not op.crop_to_fit):
+            if oi in out_hws:
                 mh = _q64(int(out_hws[oi][:n_real, 0].max()), cv_h)
                 mw = _q64(int(out_hws[oi][:n_real, 1].max()), cv_w)
             elif op.type is OperationType.THUMBNAIL:
@@ -387,8 +402,7 @@ class ProcessingEngine:
         h, w = it.hw
         planar = layout == "chw"
         for oi, op in enumerate(plan.ops):
-            if op.type is OperationType.RESIZE or (
-                    op.type is OperationType.THUMBNAIL and not op.crop_to_fit):
+            if oi in out_hws:   # per-image valid output dims known
                 oh, ow = out_hws[oi][i]
                 arr = (outs_np[oi][i][:, :oh, :ow] if planar
                        else outs_np[oi][i, :oh, :ow])

@@ -139,7 +139,7 @@ def test_gif_watermark_reencodes_as_jpeg(engine):
     assert res.result.processed_paths["watermark"].endswith("watermarked.jpeg")
 
 
-def test_nonbatchable_plan_takes_single_path(engine):
+def test_crop_grayscale_plan(engine):
     eng, store = engine
     data, arr = png_bytes(120, 160)
     task = default_task(ops=[
@@ -176,3 +176,22 @@ def test_mixed_plans_in_one_call(engine):
     results = eng.process_tasks([(t1, d1), (t2, d2)])
     assert set(results[0].result.processed_paths) == {"thumbnail", "resize"}
     assert set(results[1].result.processed_paths) == {"grayscale"}
+
+
+def test_batched_crop_rotate_through_engine(engine):
+    """CROP and ROTATE now run on the batched device path."""
+    eng, store = engine
+    data, arr = png_bytes(120, 160)
+    task = default_task(ops=[
+        OperationParams(OperationType.CROP,
+                        {"x": 10, "y": 10, "width": 50, "height": 40}),
+        OperationParams(OperationType.ROTATE, {"angle": 90}),
+    ])
+    res = eng.process_tasks([(task, data)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    cropped, _ = decode_image(store.get_object(
+        res.result.processed_paths["crop"]))
+    np.testing.assert_array_equal(cropped, arr[10:50, 10:60])
+    rotated, _ = decode_image(store.get_object(
+        res.result.processed_paths["rotate"]))
+    np.testing.assert_array_equal(rotated, np.rot90(arr, 1))

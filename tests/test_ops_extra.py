@@ -71,3 +71,57 @@ def test_grayscale_preserves_alpha():
     out = np.asarray(grayscale_image(im4))
     np.testing.assert_array_equal(out[..., 3], im4[..., 3])
     assert np.all(out[..., 0] == out[..., 1])
+
+
+def test_batched_crop_matches_single():
+    from imageprocessor_tpu.ops.extra import batched_crop
+
+    b = 2
+    imgs = np.zeros((b, 128, 160, 3), dtype=np.uint8)
+    dims = [(100, 150), (128, 160)]
+    srcs = []
+    for i, (h, w) in enumerate(dims):
+        im = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        srcs.append(im)
+        imgs[i, :h, :w] = im
+    hw = np.asarray(dims, dtype=np.int32)
+    out = np.asarray(batched_crop(imgs, hw, x=20, y=30, width=60, height=50))
+    assert out.shape == (b, 50, 60, 3)
+    for i, im in enumerate(srcs):
+        ref = np.asarray(crop_image(im, 20, 30, 60, 50))
+        oh, ow = ref.shape[:2]
+        np.testing.assert_array_equal(out[i, :oh, :ow], ref)
+
+
+def test_batched_rotate_90s_match_single():
+    from imageprocessor_tpu.ops.extra import batched_rotate
+
+    b = 2
+    imgs = np.zeros((b, 96, 128, 3), dtype=np.uint8)
+    dims = [(80, 100), (96, 128)]
+    srcs = []
+    for i, (h, w) in enumerate(dims):
+        im = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        srcs.append(im)
+        imgs[i, :h, :w] = im
+    hw = np.asarray(dims, dtype=np.int32)
+    for angle in (90, 180, 270):
+        out = np.asarray(batched_rotate(imgs, hw, angle))
+        for i, im in enumerate(srcs):
+            ref = np.asarray(rotate_image(im, angle))
+            oh, ow = ref.shape[:2]
+            np.testing.assert_array_equal(out[i, :oh, :ow], ref,
+                                          err_msg=f"angle {angle} img {i}")
+
+
+def test_batched_rotate_arbitrary_matches_single():
+    from imageprocessor_tpu.ops.extra import batched_rotate
+
+    im = RNG.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    imgs = np.zeros((1, 96, 96, 3), dtype=np.uint8)
+    imgs[0, :64, :80] = im
+    hw = np.asarray([[64, 80]], dtype=np.int32)
+    out = np.asarray(batched_rotate(imgs, hw, 30.0))[0, :64, :80]
+    ref = np.asarray(rotate_image(im, 30.0))
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
