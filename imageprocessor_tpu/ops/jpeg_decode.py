@@ -111,8 +111,18 @@ def decode_jpeg_device(data: bytes, pad_hw: tuple[int, int] | None = None):
     """
     from imageprocessor_tpu.runtime import nativecodec
 
-    planes, qtabs, (img_w, img_h), sampling = \
-        nativecodec.read_jpeg_coefficients(data)
+    try:
+        # Preferred: the streaming one-pass entropy decoder
+        # (native/jpeg_scan.cpp) — faster than even a full SIMD libjpeg
+        # decode, and with no virtual-array buffering. Plane dims are
+        # MCU-aligned, which the block math below handles transparently.
+        planes, qtabs, (img_w, img_h), sampling = \
+            nativecodec.scan_jpeg_coefficients(data)
+    except nativecodec.NativeCodecError:
+        # Progressive / arithmetic / exotic streams: libjpeg's
+        # coefficient API handles everything baseline doesn't cover.
+        planes, qtabs, (img_w, img_h), sampling = \
+            nativecodec.read_jpeg_coefficients(data)
     if len(planes) == 1:
         y = _idct_plane(jnp.asarray(planes[0]), jnp.asarray(qtabs[0]),
                         planes[0].shape[0] // 8, planes[0].shape[1] // 8)

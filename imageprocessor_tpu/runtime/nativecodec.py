@@ -21,6 +21,7 @@ import numpy as np
 
 _REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "ipcodec.cpp"
+_SRC_SCAN = _REPO_ROOT / "native" / "jpeg_scan.cpp"
 _LIB = _REPO_ROOT / "native" / "libipcodec.so"
 
 _lock = threading.Lock()
@@ -33,14 +34,22 @@ class NativeCodecError(RuntimeError):
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", str(_SRC),
-             "-o", str(_LIB), "-ljpeg"],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, OSError):
-        return False
+    srcs = [str(_SRC)]
+    if _SRC_SCAN.exists():
+        srcs.append(str(_SRC_SCAN))
+    # Built at import time on the machine that runs it, so -march=native
+    # is safe and worth ~15% on the entropy decoder; fall back to plain
+    # -O3 for compilers/arches that reject it.
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                ["g++", "-O3", *extra, "-shared", "-fPIC", *srcs,
+                 "-o", str(_LIB), "-ljpeg"],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.SubprocessError, OSError):
+            continue
+    return False
 
 
 def _load() -> ctypes.CDLL | None:
@@ -96,6 +105,18 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
         lib.ip_jpeg_read_coefs.restype = ctypes.c_int
+        try:
+            lib.ip_jpeg_scan_dims.argtypes = lib.ip_jpeg_coef_dims.argtypes
+            lib.ip_jpeg_scan_dims.restype = ctypes.c_int
+            lib.ip_jpeg_scan_coefs.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.ip_jpeg_scan_coefs.restype = ctypes.c_int
+            lib.ip_jpeg_scan_qtabs.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+            lib.ip_jpeg_scan_qtabs.restype = ctypes.c_int
+        except AttributeError:  # pragma: no cover — stale .so
+            pass
         lib.ip_free.argtypes = [ctypes.c_void_p]
         lib.ip_free.restype = None
         _lib = lib
@@ -220,6 +241,53 @@ def read_jpeg_coefficients(data: bytes):
         qt.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         raise NativeCodecError(f"read coefs failed (rc={rc})")
+    sampling = [(hs[c], vs[c]) for c in range(n)]
+    return (planes[:n], qt[:n].reshape(n, 8, 8).astype(np.float32),
+            (iw.value, ih.value), sampling)
+
+
+def scan_jpeg_coefficients(data: bytes):
+    """Streaming entropy decode (native/jpeg_scan.cpp): ONE pass, no
+    intermediate buffering — the fast host half of TPU-side JPEG decode.
+
+    Returns (planes, qtabs, (img_w, img_h), sampling) like
+    read_jpeg_coefficients, except plane dims are MCU-aligned (>= the
+    libjpeg block grid; extra blocks hold the encoder's edge padding).
+    Raises NativeCodecError for non-baseline streams (progressive etc.) —
+    callers fall back to read_jpeg_coefficients/libjpeg.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ip_jpeg_scan_dims"):
+        raise NativeCodecError("streaming scanner unavailable")
+    ncomp = ctypes.c_int()
+    iw = ctypes.c_int()
+    ih = ctypes.c_int()
+    cbw = (ctypes.c_int * 4)()
+    cbh = (ctypes.c_int * 4)()
+    hs = (ctypes.c_int * 4)()
+    vs = (ctypes.c_int * 4)()
+    rc = lib.ip_jpeg_scan_dims(data, len(data), ctypes.byref(ncomp),
+                               ctypes.byref(iw), ctypes.byref(ih),
+                               cbw, cbh, hs, vs)
+    if rc != 0:
+        raise NativeCodecError(f"scan dims failed (rc={rc})")
+    n = ncomp.value
+    planes = [np.zeros((cbh[c] * 8, cbw[c] * 8), dtype=np.int16)
+              for c in range(n)]
+    while len(planes) < 3:
+        planes.append(np.zeros((8, 8), dtype=np.int16))
+    rc = lib.ip_jpeg_scan_coefs(
+        data, len(data),
+        planes[0].ctypes.data_as(ctypes.c_void_p),
+        planes[1].ctypes.data_as(ctypes.c_void_p),
+        planes[2].ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise NativeCodecError(f"scan coefs failed (rc={rc})")
+    qt = np.zeros((3, 64), dtype=np.uint16)
+    rc = lib.ip_jpeg_scan_qtabs(data, len(data),
+                                qt.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise NativeCodecError(f"scan qtabs failed (rc={rc})")
     sampling = [(hs[c], vs[c]) for c in range(n)]
     return (planes[:n], qt[:n].reshape(n, 8, 8).astype(np.float32),
             (iw.value, ih.value), sampling)

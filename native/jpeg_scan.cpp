@@ -1,0 +1,457 @@
+// jpeg_scan — streaming baseline-JPEG entropy decoder.
+//
+// Purpose: extract quantized DCT coefficient planes with ONE pass and no
+// intermediate buffering, so the host-side cost of TPU-side JPEG decode is
+// the Huffman work alone. libjpeg's jpeg_read_coefficients buffers the
+// whole image through virtual block arrays and costs as much as a full
+// SIMD decode (see PERF.md); this decoder writes int16 planes (natural
+// order, spatial block layout, MCU-aligned dims) directly.
+//
+// Scope: baseline sequential DCT, Huffman coding, 8-bit samples, 1 or 3
+// components, single interleaved scan (the overwhelmingly common camera /
+// PIL / libjpeg output). Progressive or arithmetic files return an error
+// and callers fall back to libjpeg.
+//
+// Validated bit-exactly against libjpeg's coefficient output across
+// sizes, qualities, subsampling modes and restart intervals
+// (tests/test_jpeg_scan.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct HuffTable {
+  // Canonical decode tables (F.2.2.3) + an 8-bit fast lookup.
+  int32_t maxcode[18];
+  int32_t valptr[17];
+  int32_t mincode[17];
+  uint8_t values[256];
+  int16_t fast[256];  // (len << 8) | value, or -1
+  bool present = false;
+
+  void build(const uint8_t* bits, const uint8_t* vals, int nvals) {
+    memcpy(values, vals, static_cast<size_t>(nvals));
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      code += bits[l - 1];
+      k += bits[l - 1];
+      maxcode[l] = code - 1;
+      code <<= 1;
+    }
+    maxcode[17] = 0x7fffffff;
+    for (int i = 0; i < 256; ++i) fast[i] = -1;
+    code = 0;
+    k = 0;
+    for (int l = 1; l <= 8; ++l) {
+      for (int i = 0; i < bits[l - 1]; ++i, ++k, ++code) {
+        const int shift = 8 - l;
+        const int base = code << shift;
+        for (int f = 0; f < (1 << shift); ++f)
+          fast[base + f] = static_cast<int16_t>((l << 8) | vals[k]);
+      }
+      code <<= 1;
+    }
+    present = true;
+  }
+};
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;  // unconsumed bits live in the TOP `nbits` bits
+  int nbits = 0;
+  bool saw_marker = false;
+  uint8_t marker = 0;
+
+  void fill() {  // refill to >= 57 bits
+    while (nbits <= 56) {
+      // Bulk path: 8 raw bytes with no 0xFF anywhere — append whole
+      // bytes with one 64-bit load instead of per-byte stuffing checks
+      // (the common case away from markers).
+      if (!saw_marker && p + 8 <= end) {
+        uint64_t chunk;
+        memcpy(&chunk, p, 8);
+        const uint64_t inv = ~chunk;  // 0xFF byte <=> zero byte in ~chunk
+        if (((inv - 0x0101010101010101ull) & ~inv
+             & 0x8080808080808080ull) == 0) {
+          const int k = (64 - nbits) >> 3;  // whole bytes that fit
+          const uint64_t be = __builtin_bswap64(chunk);
+          acc |= (be >> (64 - 8 * k)) << (64 - nbits - 8 * k);
+          nbits += 8 * k;
+          p += k;
+          continue;
+        }
+      }
+      // Byte-at-a-time path: stuffing, markers, stream end.
+      uint8_t b;
+      if (saw_marker || p >= end) {
+        b = 0;  // zero-fill past the end / at a marker
+      } else {
+        b = *p++;
+        if (b == 0xFF) {
+          uint8_t b2 = (p < end) ? *p : 0xD9;
+          if (b2 == 0x00) {
+            ++p;  // stuffed byte
+          } else {
+            saw_marker = true;
+            marker = b2;
+            b = 0;
+          }
+        }
+      }
+      acc |= static_cast<uint64_t>(b) << (56 - nbits);
+      nbits += 8;
+    }
+  }
+
+  void consume(int n) {
+    acc <<= n;
+    nbits -= n;
+  }
+
+  int get_bits(int n) {  // RECEIVE
+    if (n == 0) return 0;
+    fill();
+    int v = static_cast<int>(acc >> (64 - n));
+    consume(n);
+    return v;
+  }
+
+  // RECEIVE without a refill: callers guarantee >= n bits remain
+  // (huff_decode leaves >= 41 after consuming a <=16-bit code).
+  int get_bits_nofill(int n) {
+    if (n == 0) return 0;
+    int v = static_cast<int>(acc >> (64 - n));
+    consume(n);
+    return v;
+  }
+
+  void align_and_clear_marker() {  // after RSTn
+    acc = 0;
+    nbits = 0;
+    saw_marker = false;
+  }
+};
+
+// Decode one Huffman symbol; the caller guarantees >= 26 bits are
+// buffered (max code 16 bits; the paired value bits are consumed with
+// get_bits_nofill, so one refill check covers a whole coefficient).
+inline int huff_decode(BitReader& br, const HuffTable& t) {
+  const int look = static_cast<int>(br.acc >> 56);
+  const int16_t f = t.fast[look];
+  if (f >= 0) {
+    br.consume(f >> 8);
+    return f & 0xFF;
+  }
+  // slow path: the 8-bit LUT holds every code of length <= 8, so a miss
+  // means the code is 9..16 bits (or invalid).
+  int code = 0, l;
+  for (l = 9; l <= 16; ++l) {
+    code = static_cast<int>(br.acc >> (64 - l));
+    if (code <= t.maxcode[l]) break;
+  }
+  if (l > 16) return -1;
+  br.consume(l);
+  return t.values[t.valptr[l] + (code - t.mincode[l])];
+}
+
+inline int extend(int v, int s) {
+  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+struct Component {
+  int id = 0;
+  int h = 1, v = 1;
+  int tq = 0;
+  int dc_tbl = 0, ac_tbl = 0;
+  int16_t* out = nullptr;
+  int bw = 0;  // blocks per row in the OUTPUT plane (MCU-aligned)
+  int pred = 0;
+  // zigzag index k -> strided offset inside an output block
+  // ((z>>3)*stride + (z&7)); lets decode_block scatter non-zero
+  // coefficients straight into the caller's pre-zeroed plane with no
+  // per-block staging buffer, memset, or row copies.
+  int32_t zigoff[64];
+
+  void build_zigoff() {
+    const int stride = bw * 8;
+    for (int k = 0; k < 64; ++k) {
+      const int z = kZigzag[k];
+      zigoff[k] = (z >> 3) * stride + (z & 7);
+    }
+  }
+};
+
+struct Decoder {
+  const uint8_t* data;
+  size_t len;
+  size_t pos = 0;
+  int width = 0, height = 0, ncomp = 0;
+  int hmax = 1, vmax = 1;
+  int restart_interval = 0;
+  Component comp[3];
+  HuffTable dc[4], ac[4];
+  uint16_t qtab[4][64] = {};   // natural order
+
+  int u16() {
+    if (pos + 2 > len) return -1;
+    int v = (data[pos] << 8) | data[pos + 1];
+    pos += 2;
+    return v;
+  }
+
+  // Parse headers up to (and including) SOS. Returns 0 ok.
+  int parse_headers() {
+    if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return 10;
+    pos = 2;
+    while (pos + 4 <= len) {
+      if (data[pos] != 0xFF) return 11;
+      uint8_t m = data[pos + 1];
+      pos += 2;
+      if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) continue;
+      if (m == 0x01) continue;
+      int seglen = u16();
+      if (seglen < 2) return 12;
+      size_t seg_end = pos + static_cast<size_t>(seglen) - 2;
+      if (seg_end > len) return 13;
+      switch (m) {
+        case 0xC0:  // SOF0 baseline
+        case 0xC1: {  // extended sequential (same coding model)
+          if (data[pos] != 8) return 14;  // precision
+          height = (data[pos + 1] << 8) | data[pos + 2];
+          width = (data[pos + 3] << 8) | data[pos + 4];
+          ncomp = data[pos + 5];
+          if (ncomp != 1 && ncomp != 3) return 15;
+          for (int c = 0; c < ncomp; ++c) {
+            const uint8_t* q = data + pos + 6 + 3 * c;
+            comp[c].id = q[0];
+            comp[c].h = q[1] >> 4;
+            comp[c].v = q[1] & 15;
+            comp[c].tq = q[2];
+            if (comp[c].h < 1 || comp[c].h > 4 || comp[c].v < 1
+                || comp[c].v > 4)
+              return 16;
+            if (comp[c].h > hmax) hmax = comp[c].h;
+            if (comp[c].v > vmax) vmax = comp[c].v;
+          }
+          if (ncomp == 1) {
+            // A single-component scan is non-interleaved (B.2.3): the
+            // MCU is one data unit and sampling factors are ignored
+            // (PIL writes h=v=2 for grayscale; libjpeg ignores it too).
+            comp[0].h = comp[0].v = hmax = vmax = 1;
+          }
+          break;
+        }
+        case 0xC2:
+        case 0xC3: case 0xC5: case 0xC6: case 0xC7:
+        case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
+          return 20;  // progressive/arithmetic/lossless: caller falls back
+        case 0xC4: {  // DHT (may hold several tables)
+          size_t q = pos;
+          while (q + 17 <= seg_end) {
+            int tc = data[q] >> 4, th = data[q] & 15;
+            if (tc > 1 || th > 3) return 17;
+            const uint8_t* bits = data + q + 1;
+            int nv = 0;
+            for (int i = 0; i < 16; ++i) nv += bits[i];
+            if (q + 17 + static_cast<size_t>(nv) > seg_end || nv > 256)
+              return 18;
+            (tc == 0 ? dc[th] : ac[th]).build(bits, data + q + 17, nv);
+            q += 17 + static_cast<size_t>(nv);
+          }
+          break;
+        }
+        case 0xDD:  // DRI
+          restart_interval = (data[pos] << 8) | data[pos + 1];
+          break;
+        case 0xDA: {  // SOS
+          int ns = data[pos];
+          if (ns != ncomp) return 19;  // single interleaved scan only
+          for (int s = 0; s < ns; ++s) {
+            int cid = data[pos + 1 + 2 * s];
+            int tbls = data[pos + 2 + 2 * s];
+            for (int c = 0; c < ncomp; ++c) {
+              if (comp[c].id == cid) {
+                comp[c].dc_tbl = tbls >> 4;
+                comp[c].ac_tbl = tbls & 15;
+              }
+            }
+          }
+          pos = seg_end;  // entropy data starts here
+          return 0;
+        }
+        case 0xDB: {  // DQT — values stored zigzag in the stream
+          size_t q = pos;
+          while (q < seg_end) {
+            int pq = data[q] >> 4, tq = data[q] & 15;
+            ++q;
+            if (tq > 3) return 22;
+            for (int i = 0; i < 64; ++i) {
+              int val;
+              if (pq) {
+                val = (data[q] << 8) | data[q + 1];
+                q += 2;
+              } else {
+                val = data[q++];
+              }
+              qtab[tq][kZigzag[i]] = static_cast<uint16_t>(val);
+            }
+          }
+          break;
+        }
+        default:
+          break;  // APPn/COM
+      }
+      pos = seg_end;
+    }
+    return 21;
+  }
+
+  // Writes ONLY the non-zero coefficients; the caller's plane must be
+  // pre-zeroed (np.zeros / calloc on the Python side).
+  int decode_block(BitReader& br, Component& c, int16_t* blk_out) {
+    const HuffTable& dct = dc[c.dc_tbl];
+    const HuffTable& act = ac[c.ac_tbl];
+    if (!dct.present || !act.present) return 30;
+    br.fill();  // >= 57 bits: covers the DC code (<=16) + diff (<=11)
+    int s = huff_decode(br, dct);
+    if (s < 0) return 31;
+    int diff = s ? extend(br.get_bits_nofill(s), s) : 0;
+    c.pred += diff;
+    blk_out[0] = static_cast<int16_t>(c.pred);
+    const int32_t* zig = c.zigoff;
+    for (int k = 1; k < 64;) {
+      if (br.nbits < 26) br.fill();  // AC code (<=16) + value (<=10)
+      int rs = huff_decode(br, act);
+      if (rs < 0) return 32;
+      int r = rs >> 4;
+      s = rs & 15;
+      if (s == 0) {
+        if (r == 15) {
+          k += 16;
+          continue;
+        }
+        break;  // EOB
+      }
+      k += r;
+      if (k > 63) return 33;
+      blk_out[zig[k]] =
+          static_cast<int16_t>(extend(br.get_bits_nofill(s), s));
+      ++k;
+    }
+    return 0;
+  }
+
+  int decode_scan() {
+    const int mcus_x = (width + hmax * 8 - 1) / (hmax * 8);
+    const int mcus_y = (height + vmax * 8 - 1) / (vmax * 8);
+    BitReader br{data + pos, data + len};
+    int mcus_until_restart =
+        restart_interval ? restart_interval : mcus_x * mcus_y + 1;
+    for (int my = 0; my < mcus_y; ++my) {
+      for (int mx = 0; mx < mcus_x; ++mx) {
+        for (int c = 0; c < ncomp; ++c) {
+          Component& cc = comp[c];
+          for (int v = 0; v < cc.v; ++v) {
+            for (int h = 0; h < cc.h; ++h) {
+              const int bx = mx * cc.h + h;
+              const int by = my * cc.v + v;
+              const int stride = cc.bw * 8;
+              int16_t* out = cc.out
+                  + static_cast<size_t>(by) * 8 * stride
+                  + static_cast<size_t>(bx) * 8;
+              int rc = decode_block(br, cc, out);
+              if (rc != 0) return rc;
+            }
+          }
+        }
+        if (--mcus_until_restart == 0 && !(my == mcus_y - 1
+                                           && mx == mcus_x - 1)) {
+          // Expect RSTn: byte-align, reset predictors.
+          if (!br.saw_marker) {
+            // marker not yet hit: skip remaining bits to it
+            br.fill();
+          }
+          if (br.saw_marker && br.marker >= 0xD0 && br.marker <= 0xD7) {
+            // advance the raw pointer past the marker
+            // (p currently points just after 0xFF marker byte)
+            br.p += 1;
+            br.align_and_clear_marker();
+          } else {
+            return 34;
+          }
+          for (int c = 0; c < ncomp; ++c) comp[c].pred = 0;
+          mcus_until_restart = restart_interval;
+        }
+      }
+    }
+    return 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// MCU-aligned plane dims (blocks) for the streaming decoder's output.
+int ip_jpeg_scan_dims(const uint8_t* data, size_t len, int* ncomp,
+                      int* img_w, int* img_h,
+                      int* comp_bw, int* comp_bh,
+                      int* h_samp, int* v_samp) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  *ncomp = d.ncomp;
+  *img_w = d.width;
+  *img_h = d.height;
+  const int mcus_x = (d.width + d.hmax * 8 - 1) / (d.hmax * 8);
+  const int mcus_y = (d.height + d.vmax * 8 - 1) / (d.vmax * 8);
+  for (int c = 0; c < d.ncomp; ++c) {
+    comp_bw[c] = mcus_x * d.comp[c].h;
+    comp_bh[c] = mcus_y * d.comp[c].v;
+    h_samp[c] = d.comp[c].h;
+    v_samp[c] = d.comp[c].v;
+  }
+  return 0;
+}
+
+// Quant tables per component (natural order), header parse only.
+int ip_jpeg_scan_qtabs(const uint8_t* data, size_t len,
+                       uint16_t* qt /* 3*64 */) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  for (int c = 0; c < d.ncomp; ++c)
+    memcpy(qt + c * 64, d.qtab[d.comp[c].tq], 64 * sizeof(uint16_t));
+  return 0;
+}
+
+// Streaming entropy decode into caller planes (natural order, spatial
+// block layout, MCU-aligned dims from ip_jpeg_scan_dims). Planes MUST be
+// zero-initialized: only non-zero coefficients are written.
+int ip_jpeg_scan_coefs(const uint8_t* data, size_t len,
+                       int16_t* coef0, int16_t* coef1, int16_t* coef2) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  const int mcus_x = (d.width + d.hmax * 8 - 1) / (d.hmax * 8);
+  int16_t* outs[3] = {coef0, coef1, coef2};
+  for (int c = 0; c < d.ncomp; ++c) {
+    d.comp[c].out = outs[c];
+    d.comp[c].bw = mcus_x * d.comp[c].h;
+    d.comp[c].build_zigoff();
+    if (outs[c] == nullptr) return 40;
+  }
+  return d.decode_scan();
+}
+
+}  // extern "C"

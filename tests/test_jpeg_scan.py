@@ -1,0 +1,124 @@
+"""Streaming JPEG entropy decoder (native/jpeg_scan.cpp) validation.
+
+Bit-exactness is checked against libjpeg's own coefficient output
+(jpeg_read_coefficients via nativecodec.read_jpeg_coefficients) across
+sizes, qualities, subsampling modes, grayscale, and restart intervals.
+Progressive streams must fail cleanly so callers fall back to libjpeg.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.runtime import nativecodec as nc
+
+pytestmark = pytest.mark.skipif(
+    nc._load() is None or not hasattr(nc._load(), "ip_jpeg_scan_dims"),
+    reason="native codec library unavailable")
+
+RNG = np.random.default_rng(77)
+
+
+def make_jpeg(h, w, quality=85, subsampling=2, mode="RGB", progressive=False):
+    if mode == "L":
+        arr = RNG.integers(0, 256, size=(h, w), dtype=np.uint8)
+    else:
+        yy = np.linspace(0, 180, h)[:, None, None]
+        xx = np.linspace(0, 60, w)[None, :, None]
+        arr = np.clip(yy + xx + RNG.integers(0, 40, (h, w, 3)), 0,
+                      255).astype(np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr, mode=mode).save(
+        bio, format="JPEG", quality=quality, subsampling=subsampling,
+        progressive=progressive)
+    return bio.getvalue()
+
+
+def assert_scan_matches_libjpeg(jpeg):
+    ref_planes, ref_qt, ref_dims, ref_samp = nc.read_jpeg_coefficients(jpeg)
+    planes, qt, dims, samp = nc.scan_jpeg_coefficients(jpeg)
+    assert dims == ref_dims
+    if len(planes) > 1:
+        assert samp == ref_samp
+    else:
+        # Single-component scans are non-interleaved: sampling factors in
+        # the SOF are ignored and the plane is laid out 1x1 (libjpeg
+        # reports the raw SOF factors, e.g. PIL writes 2x2 for grayscale).
+        assert samp == [(1, 1)]
+    assert len(planes) == len(ref_planes)
+    np.testing.assert_array_equal(qt, ref_qt)
+    for c, (got, want) in enumerate(zip(planes, ref_planes)):
+        # Scanner planes are MCU-aligned (>= libjpeg's block grid); the
+        # shared region must be bit-exact.
+        assert got.shape[0] >= want.shape[0]
+        assert got.shape[1] >= want.shape[1]
+        np.testing.assert_array_equal(
+            got[:want.shape[0], :want.shape[1]], want,
+            err_msg=f"component {c} coefficients diverged")
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2],
+                         ids=["444", "422", "420"])
+def test_subsampling_modes_bit_exact(subsampling):
+    assert_scan_matches_libjpeg(make_jpeg(121, 165, subsampling=subsampling))
+
+
+@pytest.mark.parametrize("quality", [75, 88, 95])
+def test_qualities_bit_exact(quality):
+    assert_scan_matches_libjpeg(make_jpeg(200, 200, quality=quality))
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (7, 5), (64, 48), (17, 333),
+                                (257, 16), (480, 640)])
+def test_sizes_and_odd_dims_bit_exact(hw):
+    assert_scan_matches_libjpeg(make_jpeg(*hw))
+
+
+def test_grayscale_bit_exact():
+    assert_scan_matches_libjpeg(make_jpeg(90, 130, mode="L"))
+
+
+def test_restart_intervals_bit_exact():
+    cv2 = pytest.importorskip("cv2")
+    arr = RNG.integers(0, 256, size=(130, 170, 3), dtype=np.uint8)
+    for interval in (1, 3, 7):
+        ok, buf = cv2.imencode(".jpg", arr[:, :, ::-1],
+                               [cv2.IMWRITE_JPEG_QUALITY, 85,
+                                cv2.IMWRITE_JPEG_RST_INTERVAL, interval])
+        assert ok
+        jpeg = buf.tobytes()
+        assert b"\xff\xdd" in jpeg  # DRI present
+        assert_scan_matches_libjpeg(jpeg)
+
+
+def test_progressive_rejected_cleanly():
+    jpeg = make_jpeg(100, 100, progressive=True)
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_coefficients(jpeg)
+    # ...and the libjpeg fallback still handles it
+    planes, _, dims, _ = nc.read_jpeg_coefficients(jpeg)
+    assert dims == (100, 100)
+    assert len(planes) == 3
+
+
+def test_garbage_rejected_cleanly():
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_coefficients(b"not a jpeg at all")
+
+
+def test_plane_dims_are_mcu_aligned():
+    # 121x165 @ 4:2:0 -> MCUs of 16x16: luma grid 176x128, chroma 88x64.
+    planes, _, dims, samp = nc.scan_jpeg_coefficients(
+        make_jpeg(121, 165, subsampling=2))
+    assert dims == (165, 121)
+    assert samp[0] == (2, 2)
+    assert planes[0].shape == (128, 176)
+    assert planes[1].shape == (64, 88)
+    assert planes[2].shape == (64, 88)
+
+
+def test_dc_prediction_across_wide_image():
+    # A wide single-MCU-row image exercises long DC predictor chains.
+    assert_scan_matches_libjpeg(make_jpeg(8, 2048, quality=92))
