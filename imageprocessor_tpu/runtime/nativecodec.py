@@ -22,6 +22,7 @@ import numpy as np
 _REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "ipcodec.cpp"
 _SRC_SCAN = _REPO_ROOT / "native" / "jpeg_scan.cpp"
+_SRC_EMIT = _REPO_ROOT / "native" / "jpeg_emit.cpp"
 _LIB = _REPO_ROOT / "native" / "libipcodec.so"
 
 _lock = threading.Lock()
@@ -35,8 +36,9 @@ class NativeCodecError(RuntimeError):
 
 def _build() -> bool:
     srcs = [str(_SRC)]
-    if _SRC_SCAN.exists():
-        srcs.append(str(_SRC_SCAN))
+    for extra_src in (_SRC_SCAN, _SRC_EMIT):
+        if extra_src.exists():
+            srcs.append(str(extra_src))
     # Built at import time on the machine that runs it, so -march=native
     # is safe and worth ~15% on the entropy decoder; fall back to plain
     # -O3 for compilers/arches that reject it.
@@ -115,6 +117,12 @@ def _load() -> ctypes.CDLL | None:
             lib.ip_jpeg_scan_qtabs.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
             lib.ip_jpeg_scan_qtabs.restype = ctypes.c_int
+            lib.ip_jpeg_emit.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_size_t]
+            lib.ip_jpeg_emit.restype = ctypes.c_long
         except AttributeError:  # pragma: no cover — stale .so
             pass
         lib.ip_free.argtypes = [ctypes.c_void_p]
@@ -291,6 +299,62 @@ def scan_jpeg_coefficients(data: bytes):
     sampling = [(hs[c], vs[c]) for c in range(n)]
     return (planes[:n], qt[:n].reshape(n, 8, 8).astype(np.float32),
             (iw.value, ih.value), sampling)
+
+
+def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
+                                sampling=(2, 2)) -> bytes:
+    """Entropy-encode quantized coefficient planes into a baseline JFIF
+    stream (native/jpeg_emit.cpp, Annex K Huffman tables) — the host
+    half of TPU-side JPEG encode.
+
+    planes: 1 or 3 int16 arrays in natural order, spatial block layout,
+    MCU-aligned dims (luma (ceil(h/8v0)*8v0, ceil(w/8h0)*8h0); chroma
+    divided by the sampling factors). qtabs: (ncomp, 8, 8) or (ncomp, 64)
+    quant tables in natural order (chroma components share qtabs[1]).
+    sampling: luma (h0, v0); chroma is always 1x1.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ip_jpeg_emit"):
+        raise NativeCodecError("native emitter unavailable")
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise NativeCodecError(f"ncomp must be 1 or 3, got {ncomp}")
+    arrs = [np.ascontiguousarray(p, dtype=np.int16) for p in planes]
+    while len(arrs) < 3:
+        arrs.append(np.zeros((8, 8), dtype=np.int16))
+    qt = np.ascontiguousarray(np.asarray(qtabs), dtype=np.uint16)
+    qt = qt.reshape(qt.shape[0], 64)
+    qt2 = np.zeros((2, 64), dtype=np.uint16)
+    qt2[0] = qt[0]
+    qt2[1] = qt[1] if qt.shape[0] > 1 else qt[0]
+    h0, v0 = (int(sampling[0]), int(sampling[1])) if ncomp == 3 else (1, 1)
+    # The native emitter trusts plane dims; reject undersized planes
+    # here so a caller bug can't turn into an out-of-bounds read.
+    mcus_x = -(-int(img_w) // (h0 * 8))
+    mcus_y = -(-int(img_h) // (v0 * 8))
+    for c in range(ncomp):
+        need = ((mcus_y * (v0 if c == 0 else 1)) * 8,
+                (mcus_x * (h0 if c == 0 else 1)) * 8)
+        # Width must match exactly (the emitter derives the row stride
+        # from the MCU grid); extra rows beyond the grid are ignored.
+        if arrs[c].shape[0] < need[0] or arrs[c].shape[1] != need[1]:
+            raise NativeCodecError(
+                f"component {c} plane {arrs[c].shape} does not match the "
+                f"MCU-aligned grid {need} for {img_w}x{img_h}")
+    # Worst case ~2 bytes/coefficient + headers; coefficient data is
+    # bounded well under that in practice.
+    cap = sum(a.size for a in arrs[:ncomp]) * 2 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.ip_jpeg_emit(
+        arrs[0].ctypes.data_as(ctypes.c_void_p),
+        arrs[1].ctypes.data_as(ctypes.c_void_p),
+        arrs[2].ctypes.data_as(ctypes.c_void_p),
+        qt2.ctypes.data_as(ctypes.c_void_p),
+        img_w, img_h, ncomp, h0, v0,
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        raise NativeCodecError(f"jpeg emit failed (rc={n})")
+    return out[:n].tobytes()
 
 
 def encode_jpeg_planar(planes: np.ndarray, width: int, height: int,

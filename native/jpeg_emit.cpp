@@ -1,0 +1,410 @@
+// jpeg_emit — streaming baseline-JPEG entropy ENCODER.
+//
+// Mirror of jpeg_scan.cpp: takes quantized DCT coefficient planes
+// (natural order, spatial block layout, MCU-aligned dims — exactly what
+// the device-side FDCT+quantize in ops/jpeg_encode.py produces) and
+// emits a complete JFIF stream with the Annex K Huffman tables (the
+// same defaults libjpeg and Go's image/jpeg use; reference behavior:
+// internal/usecase/image_processor.go encodes via image/jpeg at q85).
+// With this, the host-side cost of JPEG encode is the entropy pass
+// alone; all dense math (color convert, downsample, FDCT, quantize)
+// runs on the TPU.
+//
+// Round-trip property (tested): ip_jpeg_scan_coefs(ip_jpeg_emit(P)) == P
+// bit-exactly, for any coefficient planes in range.
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
+namespace {
+
+constexpr int kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// Annex K (K.3.3) Huffman table specs: BITS + HUFFVAL.
+constexpr uint8_t kDcLumBits[17] = {0, 0, 1, 5, 1, 1, 1, 1, 1, 1,
+                                    0, 0, 0, 0, 0, 0, 0};
+constexpr uint8_t kDcLumVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+constexpr uint8_t kDcChrBits[17] = {0, 0, 3, 1, 1, 1, 1, 1, 1, 1,
+                                    1, 1, 0, 0, 0, 0, 0};
+constexpr uint8_t kDcChrVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+constexpr uint8_t kAcLumBits[17] = {0, 0, 2, 1, 3, 3, 2, 4, 3, 5,
+                                    5, 4, 4, 0, 0, 1, 0x7d};
+constexpr uint8_t kAcLumVals[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+constexpr uint8_t kAcChrBits[17] = {0, 0, 2, 1, 2, 4, 4, 3, 4, 7,
+                                    5, 4, 4, 0, 1, 2, 0x77};
+constexpr uint8_t kAcChrVals[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+
+struct EncTable {
+  // (size << 20) | code per symbol: one load serves both fields.
+  uint32_t e[256];
+
+  uint32_t code(int sym) const { return e[sym] & 0xFFFFF; }
+  int size(int sym) const { return static_cast<int>(e[sym] >> 20); }
+
+  void build(const uint8_t* bits, const uint8_t* vals, int nvals) {
+    memset(e, 0, sizeof(e));
+    int k = 0;
+    uint32_t c = 0;
+    for (int l = 1; l <= 16; ++l) {
+      for (int i = 0; i < bits[l]; ++i, ++k, ++c)
+        e[vals[k]] = (static_cast<uint32_t>(l) << 20) | c;
+      c <<= 1;
+    }
+    (void)nvals;
+  }
+};
+
+struct BitWriter {
+  // __restrict: uint8_t may legally alias anything, so without it every
+  // out[] store forces acc/nbits/pos reloads in the hot bit loop.
+  uint8_t* __restrict out;
+  size_t cap;
+  size_t pos = 0;
+  uint64_t acc = 0;  // pending bits in the TOP `nbits` bits
+  int nbits = 0;
+  bool overflow = false;
+
+  void put_byte(uint8_t b) {
+    if (pos >= cap) {
+      overflow = true;
+      return;
+    }
+    out[pos++] = b;
+  }
+
+  void flush32() {  // emit the top 32 buffered bits
+    const uint32_t top = static_cast<uint32_t>(acc >> 32);
+    const uint32_t inv = ~top;  // 0xFF byte <=> zero byte in ~top
+    if (((inv - 0x01010101u) & ~inv & 0x80808080u) == 0
+        && pos + 4 <= cap) {
+      // no stuffing needed: one big-endian word store
+      const uint32_t be = __builtin_bswap32(top);
+      memcpy(out + pos, &be, 4);
+      pos += 4;
+    } else {
+      for (int i = 24; i >= 0; i -= 8) {
+        const uint8_t b = static_cast<uint8_t>(top >> i);
+        put_byte(b);
+        if (b == 0xFF) put_byte(0x00);
+      }
+    }
+    acc <<= 32;
+    nbits -= 32;
+  }
+
+  // v holds the code in its low n bits; n <= 31 (a fused Huffman code +
+  // value pair is at most 16 + 11 bits).
+  void put_bits(uint32_t v, int n) {
+    acc |= static_cast<uint64_t>(v) << (64 - nbits - n);
+    nbits += n;
+    if (nbits >= 32) flush32();
+  }
+
+  void flush_scan() {  // pad final partial byte with 1s (spec F.1.2.3)
+    if (nbits & 7) put_bits((1u << (8 - (nbits & 7))) - 1, 8 - (nbits & 7));
+    while (nbits >= 32) flush32();
+    while (nbits >= 8) {
+      const uint8_t b = static_cast<uint8_t>(acc >> 56);
+      put_byte(b);
+      if (b == 0xFF) put_byte(0x00);
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
+};
+
+inline int bit_length(int v) {  // category of |v| (v >= 0)
+  return v ? 32 - __builtin_clz(static_cast<unsigned>(v)) : 0;
+}
+
+// Row-byte -> zigzag-position-mask tables: row r's non-zero byte mask b
+// contributes RowZig[r][b] to the block's zigzag non-zero bitmask. Eight
+// cache-resident lookups replace a 64-iteration gather+mask loop.
+struct RowZigTables {
+  uint64_t t[8][256];
+
+  RowZigTables() {
+    int nat2zig[64];
+    for (int k = 0; k < 64; ++k) nat2zig[kZigzag[k]] = k;
+    for (int r = 0; r < 8; ++r) {
+      for (int b = 0; b < 256; ++b) {
+        uint64_t m = 0;
+        for (int i = 0; i < 8; ++i)
+          if (b & (1 << i)) m |= 1ull << nat2zig[r * 8 + i];
+        t[r][b] = m;
+      }
+    }
+  }
+};
+const RowZigTables kRowZig;
+
+struct CompSpec {
+  const int16_t* coef;
+  int bw;  // plane width in blocks (MCU-aligned)
+  int h, v;
+  int dc_tbl, ac_tbl;  // 0 = luma tables, 1 = chroma tables
+  int pred;
+};
+
+void encode_block(BitWriter& bw, const int16_t* blk, int stride,
+                  const EncTable& dct, const EncTable& act, int& pred) {
+  // Stage the block contiguously and build the zigzag-order non-zero
+  // bitmask: SIMD zero-compare per row + the RowZig lookup tables. The
+  // emit loop then visits only set bits instead of scanning all 63 AC
+  // slots (typical blocks have ~10 non-zeros).
+  int16_t nat[64];
+  uint64_t nzmask = 0;
+#if defined(__SSE2__)
+  const __m128i zero = _mm_setzero_si128();
+  for (int r = 0; r < 8; ++r) {
+    const __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(
+        blk + static_cast<size_t>(r) * stride));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(nat + r * 8), v);
+    // movemask gives 2 bits per int16 lane (set where the lane is 0);
+    // invert and compact the even bits into a per-row non-zero byte.
+    uint32_t mm = ~static_cast<uint32_t>(
+        _mm_movemask_epi8(_mm_cmpeq_epi16(v, zero))) & 0xFFFFu;
+    mm &= 0x5555u;
+    mm = (mm | (mm >> 1)) & 0x3333u;
+    mm = (mm | (mm >> 2)) & 0x0F0Fu;
+    mm = (mm | (mm >> 4)) & 0x00FFu;
+    nzmask |= kRowZig.t[r][mm];
+  }
+#else
+  for (int r = 0; r < 8; ++r) {
+    memcpy(nat + r * 8, blk + static_cast<size_t>(r) * stride,
+           8 * sizeof(int16_t));
+    uint32_t mm = 0;
+    for (int i = 0; i < 8; ++i)
+      mm |= static_cast<uint32_t>(nat[r * 8 + i] != 0) << i;
+    nzmask |= kRowZig.t[r][mm];
+  }
+#endif
+  // DC: category code + extend bits of the prediction difference,
+  // fused into one bit write.
+  // Branchless sign handling (F.1.2.1): for negative v the appended
+  // bits are (v - 1) mod 2^s; (v + sign) ^ sign is |v|, (v + sign) is
+  // the bits field for both signs.
+  const int diff = nat[0] - pred;
+  pred = nat[0];
+  const int dsign = diff >> 31;
+  int s = bit_length((diff + dsign) ^ dsign);
+  uint32_t bits = static_cast<uint32_t>(diff + dsign) & ((1u << s) - 1);
+  {
+    const uint32_t de = dct.e[s];
+    bw.put_bits(((de & 0xFFFFF) << s) | bits, static_cast<int>(de >> 20) + s);
+  }
+  // AC: iterate set bits; runs of zeros come from bit-position gaps.
+  uint64_t m = nzmask & ~1ull;
+  int prev = 0;
+  while (m) {
+    const int k = __builtin_ctzll(m);
+    m &= m - 1;
+    int run = k - prev - 1;
+    prev = k;
+    while (run > 15) {
+      bw.put_bits(act.code(0xF0), act.size(0xF0));  // ZRL
+      run -= 16;
+    }
+    const int v = nat[kZigzag[k]];
+    const int vsign = v >> 31;
+    s = bit_length((v + vsign) ^ vsign);
+    const int rs = (run << 4) | s;
+    bits = static_cast<uint32_t>(v + vsign) & ((1u << s) - 1);
+    const uint32_t ae = act.e[rs];
+    bw.put_bits(((ae & 0xFFFFF) << s) | bits, static_cast<int>(ae >> 20) + s);
+  }
+  if (prev != 63) bw.put_bits(act.code(0x00), act.size(0x00));  // EOB
+}
+
+void emit_marker_segment(BitWriter& bw, uint8_t marker, const uint8_t* body,
+                         int body_len) {
+  bw.put_byte(0xFF);
+  bw.put_byte(marker);
+  const int seglen = body_len + 2;
+  bw.put_byte(static_cast<uint8_t>(seglen >> 8));
+  bw.put_byte(static_cast<uint8_t>(seglen & 0xFF));
+  for (int i = 0; i < body_len; ++i) bw.put_byte(body[i]);
+}
+
+void emit_dht(BitWriter& bw, int tc, int th, const uint8_t* bits,
+              const uint8_t* vals) {
+  int nv = 0;
+  for (int l = 1; l <= 16; ++l) nv += bits[l];
+  uint8_t body[1 + 16 + 256];
+  body[0] = static_cast<uint8_t>((tc << 4) | th);
+  memcpy(body + 1, bits + 1, 16);
+  memcpy(body + 17, vals, static_cast<size_t>(nv));
+  emit_marker_segment(bw, 0xC4, body, 17 + nv);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Emit a complete baseline JFIF stream from quantized coefficient
+// planes (natural order, spatial block layout, MCU-aligned dims) and
+// per-component quant tables (natural order). ncomp is 1 (grayscale)
+// or 3 (YCbCr, sampling given per component; chroma must be 1x1 and
+// share qtab[1]). Returns the byte count written, or a negative error.
+long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
+                  const int16_t* coef2, const uint16_t* qtab /* 2*64 */,
+                  int img_w, int img_h, int ncomp, int h0, int v0,
+                  uint8_t* out, size_t out_cap) {
+  if (img_w <= 0 || img_h <= 0) return -1;
+  if (ncomp != 1 && ncomp != 3) return -2;
+  if (h0 < 1 || h0 > 2 || v0 < 1 || v0 > 2) return -3;
+  const int hmax = (ncomp == 1) ? 1 : h0;
+  const int vmax = (ncomp == 1) ? 1 : v0;
+  const int mcus_x = (img_w + hmax * 8 - 1) / (hmax * 8);
+  const int mcus_y = (img_h + vmax * 8 - 1) / (vmax * 8);
+
+  BitWriter bw{out, out_cap};
+  // SOI + JFIF APP0
+  bw.put_byte(0xFF);
+  bw.put_byte(0xD8);
+  const uint8_t app0[] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
+  emit_marker_segment(bw, 0xE0, app0, sizeof(app0));
+
+  // DQT (zigzag order in the stream)
+  const int ntab = (ncomp == 1) ? 1 : 2;
+  for (int t = 0; t < ntab; ++t) {
+    uint8_t body[65];
+    body[0] = static_cast<uint8_t>(t);
+    for (int k = 0; k < 64; ++k) {
+      const int q = qtab[t * 64 + kZigzag[k]];
+      body[1 + k] = static_cast<uint8_t>(q > 255 ? 255 : (q < 1 ? 1 : q));
+    }
+    emit_marker_segment(bw, 0xDB, body, 65);
+  }
+
+  // SOF0
+  {
+    uint8_t body[2 + 1 + 4 + 3 * 3];
+    int o = 0;
+    body[o++] = 8;  // precision
+    body[o++] = static_cast<uint8_t>(img_h >> 8);
+    body[o++] = static_cast<uint8_t>(img_h & 0xFF);
+    body[o++] = static_cast<uint8_t>(img_w >> 8);
+    body[o++] = static_cast<uint8_t>(img_w & 0xFF);
+    body[o++] = static_cast<uint8_t>(ncomp);
+    for (int c = 0; c < ncomp; ++c) {
+      body[o++] = static_cast<uint8_t>(c + 1);
+      const int hh = (c == 0) ? h0 : 1;
+      const int vv = (c == 0) ? v0 : 1;
+      body[o++] = static_cast<uint8_t>((hh << 4) | vv);
+      body[o++] = static_cast<uint8_t>(c == 0 ? 0 : 1);
+    }
+    emit_marker_segment(bw, 0xC0, body, o);
+  }
+
+  // DHT: luma DC/AC always; chroma DC/AC for color.
+  emit_dht(bw, 0, 0, kDcLumBits, kDcLumVals);
+  emit_dht(bw, 1, 0, kAcLumBits, kAcLumVals);
+  if (ncomp == 3) {
+    emit_dht(bw, 0, 1, kDcChrBits, kDcChrVals);
+    emit_dht(bw, 1, 1, kAcChrBits, kAcChrVals);
+  }
+
+  // SOS
+  {
+    uint8_t body[1 + 3 * 2 + 3];
+    int o = 0;
+    body[o++] = static_cast<uint8_t>(ncomp);
+    for (int c = 0; c < ncomp; ++c) {
+      body[o++] = static_cast<uint8_t>(c + 1);
+      body[o++] = static_cast<uint8_t>(c == 0 ? 0x00 : 0x11);
+    }
+    body[o++] = 0;     // Ss
+    body[o++] = 63;    // Se
+    body[o++] = 0;     // Ah/Al
+    emit_marker_segment(bw, 0xDA, body, o);
+  }
+
+  EncTable dc_l, ac_l, dc_c, ac_c;
+  dc_l.build(kDcLumBits, kDcLumVals, 12);
+  ac_l.build(kAcLumBits, kAcLumVals, 162);
+  dc_c.build(kDcChrBits, kDcChrVals, 12);
+  ac_c.build(kAcChrBits, kAcChrVals, 162);
+
+  CompSpec comp[3];
+  const int16_t* planes[3] = {coef0, coef1, coef2};
+  for (int c = 0; c < ncomp; ++c) {
+    comp[c].coef = planes[c];
+    if (planes[c] == nullptr) return -4;
+    comp[c].h = (c == 0) ? h0 : 1;
+    comp[c].v = (c == 0) ? v0 : 1;
+    comp[c].bw = mcus_x * comp[c].h;
+    comp[c].pred = 0;
+  }
+  if (ncomp == 1) {
+    comp[0].h = comp[0].v = 1;
+    comp[0].bw = mcus_x;
+  }
+
+  for (int my = 0; my < mcus_y; ++my) {
+    for (int mx = 0; mx < mcus_x; ++mx) {
+      for (int c = 0; c < ncomp; ++c) {
+        CompSpec& cc = comp[c];
+        const EncTable& dct = (c == 0) ? dc_l : dc_c;
+        const EncTable& act = (c == 0) ? ac_l : ac_c;
+        const int stride = cc.bw * 8;
+        for (int v = 0; v < cc.v; ++v) {
+          for (int h = 0; h < cc.h; ++h) {
+            const int bx = mx * cc.h + h;
+            const int by = my * cc.v + v;
+            const int16_t* blk = cc.coef
+                + static_cast<size_t>(by) * 8 * stride
+                + static_cast<size_t>(bx) * 8;
+            encode_block(bw, blk, stride, dct, act, cc.pred);
+          }
+        }
+      }
+    }
+  }
+  bw.flush_scan();
+  bw.put_byte(0xFF);
+  bw.put_byte(0xD9);  // EOI
+  if (bw.overflow) return -5;
+  return static_cast<long>(bw.pos);
+}
+
+}  // extern "C"
