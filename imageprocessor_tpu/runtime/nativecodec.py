@@ -45,8 +45,8 @@ def _build() -> bool:
     for extra in (["-march=native"], []):
         try:
             subprocess.run(
-                ["g++", "-O3", *extra, "-shared", "-fPIC", *srcs,
-                 "-o", str(_LIB), "-ljpeg"],
+                ["g++", "-O3", *extra, "-shared", "-fPIC", "-pthread",
+                 *srcs, "-o", str(_LIB), "-ljpeg"],
                 check=True, capture_output=True, timeout=120)
             return True
         except (subprocess.SubprocessError, OSError):
@@ -114,13 +114,17 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_char_p, ctypes.c_size_t,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             lib.ip_jpeg_scan_coefs.restype = ctypes.c_int
+            lib.ip_jpeg_scan_coefs_mt.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.ip_jpeg_scan_coefs_mt.restype = ctypes.c_int
             lib.ip_jpeg_scan_qtabs.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
             lib.ip_jpeg_scan_qtabs.restype = ctypes.c_int
             lib.ip_jpeg_emit.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_size_t]
             lib.ip_jpeg_emit.restype = ctypes.c_long
         except AttributeError:  # pragma: no cover — stale .so
@@ -254,7 +258,7 @@ def read_jpeg_coefficients(data: bytes):
             (iw.value, ih.value), sampling)
 
 
-def scan_jpeg_coefficients(data: bytes):
+def scan_jpeg_coefficients(data: bytes, threads: int = 0):
     """Streaming entropy decode (native/jpeg_scan.cpp): ONE pass, no
     intermediate buffering — the fast host half of TPU-side JPEG decode.
 
@@ -284,11 +288,20 @@ def scan_jpeg_coefficients(data: bytes):
               for c in range(n)]
     while len(planes) < 3:
         planes.append(np.zeros((8, 8), dtype=np.int16))
-    rc = lib.ip_jpeg_scan_coefs(
-        data, len(data),
-        planes[0].ctypes.data_as(ctypes.c_void_p),
-        planes[1].ctypes.data_as(ctypes.c_void_p),
-        planes[2].ctypes.data_as(ctypes.c_void_p))
+    if threads and threads > 1:
+        # Streams with restart markers decode their segments in
+        # parallel; others transparently use the sequential path.
+        rc = lib.ip_jpeg_scan_coefs_mt(
+            data, len(data), int(threads),
+            planes[0].ctypes.data_as(ctypes.c_void_p),
+            planes[1].ctypes.data_as(ctypes.c_void_p),
+            planes[2].ctypes.data_as(ctypes.c_void_p))
+    else:
+        rc = lib.ip_jpeg_scan_coefs(
+            data, len(data),
+            planes[0].ctypes.data_as(ctypes.c_void_p),
+            planes[1].ctypes.data_as(ctypes.c_void_p),
+            planes[2].ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         raise NativeCodecError(f"scan coefs failed (rc={rc})")
     qt = np.zeros((3, 64), dtype=np.uint16)
@@ -302,7 +315,8 @@ def scan_jpeg_coefficients(data: bytes):
 
 
 def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
-                                sampling=(2, 2)) -> bytes:
+                                sampling=(2, 2),
+                                restart_interval: int = 0) -> bytes:
     """Entropy-encode quantized coefficient planes into a baseline JFIF
     stream (native/jpeg_emit.cpp, Annex K Huffman tables) — the host
     half of TPU-side JPEG encode.
@@ -311,7 +325,10 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     MCU-aligned dims (luma (ceil(h/8v0)*8v0, ceil(w/8h0)*8h0); chroma
     divided by the sampling factors). qtabs: (ncomp, 8, 8) or (ncomp, 64)
     quant tables in natural order (chroma components share qtabs[1]).
-    sampling: luma (h0, v0); chroma is always 1x1.
+    sampling: luma (h0, v0); chroma is always 1x1. restart_interval > 0
+    emits DRI + RSTn markers every that many MCUs, which lets decoders
+    (including scan_jpeg_coefficients) split the entropy pass across
+    cores.
     """
     lib = _load()
     if lib is None or not hasattr(lib, "ip_jpeg_emit"):
@@ -350,7 +367,7 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
         arrs[1].ctypes.data_as(ctypes.c_void_p),
         arrs[2].ctypes.data_as(ctypes.c_void_p),
         qt2.ctypes.data_as(ctypes.c_void_p),
-        img_w, img_h, ncomp, h0, v0,
+        img_w, img_h, ncomp, h0, v0, int(restart_interval),
         out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise NativeCodecError(f"jpeg emit failed (rc={n})")

@@ -288,10 +288,11 @@ extern "C" {
 long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
                   const int16_t* coef2, const uint16_t* qtab /* 2*64 */,
                   int img_w, int img_h, int ncomp, int h0, int v0,
-                  uint8_t* out, size_t out_cap) {
+                  int restart_interval, uint8_t* out, size_t out_cap) {
   if (img_w <= 0 || img_h <= 0) return -1;
   if (ncomp != 1 && ncomp != 3) return -2;
   if (h0 < 1 || h0 > 2 || v0 < 1 || v0 > 2) return -3;
+  if (restart_interval < 0 || restart_interval > 65535) return -6;
   const int hmax = (ncomp == 1) ? 1 : h0;
   const int vmax = (ncomp == 1) ? 1 : v0;
   const int mcus_x = (img_w + hmax * 8 - 1) / (hmax * 8);
@@ -314,6 +315,14 @@ long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
       body[1 + k] = static_cast<uint8_t>(q > 255 ? 255 : (q < 1 ? 1 : q));
     }
     emit_marker_segment(bw, 0xDB, body, 65);
+  }
+
+  // DRI
+  if (restart_interval > 0) {
+    const uint8_t dri[2] = {
+        static_cast<uint8_t>(restart_interval >> 8),
+        static_cast<uint8_t>(restart_interval & 0xFF)};
+    emit_marker_segment(bw, 0xDD, dri, 2);
   }
 
   // SOF0
@@ -380,6 +389,9 @@ long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
     comp[0].bw = mcus_x;
   }
 
+  int mcus_until_restart =
+      restart_interval ? restart_interval : mcus_x * mcus_y + 1;
+  int next_rst = 0;
   for (int my = 0; my < mcus_y; ++my) {
     for (int mx = 0; mx < mcus_x; ++mx) {
       for (int c = 0; c < ncomp; ++c) {
@@ -397,6 +409,15 @@ long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
             encode_block(bw, blk, stride, dct, act, cc.pred);
           }
         }
+      }
+      if (--mcus_until_restart == 0
+          && !(my == mcus_y - 1 && mx == mcus_x - 1)) {
+        bw.flush_scan();  // byte-align with 1-padding
+        bw.put_byte(0xFF);
+        bw.put_byte(static_cast<uint8_t>(0xD0 + next_rst));
+        next_rst = (next_rst + 1) & 7;
+        for (int c = 0; c < ncomp; ++c) comp[c].pred = 0;
+        mcus_until_restart = restart_interval;
       }
     }
   }

@@ -19,6 +19,9 @@
 #include <cstdint>
 #include <cstring>
 
+#include <thread>
+#include <vector>
+
 namespace {
 
 constexpr int kZigzag[64] = {
@@ -351,6 +354,33 @@ struct Decoder {
     return 0;
   }
 
+  // Decode MCUs [mcu_begin, mcu_end) from a BitReader positioned at the
+  // segment start (no restart markers inside the range). Predictors
+  // must already be reset by the caller.
+  int decode_mcu_range(BitReader& br, int mcu_begin, int mcu_end) {
+    const int mcus_x = (width + hmax * 8 - 1) / (hmax * 8);
+    for (int m = mcu_begin; m < mcu_end; ++m) {
+      const int my = m / mcus_x;
+      const int mx = m % mcus_x;
+      for (int c = 0; c < ncomp; ++c) {
+        Component& cc = comp[c];
+        for (int v = 0; v < cc.v; ++v) {
+          for (int h = 0; h < cc.h; ++h) {
+            const int bx = mx * cc.h + h;
+            const int by = my * cc.v + v;
+            const int stride = cc.bw * 8;
+            int16_t* out = cc.out
+                + static_cast<size_t>(by) * 8 * stride
+                + static_cast<size_t>(bx) * 8;
+            int rc = decode_block(br, cc, out);
+            if (rc != 0) return rc;
+          }
+        }
+      }
+    }
+    return 0;
+  }
+
   int decode_scan() {
     const int mcus_x = (width + hmax * 8 - 1) / (hmax * 8);
     const int mcus_y = (height + vmax * 8 - 1) / (vmax * 8);
@@ -452,6 +482,85 @@ int ip_jpeg_scan_coefs(const uint8_t* data, size_t len,
     if (outs[c] == nullptr) return 40;
   }
   return d.decode_scan();
+}
+
+// Multithreaded streaming entropy decode. The stream must carry restart
+// markers (DRI > 0) — each restart segment's entropy data is fully
+// independent (byte-aligned start, predictors reset), so segments decode
+// in parallel with no synchronization beyond the join; every segment
+// writes a disjoint set of output blocks. Falls back to the sequential
+// path when the stream has no restarts or nthreads <= 1.
+int ip_jpeg_scan_coefs_mt(const uint8_t* data, size_t len, int nthreads,
+                          int16_t* coef0, int16_t* coef1, int16_t* coef2) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  const int mcus_x = (d.width + d.hmax * 8 - 1) / (d.hmax * 8);
+  const int mcus_y = (d.height + d.vmax * 8 - 1) / (d.vmax * 8);
+  const int total = mcus_x * mcus_y;
+  int16_t* outs[3] = {coef0, coef1, coef2};
+  for (int c = 0; c < d.ncomp; ++c) {
+    d.comp[c].out = outs[c];
+    d.comp[c].bw = mcus_x * d.comp[c].h;
+    d.comp[c].build_zigoff();
+    if (outs[c] == nullptr) return 40;
+  }
+  const int ri = d.restart_interval;
+  if (ri <= 0 || nthreads <= 1) return d.decode_scan();
+
+  // Segment k starts at offset[k] and covers MCUs [k*ri, ...). Offsets
+  // come from a raw byte scan for RSTn markers: inside entropy data a
+  // 0xFF is either stuffed (0x00 follows) or starts a marker, so the
+  // scan cannot false-positive.
+  const int nseg = (total + ri - 1) / ri;
+  std::vector<size_t> seg_off;
+  seg_off.reserve(static_cast<size_t>(nseg));
+  seg_off.push_back(d.pos);
+  for (size_t i = d.pos; i + 1 < len
+       && seg_off.size() < static_cast<size_t>(nseg); ++i) {
+    if (data[i] == 0xFF) {
+      const uint8_t m = data[i + 1];
+      if (m >= 0xD0 && m <= 0xD7) {
+        seg_off.push_back(i + 2);
+        ++i;
+      } else if (m != 0x00 && m != 0xFF) {
+        break;  // EOI or another marker: no more segments
+      }
+    }
+  }
+  if (seg_off.size() != static_cast<size_t>(nseg)) return d.decode_scan();
+
+  int T = nthreads;
+  const int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw > 0 && T > hw) T = hw;
+  if (T > nseg) T = nseg;
+  if (T <= 1) return d.decode_scan();
+
+  std::vector<int> rcs(static_cast<size_t>(T), 0);
+  std::vector<std::thread> threads;
+  threads.reserve(static_cast<size_t>(T));
+  for (int t = 0; t < T; ++t) {
+    threads.emplace_back([&, t]() {
+      // Each worker gets its own Decoder copy (tables are a few KB) so
+      // per-component DC predictors are thread-local.
+      Decoder local = d;
+      for (int k = t; k < nseg; k += T) {
+        for (int c = 0; c < local.ncomp; ++c) local.comp[c].pred = 0;
+        BitReader br{data + seg_off[static_cast<size_t>(k)], data + len};
+        const int begin = k * ri;
+        const int end = begin + ri < total ? begin + ri : total;
+        int r = local.decode_mcu_range(br, begin, end);
+        if (r != 0) {
+          rcs[static_cast<size_t>(t)] = r;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < T; ++t)
+    if (rcs[static_cast<size_t>(t)] != 0) return rcs[static_cast<size_t>(t)];
+  return 0;
 }
 
 }  // extern "C"

@@ -136,6 +136,45 @@ def test_quality_qtables_match_ijg_scaling():
     assert (quality_qtables(90) <= quality_qtables(60)).all()
 
 
+@pytest.mark.parametrize("interval", [1, 7, 64])
+def test_emit_restart_intervals_roundtrip(interval):
+    """DRI/RSTn emission: scan round-trips bit-exactly and external
+    decoders accept the stream."""
+    jpeg = pil_jpeg(photo(121, 165), quality=85)
+    planes, qt, dims, samp = nc.scan_jpeg_coefficients(jpeg)
+    out = nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
+                                         samp[0], restart_interval=interval)
+    assert b"\xff\xdd" in out[:2048]  # DRI present
+    p2, _, d2, _ = nc.scan_jpeg_coefficients(out)
+    assert d2 == dims
+    for c in range(3):
+        np.testing.assert_array_equal(planes[c], p2[c])
+    a = np.asarray(PILImage.open(io.BytesIO(jpeg)).convert("RGB"))
+    b = np.asarray(PILImage.open(io.BytesIO(out)).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("threads", [2, 4])
+def test_parallel_scan_of_restart_stream(threads):
+    """Restart segments decode independently across threads."""
+    jpeg = pil_jpeg(photo(200, 260), quality=88)
+    planes, qt, dims, samp = nc.scan_jpeg_coefficients(jpeg)
+    rst = nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
+                                         samp[0], restart_interval=3)
+    pmt, _, dmt, _ = nc.scan_jpeg_coefficients(rst, threads=threads)
+    assert dmt == dims
+    for c in range(3):
+        np.testing.assert_array_equal(planes[c], pmt[c])
+
+
+def test_parallel_scan_falls_back_without_restarts():
+    jpeg = pil_jpeg(photo(100, 140), quality=85)
+    seq = nc.scan_jpeg_coefficients(jpeg)
+    mt = nc.scan_jpeg_coefficients(jpeg, threads=8)
+    for a, b in zip(seq[0], mt[0]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_emit_rejects_bad_inputs():
     with pytest.raises(nc.NativeCodecError):
         nc.emit_jpeg_from_coefficients(
