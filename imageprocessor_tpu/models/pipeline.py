@@ -369,8 +369,7 @@ class PipelineModel:
             return None, None
         arrays = tuple(jnp.asarray(v) for v in (
             fargs.band_starts, fargs.r_lo, fargs.t_lo,
-            fargs.r_rows0, fargs.r_rows1, fargs.r_rowf,
-            fargs.t_rows0, fargs.t_rows1, fargs.t_rowf,
+            fargs.rows0, fargs.rows1, fargs.rowf,
             fargs.r_colbs, fargs.r_cols0, fargs.r_cols1, fargs.r_colf,
             fargs.t_colbs, fargs.t_cols0, fargs.t_cols1, fargs.t_colf))
         return (i_t, i_r, fplan), arrays
@@ -525,8 +524,7 @@ class PipelineModel:
                 else:
                     fused_arrays = tuple(jnp.asarray(v) for v in (
                         fargs.band_starts, fargs.r_lo, fargs.t_lo,
-                        fargs.r_rows0, fargs.r_rows1, fargs.r_rowf,
-                        fargs.t_rows0, fargs.t_rows1, fargs.t_rowf,
+                        fargs.rows0, fargs.rows1, fargs.rowf,
                         fargs.r_colbs, fargs.r_cols0, fargs.r_cols1,
                         fargs.r_colf, fargs.t_colbs, fargs.t_cols0,
                         fargs.t_cols1, fargs.t_colf))

@@ -8,9 +8,15 @@ computes every output row — of BOTH artifacts — whose bilinear support
 lives in that band.
 
 Mechanics:
-* Output blocks are VMEM-resident across the whole band sweep (their
-  BlockSpec index is constant in the band axis), flushed once per (b, c).
-* Each band writes a fixed-size chunk of M output rows starting at an
+* The vertical pass of BOTH outputs runs as ONE one-hot matmul per band
+  (their row counts sit well under the MXU's 128 rows), accumulating
+  into full-height VMEM scratch; the horizontal pass then runs once per
+  (b, c) at the last band, where its weight tiles amortize over the
+  whole image instead of a 48-row band chunk (per-band horizontal
+  matmuls were MXU weight-load-bound — measured 2x the step time).
+* Horizontal one-hot weights are built once per image into scratch;
+  band data is cast u8->i16->bf16 (no direct u8->float on Mosaic).
+* Each band writes a fixed-size chunk of M vertical-scratch rows at an
   8-aligned offset (Mosaic dynamic-store alignment). Chunks of adjacent
   bands overlap; trailing rows of a chunk whose sources lie beyond the
   band hold garbage, but the NEXT band rewrites them correctly — grid
@@ -30,6 +36,7 @@ same float64 oracle.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -65,6 +72,7 @@ class FusedPlan:
     t_rows: int          # M_t
     t_col_band: int
     compute_dtype: str = "bfloat16"
+    nbuf: int = 6        # band DMA pipeline depth (outstanding copies)
 
     @property
     def n_bands(self) -> int:
@@ -84,12 +92,9 @@ class FusedArgs:
     band_starts: np.ndarray   # (B*NB,) int32, 8-aligned
     r_lo: np.ndarray          # (B*NB,) int32, 8-aligned write offsets
     t_lo: np.ndarray          # (B*NB,) int32
-    r_rows0: np.ndarray       # (B*NB, 1, M_r) band-relative y0
-    r_rows1: np.ndarray
-    r_rowf: np.ndarray
-    t_rows0: np.ndarray       # (B*NB, 1, M_t)
-    t_rows1: np.ndarray
-    t_rowf: np.ndarray
+    rows0: np.ndarray         # (B*NB, 1, M_r+M_t) band-relative y0,
+    rows1: np.ndarray         # resize rows first, thumbnail rows after
+    rowf: np.ndarray          # (combined vertical one-hot matmul)
     r_colbs: np.ndarray       # (B, K_r)
     r_cols0: np.ndarray       # (B*K_r, 1, 128)
     r_cols1: np.ndarray
@@ -108,10 +113,20 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
                     max_scale_w_r: float, max_scale_w_t: float,
                     compute_dtype: str = "bfloat16") -> FusedPlan:
     dt = 2 if compute_dtype == "bfloat16" else 4
+    # Pipeline depth: nbuf-1 band copies stay in flight while a band is
+    # being consumed. 6 wins on v5e (measured 2:6247, 3:6230, 6:6888,
+    # 8:6608 img/s): the deep queue absorbs the once-per-image horizontal
+    # burst at the last band without starving the DMA engine.
+    nbuf = int(os.environ.get("IMAGEPROCESSOR_FUSED_NBUF", "6"))
+    nbuf = max(2, min(nbuf, 8))
     # Write offsets are floor-8-aligned in OUTPUT rows, which shifts a
     # band's first needed source row down by up to 7*scale for EACH
     # output — slack must cover the larger scale (the thumbnail's).
     slack = int(np.ceil(8 * max(max_scale_r, max_scale_t))) + 24
+    cband_r = min(_round_up(int(np.ceil(128 * max_scale_w_r)) + 132, 128),
+                  src_w)
+    cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
+                  src_w)
     # 512 wins empirically: larger bands (768+) reduce DMA count but hurt
     # prefetch granularity (1.18 -> 1.37 ms/batch measured at 768).
     own = 64
@@ -119,21 +134,19 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
         band = min(_round_up(cand + slack, 8), src_h)
         m_r = _round_up(int(np.ceil(cand / max(min_scale_r, 1e-6))) + 10, 8)
         m_t = _round_up(int(np.ceil(cand / max(min_scale_t, 1e-6))) + 10, 8)
-        vmem = (2 * band * src_w                # double-buffered u8 bands
-                + m_r * src_w * dt              # resize vband
-                + m_t * src_w * dt              # thumb vband
+        vmem = (nbuf * band * src_w             # pipelined u8 bands
+                + (_round_up(r_out_h, 8) + m_r) * src_w * dt   # vband r
+                + (_round_up(t_out, 8) + m_t) * src_w * dt     # vband t
                 + (r_out_h + m_r) * _round_up(r_out_w, 128)
-                + (t_out + m_t) * _round_up(t_out, 128))
-        if vmem <= 11 * 1024 * 1024:
+                + (t_out + m_t) * _round_up(t_out, 128)
+                + (_round_up(r_out_w, 128) // 128) * cband_r * 128 * dt
+                + (_round_up(t_out, 128) // 128) * cband_t * 128 * dt)
+        if vmem <= 48 * 1024 * 1024:
             own = cand
             break
     band = min(_round_up(own + slack, 8), src_h)
     m_r = _round_up(int(np.ceil(own / max(min_scale_r, 1e-6))) + 10, 8)
     m_t = _round_up(int(np.ceil(own / max(min_scale_t, 1e-6))) + 10, 8)
-    cband_r = min(_round_up(int(np.ceil(128 * max_scale_w_r)) + 132, 128),
-                  src_w)
-    cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
-                  src_w)
     return FusedPlan(batch=batch, channels=3, src_h=src_h, src_w=src_w,
                      own_rows=own, band_rows=band,
                      r_out_h=_round_up(r_out_h, 8),
@@ -141,7 +154,8 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
                      r_col_band=cband_r,
                      t_size=t_out, t_out=_round_up(t_out, 8),
                      t_out_w=_round_up(t_out, 128), t_rows=m_t,
-                     t_col_band=cband_t, compute_dtype=compute_dtype)
+                     t_col_band=cband_t, compute_dtype=compute_dtype,
+                     nbuf=nbuf)
 
 
 def _band_rows_args(plan: FusedPlan, out_len_pad: int, alloc_h: int,
@@ -285,12 +299,16 @@ def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
     t_colbs, t_cols0, t_cols1, t_colf = _col_args(
         plan.src_w, plan.t_col_band, plan.t_out_w, tc0, tc1, tcf)
 
+    # Both outputs' vertical one-hot passes share one MXU matmul: the
+    # row-index/fraction vectors are concatenated host-side so the kernel
+    # builds a single (band_rows, M_r+M_t) weight matrix.
     return FusedArgs(
         band_starts=starts.astype(np.int32).reshape(-1),
         r_lo=r_lo.astype(np.int32).reshape(-1),
         t_lo=t_lo.astype(np.int32).reshape(-1),
-        r_rows0=rr0, r_rows1=rr1, r_rowf=rrf,
-        t_rows0=tt0, t_rows1=tt1, t_rowf=ttf,
+        rows0=np.concatenate([rr0, tt0], axis=2),
+        rows1=np.concatenate([rr1, tt1], axis=2),
+        rowf=np.concatenate([rrf, ttf], axis=2),
         r_colbs=r_colbs, r_cols0=r_cols0, r_cols1=r_cols1, r_colf=r_colf,
         t_colbs=t_colbs, t_cols0=t_cols0, t_cols1=t_cols1, t_colf=t_colf,
         ok=ok)
@@ -309,26 +327,26 @@ def _kernel(plan: FusedPlan, interpret: bool):
 
     def kernel(starts_ref, rlo_ref, tlo_ref,           # scalar prefetch
                src_ref,
-               rr0_ref, rr1_ref, rrf_ref,
-               tt0_ref, tt1_ref, ttf_ref,
+               rows0_ref, rows1_ref, rowf_ref,
                rcbs_ref, rc0_ref, rc1_ref, rcf_ref,
                tcbs_ref, tc0_ref, tc1_ref, tcf_ref,
                out_r_ref, out_t_ref,
-               band2, vband_r, vband_t, sems):
+               band2, vband_r, vband_t, wcol_r, wcol_t, sems):
         b = pl.program_id(0)
         c = pl.program_id(1)
         j = pl.program_id(2)
         n_c = pl.num_programs(1)
         slot = b * nb + j
 
-        # Double-buffered band DMA: grid steps run sequentially, so the
-        # scratch persists and step g waits on the copy step g-1 started
-        # (classic pipeline, pallas guide §double-buffering). Bank is
-        # global-step parity; the prefetch targets the NEXT step's
-        # (b, c, band) coordinates.
+        # nbuf-deep band DMA pipeline: grid steps run sequentially, so
+        # the scratch persists; step g waits on its own copy while the
+        # copies for steps g+1..g+nbuf-1 stay in flight (pallas guide
+        # §double-buffering, generalized). The prefetch targets the
+        # NEXT steps' (b, c, band) coordinates across boundaries.
         g = (b * n_c + c) * nb + j
         total = plan.batch * n_c * nb
-        bank = jax.lax.rem(g, 2)
+        nbuf = plan.nbuf
+        bank = jax.lax.rem(g, nbuf)
 
         def dma_for(step, to_bank):
             nb_i = step // (n_c * nb)
@@ -340,55 +358,91 @@ def _kernel(plan: FusedPlan, interpret: bool):
                 src_ref.at[nb_i, nc_i, pl.ds(s, band_rows), :],
                 band2.at[to_bank], sems.at[to_bank])
 
+        # Warmup: fill the pipeline with the first nbuf-1 copies.
         @pl.when(g == 0)
         def _():
-            dma_for(g, bank).start()
+            for s in range(min(nbuf - 1, total)):  # static bounds
+                dma_for(g + s, jax.lax.rem(g + s, nbuf)).start()
 
         dma_for(g, bank).wait()
 
-        @pl.when(g + 1 < total)
+        @pl.when(g + nbuf - 1 < total)
         def _():
-            dma_for(g + 1, jax.lax.rem(g + 1, 2)).start()
+            dma_for(g + nbuf - 1, jax.lax.rem(g + nbuf - 1, nbuf)).start()
 
-        band_c = band2[bank].astype(jnp.int32).astype(cdtype)
+        # u8 -> i16 -> bf16: Mosaic has no direct u8->float cast; the
+        # i16 intermediate packs 2x denser on the VPU than i32.
+        band_c = band2[bank].astype(jnp.int16).astype(cdtype)
 
-        def resample(rows0_ref, rows1_ref, rowf_ref, m_rows, vband_ref,
-                     cbs_ref, c0_ref, c1_ref, cf_ref, kk, cband, out_ref,
-                     lo_ref):
-            r0 = rows0_ref[slot]
-            r1 = rows1_ref[slot]
-            rf = rowf_ref[slot]
-            iota_r = jax.lax.broadcasted_iota(jnp.int32,
-                                              (band_rows, m_rows), 0)
-            wr = (jnp.where(iota_r == r0, 1.0 - rf, 0.0)
-                  + jnp.where(iota_r == r1, rf, 0.0)).astype(cdtype)
-            vband_ref[:] = jax.lax.dot_general(
-                wr, band_c, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(cdtype)
-            lo = aligned(lo_ref[slot], 8)
+        # Vertical pass for BOTH outputs in one matmul: each output's
+        # row count is well under the MXU's 128 rows, so running them
+        # separately wasted over half the array; the concatenated
+        # (band_rows, M_r+M_t) one-hot weight fills it in one shot.
+        m_cat = plan.r_rows + plan.t_rows
+        r0 = rows0_ref[slot]
+        r1 = rows1_ref[slot]
+        rfc = rowf_ref[slot]
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (band_rows, m_cat), 0)
+        wr = (jnp.where(iota_v == r0, 1.0 - rfc, 0.0)
+              + jnp.where(iota_v == r1, rfc, 0.0)).astype(cdtype)
+        vcat = jax.lax.dot_general(
+            wr, band_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdtype)
+        # Accumulate each band's vertical result into a FULL-HEIGHT
+        # scratch at its output-row offset. The horizontal pass then runs
+        # once per (b, c) on the whole image instead of once per band:
+        # with only ~48 rows per band every weight tile did a single MXU
+        # pass, so per-band horizontal matmuls were weight-load
+        # latency-bound (measured: they doubled the step time).
+        rlo = aligned(rlo_ref[slot], 8)
+        tlo = aligned(tlo_ref[slot], 8)
+        vband_r[pl.ds(rlo, plan.r_rows)] = vcat[:plan.r_rows]
+        vband_t[pl.ds(tlo, plan.t_rows)] = vcat[plan.r_rows:]
+
+        # Horizontal one-hot weights are identical for every (c, j) step
+        # of an image — build them ONCE per image into scratch instead of
+        # re-running the iota/where construction on all C*NB steps (the
+        # VPU build cost rivaled the matmuls themselves).
+        @pl.when((c == 0) & (j == 0))
+        def _build_col_weights():
+            for q in range(k_r):
+                i0 = rc0_ref[b * k_r + q]
+                i1 = rc1_ref[b * k_r + q]
+                f = rcf_ref[b * k_r + q]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (plan.r_col_band, ck), 0)
+                wcol_r[q] = (jnp.where(iota == i0, 1.0 - f, 0.0)
+                             + jnp.where(iota == i1, f, 0.0)).astype(cdtype)
+            for q in range(k_t):
+                i0 = tc0_ref[b * k_t + q]
+                i1 = tc1_ref[b * k_t + q]
+                f = tcf_ref[b * k_t + q]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (plan.t_col_band, ck), 0)
+                wcol_t[q] = (jnp.where(iota == i0, 1.0 - f, 0.0)
+                             + jnp.where(iota == i1, f, 0.0)).astype(cdtype)
+
+        def resample(vband_ref, wcol_ref, cbs_ref, kk, cband, out_ref):
             for q in range(kk):
                 if cband >= plan.src_w:
                     sub = vband_ref[:]   # full width: static slice
                 else:
                     cs = aligned(cbs_ref[b, q], 128)
                     sub = vband_ref[:, pl.ds(cs, cband)]
-                i0 = c0_ref[b * kk + q]
-                i1 = c1_ref[b * kk + q]
-                f = cf_ref[b * kk + q]
-                iota = jax.lax.broadcasted_iota(jnp.int32, (cband, ck), 0)
-                w = (jnp.where(iota == i0, 1.0 - f, 0.0)
-                     + jnp.where(iota == i1, f, 0.0)).astype(cdtype)
+                w = wcol_ref[q]
                 chunk = jnp.dot(sub, w, preferred_element_type=jnp.float32)
                 qv = jnp.clip(jnp.floor(chunk * (257.0 / 256.0)), 0.0, 255.0)
-                out_ref[0, 0, pl.ds(lo, m_rows), q * ck:(q + 1) * ck] = (
+                out_ref[0, 0, :, q * ck:(q + 1) * ck] = (
                     qv.astype(jnp.int32).astype(jnp.uint8))
 
-        resample(rr0_ref, rr1_ref, rrf_ref, plan.r_rows, vband_r,
-                 rcbs_ref, rc0_ref, rc1_ref, rcf_ref, k_r, plan.r_col_band,
-                 out_r_ref, rlo_ref)
-        resample(tt0_ref, tt1_ref, ttf_ref, plan.t_rows, vband_t,
-                 tcbs_ref, tc0_ref, tc1_ref, tcf_ref, k_t, plan.t_col_band,
-                 out_t_ref, tlo_ref)
+        # Horizontal pass once per (b, c), on the completed full-height
+        # vertical scratch (grid steps of one (b, c) run in order).
+        @pl.when(j == nb - 1)
+        def _horizontal():
+            resample(vband_r, wcol_r, rcbs_ref, k_r, plan.r_col_band,
+                     out_r_ref)
+            resample(vband_t, wcol_t, tcbs_ref, k_t, plan.t_col_band,
+                     out_t_ref)
 
     return kernel
 
@@ -401,7 +455,7 @@ def _build_call(plan: FusedPlan, interpret: bool):
         num_scalar_prefetch=3,
         grid=(plan.batch, plan.channels, plan.n_bands),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]      # src
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6         # row args
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3         # row args
         + [pl.BlockSpec(memory_space=pltpu.SMEM),             # r colbs
            pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -417,10 +471,12 @@ def _build_call(plan: FusedPlan, interpret: bool):
                          lambda b, c, j, *s: (b, c, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, plan.band_rows, plan.src_w), jnp.uint8),
-            pltpu.VMEM((plan.r_rows, plan.src_w), cdtype),
-            pltpu.VMEM((plan.t_rows, plan.src_w), cdtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((plan.nbuf, plan.band_rows, plan.src_w), jnp.uint8),
+            pltpu.VMEM((plan.r_alloc_h, plan.src_w), cdtype),
+            pltpu.VMEM((plan.t_alloc_h, plan.src_w), cdtype),
+            pltpu.VMEM((plan.r_out_w // 128, plan.r_col_band, 128), cdtype),
+            pltpu.VMEM((plan.t_out_w // 128, plan.t_col_band, 128), cdtype),
+            pltpu.SemaphoreType.DMA((plan.nbuf,)),
         ],
     )
     return pl.pallas_call(
@@ -450,10 +506,8 @@ def fused_resample(src_chw_u8, plan: FusedPlan, args: FusedArgs,
         jnp.asarray(args.band_starts), jnp.asarray(args.r_lo),
         jnp.asarray(args.t_lo),
         src_chw_u8,
-        jnp.asarray(args.r_rows0), jnp.asarray(args.r_rows1),
-        jnp.asarray(args.r_rowf),
-        jnp.asarray(args.t_rows0), jnp.asarray(args.t_rows1),
-        jnp.asarray(args.t_rowf),
+        jnp.asarray(args.rows0), jnp.asarray(args.rows1),
+        jnp.asarray(args.rowf),
         jnp.asarray(args.r_colbs), jnp.asarray(args.r_cols0),
         jnp.asarray(args.r_cols1), jnp.asarray(args.r_colf),
         jnp.asarray(args.t_colbs), jnp.asarray(args.t_cols0),
