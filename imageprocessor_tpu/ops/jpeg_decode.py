@@ -103,6 +103,68 @@ def _decode_ycbcr(y_c, cb_c, cr_c, qt, shapes, sampling, out_h: int,
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
+@jax.jit
+def _idct_planes_batched(coefs_i16, qtabs_f32):
+    """(B, bh*8, bw*8) int16 quantized coefs + (B, 8, 8) per-image quant
+    tables -> float32 samples (level-shifted +128). Zero-padded blocks
+    decode to flat 128-gray, which stays inside the cropped region."""
+    b, hh, ww = coefs_i16.shape
+    bh, bw = hh // 8, ww // 8
+    d = jnp.asarray(_idct_basis())
+    x = coefs_i16.astype(jnp.float32).reshape(b, bh, 8, bw, 8)
+    x = x * qtabs_f32[:, None, :, None, :]
+    x = x.transpose(0, 1, 3, 2, 4).reshape(b, bh * bw, 8, 8)
+    x = jnp.einsum("ki,bnkl->bnil", d, x,
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum("bnil,lj->bnij", x, d,
+                   preferred_element_type=jnp.float32)
+    x = x.reshape(b, bh, bw, 8, 8).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, hh, ww) + 128.0
+
+
+def _clamp_extent(plane, valid_hw):
+    """Replicate each image's last valid row/col across the canvas
+    padding, batched — matches the plane-edge clamp the single-image
+    path gets for free (without it the triangular upsample's `next` tap
+    reads a zero-padded block at the image's chroma grid boundary)."""
+    bsz, h, w = plane.shape
+    iy = jnp.minimum(jnp.arange(h, dtype=jnp.int32)[None],
+                     valid_hw[:, :1] - 1)
+    plane = jnp.take_along_axis(plane, iy[:, :, None], axis=1,
+                                mode="promise_in_bounds")
+    ix = jnp.minimum(jnp.arange(w, dtype=jnp.int32)[None],
+                     valid_hw[:, 1:2] - 1)
+    return jnp.take_along_axis(plane, ix[:, None, :], axis=2,
+                               mode="promise_in_bounds")
+
+
+@jax.jit
+def batched_decode_ycbcr420(yc, cbc, crc, qtabs, chroma_valid):
+    """Batched TPU-side baseline 4:2:0 decode into a planar bucket.
+
+    yc: (B, Hb, Wb) int16 luma coefficient canvases (bucket-sized, zero
+    padded); cbc/crc: (B, Hb/2, Wb/2); qtabs: (B, 3, 8, 8) float32;
+    chroma_valid: (B, 2) int32 — each image's own chroma plane dims
+    (its MCU grid / 2), the clamp boundary for the upsample taps.
+    Returns planar (B, 3, Hb, Wb) uint8 — the exact canvas the engine's
+    CHW pipeline consumes, so the dense half of every JPEG decode (IDCT,
+    fancy chroma upsample, color convert) runs on the MXU/VPU and the
+    host keeps only the streaming entropy scan.
+    """
+    y = _idct_planes_batched(yc, qtabs[:, 0])
+    cb = _clamp_extent(_idct_planes_batched(cbc, qtabs[:, 1]), chroma_valid)
+    cr = _clamp_extent(_idct_planes_batched(crc, qtabs[:, 2]), chroma_valid)
+    # libjpeg fancy (triangular) 2x upsample; batched planes use
+    # axes (1, 2) of (B, h, w).
+    cb = _fancy_up2_axis(_fancy_up2_axis(cb, 1), 2) - 128.0
+    cr = _fancy_up2_axis(_fancy_up2_axis(cr, 1), 2) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    rgb = jnp.stack([r, g, bch], axis=1)  # (B, 3, H, W)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
 def decode_jpeg_device(data: bytes, pad_hw: tuple[int, int] | None = None):
     """Full TPU-side decode of one baseline JPEG: host entropy pass +
     device math. Returns planar (3, H, W) uint8 (padded if pad_hw given).

@@ -93,6 +93,27 @@ class Group:
         n = len(self.items)
         b = pad_batch_to or n
         src_hw = np.zeros((b, 2), dtype=np.int32)
+        if self.layout == "coef":
+            # items carry (y, cb, cr, qtabs) int16/float32 coefficient
+            # planes (each image's own MCU-aligned grid); pack them into
+            # bucket-sized canvases for the batched device IDCT.
+            yc = np.zeros((b, hb, wb), dtype=np.int16)
+            cbc = np.zeros((b, hb // 2, wb // 2), dtype=np.int16)
+            crc = np.zeros((b, hb // 2, wb // 2), dtype=np.int16)
+            qt = np.zeros((b, 3, 8, 8), dtype=np.float32)
+            qt[:, :, 0, 0] = 1.0  # benign tables for pad rows
+            cv = np.ones((b, 2), dtype=np.int32)  # chroma plane extents
+            for i, it in enumerate(self.items):
+                y, cb, cr, q = it.image
+                yc[i, :y.shape[0], :y.shape[1]] = y
+                cbc[i, :cb.shape[0], :cb.shape[1]] = cb
+                crc[i, :cr.shape[0], :cr.shape[1]] = cr
+                qt[i] = q
+                cv[i] = cb.shape
+                src_hw[i] = it.hw
+            for i in range(n, b):
+                src_hw[i] = src_hw[n - 1] if n else (1, 1)
+            return (yc, cbc, crc, qt, cv), src_hw
         if self.layout == "chw":
             imgs = np.zeros((b, 3, hb, wb), dtype=np.uint8)
             for i, it in enumerate(self.items):

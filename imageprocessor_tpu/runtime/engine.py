@@ -20,6 +20,7 @@ write the same metadata rows the reference writes (worker.go:202-214).
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -98,11 +99,24 @@ class ProcessingEngine:
     def __init__(self, object_store, *, codec_threads: int = 3,
                  batch_size: int = 32, jpeg_quality: int = DEFAULT_JPEG_QUALITY,
                  use_pallas: bool | None = None,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "bfloat16",
+                 device_jpeg: bool | None = None,
+                 pallas_interpret: bool = False):
         self.store = object_store
         self.model = PipelineModel(use_pallas=use_pallas,
+                                   pallas_interpret=pallas_interpret,
                                    resample_dtype=compute_dtype)
         self.batch_size = batch_size
+        # TPU-side JPEG decode: host keeps only the streaming entropy
+        # scan; IDCT + chroma upsample + color convert run batched on
+        # device (ops/jpeg_decode.batched_decode_ycbcr420). Off by
+        # default: byte-for-byte the coefficient canvases equal the
+        # pixel canvases, so the win is host CPU (scan 47 ms vs full
+        # planar decode 52 ms per 12 MP core), not transfer.
+        if device_jpeg is None:
+            device_jpeg = os.environ.get(
+                "IMAGEPROCESSOR_DEVICE_JPEG", "0") == "1"
+        self.device_jpeg = device_jpeg
         self.jpeg_quality = jpeg_quality
         self._pool = ThreadPoolExecutor(max_workers=max(codec_threads, 1),
                                         thread_name_prefix="codec")
@@ -198,6 +212,26 @@ class ProcessingEngine:
         copy); everything else decodes to HWC. Returns
         (array, detected_format, layout, valid_hw_or_None).
         """
+        if (plan is not None and self.device_jpeg
+                and nativecodec.available()
+                and detect_content_type(data[:512]) == "image/jpeg"
+                and all(op.type in BATCHABLE for op in plan)
+                and self.model.supports_planar(plan, (1, 1))):
+            try:
+                planes, qt, (w, h), samp = \
+                    nativecodec.scan_jpeg_coefficients(data)
+                bucket = bucket_for(h, w)
+                if (len(planes) == 3 and tuple(samp[0]) == (2, 2)
+                        and tuple(samp[1]) == (1, 1)
+                        and tuple(samp[2]) == (1, 1)
+                        and bucket[1] <= 6144
+                        and planes[0].shape[0] <= bucket[0]
+                        and planes[0].shape[1] <= bucket[1]):
+                    return ((planes[0], planes[1], planes[2],
+                             np.asarray(qt, dtype=np.float32)),
+                            "jpeg", "coef", (h, w))
+            except nativecodec.NativeCodecError:
+                pass  # progressive/exotic: fall through
         if (plan is not None and nativecodec.available()
                 and detect_content_type(data[:512]) == "image/jpeg"
                 and self.model.supports_planar(plan, (1, 1))):
@@ -344,6 +378,16 @@ class ProcessingEngine:
 
         specs = plan_output_specs(plan, group.bucket, aspect_long)
         layout = group.layout
+        if layout == "coef":
+            # Batched TPU-side JPEG decode straight into the planar
+            # bucket; the result is a device array, so the downstream
+            # program consumes it with no extra host round trip.
+            from imageprocessor_tpu.ops.jpeg_decode import (
+                batched_decode_ycbcr420,
+            )
+            yc, cbc, crc, qt, cv = imgs
+            imgs = batched_decode_ycbcr420(yc, cbc, crc, qt, cv)
+            layout = "chw"
         if layout == "chw" and not self.model.supports_planar(plan,
                                                               group.bucket):
             # Planar decode happened but the bucket/plan fell out of the

@@ -1,0 +1,141 @@
+"""Engine integration of TPU-side JPEG decode (device_jpeg=True).
+
+With the flag on, baseline 4:2:0 JPEG inputs skip the host pixel
+decoder entirely: the streaming scanner extracts coefficient planes and
+the batched device program (ops/jpeg_decode.batched_decode_ycbcr420)
+runs IDCT + fancy chroma upsample + color convert into the planar
+bucket. Outputs must match the host-decoded path within the float-vs-
+integer-IDCT tolerance (~1-2 LSB).
+"""
+
+import io
+import uuid
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.domain import (
+    ImageStatus,
+    OperationParams,
+    OperationType,
+    ProcessingTask,
+)
+from imageprocessor_tpu.runtime import nativecodec as nc
+from imageprocessor_tpu.runtime.codecs import decode_image
+from imageprocessor_tpu.runtime.engine import ProcessingEngine
+from imageprocessor_tpu.storage import LocalFSObjectStore
+
+pytestmark = pytest.mark.skipif(
+    nc._load() is None or not hasattr(nc._load(), "ip_jpeg_scan_dims"),
+    reason="native codec library unavailable")
+
+RNG = np.random.default_rng(55)
+
+
+def jpeg_bytes(h, w, quality=90, subsampling=2, mode="RGB"):
+    if mode == "L":
+        arr = RNG.integers(0, 256, size=(h, w), dtype=np.uint8)
+    else:
+        yy = np.linspace(0, 170, h)[:, None, None]
+        arr = np.clip(yy + RNG.integers(0, 40, (h, w, 3)), 0,
+                      255).astype(np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr, mode=mode).save(bio, format="JPEG",
+                                            quality=quality,
+                                            subsampling=subsampling)
+    return bio.getvalue()
+
+
+def make_task(fmt="png"):
+    return ProcessingTask(
+        id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+        original_path="original/x.jpg", bucket="images",
+        operations=[
+            OperationParams(OperationType.THUMBNAIL,
+                            {"size": 100, "crop_to_fit": True}),
+            OperationParams(OperationType.RESIZE,
+                            {"width": 128, "height": 96,
+                             "keep_aspect": True}),
+        ], format=fmt)
+
+
+@pytest.fixture()
+def engines(tmp_path):
+    s1 = LocalFSObjectStore(str(tmp_path / "dev"))
+    s2 = LocalFSObjectStore(str(tmp_path / "host"))
+    e1 = ProcessingEngine(s1, device_jpeg=True, use_pallas=True,
+                          pallas_interpret=True, codec_threads=2)
+    e2 = ProcessingEngine(s2, device_jpeg=False, use_pallas=True,
+                          pallas_interpret=True, codec_threads=2)
+    yield (e1, s1), (e2, s2)
+    e1.close()
+    e2.close()
+
+
+def test_coef_layout_selected_for_baseline_420(engines):
+    (e1, _), _ = engines
+    from imageprocessor_tpu.models.plan import normalize_operations
+    plan = normalize_operations(make_task().operations)
+    out = e1.decode_for_plan(jpeg_bytes(300, 400), plan)
+    assert out[2] == "coef"
+    assert out[3] == (300, 400)
+    y, cb, cr, qt = out[0]
+    assert y.shape == (304, 400)  # MCU-aligned (16) luma grid
+    assert cb.shape == (152, 200)
+    assert qt.shape == (3, 8, 8)
+
+
+def test_device_jpeg_matches_host_decode(engines):
+    (e1, s1), (e2, s2) = engines
+    blobs = [jpeg_bytes(300, 400), jpeg_bytes(250, 330)]
+    r1 = e1.process_tasks([(make_task(), b) for b in blobs])
+    r2 = e2.process_tasks([(make_task(), b) for b in blobs])
+    for a, b in zip(r1, r2):
+        assert a.result.status is ImageStatus.COMPLETED, a.result.error
+        assert b.result.status is ImageStatus.COMPLETED, b.result.error
+        for op in ("thumbnail", "resize"):
+            x, _ = decode_image(s1.get_object(a.result.processed_paths[op]))
+            y, _ = decode_image(s2.get_object(b.result.processed_paths[op]))
+            assert x.shape == y.shape
+            diff = np.abs(x.astype(int) - y.astype(int))
+            mse = (diff.astype(float) ** 2).mean()
+            psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+            assert psnr > 45.0, (op, psnr)
+            assert diff.max() <= 4
+
+
+@pytest.mark.parametrize("kw", [
+    dict(subsampling=0),            # 4:4:4 — scanner path declines
+    dict(mode="L"),                 # grayscale — single component
+])
+def test_non_420_falls_back_and_completes(engines, kw):
+    (e1, _), _ = engines
+    blob = jpeg_bytes(200, 260, **kw)
+    from imageprocessor_tpu.models.plan import normalize_operations
+    plan = normalize_operations(make_task().operations)
+    out = e1.decode_for_plan(blob, plan)
+    assert out[2] != "coef"  # fell through to a pixel decode
+    res = e1.process_tasks([(make_task(), blob)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+
+
+def test_progressive_falls_back(engines):
+    (e1, _), _ = engines
+    arr = RNG.integers(0, 256, (150, 180, 3), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
+                                 progressive=True)
+    res = e1.process_tasks([(make_task(), bio.getvalue())])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+
+
+def test_device_jpeg_off_by_default(tmp_path, monkeypatch):
+    monkeypatch.delenv("IMAGEPROCESSOR_DEVICE_JPEG", raising=False)
+    eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
+    assert eng.device_jpeg is False
+    eng.close()
+    monkeypatch.setenv("IMAGEPROCESSOR_DEVICE_JPEG", "1")
+    eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
+    assert eng.device_jpeg is True
+    eng.close()
