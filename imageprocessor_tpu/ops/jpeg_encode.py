@@ -124,6 +124,69 @@ def _rgb_to_coef_planes(rgb_u8, qt_f32, mcu_h: int, mcu_w: int,
     return yc, cbc, crc
 
 
+@jax.jit
+def _fdct_quantize_batched(planes_f32, qtab_f32):
+    """(B, bh*8, bw*8) float32 samples + (8, 8) quant table ->
+    (B, bh*8, bw*8) int16 quantized coefficients."""
+    b, hh, ww = planes_f32.shape
+    bh, bw = hh // 8, ww // 8
+    d = jnp.asarray(_idct_basis())
+    x = planes_f32.reshape(b, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
+    x = x.reshape(b, bh * bw, 8, 8) - 128.0
+    c = jnp.einsum("ki,bnij->bnkj", d, x,
+                   preferred_element_type=jnp.float32)
+    c = jnp.einsum("bnkj,lj->bnkl", c, d,
+                   preferred_element_type=jnp.float32)
+    c = c / qtab_f32[None, None, :, :]
+    c = jnp.clip(jnp.round(c), -1023, 1023).astype(jnp.int16)
+    return c.reshape(b, bh, bw, 8, 8).transpose(0, 1, 3, 2, 4).reshape(
+        b, hh, ww)
+
+
+def _replicate_edges(plane, valid_hw):
+    """Replicate each image's last valid row/col across the batch canvas
+    (libjpeg pads to the MCU grid the same way, so edge blocks encode
+    identically and zero-padding never rings into the image)."""
+    bsz, h, w = plane.shape
+    iy = jnp.minimum(jnp.arange(h, dtype=jnp.int32)[None],
+                     valid_hw[:, :1] - 1)
+    plane = jnp.take_along_axis(plane, iy[:, :, None], axis=1,
+                                mode="promise_in_bounds")
+    ix = jnp.minimum(jnp.arange(w, dtype=jnp.int32)[None],
+                     valid_hw[:, 1:2] - 1)
+    return jnp.take_along_axis(plane, ix[:, None, :], axis=2,
+                               mode="promise_in_bounds")
+
+
+@jax.jit
+def batched_encode_420(rgb_u8, valid_hw, qt_f32):
+    """Batched TPU-side 4:2:0 JPEG encode front half.
+
+    rgb_u8: planar (B, 3, H, W) uint8 bucket canvases (H, W multiples of
+    16); valid_hw: (B, 2) per-image valid dims (edges replicate from
+    there); qt_f32: (2, 8, 8) luma/chroma quant tables. Returns int16
+    coefficient canvases (yc (B,H,W), cbc (B,H/2,W/2), crc) ready for
+    the host entropy emitter — the engine's full-size JPEG outputs keep
+    only the 29 ms/12 MP Huffman pass on host (vs a 45 ms full encode).
+    """
+    x = rgb_u8.astype(jnp.float32)
+    r = _replicate_edges(x[:, 0], valid_hw)
+    g = _replicate_edges(x[:, 1], valid_hw)
+    b = _replicate_edges(x[:, 2], valid_hw)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    bsz, hh, ww = y.shape
+
+    def down2(p):
+        return p.reshape(bsz, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+
+    yc = _fdct_quantize_batched(y, qt_f32[0])
+    cbc = _fdct_quantize_batched(down2(cb), qt_f32[1])
+    crc = _fdct_quantize_batched(down2(cr), qt_f32[1])
+    return yc, cbc, crc
+
+
 def encode_jpeg_device(rgb_planar_u8, quality: int = 85,
                        subsampling: str = "420") -> bytes:
     """Full TPU-side encode of one baseline JPEG: device math + host

@@ -24,6 +24,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
+import jax.numpy as jnp
 import numpy as np
 
 from imageprocessor_tpu.domain import (
@@ -150,6 +151,23 @@ class ProcessingEngine:
         self.store.save_processed(path, data, mime)
         return Artifact(operation=op.type.value, path=path, size=len(data),
                         mime_type=mime, format=out_fmt)
+
+    def _emit_and_save(self, task: ProcessingTask, op: NormalizedOp,
+                       coef, i: int, h: int, w: int) -> Artifact:
+        """Save one device-encoded output: slice the image's MCU grid
+        out of the batch coefficient canvases (strided views, no copy)
+        and run the host entropy emitter."""
+        _tag, yc, cbc, crc, qt = coef
+        gh, gw = -(-h // 16) * 16, -(-w // 16) * 16
+        data = nativecodec.emit_jpeg_from_coefficients(
+            [yc[i, :gh, :gw], cbc[i, :gh // 2, :gw // 2],
+             crc[i, :gh // 2, :gw // 2]],
+            qt, w, h, (2, 2))
+        path = generate_path(task.image_id, op, "jpeg")
+        mime = mime_from_path(path)
+        self.store.save_processed(path, data, mime)
+        return Artifact(operation=op.type.value, path=path, size=len(data),
+                        mime_type=mime, format="jpeg")
 
     # ------------------------------------------------------- single-image path
 
@@ -424,11 +442,40 @@ class ProcessingEngine:
             else:
                 mh = _q64(max_h, cv_h)
                 mw = _q64(max_w, cv_w)
+                # Full-bucket ops (watermark/flip/grayscale) whose output
+                # every item wants as JPEG: run the encode front half
+                # (color convert + 4:2:0 downsample + FDCT + quantize)
+                # on device and pull coefficient canvases instead of
+                # pixels; finish_item keeps only the entropy emit.
+                if (self.device_jpeg and layout == "chw"
+                        and mh % 16 == 0 and mw % 16 == 0
+                        and all(negotiate_format(
+                                    it.payload[2],
+                                    watermark=op.type
+                                    is OperationType.WATERMARK) == "jpeg"
+                                for it in group.items)):
+                    from imageprocessor_tpu.ops.jpeg_encode import (
+                        batched_encode_420,
+                        quality_qtables,
+                    )
+                    qt = quality_qtables(self.jpeg_quality)
+                    vh = np.array([it.hw for it in group.items]
+                                  + [(1, 1)] * (o.shape[0]
+                                                - len(group.items)),
+                                  dtype=np.int32)
+                    yc, cbc, crc = batched_encode_420(
+                        o[:, :, :mh, :mw], jnp.asarray(vh),
+                        jnp.asarray(qt, dtype=jnp.float32))
+                    cropped.append(("coef420", yc, cbc, crc, qt))
+                    continue
             if layout == "chw":
                 cropped.append(o[:, :, :mh, :mw])
             else:
                 cropped.append(o[:, :mh, :mw])
-        outs_np = [np.asarray(o) for o in cropped]
+        outs_np = [
+            (o[0], np.asarray(o[1]), np.asarray(o[2]), np.asarray(o[3]),
+             o[4]) if isinstance(o, tuple) else np.asarray(o)
+            for o in cropped]
         METRICS.observe("engine_device_ms",
                         (_time.monotonic() - t_dev) * 1000.0)
         METRICS.inc("engine_device_images", len(group.items))
@@ -452,12 +499,17 @@ class ProcessingEngine:
                        else outs_np[oi][i, :oh, :ow])
             elif op.type is OperationType.THUMBNAIL:
                 arr = outs_np[oi][i]
+            elif isinstance(outs_np[oi], tuple):  # device-encoded coefs
+                arr = outs_np[oi]
             else:  # full-bucket canvas ops: crop to the valid extent
                 arr = (outs_np[oi][i][:, :h, :w] if planar
                        else outs_np[oi][i, :h, :w])
             try:
-                artifact = self._encode_and_save(task, op, arr, fmt,
-                                                 layout=layout)
+                if isinstance(arr, tuple):
+                    artifact = self._emit_and_save(task, op, arr, i, h, w)
+                else:
+                    artifact = self._encode_and_save(task, op, arr, fmt,
+                                                     layout=layout)
             except Exception as exc:
                 out.result.status = ImageStatus.FAILED
                 out.result.error = f"Operation {op.type.value} failed: {exc}"

@@ -127,6 +127,13 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
                 ctypes.c_size_t]
             lib.ip_jpeg_emit.restype = ctypes.c_long
+            lib.ip_jpeg_emit_strided.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_size_t]
+            lib.ip_jpeg_emit_strided.restype = ctypes.c_long
         except AttributeError:  # pragma: no cover — stale .so
             pass
         lib.ip_free.argtypes = [ctypes.c_void_p]
@@ -336,7 +343,16 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise NativeCodecError(f"ncomp must be 1 or 3, got {ncomp}")
-    arrs = [np.ascontiguousarray(p, dtype=np.int16) for p in planes]
+    # Row-strided 2-D views (e.g. per-image slices of a batch canvas)
+    # are passed through without copying; only the row-interior must be
+    # contiguous.
+    arrs = []
+    for p in planes:
+        a = np.asarray(p)
+        if (a.dtype != np.int16 or a.ndim != 2
+                or a.strides[1] != a.itemsize):
+            a = np.ascontiguousarray(a, dtype=np.int16)
+        arrs.append(a)
     while len(arrs) < 3:
         arrs.append(np.zeros((8, 8), dtype=np.int16))
     qt = np.ascontiguousarray(np.asarray(qtabs), dtype=np.uint16)
@@ -362,12 +378,14 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     # bounded well under that in practice.
     cap = sum(a.size for a in arrs[:ncomp]) * 2 + (1 << 16)
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.ip_jpeg_emit(
+    strides = [a.strides[0] // a.itemsize for a in arrs]
+    n = lib.ip_jpeg_emit_strided(
         arrs[0].ctypes.data_as(ctypes.c_void_p),
         arrs[1].ctypes.data_as(ctypes.c_void_p),
         arrs[2].ctypes.data_as(ctypes.c_void_p),
         qt2.ctypes.data_as(ctypes.c_void_p),
         img_w, img_h, ncomp, h0, v0, int(restart_interval),
+        strides[0], strides[1], strides[2],
         out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise NativeCodecError(f"jpeg emit failed (rc={n})")

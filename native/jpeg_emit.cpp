@@ -179,6 +179,7 @@ const RowZigTables kRowZig;
 struct CompSpec {
   const int16_t* coef;
   int bw;  // plane width in blocks (MCU-aligned)
+  long stride;  // row stride in elements (>= bw * 8)
   int h, v;
   int dc_tbl, ac_tbl;  // 0 = luma tables, 1 = chroma tables
   int pred;
@@ -285,10 +286,16 @@ extern "C" {
 // per-component quant tables (natural order). ncomp is 1 (grayscale)
 // or 3 (YCbCr, sampling given per component; chroma must be 1x1 and
 // share qtab[1]). Returns the byte count written, or a negative error.
-long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
-                  const int16_t* coef2, const uint16_t* qtab /* 2*64 */,
-                  int img_w, int img_h, int ncomp, int h0, int v0,
-                  int restart_interval, uint8_t* out, size_t out_cap) {
+// strideN: row stride of plane N in int16 ELEMENTS (0 = tight, i.e.
+// the component's MCU-aligned grid width) — lets callers emit directly
+// from per-image views into larger batch canvases without copies.
+long ip_jpeg_emit_strided(const int16_t* coef0, const int16_t* coef1,
+                          const int16_t* coef2,
+                          const uint16_t* qtab /* 2*64 */,
+                          int img_w, int img_h, int ncomp, int h0, int v0,
+                          int restart_interval,
+                          long stride0, long stride1, long stride2,
+                          uint8_t* out, size_t out_cap) {
   if (img_w <= 0 || img_h <= 0) return -1;
   if (ncomp != 1 && ncomp != 3) return -2;
   if (h0 < 1 || h0 > 2 || v0 < 1 || v0 > 2) return -3;
@@ -376,17 +383,22 @@ long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
 
   CompSpec comp[3];
   const int16_t* planes[3] = {coef0, coef1, coef2};
+  const long strides[3] = {stride0, stride1, stride2};
   for (int c = 0; c < ncomp; ++c) {
     comp[c].coef = planes[c];
     if (planes[c] == nullptr) return -4;
     comp[c].h = (c == 0) ? h0 : 1;
     comp[c].v = (c == 0) ? v0 : 1;
     comp[c].bw = mcus_x * comp[c].h;
+    comp[c].stride = strides[c] > 0 ? strides[c] : comp[c].bw * 8;
+    if (comp[c].stride < comp[c].bw * 8) return -7;
     comp[c].pred = 0;
   }
   if (ncomp == 1) {
     comp[0].h = comp[0].v = 1;
     comp[0].bw = mcus_x;
+    comp[0].stride = stride0 > 0 ? stride0 : mcus_x * 8;
+    if (comp[0].stride < mcus_x * 8) return -7;
   }
 
   int mcus_until_restart =
@@ -398,7 +410,7 @@ long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
         CompSpec& cc = comp[c];
         const EncTable& dct = (c == 0) ? dc_l : dc_c;
         const EncTable& act = (c == 0) ? ac_l : ac_c;
-        const int stride = cc.bw * 8;
+        const long stride = cc.stride;
         for (int v = 0; v < cc.v; ++v) {
           for (int h = 0; h < cc.h; ++h) {
             const int bx = mx * cc.h + h;
@@ -406,7 +418,8 @@ long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
             const int16_t* blk = cc.coef
                 + static_cast<size_t>(by) * 8 * stride
                 + static_cast<size_t>(bx) * 8;
-            encode_block(bw, blk, stride, dct, act, cc.pred);
+            encode_block(bw, blk, static_cast<int>(stride), dct, act,
+                         cc.pred);
           }
         }
       }
@@ -429,3 +442,13 @@ long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
 }
 
 }  // extern "C"
+
+extern "C" long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
+                             const int16_t* coef2, const uint16_t* qtab,
+                             int img_w, int img_h, int ncomp, int h0,
+                             int v0, int restart_interval, uint8_t* out,
+                             size_t out_cap) {
+  return ip_jpeg_emit_strided(coef0, coef1, coef2, qtab, img_w, img_h,
+                              ncomp, h0, v0, restart_interval, 0, 0, 0,
+                              out, out_cap);
+}

@@ -130,6 +130,45 @@ def test_progressive_falls_back(engines):
     assert res.result.status is ImageStatus.COMPLETED, res.result.error
 
 
+def test_device_encode_watermark_output(engines):
+    """Full-bucket JPEG outputs (watermark) run the encode front half on
+    device; host keeps only the entropy emit. Output must decode within
+    encoder-variation tolerance of the host-encoded engine's output."""
+    (e1, s1), (e2, s2) = engines
+    blob = jpeg_bytes(300, 400)
+    wm = [OperationParams(OperationType.WATERMARK,
+                          {"text": "hi", "opacity": 0.5,
+                           "position": "bottom-right"})]
+    t1 = ProcessingTask(id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+                        original_path="o.jpg", bucket="b",
+                        operations=wm, format="jpeg")
+    t2 = ProcessingTask(id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+                        original_path="o.jpg", bucket="b",
+                        operations=wm, format="jpeg")
+    r1 = e1.process_tasks([(t1, blob)])[0]
+    r2 = e2.process_tasks([(t2, blob)])[0]
+    assert r1.result.status is ImageStatus.COMPLETED, r1.result.error
+    p1 = r1.result.processed_paths["watermark"]
+    assert p1.endswith(".jpeg")
+    x, _ = decode_image(s1.get_object(p1))
+    y, _ = decode_image(s2.get_object(r2.result.processed_paths["watermark"]))
+    assert x.shape == y.shape == (300, 400, 3)
+    mse = ((x.astype(float) - y.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 38.0
+
+
+def test_device_encode_skipped_for_png_output(engines):
+    (e1, _), _ = engines
+    t = ProcessingTask(id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+                       original_path="o.jpg", bucket="b",
+                       operations=[OperationParams(
+                           OperationType.WATERMARK, {"text": "x"})],
+                       format="png")
+    res = e1.process_tasks([(t, jpeg_bytes(200, 260))])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    assert res.result.processed_paths["watermark"].endswith(".png")
+
+
 def test_device_jpeg_off_by_default(tmp_path, monkeypatch):
     monkeypatch.delenv("IMAGEPROCESSOR_DEVICE_JPEG", raising=False)
     eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
