@@ -342,29 +342,43 @@ class PipelineModel:
         (None, None) when the plan/geometry doesn't fit."""
         i_t = i_r = None
         for i, op in enumerate(plan.ops):
-            if (op.type is OperationType.THUMBNAIL and op.crop_to_fit
-                    and i_t is None):
+            if op.type is OperationType.THUMBNAIL and i_t is None:
                 i_t = i
             elif op.type is OperationType.RESIZE and i_r is None:
                 i_r = i
         if i_t is None or i_r is None or i_r not in out_hws:
             return None, None
+        aspect_t = not plan.ops[i_t].crop_to_fit
+        if aspect_t and i_t not in out_hws:
+            return None, None
         r_out_hw = np.asarray(out_hws[i_r], dtype=np.int32)
         t_size = plan.ops[i_t].size
         sc_rh = src_hw[:, 0] / np.maximum(r_out_hw[:, 0], 1)
         sc_rw = src_hw[:, 1] / np.maximum(r_out_hw[:, 1], 1)
-        side = np.minimum(src_hw[:, 0], src_hw[:, 1])
-        sc_t = side / max(t_size, 1)
-        if sc_rh.min() < 1.0 or sc_t.min() < 1.0:
+        if aspect_t:
+            # aspect thumbnails are a second keep-aspect resize
+            t_out_hw = np.asarray(out_hws[i_t], dtype=np.int32)
+            sc_th = src_hw[:, 0] / np.maximum(t_out_hw[:, 0], 1)
+            sc_tw = src_hw[:, 1] / np.maximum(t_out_hw[:, 1], 1)
+            t_canvas = int(max(t_size, t_out_hw[:, 0].max(),
+                               t_out_hw[:, 1].max()))
+        else:
+            t_out_hw = None
+            side = np.minimum(src_hw[:, 0], src_hw[:, 1])
+            sc_th = sc_tw = side / max(t_size, 1)
+            t_canvas = t_size
+        if (sc_rh.min() < 1.0 or sc_th.min() < 1.0
+                or sc_tw.min() < 1.0):
             return None, None  # upscales blow up the per-band row chunk
         fplan = pallas_fused.make_fused_plan(
             batch, bucket[0], bucket[1],
-            plan.ops[i_r].height, plan.ops[i_r].width, t_size,
+            plan.ops[i_r].height, plan.ops[i_r].width, t_canvas,
             float(sc_rh.min()), float(sc_rh.max()),
-            float(sc_t.min()), float(sc_t.max()),
-            float(sc_rw.max()), float(sc_t.max()),
+            float(sc_th.min()), float(sc_th.max()),
+            float(sc_rw.max()), float(sc_tw.max()),
             compute_dtype=self.resample_dtype)
-        fargs = pallas_fused.make_fused_args(fplan, src_hw, r_out_hw)
+        fargs = pallas_fused.make_fused_args(fplan, src_hw, r_out_hw,
+                                             t_out_hw)
         if not fargs.ok:
             return None, None
         arrays = tuple(jnp.asarray(v) for v in (
@@ -515,10 +529,14 @@ class PipelineModel:
                 # rebuild args for the FULL batch with the local plan's
                 # geometry so shard slices line up
                 i_t, i_r, fplan = fused_meta
+                t_hw = (np.asarray(out_hws[i_t], dtype=np.int32)
+                        if (not plan.ops[i_t].crop_to_fit
+                            and i_t in out_hws) else None)
                 fargs = pallas_fused.make_fused_args(
                     pallas_fused.FusedPlan(**{**fplan.__dict__,
                                               "batch": b}),
-                    src_hw, np.asarray(out_hws[i_r], dtype=np.int32))
+                    src_hw, np.asarray(out_hws[i_r], dtype=np.int32),
+                    t_hw)
                 if not fargs.ok:
                     fused_meta, fused_arrays = None, None
                 else:

@@ -240,10 +240,13 @@ def _col_args(plan_src_w: int, col_band: int, out_w_pad: int,
 
 
 def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
-                    r_out_hw: np.ndarray) -> FusedArgs:
+                    r_out_hw: np.ndarray,
+                    t_out_hw: np.ndarray | None = None) -> FusedArgs:
     """src_hw: (B,2) valid source dims; r_out_hw: (B,2) valid resize dims.
-    Thumbnail geometry (center square crop -> t_out x t_out) derives from
-    src_hw."""
+    Thumbnail geometry: center square crop -> t_out x t_out derived from
+    src_hw (default), or aspect-preserving per-image dims when t_out_hw
+    is given — geometrically just a second keep-aspect resize, so the
+    kernel is untouched."""
     b = plan.batch
     # resize rows (absolute source coords)
     r0, r1, rf = _axis_coords(r_out_hw[:, 0], src_hw[:, 0],
@@ -253,14 +256,28 @@ def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
         plan, plan.r_out_h, plan.r_alloc_h, plan.r_rows, r0, r1, rf,
         r_out_hw[:, 0])
 
-    # thumbnail rows: crop offset + scale side/t_out
-    side = np.minimum(src_hw[:, 0], src_hw[:, 1]).astype(np.int64)
-    off_y = np.where(src_hw[:, 0] > src_hw[:, 1],
-                     (src_hw[:, 0] - src_hw[:, 1]) // 2, 0).astype(np.int64)
-    off_x = np.where(src_hw[:, 1] > src_hw[:, 0],
-                     (src_hw[:, 1] - src_hw[:, 0]) // 2, 0).astype(np.int64)
-    t_valid = np.full(b, plan.t_size, dtype=np.int64)
-    t0, t1, tf = _axis_coords(t_valid, side, off_y, plan.t_alloc_h,
+    if t_out_hw is None:
+        # thumbnail rows: crop offset + scale side/t_out
+        side = np.minimum(src_hw[:, 0], src_hw[:, 1]).astype(np.int64)
+        off_y = np.where(src_hw[:, 0] > src_hw[:, 1],
+                         (src_hw[:, 0] - src_hw[:, 1]) // 2,
+                         0).astype(np.int64)
+        off_x = np.where(src_hw[:, 1] > src_hw[:, 0],
+                         (src_hw[:, 1] - src_hw[:, 0]) // 2,
+                         0).astype(np.int64)
+        t_valid = np.full(b, plan.t_size, dtype=np.int64)
+        t_valid_w = t_valid
+        t_src_h = side
+        t_src_w = side
+    else:
+        # aspect mode: full-frame resample to per-image dims
+        off_y = np.zeros(b, dtype=np.int64)
+        off_x = np.zeros(b, dtype=np.int64)
+        t_valid = t_out_hw[:, 0].astype(np.int64)
+        t_valid_w = t_out_hw[:, 1].astype(np.int64)
+        t_src_h = src_hw[:, 0].astype(np.int64)
+        t_src_w = src_hw[:, 1].astype(np.int64)
+    t0, t1, tf = _axis_coords(t_valid, t_src_h, off_y, plan.t_alloc_h,
                               plan.src_h)
     ok_t, starts_t, max_t, t_lo, tt0, tt1, ttf = _band_rows_args(
         plan, plan.t_out, plan.t_alloc_h, plan.t_rows, t0, t1, tf, t_valid)
@@ -294,7 +311,7 @@ def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
                                  plan.src_w)
     r_colbs, r_cols0, r_cols1, r_colf = _col_args(
         plan.src_w, plan.r_col_band, plan.r_out_w, rc0, rc1, rcf)
-    tc0, tc1, tcf = _axis_coords(t_valid, side, off_x, plan.t_out_w,
+    tc0, tc1, tcf = _axis_coords(t_valid_w, t_src_w, off_x, plan.t_out_w,
                                  plan.src_w)
     t_colbs, t_cols0, t_cols1, t_colf = _col_args(
         plan.src_w, plan.t_col_band, plan.t_out_w, tc0, tc1, tcf)

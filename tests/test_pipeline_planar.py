@@ -103,3 +103,61 @@ def test_chw_upscale_skips_fused_and_still_matches():
     assert psnr(np.transpose(outs[0][0], (1, 2, 0)), refs[0][0]) > 45.0
     assert psnr(np.transpose(outs[1][0], (1, 2, 0))[:th, :tw],
                 refs[1][0, :th, :tw]) > 45.0
+
+
+def test_chw_aspect_thumbnail_takes_fused_path_and_matches():
+    """Aspect-mode thumbnails (crop_to_fit=False) ride the fused kernel
+    as a second keep-aspect resize; outputs must match the XLA path."""
+    import numpy as np
+
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.models.pipeline import (
+        PipelineModel,
+        plan_output_specs,
+    )
+    from imageprocessor_tpu.models.plan import normalize_operations
+    from imageprocessor_tpu.ops.coords import thumbnail_dims
+
+    rng = np.random.default_rng(17)
+    plan = normalize_operations([
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": 64, "crop_to_fit": False}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": 96, "height": 64, "keep_aspect": False}),
+    ])
+    bucket = (256, 384)
+    b = 2
+    dims = [(200, 300), (256, 384)]
+    imgs = np.zeros((b, 3, *bucket), dtype=np.uint8)
+    hwc = np.zeros((b, *bucket, 3), dtype=np.uint8)
+    for i, (h, w) in enumerate(dims):
+        im = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        imgs[i, :, :h, :w] = im.transpose(2, 0, 1)
+        hwc[i, :h, :w] = im
+    src_hw = np.asarray(dims, dtype=np.int32)
+    out_hws = {}
+    t_hw = np.zeros((b, 2), dtype=np.int32)
+    long_side = 64
+    for i, (h, w) in enumerate(dims):
+        tw, th = thumbnail_dims(w, h, 64)
+        t_hw[i] = (th, tw)
+        long_side = max(long_side, th, tw)
+    out_hws[0] = t_hw
+    out_hws[1] = np.asarray([(64, 96)] * b, dtype=np.int32)
+    specs = plan_output_specs(plan, bucket, {0: long_side})
+
+    chw = PipelineModel(use_pallas=True, pallas_interpret=True)
+    fused_meta, fused_arrays = chw._fused_setup(plan, bucket, b, src_hw,
+                                                out_hws)
+    assert fused_meta is not None, "aspect plan should take the fused path"
+
+    outs_chw = chw.run(plan, imgs, src_hw, out_hws, specs, layout="chw")
+    ref = PipelineModel(use_pallas=False)
+    outs_ref = ref.run(plan, hwc, src_hw, out_hws, specs, layout="hwc")
+    for oi in (0, 1):
+        for i in range(b):
+            oh, ow = out_hws[oi][i]
+            a = np.asarray(outs_chw[oi])[i, :, :oh, :ow].transpose(1, 2, 0)
+            r = np.asarray(outs_ref[oi])[i, :oh, :ow]
+            diff = np.abs(a.astype(int) - r.astype(int))
+            assert diff.max() <= 1, (oi, i, diff.max())
