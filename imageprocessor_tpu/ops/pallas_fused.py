@@ -127,10 +127,15 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
                   src_w)
     cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
                   src_w)
-    # 512 wins empirically: larger bands (768+) reduce DMA count but hurt
-    # prefetch granularity (1.18 -> 1.37 ms/batch measured at 768).
+    # 512 wins empirically: larger bands cut the slack-overlap re-read
+    # but the per-step compute (cast + vertical matmul scale with band
+    # rows) stops hiding under the DMA (measured: 512:~6.8k, 768:5.5k,
+    # 1024:4.5k img/s). IMAGEPROCESSOR_FUSED_OWN overrides for tuning.
     own = 64
-    for cand in (512, 384, 256, 128, 64):
+    own_env = os.environ.get("IMAGEPROCESSOR_FUSED_OWN")
+    ladder = ((int(own_env),) if own_env
+              else (512, 384, 256, 128, 64))
+    for cand in ladder:
         band = min(_round_up(cand + slack, 8), src_h)
         m_r = _round_up(int(np.ceil(cand / max(min_scale_r, 1e-6))) + 10, 8)
         m_t = _round_up(int(np.ceil(cand / max(min_scale_t, 1e-6))) + 10, 8)

@@ -243,6 +243,9 @@ class ProcessingEngine:
                         and tuple(samp[1]) == (1, 1)
                         and tuple(samp[2]) == (1, 1)
                         and bucket[1] <= 6144
+                        # canvas must be MCU-aligned for the 4:2:0
+                        # block math (the 200 ladder rung is not)
+                        and bucket[0] % 16 == 0 and bucket[1] % 16 == 0
                         and planes[0].shape[0] <= bucket[0]
                         and planes[0].shape[1] <= bucket[1]):
                     return ((planes[0], planes[1], planes[2],

@@ -107,3 +107,49 @@ def test_nonbatchable_plan_single_path(harness):
                     is ImageStatus.COMPLETED)
     rows = meta.list_processed(img.id)
     assert rows[0].operation is OperationType.CROP
+
+
+def test_pipelined_with_device_jpeg(tmp_path):
+    """JPEG uploads flow through the pipelined worker with the TPU-side
+    decode path on (coef batch layout end to end)."""
+    from imageprocessor_tpu.models.pipeline import PipelineModel
+
+    cfg = load_config({})
+    cfg.worker.batch_size = 4
+    cfg.worker.batch_deadline_ms = 30
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    uc = ImageUsecase(meta, store, broker,
+                      retries=RetryStrategy(attempts=1, delay_ms=1))
+    worker = PipelinedWorker(cfg, meta=meta, store=store, broker=broker)
+    worker.engine.device_jpeg = True
+    worker.engine.model = PipelineModel(use_pallas=True,
+                                        pallas_interpret=True)
+    worker._idle_sleep = 0.01
+    thread = threading.Thread(target=worker.run, daemon=True)
+    thread.start()
+    try:
+        # 120x220 buckets to (128, 256): MCU-aligned, so the coef
+        # layout engages (the 200 rung would fall back to pixels).
+        arr = RNG.integers(0, 256, size=(120, 220, 3), dtype=np.uint8)
+        bio = io.BytesIO()
+        PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
+        from imageprocessor_tpu.models.plan import normalize_operations
+        dec = worker.engine.decode_for_plan(
+            bio.getvalue(), normalize_operations(OPS))
+        assert dec[2] == "coef", dec[2]
+        img = uc.upload_image(bio.getvalue(), "a.jpg", "image/jpeg", OPS)
+        assert wait_for(lambda: meta.get_image(img.id).status.value
+                        in ("completed", "failed"))
+        rec = meta.get_image(img.id)
+        assert rec.status.value == "completed", getattr(rec, "error", None)
+        rows = meta.list_processed(img.id)
+        ops = {r.operation: r.path for r in rows}
+        assert "thumbnail" in ops
+        data = store.get_object(ops["thumbnail"])
+        assert len(data) > 0
+    finally:
+        worker.stop()
+        thread.join(timeout=20)
+        worker.engine.close()
