@@ -162,7 +162,8 @@ class PipelineModel:
                     i_t, i_r, fplan = fused_meta
                     fcall = pallas_fused._build_call(fplan, interpret)
                     fa = presample_args["fused"]
-                    rz, th = fcall(fa[0], fa[1], fa[2], imgs_chw, *fa[3:])
+                    rz, th = fcall(fa[0], fa[1], fa[2], fa[3], fa[4],
+                                   imgs_chw, *fa[5:])
                     fused_outs[i_r] = rz[:, :, :specs[i_r].canvas[0],
                                          :specs[i_r].canvas[1]]
                     fused_outs[i_t] = th[:, :, :specs[i_t].canvas[0],
@@ -383,6 +384,7 @@ class PipelineModel:
             return None, None
         arrays = tuple(jnp.asarray(v) for v in (
             fargs.band_starts, fargs.r_lo, fargs.t_lo,
+            fargs.r_frac, fargs.t_frac,
             fargs.rows0, fargs.rows1, fargs.rowf,
             fargs.r_colbs, fargs.r_cols0, fargs.r_cols1, fargs.r_colf,
             fargs.t_colbs, fargs.t_cols0, fargs.t_cols1, fargs.t_colf))
@@ -542,6 +544,7 @@ class PipelineModel:
                 else:
                     fused_arrays = tuple(jnp.asarray(v) for v in (
                         fargs.band_starts, fargs.r_lo, fargs.t_lo,
+                        fargs.r_frac, fargs.t_frac,
                         fargs.rows0, fargs.rows1, fargs.rowf,
                         fargs.r_colbs, fargs.r_cols0, fargs.r_cols1,
                         fargs.r_colf, fargs.t_colbs, fargs.t_cols0,

@@ -92,6 +92,8 @@ class FusedArgs:
     band_starts: np.ndarray   # (B*NB,) int32, 8-aligned
     r_lo: np.ndarray          # (B*NB,) int32, 8-aligned write offsets
     t_lo: np.ndarray          # (B*NB,) int32
+    r_frac: np.ndarray        # (B*NB,) rows at the chunk head owned by
+    t_frac: np.ndarray        # the PREVIOUS band (masked in the store)
     rows0: np.ndarray         # (B*NB, 1, M_r+M_t) band-relative y0,
     rows1: np.ndarray         # resize rows first, thumbnail rows after
     rowf: np.ndarray          # (combined vertical one-hot matmul)
@@ -119,22 +121,27 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
     # burst at the last band without starving the DMA engine.
     nbuf = int(os.environ.get("IMAGEPROCESSOR_FUSED_NBUF", "6"))
     nbuf = max(2, min(nbuf, 8))
-    # Write offsets are floor-8-aligned in OUTPUT rows, which shifts a
-    # band's first needed source row down by up to 7*scale for EACH
-    # output — slack must cover the larger scale (the thumbnail's).
-    slack = int(np.ceil(8 * max(max_scale_r, max_scale_t))) + 24
+    # Chunk starts are floor-8-aligned in OUTPUT rows, but the leading
+    # pre-owned rows of each chunk are MASKED in the vband store (the
+    # previous band's correct values win), so the band only needs to
+    # cover its OWN rows' sources: 8 rows of start alignment + bilinear
+    # support + the shared-start shift between the two outputs. (The old
+    # unmasked design needed 8*scale rows of backward slack — 23% of
+    # every band re-read, re-cast and re-matmul'd at 12 MP.)
+    slack = 48
     cband_r = min(_round_up(int(np.ceil(128 * max_scale_w_r)) + 132, 128),
                   src_w)
     cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
                   src_w)
-    # 512 wins empirically: larger bands cut the slack-overlap re-read
-    # but the per-step compute (cast + vertical matmul scale with band
-    # rows) stops hiding under the DMA (measured: 512:~6.8k, 768:5.5k,
-    # 1024:4.5k img/s). IMAGEPROCESSOR_FUSED_OWN overrides for tuning.
+    # 320 wins empirically with masked stores (v5e, 12 MP: 192:10.8k*,
+    # 224:8.2k, 256:9.4-9.5k, 288:9.1k, 320:9.8k x3 runs, 384:8.1k,
+    # 512:7.5k, 640:6.4k; * noisy outliers excluded): smaller per-step
+    # compute quanta hide under the DMA, until grid overhead dominates.
+    # IMAGEPROCESSOR_FUSED_OWN overrides for tuning.
     own = 64
     own_env = os.environ.get("IMAGEPROCESSOR_FUSED_OWN")
     ladder = ((int(own_env),) if own_env
-              else (512, 384, 256, 128, 64))
+              else (320, 256, 192, 128, 64))
     for cand in ladder:
         band = min(_round_up(cand + slack, 8), src_h)
         m_r = _round_up(int(np.ceil(cand / max(min_scale_r, 1e-6))) + 10, 8)
@@ -174,6 +181,7 @@ def _band_rows_args(plan: FusedPlan, out_len_pad: int, alloc_h: int,
     b = plan.batch
     nb = plan.n_bands
     lo = np.zeros((b, nb), dtype=np.int32)
+    frac = np.zeros((b, nb), dtype=np.int32)
     rows0 = np.zeros((b, nb, m_rows), dtype=np.int32)
     rows1 = np.zeros((b, nb, m_rows), dtype=np.int32)
     rowf = np.zeros((b, nb, m_rows), dtype=np.float32)
@@ -199,7 +207,11 @@ def _band_rows_args(plan: FusedPlan, out_len_pad: int, alloc_h: int,
             if int(sel[-1]) - first + 1 > m_rows:
                 ok = False  # band owns more rows than the static chunk
             lo[i, j] = first
-            bs = max(0, min(int(y0[first]),
+            frac[i, j] = int(sel[0]) - first
+            # Source window starts at the first OWNED row's support —
+            # the masked store lets the pre-owned chunk head hold
+            # garbage, so no backward source slack is needed.
+            bs = max(0, min(int(y0[int(sel[0])]),
                             plan.src_h - plan.band_rows))
             bs = (bs // 8) * 8
             starts[i, j] = bs
@@ -215,7 +227,7 @@ def _band_rows_args(plan: FusedPlan, out_len_pad: int, alloc_h: int,
             max_abs[i, j] = int(r1[i, owned_last])
             if max_abs[i, j] - bs >= plan.band_rows:
                 ok = False  # own rows spill past the static band
-    return (ok, starts, max_abs, lo,
+    return (ok, starts, max_abs, lo, frac,
             rows0.reshape(b * nb, 1, m_rows),
             rows1.reshape(b * nb, 1, m_rows),
             rowf.reshape(b * nb, 1, m_rows))
@@ -257,7 +269,7 @@ def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
     r0, r1, rf = _axis_coords(r_out_hw[:, 0], src_hw[:, 0],
                               np.zeros(b, np.int64), plan.r_alloc_h,
                               plan.src_h)
-    ok_r, starts_r, max_r, r_lo, rr0, rr1, rrf = _band_rows_args(
+    ok_r, starts_r, max_r, r_lo, r_frac, rr0, rr1, rrf = _band_rows_args(
         plan, plan.r_out_h, plan.r_alloc_h, plan.r_rows, r0, r1, rf,
         r_out_hw[:, 0])
 
@@ -284,7 +296,7 @@ def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
         t_src_w = src_hw[:, 1].astype(np.int64)
     t0, t1, tf = _axis_coords(t_valid, t_src_h, off_y, plan.t_alloc_h,
                               plan.src_h)
-    ok_t, starts_t, max_t, t_lo, tt0, tt1, ttf = _band_rows_args(
+    ok_t, starts_t, max_t, t_lo, t_frac, tt0, tt1, ttf = _band_rows_args(
         plan, plan.t_out, plan.t_alloc_h, plan.t_rows, t0, t1, tf, t_valid)
 
     # Shared band start must cover both outputs' needs: take the min and
@@ -328,6 +340,8 @@ def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,
         band_starts=starts.astype(np.int32).reshape(-1),
         r_lo=r_lo.astype(np.int32).reshape(-1),
         t_lo=t_lo.astype(np.int32).reshape(-1),
+        r_frac=r_frac.astype(np.int32).reshape(-1),
+        t_frac=t_frac.astype(np.int32).reshape(-1),
         rows0=np.concatenate([rr0, tt0], axis=2),
         rows1=np.concatenate([rr1, tt1], axis=2),
         rowf=np.concatenate([rrf, ttf], axis=2),
@@ -348,6 +362,7 @@ def _kernel(plan: FusedPlan, interpret: bool):
     k_t = plan.t_out_w // ck
 
     def kernel(starts_ref, rlo_ref, tlo_ref,           # scalar prefetch
+               rfrac_ref, tfrac_ref,
                src_ref,
                rows0_ref, rows1_ref, rowf_ref,
                rcbs_ref, rc0_ref, rc1_ref, rcf_ref,
@@ -416,10 +431,20 @@ def _kernel(plan: FusedPlan, interpret: bool):
         # with only ~48 rows per band every weight tile did a single MXU
         # pass, so per-band horizontal matmuls were weight-load
         # latency-bound (measured: they doubled the step time).
+        # Masked store: the first `frac` rows of the chunk are owned by
+        # the PREVIOUS band (already correct in the scratch) — keep them.
         rlo = aligned(rlo_ref[slot], 8)
         tlo = aligned(tlo_ref[slot], 8)
-        vband_r[pl.ds(rlo, plan.r_rows)] = vcat[:plan.r_rows]
-        vband_t[pl.ds(tlo, plan.t_rows)] = vcat[plan.r_rows:]
+        iota_mr = jax.lax.broadcasted_iota(
+            jnp.int32, (plan.r_rows, plan.src_w), 0)
+        old_r = vband_r[pl.ds(rlo, plan.r_rows)]
+        vband_r[pl.ds(rlo, plan.r_rows)] = jnp.where(
+            iota_mr < rfrac_ref[slot], old_r, vcat[:plan.r_rows])
+        iota_mt = jax.lax.broadcasted_iota(
+            jnp.int32, (plan.t_rows, plan.src_w), 0)
+        old_t = vband_t[pl.ds(tlo, plan.t_rows)]
+        vband_t[pl.ds(tlo, plan.t_rows)] = jnp.where(
+            iota_mt < tfrac_ref[slot], old_t, vcat[plan.r_rows:])
 
         # Horizontal one-hot weights are identical for every (c, j) step
         # of an image — build them ONCE per image into scratch instead of
@@ -474,7 +499,7 @@ def _build_call(plan: FusedPlan, interpret: bool):
     cdtype = (jnp.bfloat16 if plan.compute_dtype == "bfloat16"
               else jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(plan.batch, plan.channels, plan.n_bands),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]      # src
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3         # row args
@@ -526,7 +551,8 @@ def fused_resample(src_chw_u8, plan: FusedPlan, args: FusedArgs,
     call = _build_call(plan, interpret)
     return call(
         jnp.asarray(args.band_starts), jnp.asarray(args.r_lo),
-        jnp.asarray(args.t_lo),
+        jnp.asarray(args.t_lo), jnp.asarray(args.r_frac),
+        jnp.asarray(args.t_frac),
         src_chw_u8,
         jnp.asarray(args.rows0), jnp.asarray(args.rows1),
         jnp.asarray(args.rowf),
