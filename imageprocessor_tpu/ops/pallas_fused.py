@@ -147,8 +147,8 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
         m_r = _round_up(int(np.ceil(cand / max(min_scale_r, 1e-6))) + 10, 8)
         m_t = _round_up(int(np.ceil(cand / max(min_scale_t, 1e-6))) + 10, 8)
         vmem = (nbuf * band * src_w             # pipelined u8 bands
-                + (_round_up(r_out_h, 8) + m_r) * src_w * dt   # vband r
-                + (_round_up(t_out, 8) + m_t) * src_w * dt     # vband t
+                + 3 * (_round_up(r_out_h, 8) + m_r) * src_w * dt  # vband r
+                + 3 * (_round_up(t_out, 8) + m_t) * src_w * dt    # vband t
                 + (r_out_h + m_r) * _round_up(r_out_w, 128)
                 + (t_out + m_t) * _round_up(t_out, 128)
                 + (_round_up(r_out_w, 128) // 128) * cband_r * 128 * dt
@@ -433,8 +433,12 @@ def _kernel(plan: FusedPlan, interpret: bool):
         # latency-bound (measured: they doubled the step time).
         # Masked store: the first `frac` rows of the chunk are owned by
         # the PREVIOUS band (already correct in the scratch) — keep them.
-        rlo = aligned(rlo_ref[slot], 8)
-        tlo = aligned(tlo_ref[slot], 8)
+        # The scratch holds all channels stacked ((C*alloc_h, src_w)) so
+        # the horizontal pass can run ONE weight pass for the whole
+        # image: alloc heights are multiples of 8, so the per-channel
+        # section offset keeps the store 8-aligned.
+        rlo = aligned(c * plan.r_alloc_h + rlo_ref[slot], 8)
+        tlo = aligned(c * plan.t_alloc_h + tlo_ref[slot], 8)
         iota_mr = jax.lax.broadcasted_iota(
             jnp.int32, (plan.r_rows, plan.src_w), 0)
         old_r = vband_r[pl.ds(rlo, plan.r_rows)]
@@ -469,7 +473,8 @@ def _kernel(plan: FusedPlan, interpret: bool):
                 wcol_t[q] = (jnp.where(iota == i0, 1.0 - f, 0.0)
                              + jnp.where(iota == i1, f, 0.0)).astype(cdtype)
 
-        def resample(vband_ref, wcol_ref, cbs_ref, kk, cband, out_ref):
+        def resample(vband_ref, wcol_ref, cbs_ref, kk, cband, out_ref,
+                     alloc_h):
             for q in range(kk):
                 if cband >= plan.src_w:
                     sub = vband_ref[:]   # full width: static slice
@@ -479,17 +484,22 @@ def _kernel(plan: FusedPlan, interpret: bool):
                 w = wcol_ref[q]
                 chunk = jnp.dot(sub, w, preferred_element_type=jnp.float32)
                 qv = jnp.clip(jnp.floor(chunk * (257.0 / 256.0)), 0.0, 255.0)
-                out_ref[0, 0, :, q * ck:(q + 1) * ck] = (
-                    qv.astype(jnp.int32).astype(jnp.uint8))
+                qv = qv.astype(jnp.int32).astype(jnp.uint8)
+                for ci in range(plan.channels):
+                    out_ref[0, ci, :, q * ck:(q + 1) * ck] = (
+                        qv[ci * alloc_h:(ci + 1) * alloc_h])
 
-        # Horizontal pass once per (b, c), on the completed full-height
-        # vertical scratch (grid steps of one (b, c) run in order).
-        @pl.when(j == nb - 1)
+        # Horizontal pass ONCE PER IMAGE, on the completed all-channel
+        # vertical scratch: the one-hot weights are identical across
+        # channels, and the matmul is MXU weight-load-bound (17 weight
+        # tiles for a 2176-column source window), so stacking the three
+        # channels' rows through one weight pass cuts the stalls 3x.
+        @pl.when((c == n_c - 1) & (j == nb - 1))
         def _horizontal():
             resample(vband_r, wcol_r, rcbs_ref, k_r, plan.r_col_band,
-                     out_r_ref)
+                     out_r_ref, plan.r_alloc_h)
             resample(vband_t, wcol_t, tcbs_ref, k_t, plan.t_col_band,
-                     out_t_ref)
+                     out_t_ref, plan.t_alloc_h)
 
     return kernel
 
@@ -512,15 +522,17 @@ def _build_call(plan: FusedPlan, interpret: bool):
            pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, 1, plan.r_alloc_h, plan.r_out_w),
-                         lambda b, c, j, *s: (b, c, 0, 0)),
-            pl.BlockSpec((1, 1, plan.t_alloc_h, plan.t_out_w),
-                         lambda b, c, j, *s: (b, c, 0, 0)),
+            pl.BlockSpec((1, plan.channels, plan.r_alloc_h, plan.r_out_w),
+                         lambda b, c, j, *s: (b, 0, 0, 0)),
+            pl.BlockSpec((1, plan.channels, plan.t_alloc_h, plan.t_out_w),
+                         lambda b, c, j, *s: (b, 0, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((plan.nbuf, plan.band_rows, plan.src_w), jnp.uint8),
-            pltpu.VMEM((plan.r_alloc_h, plan.src_w), cdtype),
-            pltpu.VMEM((plan.t_alloc_h, plan.src_w), cdtype),
+            pltpu.VMEM((plan.channels * plan.r_alloc_h, plan.src_w),
+                       cdtype),
+            pltpu.VMEM((plan.channels * plan.t_alloc_h, plan.src_w),
+                       cdtype),
             pltpu.VMEM((plan.r_out_w // 128, plan.r_col_band, 128), cdtype),
             pltpu.VMEM((plan.t_out_w // 128, plan.t_col_band, 128), cdtype),
             pltpu.SemaphoreType.DMA((plan.nbuf,)),
