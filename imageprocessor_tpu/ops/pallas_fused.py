@@ -407,9 +407,15 @@ def _kernel(plan: FusedPlan, interpret: bool):
         def _():
             dma_for(g + nbuf - 1, jax.lax.rem(g + nbuf - 1, nbuf)).start()
 
-        # u8 -> i16 -> bf16: Mosaic has no direct u8->float cast; the
-        # i16 intermediate packs 2x denser on the VPU than i32.
-        band_c = band2[bank].astype(jnp.int16).astype(cdtype)
+        # u8 -> (xor 0x80) -> bitcast i8 -> bf16: Mosaic has no direct
+        # u8->float cast, and the i16 route was the kernel's entire
+        # compute wall (measured 9.4k vs 16.4k img/s in isolation). The
+        # XOR reinterprets u8 as exact (value - 128) in i8 — 4x denser
+        # on the VPU — and the +128 correction is free: every one-hot
+        # weight row sums to exactly 1, so it folds into the matmul
+        # result as a constant.
+        band_c = jax.lax.bitcast_convert_type(
+            band2[bank] ^ jnp.uint8(0x80), jnp.int8).astype(cdtype)
 
         # Vertical pass for BOTH outputs in one matmul: each output's
         # row count is well under the MXU's 128 rows, so running them
@@ -422,9 +428,9 @@ def _kernel(plan: FusedPlan, interpret: bool):
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (band_rows, m_cat), 0)
         wr = (jnp.where(iota_v == r0, 1.0 - rfc, 0.0)
               + jnp.where(iota_v == r1, rfc, 0.0)).astype(cdtype)
-        vcat = jax.lax.dot_general(
+        vcat = (jax.lax.dot_general(
             wr, band_c, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cdtype)
+            preferred_element_type=jnp.float32) + 128.0).astype(cdtype)
         # Accumulate each band's vertical result into a FULL-HEIGHT
         # scratch at its output-row offset. The horizontal pass then runs
         # once per (b, c) on the whole image instead of once per band:
@@ -439,16 +445,19 @@ def _kernel(plan: FusedPlan, interpret: bool):
         # section offset keeps the store 8-aligned.
         rlo = aligned(c * plan.r_alloc_h + rlo_ref[slot], 8)
         tlo = aligned(c * plan.t_alloc_h + tlo_ref[slot], 8)
-        iota_mr = jax.lax.broadcasted_iota(
-            jnp.int32, (plan.r_rows, plan.src_w), 0)
-        old_r = vband_r[pl.ds(rlo, plan.r_rows)]
-        vband_r[pl.ds(rlo, plan.r_rows)] = jnp.where(
-            iota_mr < rfrac_ref[slot], old_r, vcat[:plan.r_rows])
-        iota_mt = jax.lax.broadcasted_iota(
-            jnp.int32, (plan.t_rows, plan.src_w), 0)
-        old_t = vband_t[pl.ds(tlo, plan.t_rows)]
-        vband_t[pl.ds(tlo, plan.t_rows)] = jnp.where(
-            iota_mt < tfrac_ref[slot], old_t, vcat[plan.r_rows:])
+        # frac < 8 always (chunk starts are floor-8 of the first owned
+        # row), so only the first 8 rows need the read-modify-write;
+        # the tail stores straight through (the full-chunk RMW moved
+        # ~0.5 GB/batch of VMEM traffic at large resize outputs).
+        iota_8 = jax.lax.broadcasted_iota(jnp.int32, (8, plan.src_w), 0)
+        head_r = vband_r[pl.ds(rlo, 8)]
+        vband_r[pl.ds(rlo, 8)] = jnp.where(
+            iota_8 < rfrac_ref[slot], head_r, vcat[:8])
+        vband_r[pl.ds(rlo + 8, plan.r_rows - 8)] = vcat[8:plan.r_rows]
+        head_t = vband_t[pl.ds(tlo, 8)]
+        vband_t[pl.ds(tlo, 8)] = jnp.where(
+            iota_8 < tfrac_ref[slot], head_t, vcat[plan.r_rows:plan.r_rows + 8])
+        vband_t[pl.ds(tlo + 8, plan.t_rows - 8)] = vcat[plan.r_rows + 8:]
 
         # Horizontal one-hot weights are identical for every (c, j) step
         # of an image — build them ONCE per image into scratch instead of
