@@ -229,17 +229,24 @@ struct Decoder {
       switch (m) {
         case 0xC0:  // SOF0 baseline
         case 0xC1: {  // extended sequential (same coding model)
+          if (seg_end - pos < 6) return 23;  // truncated SOF
           if (data[pos] != 8) return 14;  // precision
           height = (data[pos + 1] << 8) | data[pos + 2];
           width = (data[pos + 3] << 8) | data[pos + 4];
           ncomp = data[pos + 5];
           if (ncomp != 1 && ncomp != 3) return 15;
+          if (width <= 0 || height <= 0 || width > 65500
+              || height > 65500)
+            return 26;
+          if (seg_end - pos < 6 + 3 * static_cast<size_t>(ncomp))
+            return 23;
           for (int c = 0; c < ncomp; ++c) {
             const uint8_t* q = data + pos + 6 + 3 * c;
             comp[c].id = q[0];
             comp[c].h = q[1] >> 4;
             comp[c].v = q[1] & 15;
             comp[c].tq = q[2];
+            if (comp[c].tq > 3) return 27;
             if (comp[c].h < 1 || comp[c].h > 4 || comp[c].v < 1
                 || comp[c].v > 4)
               return 16;
@@ -274,14 +281,19 @@ struct Decoder {
           break;
         }
         case 0xDD:  // DRI
+          if (seg_end - pos < 2) return 23;
           restart_interval = (data[pos] << 8) | data[pos + 1];
           break;
         case 0xDA: {  // SOS
+          if (seg_end - pos < 1) return 23;
           int ns = data[pos];
           if (ns != ncomp) return 19;  // single interleaved scan only
+          if (seg_end - pos < 1 + 2 * static_cast<size_t>(ns) + 3)
+            return 23;
           for (int s = 0; s < ns; ++s) {
             int cid = data[pos + 1 + 2 * s];
             int tbls = data[pos + 2 + 2 * s];
+            if ((tbls >> 4) > 3 || (tbls & 15) > 3) return 28;
             for (int c = 0; c < ncomp; ++c) {
               if (comp[c].id == cid) {
                 comp[c].dc_tbl = tbls >> 4;
@@ -297,7 +309,8 @@ struct Decoder {
           while (q < seg_end) {
             int pq = data[q] >> 4, tq = data[q] & 15;
             ++q;
-            if (tq > 3) return 22;
+            if (tq > 3 || pq > 1) return 22;
+            if (seg_end - q < (pq ? 128u : 64u)) return 23;  // truncated
             for (int i = 0; i < 64; ++i) {
               int val;
               if (pq) {

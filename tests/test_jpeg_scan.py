@@ -122,3 +122,39 @@ def test_plane_dims_are_mcu_aligned():
 def test_dc_prediction_across_wide_image():
     # A wide single-MCU-row image exercises long DC predictor chains.
     assert_scan_matches_libjpeg(make_jpeg(8, 2048, quality=92))
+
+
+def test_fuzzed_streams_never_crash():
+    """Seeded fuzz regression: corrupted/truncated/garbage streams must
+    reject cleanly (NativeCodecError), never crash. The original scanner
+    segfaulted on header segments with lying lengths near EOF (DQT/SOF/
+    SOS over-reads) and unvalidated quant/Huffman table indices."""
+    rng = np.random.default_rng(99)
+    base = bytearray(make_jpeg(120, 150, quality=88))
+    survived = 0
+    for trial in range(400):
+        buf = bytearray(base)
+        kind = trial % 5
+        if kind == 0:
+            buf = buf[:rng.integers(2, len(buf))]
+        elif kind == 1:
+            buf[rng.integers(0, len(buf))] ^= int(rng.integers(1, 256))
+        elif kind == 2:
+            p = int(rng.integers(0, len(buf) - 16))
+            buf[p:p + 16] = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+        elif kind == 3:  # header-area corruption (markers/tables)
+            p = int(rng.integers(2, min(500, len(buf) - 4)))
+            buf[p:p + 4] = bytes(rng.integers(0, 256, 4, dtype=np.uint8))
+        else:
+            buf = bytearray(b"\xff\xd8") + bytearray(
+                rng.integers(0, 256, int(rng.integers(4, 1500)),
+                             dtype=np.uint8))
+        try:
+            nc.scan_jpeg_coefficients(bytes(buf),
+                                      threads=(4 if trial % 3 == 0 else 0))
+            survived += 1
+        except (nc.NativeCodecError, MemoryError):
+            pass
+    # Most mutations decode or reject; the assertion is simply that we
+    # reached this line on every one of them.
+    assert survived >= 0
