@@ -119,6 +119,9 @@ class WorkerConfig:
     batch_deadline_ms: float = 25  # flush partial batch after this long
     max_queue_depth: int = 256
     commit_interval_ms: float = 200
+    # Optional completion push: POST each ProcessingResult JSON here
+    # (retry-wrapped; failures are logged, never fatal).
+    webhook_url: str = ""
 
 
 @dataclass
@@ -128,6 +131,10 @@ class DeviceConfig:
     space_axis: int = 1           # spatial-parallel axis (1 = off)
     use_pallas: bool = True
     compute_dtype: str = "float32"
+    # Persistent XLA compilation cache dir ("" = off). First compile of
+    # the 12 MP fused program costs 15-300 s; the cache survives worker
+    # restarts.
+    compile_cache_dir: str = ""
 
 
 @dataclass
@@ -214,6 +221,7 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
 
     cfg.worker.concurrency = _get(env, "WORKER_CONCURRENCY", int, cfg.worker.concurrency, errors)
     cfg.worker.batch_size = _get(env, "WORKER_BATCH_SIZE", int, cfg.worker.batch_size, errors)
+    cfg.worker.webhook_url = env.get("WEBHOOK_URL", cfg.worker.webhook_url)
     cfg.worker.batch_deadline_ms = _get(env, "WORKER_BATCH_DEADLINE_MS", float,
                                         cfg.worker.batch_deadline_ms, errors)
     cfg.worker.max_queue_depth = _get(env, "WORKER_MAX_QUEUE_DEPTH", int,
@@ -225,6 +233,8 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
     cfg.device.use_pallas = _get(env, "DEVICE_USE_PALLAS", _parse_bool,
                                  cfg.device.use_pallas, errors)
     cfg.device.compute_dtype = env.get("DEVICE_COMPUTE_DTYPE", cfg.device.compute_dtype)
+    cfg.device.compile_cache_dir = env.get("DEVICE_COMPILE_CACHE_DIR",
+                                           cfg.device.compile_cache_dir)
 
     cfg.retries_attempts = _get(env, "RETRIES_ATTEMPTS", int, cfg.retries_attempts, errors)
     cfg.retries_delay_ms = _get(env, "RETRIES_DELAY_MS", int, cfg.retries_delay_ms, errors)

@@ -26,6 +26,8 @@ import threading
 from dataclasses import dataclass
 from typing import Any, Callable
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,6 +106,24 @@ def plan_output_specs(plan: OperationPlan, bucket: tuple[int, int],
     return tuple(specs)
 
 
+_compile_cache_enabled = False
+
+
+def enable_compile_cache(path: str) -> None:
+    """Persist XLA compilations across worker restarts (the 12 MP fused
+    program costs 15-300 s to compile cold). Idempotent; "" disables."""
+    global _compile_cache_enabled
+    if not path or _compile_cache_enabled:
+        return
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _compile_cache_enabled = True
+
+
 class PipelineModel:
     """Builds and caches fused programs keyed by (plan, bucket, B, canvases).
 
@@ -127,6 +147,7 @@ class PipelineModel:
         self._lock = threading.Lock()
         self._device = device
         self._pallas_interpret = pallas_interpret
+        enable_compile_cache(os.environ.get("DEVICE_COMPILE_CACHE_DIR", ""))
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas

@@ -118,7 +118,15 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
     return app
 
 
-async def _metrics_handler(_request):
+async def _metrics_handler(request):
+    # ?format=prometheus (or an Accept for the text exposition) serves
+    # the Prometheus 0.0.4 text format; default stays JSON.
+    accept = request.headers.get("Accept", "")
+    if (request.query.get("format") == "prometheus"
+            or "text/plain" in accept and "openmetrics" not in accept
+            and "json" not in accept and accept.strip() not in ("", "*/*")):
+        return web.Response(text=METRICS.prometheus_text(),
+                            content_type="text/plain")
     return web.json_response(METRICS.snapshot())
 
 

@@ -34,7 +34,7 @@ from imageprocessor_tpu.models.plan import (
 )
 from imageprocessor_tpu.runtime.batcher import BatchItem, DeadlineBatcher
 from imageprocessor_tpu.runtime.engine import BATCHABLE, EngineResult
-from imageprocessor_tpu.service.worker import Worker
+from imageprocessor_tpu.service.worker import Worker, post_webhook
 from imageprocessor_tpu.storage.object_store import ObjectNotFound
 from imageprocessor_tpu.utils import get_logger, retry_sync
 from imageprocessor_tpu.utils.metrics import METRICS
@@ -211,6 +211,8 @@ class PipelinedWorker(Worker):
                                     task.image_id.encode(), res.to_json())
             except Exception:
                 log.error("Failed to publish result", image_id=task.image_id)
+            post_webhook(self.cfg.worker.webhook_url, res.to_json(),
+                         self.cfg.retry_strategy())
         finally:
             self._inflight.release()
 

@@ -40,6 +40,36 @@ from imageprocessor_tpu.utils.metrics import METRICS
 
 log = get_logger("worker")
 
+
+def post_webhook(url: str, payload: bytes | str, retries=None) -> bool:
+    """Completion push: POST a ProcessingResult JSON to the configured
+    webhook (WEBHOOK_URL). Failures are logged and swallowed — delivery
+    guarantees stay with the results topic; the webhook is a
+    convenience channel."""
+    if not url:
+        return False
+    import urllib.request
+
+    body = payload.encode() if isinstance(payload, str) else payload
+
+    def _send():
+        req = urllib.request.Request(
+            url, data=body, method="POST",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            if resp.status >= 400:
+                raise OSError(f"webhook status {resp.status}")
+
+    try:
+        if retries is not None:
+            retry_sync(retries, _send)
+        else:
+            _send()
+        return True
+    except Exception as exc:
+        log.error("Webhook delivery failed", url=url, error=str(exc))
+        return False
+
 _PERMANENT_MARKERS = ("Failed to decode image", "Operation failed:",
                       "failed to unmarshal task", "parameter is required",
                       "must be positive", "unsupported operation")
@@ -51,6 +81,11 @@ class Worker:
                  broker: Broker | None = None,
                  engine: ProcessingEngine | None = None):
         self.cfg = cfg
+        if cfg.device.compile_cache_dir:
+            from imageprocessor_tpu.models.pipeline import (
+                enable_compile_cache,
+            )
+            enable_compile_cache(cfg.device.compile_cache_dir)
         self.meta = meta or build_metadata_store(cfg.db)
         self.store = store or build_object_store(cfg.storage)
         self.broker = broker or build_broker(cfg.broker)
@@ -135,6 +170,8 @@ class Worker:
                                     task.image_id.encode(), res.to_json())
             except Exception:
                 log.error("Failed to publish result", image_id=task.image_id)
+            post_webhook(self.cfg.worker.webhook_url, res.to_json(),
+                         self.cfg.retry_strategy())
 
         dur = (time.monotonic() - t0) * 1000.0
         METRICS.observe("worker_batch_ms", dur)

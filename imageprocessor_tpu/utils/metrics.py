@@ -54,6 +54,31 @@ class Metrics:
                 }
             return out
 
+    def prometheus_text(self) -> str:
+        """Prometheus text exposition (0.0.4) of the same snapshot the
+        JSON endpoint serves: counters as counters, timing reservoirs as
+        quantile gauges + a _count counter."""
+        def norm(name: str) -> str:
+            clean = "".join(ch if ch.isalnum() or ch == "_" else "_"
+                            for ch in name)
+            return f"imageprocessor_{clean}"
+
+        snap = self.snapshot()
+        lines: list[str] = []
+        for name, value in sorted(snap["counters"].items()):
+            m = norm(name)
+            lines.append(f"# TYPE {m} counter")
+            lines.append(f"{m} {value}")
+        for name, t in sorted(snap["timings"].items()):
+            m = norm(name)
+            lines.append(f"# TYPE {m} summary")
+            for q_label, key in (("0.5", "p50"), ("0.9", "p90"),
+                                 ("0.99", "p99")):
+                lines.append(
+                    f'{m}{{quantile="{q_label}"}} {t[key]}')
+            lines.append(f"{m}_count {t['count']}")
+        return "\n".join(lines) + "\n"
+
     def reset(self) -> None:
         with self._lock:
             self._counters.clear()

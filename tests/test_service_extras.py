@@ -115,3 +115,83 @@ def test_storage_fault_injection_keeps_state_consistent(tmp_path):
     worker.run_once()
     assert meta.get_image(img.id).status is ImageStatus.COMPLETED
     worker.engine.close()
+
+
+def test_metrics_prometheus_exposition(server):
+    import httpx
+
+    with httpx.Client() as c:
+        r = c.get(f"{server}/api/metrics", params={"format": "prometheus"})
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/plain")
+        assert "# TYPE imageprocessor_" in r.text
+        # JSON remains the default
+        r2 = c.get(f"{server}/api/metrics")
+        assert r2.headers["content-type"].startswith("application/json")
+
+
+def test_webhook_completion_push(tmp_path):
+    """WEBHOOK_URL posts each ProcessingResult JSON (retry-wrapped,
+    failures never fatal)."""
+    import http.server
+    import io as _io
+    import json
+    import threading
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from imageprocessor_tpu.broker import MemoryBroker
+    from imageprocessor_tpu.config import load
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.service.usecase import ImageUsecase
+    from imageprocessor_tpu.service.worker import Worker, post_webhook
+    from imageprocessor_tpu.storage import (
+        LocalFSObjectStore,
+        SQLiteMetadataStore,
+    )
+    from imageprocessor_tpu.utils import RetryStrategy
+
+    received = []
+
+    class Hook(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Hook)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_port}/cb"
+    try:
+        cfg = load({"WEBHOOK_URL": url})
+        cfg.worker.batch_size = 2
+        meta = SQLiteMetadataStore(":memory:")
+        store = LocalFSObjectStore(str(tmp_path / "obj"))
+        broker = MemoryBroker()
+        uc = ImageUsecase(meta, store, broker,
+                          retries=RetryStrategy(attempts=1, delay_ms=1))
+        worker = Worker(cfg, meta=meta, store=store, broker=broker)
+        arr = np.random.default_rng(0).integers(
+            0, 256, (64, 80, 3), dtype=np.uint8)
+        bio = _io.BytesIO()
+        PILImage.fromarray(arr).save(bio, format="PNG")
+        img = uc.upload_image(bio.getvalue(), "a.png", "image/png",
+                              [OperationParams(OperationType.THUMBNAIL,
+                                               {"size": 32})])
+        worker.run_once()
+        assert len(received) == 1
+        assert received[0]["ImageID"] == img.id
+        assert received[0]["Status"] == "completed"
+        worker.engine.close()
+
+        # failure path: unreachable webhook is logged, not raised
+        assert post_webhook("http://127.0.0.1:1/none", "{}",
+                            RetryStrategy(attempts=1, delay_ms=1)) is False
+    finally:
+        srv.shutdown()
