@@ -592,10 +592,19 @@ class PipelineModel:
         wm_spec = jax.tree.map(lambda _: repl, wm_args)
         hws_spec = tuple(shard for _ in hws)
 
-        fn = shard_map(
-            raw, mesh=mesh,
-            in_specs=(shard, shard, hws_spec, wm_spec, args_spec),
-            out_specs=shard)
+        # check_vma=False: Pallas custom calls can't declare their
+        # varying-mesh-axes metadata, so the replication checker rejects
+        # them; every output here is batch-sharded by construction.
+        try:
+            fn = shard_map(
+                raw, mesh=mesh,
+                in_specs=(shard, shard, hws_spec, wm_spec, args_spec),
+                out_specs=shard, check_vma=False)
+        except TypeError:  # older jax: the kwarg was check_rep
+            fn = shard_map(
+                raw, mesh=mesh,
+                in_specs=(shard, shard, hws_spec, wm_spec, args_spec),
+                out_specs=shard, check_rep=False)
         jitted = jax.jit(fn)
         outs = jitted(jnp.asarray(imgs_u8), jnp.asarray(src_hw), hws,
                       wm_args, global_args)
