@@ -4,7 +4,12 @@
 PY ?= python
 
 .PHONY: test test-fast lint bench bench-smoke standalone api worker \
-        dryrun clean
+        dryrun native clean
+
+native:
+	g++ -O3 -march=native -shared -fPIC -pthread \
+	  native/ipcodec.cpp native/jpeg_scan.cpp native/jpeg_emit.cpp \
+	  -o native/libipcodec.so -ljpeg
 
 test:
 	$(PY) -m pytest tests/ -q

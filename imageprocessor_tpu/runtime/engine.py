@@ -78,6 +78,14 @@ BATCHABLE = {OperationType.RESIZE, OperationType.THUMBNAIL,
              OperationType.WATERMARK, OperationType.GRAYSCALE,
              OperationType.FLIP, OperationType.CROP, OperationType.ROTATE}
 
+# Typed failure classification carried on EngineResult.error_kind so ack
+# policy never depends on error-message wording: PERMANENT failures are
+# acked with status=failed (bad input — redelivery cannot help);
+# TRANSIENT ones are nacked for redelivery (infra hiccup — the
+# reference's leave-uncommitted-for-retry behavior, worker.go:125-146).
+PERMANENT = "permanent"
+TRANSIENT = "transient"
+
 
 @dataclass
 class Artifact:
@@ -90,10 +98,15 @@ class Artifact:
 
 @dataclass
 class EngineResult:
-    """ProcessingResult plus the artifact metadata the DB rows need."""
+    """ProcessingResult plus the artifact metadata the DB rows need.
+
+    error_kind: "" on success, else PERMANENT or TRANSIENT — the worker's
+    ack decision reads this field, never the error string.
+    """
 
     result: ProcessingResult
     artifacts: list[Artifact] = field(default_factory=list)
+    error_kind: str = ""
 
 
 class ProcessingEngine:
@@ -124,10 +137,11 @@ class ProcessingEngine:
 
     # ------------------------------------------------------------------ utils
 
-    def _failed(self, task: ProcessingTask, error: str) -> EngineResult:
+    def _failed(self, task: ProcessingTask, error: str,
+                kind: str = PERMANENT) -> EngineResult:
         return EngineResult(result=ProcessingResult(
             id=task.id, image_id=task.image_id, status=ImageStatus.FAILED,
-            error=error))
+            error=error), error_kind=kind)
 
     def _encode_and_save(self, task: ProcessingTask, op: NormalizedOp,
                          arr: np.ndarray, fmt: str,
@@ -148,9 +162,30 @@ class ProcessingEngine:
             data = encode_image(arr, out_fmt, quality=self.jpeg_quality)
         path = generate_path(task.image_id, op, out_fmt)
         mime = mime_from_path(path)
-        self.store.save_processed(path, data, mime)
+        self._save(path, data, mime)
         return Artifact(operation=op.type.value, path=path, size=len(data),
                         mime_type=mime, format=out_fmt)
+
+    @staticmethod
+    def _classify_op_failure(out: EngineResult, op: NormalizedOp,
+                             exc: Exception) -> None:
+        """Fail-fast bookkeeping for one op failure: storage I/O errors are
+        TRANSIENT, everything else (compute/encode/params) PERMANENT."""
+        from imageprocessor_tpu.errors import StorageError
+        out.result.status = ImageStatus.FAILED
+        out.result.error = f"Operation {op.type.value} failed: {exc}"
+        out.error_kind = (TRANSIENT if isinstance(exc, StorageError)
+                          else PERMANENT)
+
+    def _save(self, path: str, data: bytes, mime: str) -> None:
+        """Object-store writes are infra I/O: wrap failures as StorageError
+        so the op loops classify them TRANSIENT (nack/redeliver) instead of
+        PERMANENT like compute/encode errors."""
+        from imageprocessor_tpu.errors import StorageError
+        try:
+            self.store.save_processed(path, data, mime)
+        except Exception as exc:
+            raise StorageError(f"save {path}: {exc}") from exc
 
     def _emit_and_save(self, task: ProcessingTask, op: NormalizedOp,
                        coef, i: int, h: int, w: int) -> Artifact:
@@ -165,7 +200,7 @@ class ProcessingEngine:
             qt, w, h, (2, 2))
         path = generate_path(task.image_id, op, "jpeg")
         mime = mime_from_path(path)
-        self.store.save_processed(path, data, mime)
+        self._save(path, data, mime)
         return Artifact(operation=op.type.value, path=path, size=len(data),
                         mime_type=mime, format="jpeg")
 
@@ -212,8 +247,7 @@ class ProcessingEngine:
                 processed = self._apply_single(arr, op)
                 artifact = self._encode_and_save(task, op, processed, fmt)
             except Exception as exc:  # fail-fast per reference
-                out.result.status = ImageStatus.FAILED
-                out.result.error = f"Operation {op.type.value} failed: {exc}"
+                self._classify_op_failure(out, op, exc)
                 return out
             out.artifacts.append(artifact)
             out.result.processed_paths[op.type.value] = artifact.path
@@ -325,7 +359,8 @@ class ProcessingEngine:
             self._run_group(group, results)
 
         return [r if r is not None else self._failed(
-            tasks_with_data[i][0], "internal: no result produced")
+            tasks_with_data[i][0], "internal: no result produced",
+            kind=TRANSIENT)
             for i, r in enumerate(results)]
 
     def _process_decoded_single(self, task, arr, fmt, plan) -> EngineResult:
@@ -336,8 +371,7 @@ class ProcessingEngine:
                 processed = self._apply_single(arr, op)
                 artifact = self._encode_and_save(task, op, processed, fmt)
             except Exception as exc:
-                out.result.status = ImageStatus.FAILED
-                out.result.error = f"Operation {op.type.value} failed: {exc}"
+                self._classify_op_failure(out, op, exc)
                 return out
             out.artifacts.append(artifact)
             out.result.processed_paths[op.type.value] = artifact.path
@@ -514,8 +548,7 @@ class ProcessingEngine:
                     artifact = self._encode_and_save(task, op, arr, fmt,
                                                      layout=layout)
             except Exception as exc:
-                out.result.status = ImageStatus.FAILED
-                out.result.error = f"Operation {op.type.value} failed: {exc}"
+                self._classify_op_failure(out, op, exc)
                 return out
             out.artifacts.append(artifact)
             out.result.processed_paths[op.type.value] = artifact.path

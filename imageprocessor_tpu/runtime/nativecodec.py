@@ -54,6 +54,16 @@ def _build() -> bool:
     return False
 
 
+def _stale() -> bool:
+    """True when any native source is newer than the built library."""
+    try:
+        lib_m = _LIB.stat().st_mtime
+        return any(s.exists() and s.stat().st_mtime > lib_m
+                   for s in (_SRC, _SRC_SCAN, _SRC_EMIT))
+    except OSError:
+        return True
+
+
 def _load() -> ctypes.CDLL | None:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
@@ -61,8 +71,8 @@ def _load() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _LIB.exists() and _SRC.exists():
-            if not _build():
+        if _SRC.exists() and (not _LIB.exists() or _stale()):
+            if not _build() and not _LIB.exists():
                 _load_failed = True
                 return None
         try:

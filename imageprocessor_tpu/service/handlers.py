@@ -35,6 +35,8 @@ from imageprocessor_tpu.utils import get_logger
 log = get_logger("http")
 
 _ALLOWED_EXT = {".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff"}
+# Cap for non-file multipart parts (operation flags, watermark text).
+_MAX_FORM_PART_SIZE = 64 << 10
 
 
 def _rfc3339(dt: _dt.datetime) -> str:
@@ -117,8 +119,20 @@ class ImageHandlers:
                     chunks.append(chunk)
                 file_bytes = b"".join(chunks)
             else:
-                form[part.name] = (await part.read()).decode(
-                    "utf-8", "replace")
+                # Non-file parts are tiny flags/strings; stream with a hard
+                # cap so a multi-GB form field can't bypass the file-size
+                # limit and exhaust memory (upload DoS).
+                chunks = []
+                total = 0
+                while True:
+                    chunk = await part.read_chunk(16 << 10)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+                    if total > _MAX_FORM_PART_SIZE:
+                        return _json_error(400, "Form field too large")
+                    chunks.append(chunk)
+                form[part.name] = b"".join(chunks).decode("utf-8", "replace")
 
         if file_bytes is None:
             return _json_error(400, "File is required")

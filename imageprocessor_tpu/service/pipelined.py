@@ -33,8 +33,12 @@ from imageprocessor_tpu.models.plan import (
     normalize_operations,
 )
 from imageprocessor_tpu.runtime.batcher import BatchItem, DeadlineBatcher
-from imageprocessor_tpu.runtime.engine import BATCHABLE, EngineResult
-from imageprocessor_tpu.service.worker import Worker, post_webhook
+from imageprocessor_tpu.runtime.engine import (
+    BATCHABLE,
+    TRANSIENT,
+    EngineResult,
+)
+from imageprocessor_tpu.service.worker import Worker
 from imageprocessor_tpu.storage.object_store import ObjectNotFound
 from imageprocessor_tpu.utils import get_logger, retry_sync
 from imageprocessor_tpu.utils.metrics import METRICS
@@ -168,8 +172,10 @@ class PipelinedWorker(Worker):
                           exc_info=True)
                 for it in group.items:
                     msg, task, _fmt, _plan = it.payload
+                    # TRANSIENT: a TPU/tunnel/compile hiccup must nack the
+                    # micro-batch for redelivery, not permanently fail it.
                     res = self.engine._failed(
-                        task, f"Operation failed: device error: {exc}")
+                        task, f"device error: {exc}", kind=TRANSIENT)
                     self._complete(msg, task, res)
 
     # ---------------------------------------------------------------- stage 3
@@ -200,19 +206,18 @@ class PipelinedWorker(Worker):
             if res.status is ImageStatus.COMPLETED:
                 self.broker.ack(msg)
                 METRICS.inc("worker_completed")
-            elif self._is_permanent(res.error):
-                self.broker.ack(msg)
-                METRICS.inc("worker_failed_permanent")
-            else:
+            elif eng_res.error_kind == TRANSIENT:
                 self.broker.nack(msg)
                 METRICS.inc("worker_failed_transient")
+            else:
+                self.broker.ack(msg)
+                METRICS.inc("worker_failed_permanent")
             try:
                 self.broker.produce(self.cfg.broker.results_topic,
                                     task.image_id.encode(), res.to_json())
             except Exception:
                 log.error("Failed to publish result", image_id=task.image_id)
-            post_webhook(self.cfg.worker.webhook_url, res.to_json(),
-                         self.cfg.retry_strategy())
+            self._deliver_webhook(res)
         finally:
             self._inflight.release()
 

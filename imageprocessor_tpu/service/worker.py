@@ -22,13 +22,18 @@ Failure policy (SURVEY.md §5 failure detection):
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 
 from imageprocessor_tpu.broker.base import Broker, BrokerMessage, build_broker
 from imageprocessor_tpu.config import Config
 from imageprocessor_tpu.domain import ImageStatus, ProcessedImage, ProcessingTask
-from imageprocessor_tpu.runtime.engine import EngineResult, ProcessingEngine
+from imageprocessor_tpu.runtime.engine import (
+    TRANSIENT,
+    EngineResult,
+    ProcessingEngine,
+)
 from imageprocessor_tpu.storage.metadata import MetadataStore, build_metadata_store
 from imageprocessor_tpu.storage.object_store import (
     ObjectNotFound,
@@ -70,9 +75,6 @@ def post_webhook(url: str, payload: bytes | str, retries=None) -> bool:
         log.error("Webhook delivery failed", url=url, error=str(exc))
         return False
 
-_PERMANENT_MARKERS = ("Failed to decode image", "Operation failed:",
-                      "failed to unmarshal task", "parameter is required",
-                      "must be positive", "unsupported operation")
 
 
 class Worker:
@@ -105,6 +107,13 @@ class Worker:
                            else "bfloat16"))
         self._stop = threading.Event()
         self._idle_sleep = max(cfg.worker.batch_deadline_ms / 1000.0, 0.005)
+        # Background webhook delivery (never in the batch hot loop).
+        self._webhook_q: queue.Queue = queue.Queue(maxsize=1024)
+        self._webhook_t: threading.Thread | None = None
+        if cfg.worker.webhook_url:
+            self._webhook_t = threading.Thread(target=self._webhook_loop,
+                                               name="webhook", daemon=True)
+            self._webhook_t.start()
 
     # ---------------------------------------------------------------- one poll
 
@@ -159,19 +168,21 @@ class Worker:
             if res.status is ImageStatus.COMPLETED:
                 self.broker.ack(msg)
                 METRICS.inc("worker_completed")
-            elif self._is_permanent(res.error):
-                self.broker.ack(msg)
-                METRICS.inc("worker_failed_permanent")
-            else:
+            elif eng_res.error_kind == TRANSIENT:
                 self.broker.nack(msg)
                 METRICS.inc("worker_failed_transient")
+            else:
+                # Typed classification (engine tags every failure); the
+                # reference replays failures forever on rebalance — here
+                # permanent input errors are acked to avoid poison loops.
+                self.broker.ack(msg)
+                METRICS.inc("worker_failed_permanent")
             try:
                 self.broker.produce(self.cfg.broker.results_topic,
                                     task.image_id.encode(), res.to_json())
             except Exception:
                 log.error("Failed to publish result", image_id=task.image_id)
-            post_webhook(self.cfg.worker.webhook_url, res.to_json(),
-                         self.cfg.retry_strategy())
+            self._deliver_webhook(res)
 
         dur = (time.monotonic() - t0) * 1000.0
         METRICS.observe("worker_batch_ms", dur)
@@ -180,9 +191,27 @@ class Worker:
                  duration_ms=round(dur, 1))
         return len(msgs)
 
-    @staticmethod
-    def _is_permanent(error: str) -> bool:
-        return any(m in error for m in _PERMANENT_MARKERS)
+    def _deliver_webhook(self, res) -> None:
+        """Queue the completion webhook for background delivery: the POST
+        (with its multi-second retry budget) must never stall the batch
+        hot loop. Queue full -> drop with a metric; delivery guarantees
+        stay with the results topic."""
+        if not self.cfg.worker.webhook_url:
+            return
+        try:
+            self._webhook_q.put_nowait(res.to_json())
+        except queue.Full:
+            METRICS.inc("worker_webhook_dropped")
+            log.error("Webhook queue full; dropping delivery",
+                      image_id=res.image_id)
+
+    def _webhook_loop(self) -> None:
+        while True:
+            payload = self._webhook_q.get()
+            if payload is None:
+                return
+            post_webhook(self.cfg.worker.webhook_url, payload,
+                         self.cfg.retry_strategy())
 
     def _mark_failed(self, image_id: str) -> None:
         try:
@@ -222,7 +251,19 @@ class Worker:
                  group=self.cfg.broker.group_id)
         last_purge = time.monotonic()
         while not self._stop.is_set():
-            n = self.run_once()
+            try:
+                n = self.run_once()
+            except Exception as exc:
+                # Per-iteration isolation: a transient broker/storage/engine
+                # error (e.g. sqlite "database is locked" on the compose
+                # shared-volume broker) must not kill the consume loop —
+                # the reference worker keeps consuming after per-message
+                # errors (worker.go:151-163).
+                log.error("Worker iteration failed", error=str(exc),
+                          exc_info=True)
+                METRICS.inc("worker_iteration_errors")
+                self._stop.wait(min(self._idle_sleep * 4, 2.0))
+                continue
             if n == 0:
                 self._stop.wait(self._idle_sleep)
             # Retention: durable brokers garbage-collect fully-acked
@@ -244,6 +285,9 @@ class Worker:
 
     def close(self) -> None:
         self.stop()
+        if self._webhook_t is not None:
+            self._webhook_q.put(None)
+            self._webhook_t.join(timeout=10)
         self.engine.close()
         for closer in (self.meta, self.store, self.broker):
             try:

@@ -340,7 +340,10 @@ struct Decoder {
     if (!dct.present || !act.present) return 30;
     br.fill();  // >= 57 bits: covers the DC code (<=16) + diff (<=11)
     int s = huff_decode(br, dct);
-    if (s < 0) return 31;
+    // Baseline DC magnitude categories are 0..11 (ITU T.81 F.1.2.1.1); a
+    // malicious DHT can encode larger symbols, which would shift by a
+    // negative count in get_bits_nofill / overflow extend — reject first.
+    if (s < 0 || s > 11) return 31;
     int diff = s ? extend(br.get_bits_nofill(s), s) : 0;
     c.pred += diff;
     blk_out[0] = static_cast<int16_t>(c.pred);
@@ -358,6 +361,8 @@ struct Decoder {
         }
         break;  // EOB
       }
+      // Baseline AC magnitude categories are 1..10 (T.81 F.1.2.2.1).
+      if (s > 10) return 34;
       k += r;
       if (k > 63) return 33;
       blk_out[zig[k]] =

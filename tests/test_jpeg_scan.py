@@ -158,3 +158,43 @@ def test_fuzzed_streams_never_crash():
     # Most mutations decode or reject; the assertion is simply that we
     # reached this line on every one of them.
     assert survived >= 0
+
+
+def _patch_dht_symbols(jpeg: bytes, table_class: int, value: int) -> bytes:
+    """Overwrite every symbol of each DHT table of `table_class`
+    (0=DC, 1=AC) with `value` — simulating a malicious Huffman table."""
+    buf = bytearray(jpeg)
+    i = 2
+    patched = 0
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            break
+        marker = buf[i + 1]
+        seg_len = (buf[i + 2] << 8) | buf[i + 3]
+        seg_start, seg_end = i + 4, i + 2 + seg_len
+        if marker == 0xC4:  # DHT: may hold several tables
+            q = seg_start
+            while q + 17 <= seg_end:
+                tc = buf[q] >> 4
+                nsym = sum(buf[q + 1:q + 17])
+                if tc == table_class:
+                    for s in range(nsym):
+                        buf[q + 17 + s] = value
+                    patched += 1
+                q += 17 + nsym
+        if marker == 0xDA:
+            break
+        i = seg_end
+    assert patched, "no DHT table of the requested class found"
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("table_class,value", [(0, 0x0F), (0, 0x0C),
+                                               (1, 0x0F), (1, 0x0B)])
+def test_malicious_huffman_category_rejected(table_class, value):
+    """Baseline bounds: DC magnitude category <= 11, AC <= 10 (T.81
+    F.1.2). A hostile DHT encoding larger categories must be rejected
+    cleanly (NativeCodecError), never shift by a negative count (UB)."""
+    evil = _patch_dht_symbols(make_jpeg(64, 64), table_class, value)
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_coefficients(evil)

@@ -109,6 +109,23 @@ def test_nonbatchable_plan_single_path(harness):
     assert rows[0].operation is OperationType.CROP
 
 
+def test_device_stage_failure_is_transient(harness):
+    """A device/tunnel/compile hiccup must nack the micro-batch for
+    redelivery — never permanently fail it (ADVICE r1 #2)."""
+    uc, meta, broker, w = harness
+
+    def boom(group):
+        raise RuntimeError("tunnel reset by peer")
+
+    w.engine.device_group = boom
+    img = uc.upload_image(png_bytes(), "d.png", "image/png", OPS)
+    assert wait_for(lambda: meta.get_image(img.id).status
+                    is ImageStatus.FAILED)
+    w.stop()
+    # still deliverable: nacked, not acked away
+    assert broker.depth("image-processing", w.cfg.broker.group_id) >= 1
+
+
 def test_pipelined_with_device_jpeg(tmp_path):
     """JPEG uploads flow through the pipelined worker with the TPU-side
     decode path on (coef batch layout end to end)."""

@@ -202,6 +202,12 @@ def test_upload_validation_errors(server):
         assert r.status_code == 400
         assert r.json()["message"] == "File must be an image"
 
+        # oversized non-file form part must be rejected, not buffered
+        r = c.post(f"{server}/api/images/upload", files=png_upload(),
+                   data={"watermark_text": "x" * (1 << 20)})
+        assert r.status_code == 400
+        assert "Form field too large" in r.json()["message"]
+
 
 def test_unknown_image_404s(server):
     with httpx.Client(timeout=10) as c:

@@ -137,6 +137,7 @@ def test_webhook_completion_push(tmp_path):
     import io as _io
     import json
     import threading
+    import time
 
     import numpy as np
     from PIL import Image as PILImage
@@ -185,10 +186,14 @@ def test_webhook_completion_push(tmp_path):
                               [OperationParams(OperationType.THUMBNAIL,
                                                {"size": 32})])
         worker.run_once()
+        # delivery is asynchronous (background webhook thread)
+        deadline = time.monotonic() + 10
+        while not received and time.monotonic() < deadline:
+            time.sleep(0.02)
         assert len(received) == 1
         assert received[0]["ImageID"] == img.id
         assert received[0]["Status"] == "completed"
-        worker.engine.close()
+        worker.close()
 
         # failure path: unreachable webhook is logged, not raised
         assert post_webhook("http://127.0.0.1:1/none", "{}",

@@ -188,6 +188,55 @@ def test_worker_transient_fetch_failure_nacks(worker_stack):
                         worker.cfg.broker.group_id) == 1
 
 
+def test_ack_policy_is_typed_not_string_matched(worker_stack):
+    """Ack policy must read EngineResult.error_kind, never the error text:
+    a reworded message cannot flip a permanent failure into a poison loop
+    (or a transient one into a silent drop)."""
+    from imageprocessor_tpu.domain import ProcessingResult
+    from imageprocessor_tpu.runtime.engine import (
+        PERMANENT,
+        TRANSIENT,
+        EngineResult,
+    )
+
+    uc, worker, meta, _store, broker = worker_stack
+    group = worker.cfg.broker.group_id
+
+    def fake_engine(kind):
+        def process_tasks(tasks_with_data):
+            return [EngineResult(result=ProcessingResult(
+                id=t.id, image_id=t.image_id, status=ImageStatus.FAILED,
+                error="an entirely reworded diagnostic with no known text"),
+                error_kind=kind) for (t, _d) in tasks_with_data]
+        return process_tasks
+
+    uc.upload_image(png_bytes(), "k1.png", "image/png", DEFAULT_OPS)
+    worker.engine.process_tasks = fake_engine(PERMANENT)
+    assert worker.run_once() == 1
+    assert broker.depth("image-processing", group) == 0  # acked
+
+    uc.upload_image(png_bytes(), "k2.png", "image/png", DEFAULT_OPS)
+    worker.engine.process_tasks = fake_engine(TRANSIENT)
+    assert worker.run_once() == 1
+    assert broker.depth("image-processing", group) == 1  # nacked: redeliver
+
+
+def test_storage_save_failure_is_transient(worker_stack):
+    """An object-store outage during artifact save nacks for redelivery
+    (infra error), instead of permanently failing the image."""
+    uc, worker, meta, store, broker = worker_stack
+    img = uc.upload_image(png_bytes(), "s.png", "image/png", DEFAULT_OPS)
+
+    def boom(*a, **k):
+        raise OSError("disk went away")
+
+    store.save_processed = boom
+    assert worker.run_once() == 1
+    assert meta.get_image(img.id).status is ImageStatus.FAILED
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 1  # nacked
+
+
 def test_worker_batch_mixed_outcomes(worker_stack):
     uc, worker, meta, _store, broker = worker_stack
     good = uc.upload_image(png_bytes(), "g1.png", "image/png", DEFAULT_OPS)
