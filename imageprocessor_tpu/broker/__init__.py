@@ -12,8 +12,11 @@ Backends:
 * sqlite — durable on-disk queue with lease-based redelivery (survives
   restarts; per-message acks avoid the reference's commit/offset race,
   SURVEY.md §5 "race detection");
-* kafka — wire-compatible stub, gated on a client library this
-  environment doesn't ship.
+* kafka — pure-Python wire-protocol client (broker/kafka.py over
+  broker/kafkawire.py): consumer-group membership, range assignment,
+  keyed produce, watermark commits — drops into the reference's Kafka
+  deployment with no client library. broker/kafkaserver.py is a
+  wire-compatible in-process single-node broker for tests/dev.
 
 The consume surface is deliberately batch-oriented (`poll(max_n)`) because
 the TPU engine wants micro-batches, not a per-message channel.

@@ -1,67 +1,574 @@
-"""Kafka broker backend (client-library gated).
+"""Kafka broker backend: a pure-Python wire-protocol client.
 
-The deployment-scale backend: one consumer-group member per TPU host, the
-exact topology of the reference (reference: internal/broker/kafka/
-consumer.go:21-27 — group over the 3-partition "image-processing" topic).
-This environment ships no Kafka client and has no egress to install one,
-so construction raises a clear error; the adapter below documents the
-mapping so wiring it to `aiokafka`/`confluent_kafka` is mechanical:
+The deployment-scale backend, speaking the Kafka binary protocol directly
+(broker/kafkawire.py) — no client library needed. Topology matches the
+reference exactly: a consumer group over the 3-partition
+"image-processing" topic, one group member per worker host (reference:
+internal/broker/kafka/consumer.go:21-56, producer.go:19-33), keyed
+produce so one image's tasks stay ordered within a partition
+(usecase/image/image.go:93-98).
 
-* produce        -> Producer.send(topic, key=key, value=value)
-* poll           -> Consumer.poll(max_records=max_n) on a group member
-* ack            -> commit the message's offset+1 for its partition; the
-                    engine acks per *batch* in partition-offset order, so
-                    the watermark semantics stay correct
-* nack / lease   -> seek back to the failed offset (redelivery), matching
-                    the reference's leave-uncommitted behavior
-                    (worker.go:125-146)
+Mapping the framework's lease-based Broker contract onto Kafka:
+
+* produce  -> Produce v0 (acks=-1) to the key's partition
+* poll     -> JoinGroup/SyncGroup membership (range assignment), then
+              Fetch v0 from owned partitions; each delivered message gets
+              a client-side lease token
+* ack      -> mark done; the per-partition commit watermark (lowest
+              offset with any un-done message below it) advances and is
+              OffsetCommit'ed — commit-after-success with per-message
+              granularity (reference commits per message, worker.go:132)
+* nack     -> mark for immediate client-side redelivery (the reference's
+              leave-uncommitted semantics; on process death the
+              uncommitted watermark replays the same messages)
+* depth    -> sum over partitions of log-end (ListOffsets) minus the
+              committed watermark
+
+Leases are a client-side refinement: Kafka itself redelivers only from
+the committed watermark after a rebalance/restart, which this client
+preserves — the in-process lease bookkeeping adds per-message retry
+inside a live worker without poisoning the commit order.
 """
 
 from __future__ import annotations
 
-from imageprocessor_tpu.broker.base import Broker, BrokerMessage
+import socket
+import threading
+import time
+import uuid
+
+from imageprocessor_tpu.broker import kafkawire as kw
+from imageprocessor_tpu.broker.base import Broker, BrokerMessage, partition_for_key
 from imageprocessor_tpu.errors import MessageQueueError
+from imageprocessor_tpu.utils import get_logger
+
+log = get_logger("kafka")
+
+_SESSION_TIMEOUT_MS = 30000
+_RETRIABLE = (kw.ILLEGAL_GENERATION, kw.REBALANCE_IN_PROGRESS,
+              kw.UNKNOWN_MEMBER_ID, kw.NOT_COORDINATOR)
 
 
-def _import_client():
-    for name in ("confluent_kafka", "aiokafka", "kafka"):
+class _Conn:
+    """One broker connection: framed request/response with correlation."""
+
+    def __init__(self, host: str, port: int, client_id: str,
+                 timeout: float = 15.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.client_id = client_id
+        self._corr = 0
+
+    def request(self, api_key: int, api_version: int, body: bytes
+                ) -> kw.Reader:
+        self._corr += 1
+        corr = self._corr
+        self.sock.sendall(kw.encode_request(api_key, api_version, corr,
+                                            self.client_id, body))
+        frame = kw.read_frame(self.sock)
+        r = kw.Reader(frame)
+        got = r.i32()
+        if got != corr:
+            raise kw.WireError(f"correlation mismatch {got} != {corr}")
+        return r
+
+    def close(self):
         try:
-            return __import__(name)
-        except ImportError:
-            continue
-    return None
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class _InFlight:
+    __slots__ = ("msg", "token", "deadline", "done", "redeliver")
+
+    def __init__(self, msg: BrokerMessage, token: str, deadline: float):
+        self.msg = msg
+        self.token = token
+        self.deadline = deadline
+        self.done = False
+        self.redeliver = False
+
+
+class _Consumer:
+    """Group-membership + fetch state for one (topic, group)."""
+
+    def __init__(self, topic: str, group: str):
+        self.topic = topic
+        self.group = group
+        self.member_id = ""
+        self.generation = -1
+        self.partitions: list[int] = []
+        self.positions: dict[int, int] = {}
+        self.committed: dict[int, int] = {}
+        # (partition, offset) -> _InFlight, insertion-ordered per partition
+        self.inflight: dict[tuple[int, int], _InFlight] = {}
+        self.joined = False
+        self.next_fetch_idx = 0
 
 
 class KafkaBroker(Broker):
-    def __init__(self, cfg):
-        client = _import_client()
-        if client is None:
-            raise MessageQueueError(
-                "kafka broker backend requires confluent_kafka/aiokafka, "
-                "neither is installed in this environment; use "
-                "BROKER_BACKEND=sqlite (durable) or memory (standalone)")
-        # Wiring for a real client would go here; no Kafka client or broker
-        # exists in the build/test environment, so this path is exercised
-        # only in deployments that provide one.
-        raise NotImplementedError(
-            "KafkaBroker wiring pending a client library in the runtime "
-            "environment")
+    def __init__(self, cfg=None, *, brokers: list[str] | None = None,
+                 client_id: str = "imageprocessor-tpu",
+                 default_partitions: int = 3):
+        if brokers is None:
+            if cfg is None or not getattr(cfg, "brokers", None):
+                raise MessageQueueError("KAFKA_BROKERS not configured")
+            brokers = list(cfg.brokers)
+            default_partitions = getattr(cfg, "partitions",
+                                         default_partitions)
+        self._bootstrap = [self._parse_addr(b) for b in brokers]
+        self._client_id = client_id
+        self._default_partitions = default_partitions
+        self._lock = threading.RLock()
+        self._conns: dict[tuple[str, int], _Conn] = {}
+        self._meta: dict[str, list[tuple[int, tuple[str, int]]]] = {}
+        self._consumers: dict[tuple[str, str], _Consumer] = {}
+        self._tokens: dict[str, tuple[_Consumer, int, int]] = {}
+        self._coord: dict[str, tuple[str, int]] = {}
+
+    @staticmethod
+    def _parse_addr(s: str) -> tuple[str, int]:
+        host, _, port = s.rpartition(":")
+        return host or "localhost", int(port)
+
+    # ------------------------------------------------------------ connections
+
+    def _conn(self, addr: tuple[str, int]) -> _Conn:
+        c = self._conns.get(addr)
+        if c is None:
+            c = _Conn(*addr, client_id=self._client_id)
+            self._conns[addr] = c
+        return c
+
+    def _drop_conn(self, addr: tuple[str, int]) -> None:
+        c = self._conns.pop(addr, None)
+        if c is not None:
+            c.close()
+
+    def _any_conn(self) -> _Conn:
+        last: Exception | None = None
+        for addr in self._bootstrap:
+            try:
+                return self._conn(addr)
+            except OSError as exc:
+                last = exc
+        raise MessageQueueError(f"no kafka broker reachable: {last}")
+
+    def _req(self, addr: tuple[str, int], api: int, ver: int, body: bytes
+             ) -> kw.Reader:
+        try:
+            return self._conn(addr).request(api, ver, body)
+        except (OSError, kw.WireError):
+            # one reconnect attempt per call (broker restarts, idle drops)
+            self._drop_conn(addr)
+            return self._conn(addr).request(api, ver, body)
+
+    # -------------------------------------------------------------- metadata
+
+    def _metadata(self, topic: str, force: bool = False
+                  ) -> list[tuple[int, tuple[str, int]]]:
+        """[(partition, leader_addr)] for a topic; cached."""
+        if not force and topic in self._meta:
+            return self._meta[topic]
+        conn = self._any_conn()
+        body = kw.Writer().array([topic], lambda w, t: w.string(t)).done()
+        r = conn.request(kw.METADATA, 0, body)
+        nodes: dict[int, tuple[str, int]] = {}
+        for _ in range(r.i32()):
+            node_id = r.i32()
+            host = r.string()
+            port = r.i32()
+            nodes[node_id] = (host, port)
+        parts: list[tuple[int, tuple[str, int]]] = []
+        for _ in range(r.i32()):
+            t_err = r.i16()
+            t_name = r.string()
+            n_parts = r.i32()
+            for _ in range(n_parts):
+                r.i16()  # partition error
+                pid = r.i32()
+                leader = r.i32()
+                r.array(lambda rr: rr.i32())  # replicas
+                r.array(lambda rr: rr.i32())  # isr
+                if t_name == topic and leader in nodes:
+                    parts.append((pid, nodes[leader]))
+            if t_name == topic and t_err not in (kw.NONE,):
+                raise MessageQueueError(
+                    f"metadata error {t_err} for topic {topic!r}")
+        parts.sort()
+        if parts:
+            self._meta[topic] = parts
+        return parts
+
+    # --------------------------------------------------------------- produce
 
     def create_topic(self, topic: str, partitions: int = 3) -> None:
-        raise NotImplementedError
+        with self._lock:
+            conn = self._any_conn()
+            body = (kw.Writer()
+                    .array([topic], lambda w, t: (
+                        w.string(t).i32(partitions).i16(1)
+                        .array([], lambda *_: None)   # replica assignments
+                        .array([], lambda *_: None)))  # configs
+                    .i32(10000)).done()
+            try:
+                r = conn.request(kw.CREATE_TOPICS, 0, body)
+                for _ in range(r.i32()):
+                    r.string()
+                    err = r.i16()
+                    if err not in (kw.NONE, kw.TOPIC_ALREADY_EXISTS):
+                        log.info("create_topic error", topic=topic, code=err)
+            except (OSError, kw.WireError) as exc:
+                log.info("create_topic failed (topic may auto-create)",
+                         topic=topic, error=str(exc))
+            self._metadata(topic, force=True)
 
     def produce(self, topic: str, key: bytes, value: bytes) -> BrokerMessage:
-        raise NotImplementedError
+        with self._lock:
+            parts = self._metadata(topic)
+            if not parts:
+                raise MessageQueueError(f"topic {topic!r} has no partitions")
+            pid = partition_for_key(key, len(parts))
+            leader = dict(parts)[pid]
+            mset = kw.encode_message_set([(0, key, value)])
+            body = (kw.Writer().i16(-1).i32(10000)
+                    .array([topic], lambda w, t: (
+                        w.string(t)
+                        .array([pid], lambda w2, p: (
+                            w2.i32(p).i32(len(mset)).raw(mset)))))).done()
+            r = self._req(leader, kw.PRODUCE, 0, body)
+            offset = -1
+            for _ in range(r.i32()):
+                r.string()
+                for _ in range(r.i32()):
+                    r.i32()
+                    err = r.i16()
+                    base = r.i64()
+                    if err != kw.NONE:
+                        raise MessageQueueError(
+                            f"produce error {err} on {topic}/{pid}")
+                    offset = base
+            return BrokerMessage(topic=topic, partition=pid, offset=offset,
+                                 key=key, value=value)
+
+    # --------------------------------------------------------------- consume
+
+    def _coordinator(self, group: str) -> tuple[str, int]:
+        addr = self._coord.get(group)
+        if addr is not None:
+            return addr
+        conn = self._any_conn()
+        r = conn.request(kw.FIND_COORDINATOR, 0,
+                         kw.Writer().string(group).done())
+        err = r.i16()
+        if err != kw.NONE:
+            raise MessageQueueError(f"find_coordinator error {err}")
+        r.i32()  # node id
+        host = r.string()
+        port = r.i32()
+        addr = (host, port)
+        self._coord[group] = addr
+        return addr
+
+    def _join(self, c: _Consumer) -> None:
+        """JoinGroup/SyncGroup until stable; range partition assignment."""
+        coord = self._coordinator(c.group)
+        sub = kw.encode_subscription([c.topic])
+        for _attempt in range(25):
+            body = (kw.Writer().string(c.group).i32(_SESSION_TIMEOUT_MS)
+                    .string(c.member_id).string("consumer")
+                    .array([("range", sub)],
+                           lambda w, pr: w.string(pr[0]).bytes_(pr[1]))
+                    ).done()
+            r = self._req(coord, kw.JOIN_GROUP, 0, body)
+            err = r.i16()
+            generation = r.i32()
+            r.string()  # protocol
+            leader = r.string()
+            member_id = r.string()
+            members = r.array(lambda rr: (rr.string(), rr.bytes_()))
+            if err == kw.UNKNOWN_MEMBER_ID:
+                c.member_id = ""
+                continue
+            if err in _RETRIABLE:
+                time.sleep(0.05)
+                continue
+            if err != kw.NONE:
+                raise MessageQueueError(f"join_group error {err}")
+            c.member_id = member_id
+            c.generation = generation
+
+            assignments: list[tuple[str, bytes]] = []
+            if member_id == leader:
+                # Range assignment over every subscribed topic, like the
+                # reference client's default (consumer.go group config).
+                topics: set[str] = set()
+                for _mid, meta in members:
+                    topics.update(kw.decode_subscription(meta or b""))
+                mids = sorted(mid for mid, _ in members)
+                per_member: dict[str, dict[str, list[int]]] = {
+                    mid: {} for mid in mids}
+                for t in sorted(topics):
+                    pids = [p for p, _ in self._metadata(t, force=True)]
+                    n, k = len(pids), len(mids)
+                    chunk, extra = divmod(n, k)
+                    start = 0
+                    for i, mid in enumerate(mids):
+                        cnt = chunk + (1 if i < extra else 0)
+                        if cnt:
+                            per_member[mid].setdefault(t, []).extend(
+                                pids[start:start + cnt])
+                        start += cnt
+                assignments = [(mid, kw.encode_assignment(tp))
+                               for mid, tp in per_member.items()]
+            body = (kw.Writer().string(c.group).i32(generation)
+                    .string(member_id)
+                    .array(assignments,
+                           lambda w, a: w.string(a[0]).bytes_(a[1]))).done()
+            r = self._req(coord, kw.SYNC_GROUP, 0, body)
+            err = r.i16()
+            blob = r.bytes_()
+            if err in _RETRIABLE:
+                time.sleep(0.05)
+                continue
+            if err != kw.NONE:
+                raise MessageQueueError(f"sync_group error {err}")
+            owned = kw.decode_assignment(blob or b"").get(c.topic, [])
+            self._apply_assignment(c, owned)
+            c.joined = True
+            return
+        raise MessageQueueError("consumer group never stabilized")
+
+    def _apply_assignment(self, c: _Consumer, owned: list[int]) -> None:
+        owned_set = set(owned)
+        for key in [k for k in c.inflight if k[0] not in owned_set]:
+            ent = c.inflight.pop(key)
+            self._tokens.pop(ent.token, None)
+        c.positions = {p: v for p, v in c.positions.items()
+                       if p in owned_set}
+        c.committed = {p: v for p, v in c.committed.items()
+                       if p in owned_set}
+        new = [p for p in owned if p not in c.positions]
+        if new:
+            fetched = self._offset_fetch(c.group, c.topic, new)
+            for p in new:
+                start = max(fetched.get(p, 0), 0)
+                c.positions[p] = start
+                c.committed[p] = start
+        c.partitions = sorted(owned)
+
+    def _offset_fetch(self, group: str, topic: str, pids: list[int]
+                      ) -> dict[int, int]:
+        coord = self._coordinator(group)
+        body = (kw.Writer().string(group)
+                .array([topic], lambda w, t: (
+                    w.string(t).array(pids, lambda w2, p: w2.i32(p))))).done()
+        r = self._req(coord, kw.OFFSET_FETCH, 0, body)
+        out: dict[int, int] = {}
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                pid = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                err = r.i16()
+                if err == kw.NONE and off >= 0:
+                    out[pid] = off
+        return out
+
+    def _offset_commit(self, c: _Consumer, pid: int, offset: int) -> None:
+        coord = self._coordinator(c.group)
+        body = (kw.Writer().string(c.group)
+                .array([c.topic], lambda w, t: (
+                    w.string(t).array([pid], lambda w2, p: (
+                        w2.i32(p).i64(offset).string(""))))).done())
+        r = self._req(coord, kw.OFFSET_COMMIT, 0, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err != kw.NONE:
+                    log.error("offset_commit error", code=err,
+                              topic=c.topic, partition=pid)
+
+    def _heartbeat_ok(self, c: _Consumer) -> bool:
+        coord = self._coordinator(c.group)
+        body = (kw.Writer().string(c.group).i32(c.generation)
+                .string(c.member_id)).done()
+        r = self._req(coord, kw.HEARTBEAT, 0, body)
+        return r.i16() == kw.NONE
+
+    def _fetch(self, c: _Consumer, pid: int, max_bytes: int = 1 << 20
+               ) -> list[kw.WireMessage]:
+        parts = dict(self._metadata(c.topic))
+        leader = parts.get(pid)
+        if leader is None:
+            return []
+        body = (kw.Writer().i32(-1).i32(0).i32(0)
+                .array([c.topic], lambda w, t: (
+                    w.string(t).array([pid], lambda w2, p: (
+                        w2.i32(p).i64(c.positions[pid]).i32(max_bytes))))
+                       )).done()
+        r = self._req(leader, kw.FETCH, 0, body)
+        msgs: list[kw.WireMessage] = []
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                r.i64()  # high watermark
+                mset = r.bytes_() or b""
+                if err == kw.OFFSET_OUT_OF_RANGE:
+                    c.positions[pid] = 0
+                    continue
+                if err != kw.NONE:
+                    continue
+                msgs.extend(kw.decode_message_set(mset))
+        return msgs
 
     def poll(self, topic: str, group: str, max_n: int = 1,
              lease_s: float = 60.0) -> list[BrokerMessage]:
-        raise NotImplementedError
+        with self._lock:
+            c = self._consumers.get((topic, group))
+            if c is None:
+                c = _Consumer(topic, group)
+                self._consumers[(topic, group)] = c
+            if c.joined and not self._heartbeat_ok(c):
+                c.joined = False
+            if not c.joined:
+                self._join(c)
+
+            now = time.monotonic()
+            out: list[BrokerMessage] = []
+
+            # 1) redeliveries: nacked or lease-expired, oldest first
+            for key in sorted(c.inflight):
+                if len(out) >= max_n:
+                    break
+                ent = c.inflight[key]
+                if ent.done or (not ent.redeliver and ent.deadline > now):
+                    continue
+                self._tokens.pop(ent.token, None)
+                ent.token = uuid.uuid4().hex
+                ent.deadline = now + lease_s
+                ent.redeliver = False
+                # fresh message object per delivery: the supersession
+                # contract requires stale handles to keep the old token
+                old = ent.msg
+                ent.msg = BrokerMessage(topic=old.topic,
+                                        partition=old.partition,
+                                        offset=old.offset, key=old.key,
+                                        value=old.value, token=ent.token)
+                self._tokens[ent.token] = (c, key[0], key[1])
+                out.append(ent.msg)
+
+            # 2) new messages, round-robin across owned partitions
+            n_parts = len(c.partitions)
+            attempts = 0
+            while len(out) < max_n and n_parts and attempts < n_parts:
+                pid = c.partitions[c.next_fetch_idx % n_parts]
+                c.next_fetch_idx += 1
+                msgs = self._fetch(c, pid)
+                if not msgs:
+                    attempts += 1
+                    continue
+                attempts = 0
+                for m in msgs:
+                    if len(out) >= max_n:
+                        # not consumed: leave the position at this message
+                        c.positions[pid] = m.offset
+                        break
+                    c.positions[pid] = m.offset + 1
+                    token = uuid.uuid4().hex
+                    bm = BrokerMessage(topic=topic, partition=pid,
+                                       offset=m.offset, key=m.key or b"",
+                                       value=m.value or b"", token=token)
+                    ent = _InFlight(bm, token, now + lease_s)
+                    c.inflight[(pid, m.offset)] = ent
+                    self._tokens[token] = (c, pid, m.offset)
+                    out.append(bm)
+            return out
 
     def ack(self, msg: BrokerMessage) -> bool:
-        raise NotImplementedError
+        with self._lock:
+            hit = self._tokens.pop(msg.token, None)
+            if hit is None:
+                return False  # lease lost / superseded
+            c, pid, offset = hit
+            ent = c.inflight.get((pid, offset))
+            if ent is None or ent.token != msg.token:
+                return False
+            ent.done = True
+            # advance the commit watermark past contiguous done messages
+            wm = c.committed.get(pid, 0)
+            while True:
+                e = c.inflight.get((pid, wm))
+                if e is None or not e.done:
+                    break
+                self._tokens.pop(e.token, None)
+                del c.inflight[(pid, wm)]
+                wm += 1
+            if wm != c.committed.get(pid, 0):
+                c.committed[pid] = wm
+                try:
+                    self._offset_commit(c, pid, wm)
+                except (OSError, kw.WireError, MessageQueueError) as exc:
+                    log.error("offset commit failed", error=str(exc))
+            return True
 
     def nack(self, msg: BrokerMessage) -> None:
-        raise NotImplementedError
+        with self._lock:
+            hit = self._tokens.get(msg.token)
+            if hit is None:
+                return
+            c, pid, offset = hit
+            ent = c.inflight.get((pid, offset))
+            if ent is not None and ent.token == msg.token:
+                ent.redeliver = True
 
     def depth(self, topic: str, group: str) -> int:
-        raise NotImplementedError
+        with self._lock:
+            parts = self._metadata(topic)
+            if not parts:
+                return 0
+            c = self._consumers.get((topic, group))
+            pids = [p for p, _ in parts]
+            committed = dict(c.committed) if c is not None else {}
+            missing = [p for p in pids if p not in committed]
+            if missing:
+                committed.update(self._offset_fetch(group, topic, missing))
+            total = 0
+            for pid, leader in parts:
+                body = (kw.Writer().i32(-1)
+                        .array([topic], lambda w, t: (
+                            w.string(t).array([pid], lambda w2, p: (
+                                w2.i32(p).i64(-1).i32(1))))).done())
+                r = self._req(leader, kw.LIST_OFFSETS, 0, body)
+                log_end = 0
+                for _ in range(r.i32()):
+                    r.string()
+                    for _ in range(r.i32()):
+                        r.i32()
+                        err = r.i16()
+                        offs = r.array(lambda rr: rr.i64())
+                        if err == kw.NONE and offs:
+                            log_end = offs[0]
+                total += max(0, log_end - committed.get(pid, 0))
+            return total
+
+    def close(self) -> None:
+        with self._lock:
+            for (topic, group), c in self._consumers.items():
+                if c.joined:
+                    try:
+                        coord = self._coordinator(group)
+                        self._req(coord, kw.LEAVE_GROUP, 0,
+                                  kw.Writer().string(group)
+                                  .string(c.member_id).done())
+                    except Exception:
+                        pass
+            for conn in self._conns.values():
+                conn.close()
+            self._conns.clear()

@@ -1,0 +1,434 @@
+"""In-process single-node Kafka-wire-compatible broker.
+
+Speaks the same protocol subset as the client (broker/kafkawire.py):
+Metadata/Produce/Fetch/ListOffsets/FindCoordinator/OffsetCommit/
+OffsetFetch/JoinGroup/SyncGroup/Heartbeat/LeaveGroup/CreateTopics, legacy
+message format. Two jobs:
+
+1. the test double for KafkaBroker — the contract suite runs the real
+   client over real sockets against this (the same in-process-stub
+   pattern storage/s3.py's SigV4 tests use), and
+2. a zero-dependency dev queue: `standalone --kafka` style deployments
+   can point KAFKA_BROKERS at one of these instead of a Kafka cluster.
+
+Group coordination implements the real rebalance protocol shape:
+JoinGroup parks members until the round completes (all known members
+re-joined, or the round times out and drops stragglers), generations
+bump once per round, SyncGroup distributes the leader's assignments,
+Heartbeat answers REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION so clients
+know to re-join (reference topology: consumer group over 3 partitions,
+internal/broker/kafka/consumer.go:21-56, Makefile:24-25).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+
+from imageprocessor_tpu.broker import kafkawire as kw
+
+
+class _Group:
+    def __init__(self):
+        self.generation = 0
+        self.members: dict[str, bytes] = {}      # member_id -> metadata
+        self.leader = ""
+        self.state = "Empty"                     # Empty|Rebalancing|Stable
+        self.pending: dict[str, bytes] = {}
+        self.assignments: dict[str, bytes] = {}
+        self.assign_generation = -1
+        self.round_deadline = 0.0
+        self.member_seq = 0
+        self.offsets: dict[tuple[str, int], int] = {}  # (topic, pid) -> off
+
+
+class KafkaServer:
+    """Threaded TCP server; one thread per connection."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 default_partitions: int = 3,
+                 rebalance_timeout_s: float = 1.0):
+        self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind((host, port))
+        self._lsock.listen(64)
+        self.host, self.port = self._lsock.getsockname()
+        self._default_partitions = default_partitions
+        self._rebalance_timeout_s = rebalance_timeout_s
+        self._lock = threading.RLock()
+        self._cond = threading.Condition(self._lock)
+        # topic -> list of partition logs, each [(key, value)]
+        self._topics: dict[str, list[list[tuple[bytes, bytes]]]] = {}
+        self._groups: dict[str, _Group] = {}
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        t = threading.Thread(target=self._accept_loop, name="kafka-accept",
+                             daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    @property
+    def address(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._lsock.close()
+        except OSError:
+            pass
+        with self._cond:
+            self._cond.notify_all()
+
+    # ---------------------------------------------------------------- accept
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._lsock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve, args=(conn,),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _serve(self, conn: socket.socket) -> None:
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        try:
+            while not self._stop.is_set():
+                try:
+                    frame = kw.read_frame(conn)
+                except kw.WireError:
+                    return
+                r = kw.Reader(frame)
+                api = r.i16()
+                ver = r.i16()
+                corr = r.i32()
+                r.string()  # client id
+                handler = self._handlers().get(api)
+                if handler is None:
+                    return
+                body = handler(r, ver)
+                payload = struct.pack(">i", corr) + body
+                conn.sendall(struct.pack(">i", len(payload)) + payload)
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _handlers(self):
+        return {
+            kw.METADATA: self._h_metadata,
+            kw.PRODUCE: self._h_produce,
+            kw.FETCH: self._h_fetch,
+            kw.LIST_OFFSETS: self._h_list_offsets,
+            kw.FIND_COORDINATOR: self._h_find_coordinator,
+            kw.OFFSET_COMMIT: self._h_offset_commit,
+            kw.OFFSET_FETCH: self._h_offset_fetch,
+            kw.JOIN_GROUP: self._h_join_group,
+            kw.SYNC_GROUP: self._h_sync_group,
+            kw.HEARTBEAT: self._h_heartbeat,
+            kw.LEAVE_GROUP: self._h_leave_group,
+            kw.CREATE_TOPICS: self._h_create_topics,
+        }
+
+    # ----------------------------------------------------------------- state
+
+    def _ensure_topic(self, name: str, partitions: int | None = None
+                      ) -> list[list[tuple[bytes, bytes]]]:
+        t = self._topics.get(name)
+        if t is None:
+            t = [[] for _ in range(partitions or self._default_partitions)]
+            self._topics[name] = t
+        return t
+
+    # -------------------------------------------------------------- handlers
+
+    def _h_metadata(self, r: kw.Reader, ver: int) -> bytes:
+        names = r.array(lambda rr: rr.string())
+        with self._lock:
+            if not names:
+                names = sorted(self._topics)
+            else:
+                for n in names:  # auto.create.topics.enable=true
+                    self._ensure_topic(n)
+            w = kw.Writer()
+            w.array([(0, self.host, self.port)],
+                    lambda ww, b: ww.i32(b[0]).string(b[1]).i32(b[2]))
+            w.i32(len(names))
+            for n in names:
+                parts = self._topics[n]
+                w.i16(kw.NONE).string(n).i32(len(parts))
+                for pid in range(len(parts)):
+                    (w.i16(kw.NONE).i32(pid).i32(0)
+                     .array([0], lambda ww, x: ww.i32(x))
+                     .array([0], lambda ww, x: ww.i32(x)))
+            return w.done()
+
+    def _h_produce(self, r: kw.Reader, ver: int) -> bytes:
+        r.i16()  # acks
+        r.i32()  # timeout
+        results = []
+        with self._lock:
+            for _ in range(r.i32()):
+                topic = r.string()
+                plog = self._ensure_topic(topic)
+                for _ in range(r.i32()):
+                    pid = r.i32()
+                    mset = r.bytes_() or b""
+                    if pid >= len(plog):
+                        results.append((topic, pid,
+                                        kw.UNKNOWN_TOPIC_OR_PARTITION, -1))
+                        continue
+                    base = len(plog[pid])
+                    for m in kw.decode_message_set(mset):
+                        plog[pid].append((m.key or b"", m.value or b""))
+                    results.append((topic, pid, kw.NONE, base))
+        w = kw.Writer()
+        w.i32(len(results))
+        for topic, pid, err, base in results:
+            w.string(topic).i32(1).i32(pid).i16(err).i64(base)
+        return w.done()
+
+    def _h_fetch(self, r: kw.Reader, ver: int) -> bytes:
+        r.i32()  # replica
+        r.i32()  # max wait
+        r.i32()  # min bytes
+        w = kw.Writer()
+        with self._lock:
+            n_topics = r.i32()
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = r.string()
+                plog = self._topics.get(topic, [])
+                n_parts = r.i32()
+                w.string(topic).i32(n_parts)
+                for _ in range(n_parts):
+                    pid = r.i32()
+                    off = r.i64()
+                    max_bytes = r.i32()
+                    if pid >= len(plog):
+                        w.i32(pid).i16(kw.UNKNOWN_TOPIC_OR_PARTITION)
+                        w.i64(0).bytes_(b"")
+                        continue
+                    log = plog[pid]
+                    if off > len(log) or off < 0:
+                        w.i32(pid).i16(kw.OFFSET_OUT_OF_RANGE)
+                        w.i64(len(log)).bytes_(b"")
+                        continue
+                    entries = []
+                    size = 0
+                    for i in range(off, len(log)):
+                        k, v = log[i]
+                        size += 26 + len(k) + len(v)
+                        if entries and size > max_bytes:
+                            break
+                        entries.append((i, k, v))
+                    mset = kw.encode_message_set(entries)
+                    w.i32(pid).i16(kw.NONE).i64(len(log)).bytes_(mset)
+        return w.done()
+
+    def _h_list_offsets(self, r: kw.Reader, ver: int) -> bytes:
+        r.i32()  # replica
+        w = kw.Writer()
+        with self._lock:
+            n_topics = r.i32()
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = r.string()
+                plog = self._topics.get(topic, [])
+                n_parts = r.i32()
+                w.string(topic).i32(n_parts)
+                for _ in range(n_parts):
+                    pid = r.i32()
+                    ts = r.i64()
+                    r.i32()  # max offsets
+                    if pid >= len(plog):
+                        w.i32(pid).i16(kw.UNKNOWN_TOPIC_OR_PARTITION)
+                        w.array([], lambda ww, x: ww.i64(x))
+                        continue
+                    off = 0 if ts == -2 else len(plog[pid])
+                    w.i32(pid).i16(kw.NONE)
+                    w.array([off], lambda ww, x: ww.i64(x))
+        return w.done()
+
+    def _h_find_coordinator(self, r: kw.Reader, ver: int) -> bytes:
+        r.string()  # group
+        return (kw.Writer().i16(kw.NONE).i32(0)
+                .string(self.host).i32(self.port)).done()
+
+    def _h_offset_commit(self, r: kw.Reader, ver: int) -> bytes:
+        group = r.string()
+        w = kw.Writer()
+        with self._lock:
+            g = self._groups.setdefault(group, _Group())
+            n_topics = r.i32()
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = r.string()
+                n_parts = r.i32()
+                w.string(topic).i32(n_parts)
+                for _ in range(n_parts):
+                    pid = r.i32()
+                    off = r.i64()
+                    r.string()  # metadata
+                    g.offsets[(topic, pid)] = off
+                    w.i32(pid).i16(kw.NONE)
+        return w.done()
+
+    def _h_offset_fetch(self, r: kw.Reader, ver: int) -> bytes:
+        group = r.string()
+        w = kw.Writer()
+        with self._lock:
+            g = self._groups.setdefault(group, _Group())
+            n_topics = r.i32()
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = r.string()
+                pids = r.array(lambda rr: rr.i32())
+                w.string(topic).i32(len(pids))
+                for pid in pids:
+                    off = g.offsets.get((topic, pid), -1)
+                    w.i32(pid).i64(off).string("").i16(kw.NONE)
+        return w.done()
+
+    # ----------------------------------------------------- group coordination
+
+    def _h_join_group(self, r: kw.Reader, ver: int) -> bytes:
+        group = r.string()
+        r.i32()  # session timeout
+        member_id = r.string() or ""
+        r.string()  # protocol type
+        protocols = r.array(lambda rr: (rr.string(), rr.bytes_()))
+        metadata = protocols[0][1] if protocols else b""
+
+        with self._cond:
+            g = self._groups.setdefault(group, _Group())
+            if not member_id:
+                g.member_seq += 1
+                member_id = f"member-{g.member_seq}"
+            if g.state != "Rebalancing":
+                g.state = "Rebalancing"
+                g.pending = {}
+                g.round_deadline = (time.monotonic()
+                                    + self._rebalance_timeout_s)
+            g.pending[member_id] = metadata
+            my_round = g.round_deadline
+            self._cond.notify_all()
+            # the round completes when every previously-known member has
+            # re-joined, or the deadline drops stragglers
+            while (g.state == "Rebalancing" and g.round_deadline == my_round
+                   and not set(g.members) <= set(g.pending)
+                   and time.monotonic() < my_round
+                   and not self._stop.is_set()):
+                self._cond.wait(timeout=0.05)
+            if g.state == "Rebalancing" and g.round_deadline == my_round:
+                # this thread completes the round
+                g.members = dict(g.pending)
+                g.generation += 1
+                g.leader = sorted(g.members)[0]
+                g.state = "Stable"
+                g.assignments = {}
+                g.assign_generation = -1
+                self._cond.notify_all()
+            if member_id not in g.members:
+                # joined after the round closed: be told to retry
+                return (kw.Writer().i16(kw.REBALANCE_IN_PROGRESS).i32(-1)
+                        .string("").string("").string(member_id)
+                        .array([], lambda *a: None)).done()
+            w = (kw.Writer().i16(kw.NONE).i32(g.generation)
+                 .string("range").string(g.leader).string(member_id))
+            members = (sorted(g.members.items())
+                       if member_id == g.leader else [])
+            w.array(members,
+                    lambda ww, m: ww.string(m[0]).bytes_(m[1]))
+            return w.done()
+
+    def _h_sync_group(self, r: kw.Reader, ver: int) -> bytes:
+        group = r.string()
+        generation = r.i32()
+        member_id = r.string()
+        assignments = r.array(lambda rr: (rr.string(), rr.bytes_()))
+        with self._cond:
+            g = self._groups.setdefault(group, _Group())
+            if generation != g.generation or member_id not in g.members:
+                return kw.Writer().i16(kw.ILLEGAL_GENERATION).bytes_(b"").done()
+            if assignments:  # leader
+                g.assignments = dict(assignments)
+                g.assign_generation = generation
+                self._cond.notify_all()
+            deadline = time.monotonic() + 5.0
+            while (g.assign_generation != generation
+                   and g.generation == generation
+                   and time.monotonic() < deadline
+                   and not self._stop.is_set()):
+                self._cond.wait(timeout=0.05)
+            if g.generation != generation:
+                return (kw.Writer().i16(kw.REBALANCE_IN_PROGRESS)
+                        .bytes_(b"").done())
+            if g.assign_generation != generation:
+                return (kw.Writer().i16(kw.REBALANCE_IN_PROGRESS)
+                        .bytes_(b"").done())
+            blob = g.assignments.get(member_id, b"")
+            return kw.Writer().i16(kw.NONE).bytes_(blob).done()
+
+    def _h_heartbeat(self, r: kw.Reader, ver: int) -> bytes:
+        group = r.string()
+        generation = r.i32()
+        member_id = r.string()
+        with self._lock:
+            g = self._groups.setdefault(group, _Group())
+            if g.state == "Rebalancing":
+                err = kw.REBALANCE_IN_PROGRESS
+            elif member_id not in g.members:
+                err = kw.UNKNOWN_MEMBER_ID
+            elif generation != g.generation:
+                err = kw.ILLEGAL_GENERATION
+            else:
+                err = kw.NONE
+            return kw.Writer().i16(err).done()
+
+    def _h_leave_group(self, r: kw.Reader, ver: int) -> bytes:
+        group = r.string()
+        member_id = r.string()
+        with self._cond:
+            g = self._groups.setdefault(group, _Group())
+            g.members.pop(member_id, None)
+            g.pending.pop(member_id, None)
+            if g.members:
+                g.state = "Rebalancing"
+                g.pending = {}
+                g.round_deadline = (time.monotonic()
+                                    + self._rebalance_timeout_s)
+            else:
+                g.state = "Empty"
+            self._cond.notify_all()
+            return kw.Writer().i16(kw.NONE).done()
+
+    def _h_create_topics(self, r: kw.Reader, ver: int) -> bytes:
+        reqs = []
+        n = r.i32()
+        for _ in range(n):
+            name = r.string()
+            partitions = r.i32()
+            r.i16()  # replication factor
+            r.array(lambda rr: (rr.i32(),
+                                rr.array(lambda r3: r3.i32())))
+            r.array(lambda rr: (rr.string(), rr.string()))
+            reqs.append((name, partitions))
+        r.i32()  # timeout
+        w = kw.Writer()
+        with self._lock:
+            w.i32(len(reqs))
+            for name, partitions in reqs:
+                if name in self._topics:
+                    w.string(name).i16(kw.TOPIC_ALREADY_EXISTS)
+                else:
+                    self._ensure_topic(
+                        name, partitions if partitions > 0 else None)
+                    w.string(name).i16(kw.NONE)
+        return w.done()

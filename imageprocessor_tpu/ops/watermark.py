@@ -57,10 +57,16 @@ _DEFAULT_FONT_PATH: str | None = None
 
 
 def _default_font_path() -> str:
-    """Bundled-font lookup. The reference embeds Go-Regular
-    (watermark.go:29-38); this environment has no Go-Regular, so DejaVu Sans
-    (metrically similar humanist sans) is the default; override via the
-    `font_path` parameter or IMAGEPROCESSOR_FONT env var."""
+    """Bundled-font lookup, in priority order:
+
+    1. IMAGEPROCESSOR_FONT env var,
+    2. a Go-Regular TTF dropped into assets/fonts/ (the reference embeds
+       Go-Regular, watermark.go:29-38; its libre license permits bundling,
+       but this build environment has no copy and no egress to fetch one —
+       deployments wanting glyph-exact parity with Go outputs copy
+       Go-Regular.ttf there and every render picks it up),
+    3. DejaVu Sans (metrically similar humanist sans) as fallback.
+    """
     global _DEFAULT_FONT_PATH
     if _DEFAULT_FONT_PATH is None:
         import os
@@ -68,9 +74,16 @@ def _default_font_path() -> str:
         if env:
             _DEFAULT_FONT_PATH = env
         else:
-            import matplotlib
-            _DEFAULT_FONT_PATH = (
-                matplotlib.get_data_path() + "/fonts/ttf/DejaVuSans.ttf")
+            here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            for name in ("Go-Regular.ttf", "GoRegular.ttf", "goregular.ttf"):
+                cand = os.path.join(here, "assets", "fonts", name)
+                if os.path.exists(cand):
+                    _DEFAULT_FONT_PATH = cand
+                    break
+            else:
+                import matplotlib
+                _DEFAULT_FONT_PATH = (
+                    matplotlib.get_data_path() + "/fonts/ttf/DejaVuSans.ttf")
     return _DEFAULT_FONT_PATH
 
 
@@ -81,7 +94,8 @@ def rasterize_text(text: str, font_size: float = 36.0,
     Uses FreeType via PIL at DPI 72 (1 pt == 1 px), matching the
     reference's freetype context setup (watermark.go:96-104).
     """
-    key = (text, float(font_size), font_path or "")
+    font_path = font_path or _default_font_path()
+    key = (text, float(font_size), font_path)
     tile = _TILE_CACHE.get(key)
     if tile is not None:
         return tile
@@ -91,8 +105,7 @@ def rasterize_text(text: str, font_size: float = 36.0,
             return tile
         from PIL import Image, ImageDraw, ImageFont
 
-        font = ImageFont.truetype(font_path or _default_font_path(),
-                                  int(round(font_size)))
+        font = ImageFont.truetype(font_path, int(round(font_size)))
         ascent, descent = font.getmetrics()
         # Reference width = ceil(sum of glyph advances) (watermark.go:109-115)
         width_px = int(np.ceil(font.getlength(text)))

@@ -24,7 +24,8 @@ log = get_logger("main")
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="imageprocessor_tpu.service")
-    parser.add_argument("mode", choices=["api", "worker", "standalone"])
+    parser.add_argument("mode", choices=["api", "worker", "standalone",
+                                         "kafkaserver"])
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--data", type=str, default=None,
                         help="standalone: data directory root")
@@ -47,6 +48,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "api":
         from imageprocessor_tpu.service.app import run_api
         run_api(cfg)
+        return 0
+
+    if args.mode == "kafkaserver":
+        # Zero-dependency dev queue speaking the Kafka wire protocol;
+        # point KAFKA_BROKERS at it (see broker/kafkaserver.py).
+        from imageprocessor_tpu.broker.kafkaserver import KafkaServer
+
+        server = KafkaServer(host="0.0.0.0", port=args.port or 9092,
+                             default_partitions=cfg.broker.partitions)
+        log.info("Kafka-wire server listening", addr=server.address)
+        stop = threading.Event()
+        signal.signal(signal.SIGINT, lambda *_: stop.set())
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+        stop.wait()
+        server.close()
         return 0
 
     if args.mode == "worker":

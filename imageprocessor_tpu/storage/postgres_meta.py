@@ -1,11 +1,12 @@
-"""PostgreSQL metadata store (driver-gated).
+"""PostgreSQL metadata store.
 
 Implements the same interface/queries as the SQLite backend against the
 reference's schema (reference: migrations/001_create_images_table.sql;
-query semantics postgres.go:29-298). This environment ships no Postgres
-driver, so construction raises a clear error unless `psycopg2`/`psycopg`
-is importable; the SQL below is the contract and is covered by the shared
-interface test suite when a driver is present.
+query semantics postgres.go:29-298), over the built-in zero-dependency
+wire-protocol driver (storage/pgwire.py) — no psycopg needed. Covered by
+the shared MetadataStore contract tests (tests/test_storage.py) running
+against an in-process wire-compatible stub server, and usable against
+real Postgres (trust/password/md5/SCRAM auth).
 """
 
 from __future__ import annotations
@@ -14,7 +15,8 @@ import datetime as _dt
 import uuid
 
 from imageprocessor_tpu.domain import Image, ImageStatus, OperationType, ProcessedImage
-from imageprocessor_tpu.storage.metadata import MetadataError, MetadataStore, NotFound
+from imageprocessor_tpu.storage import pgwire
+from imageprocessor_tpu.storage.metadata import MetadataStore, NotFound
 
 MIGRATION_SQL = """
 CREATE TABLE IF NOT EXISTS images (
@@ -48,28 +50,17 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_operation
 """
 
 
-def _driver():
-    try:
-        import psycopg  # psycopg3
-
-        return psycopg
-    except ImportError:
-        pass
-    try:
-        import psycopg2
-
-        return psycopg2
-    except ImportError:
-        pass
-    raise MetadataError(
-        "postgres metadata backend requires psycopg/psycopg2, which is not "
-        "installed in this environment; use METADATA_BACKEND=sqlite")
+def _ts(v) -> _dt.datetime:
+    """Timestamps arrive as datetime from the wire driver; tolerate text
+    (e.g. test doubles that don't type their columns)."""
+    if isinstance(v, _dt.datetime):
+        return v
+    return _dt.datetime.fromisoformat(str(v))
 
 
 class PostgresMetadataStore(MetadataStore):
     def __init__(self, cfg):
-        drv = _driver()
-        self._conn = drv.connect(cfg.dsn())
+        self._conn = pgwire.connect(cfg.dsn())
         self._conn.autocommit = True
         with self._conn.cursor() as cur:
             cur.execute(MIGRATION_SQL)
@@ -96,8 +87,8 @@ class PostgresMetadataStore(MetadataStore):
             raise NotFound(image_id)
         return Image(id=row[0], original_filename=row[1], original_size=row[2],
                      mime_type=row[3], status=ImageStatus(row[4]),
-                     original_path=row[5], bucket=row[6], created_at=row[7],
-                     updated_at=row[8])
+                     original_path=row[5], bucket=row[6],
+                     created_at=_ts(row[7]), updated_at=_ts(row[8]))
 
     def update_status(self, image_id: str, status: ImageStatus) -> None:
         with self._conn.cursor() as cur:
@@ -134,7 +125,7 @@ class PostgresMetadataStore(MetadataStore):
                               operation=OperationType(row[2]),
                               parameters=row[3] or "", path=row[4],
                               size=row[5], mime_type=row[6], format=row[7],
-                              status=row[8], created_at=row[9])
+                              status=row[8], created_at=_ts(row[9]))
 
     def list_processed(self, image_id: str) -> list[ProcessedImage]:
         with self._conn.cursor() as cur:
@@ -147,7 +138,7 @@ class PostgresMetadataStore(MetadataStore):
                                operation=OperationType(r[2]),
                                parameters=r[3] or "", path=r[4], size=r[5],
                                mime_type=r[6], format=r[7], status=r[8],
-                               created_at=r[9]) for r in rows]
+                               created_at=_ts(r[9])) for r in rows]
 
     def delete_processed_images(self, image_id: str) -> None:
         with self._conn.cursor() as cur:
@@ -165,8 +156,8 @@ class PostgresMetadataStore(MetadataStore):
             rows = cur.fetchall()
         return [Image(id=r[0], original_filename=r[1], original_size=r[2],
                       mime_type=r[3], status=ImageStatus(r[4]),
-                      original_path=r[5], bucket=r[6], created_at=r[7],
-                      updated_at=r[8]) for r in rows]
+                      original_path=r[5], bucket=r[6], created_at=_ts(r[7]),
+                      updated_at=_ts(r[8])) for r in rows]
 
     def close(self) -> None:
         self._conn.close()

@@ -1,4 +1,10 @@
-"""Broker contract tests run against both memory and sqlite backends."""
+"""Broker contract tests: memory, sqlite, and the Kafka wire client.
+
+The "kafka" variant runs the real pure-Python wire client
+(broker/kafka.py) over real sockets against the in-process
+wire-compatible server (broker/kafkaserver.py) — the whole binary
+protocol round-trips for every contract test below.
+"""
 
 import threading
 
@@ -8,14 +14,24 @@ from imageprocessor_tpu.broker import MemoryBroker, SQLiteBroker
 from imageprocessor_tpu.broker.base import partition_for_key
 
 
-@pytest.fixture(params=["memory", "sqlite"])
+@pytest.fixture(params=["memory", "sqlite", "kafka"])
 def broker(request, tmp_path):
     if request.param == "memory":
         b = MemoryBroker(default_partitions=3)
-    else:
+        server = None
+    elif request.param == "sqlite":
         b = SQLiteBroker(str(tmp_path / "broker.db"), default_partitions=3)
+        server = None
+    else:
+        from imageprocessor_tpu.broker.kafka import KafkaBroker
+        from imageprocessor_tpu.broker.kafkaserver import KafkaServer
+
+        server = KafkaServer(default_partitions=3)
+        b = KafkaBroker(brokers=[server.address], default_partitions=3)
     yield b
     b.close()
+    if server is not None:
+        server.close()
 
 
 def test_produce_poll_ack(broker):

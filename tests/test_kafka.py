@@ -1,0 +1,255 @@
+"""Kafka wire stack: codec, consumer-group topology, worker end-to-end.
+
+Exercises the reference deployment topology — a consumer group over the
+3-partition "image-processing" topic with keyed produce (reference:
+internal/broker/kafka/consumer.go:21-56, Makefile:24-25) — with the real
+pure-Python wire client over real sockets against the in-process
+wire-compatible server.
+"""
+
+import io
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.broker import kafkawire as kw
+from imageprocessor_tpu.broker.kafka import KafkaBroker
+from imageprocessor_tpu.broker.kafkaserver import KafkaServer
+
+RNG = np.random.default_rng(71)
+
+
+@pytest.fixture()
+def server():
+    s = KafkaServer(default_partitions=3, rebalance_timeout_s=2.0)
+    yield s
+    s.close()
+
+
+# ------------------------------------------------------------------ codec
+
+
+def test_message_set_roundtrip():
+    entries = [(0, b"k0", b"v0"), (1, None, b"v1"), (2, b"k2", None),
+               (3, b"", b"x" * 1000)]
+    buf = kw.encode_message_set(entries)
+    out = kw.decode_message_set(buf)
+    assert [(m.offset, m.key, m.value) for m in out] == entries
+    # trailing partial message is tolerated (Fetch truncation)
+    assert len(kw.decode_message_set(buf[:-5])) == len(entries) - 1
+
+
+def test_message_crc_validated():
+    buf = bytearray(kw.encode_message_set([(0, b"k", b"v")]))
+    buf[-1] ^= 0xFF
+    with pytest.raises(kw.WireError):
+        kw.decode_message_set(bytes(buf))
+
+
+def test_consumer_protocol_payloads_roundtrip():
+    sub = kw.encode_subscription(["image-processing", "image-processed"])
+    assert kw.decode_subscription(sub) == ["image-processing",
+                                           "image-processed"]
+    asg = kw.encode_assignment({"t": [0, 2], "u": [1]})
+    assert kw.decode_assignment(asg) == {"t": [0, 2], "u": [1]}
+
+
+# --------------------------------------------------------------- topology
+
+
+def test_two_group_members_split_three_partitions(server):
+    """Reference topology: two consumer-group members share a 3-partition
+    topic via range assignment, each message delivered to exactly one
+    member (horizontal worker scale-out, consumer.go:21-27)."""
+    topic, group = "image-processing", "image-processor-group"
+    a = KafkaBroker(brokers=[server.address])
+    b = KafkaBroker(brokers=[server.address])
+    try:
+        a.create_topic(topic, 3)
+        assert a.poll(topic, group, max_n=10) == []  # a joins alone
+
+        seen_a: list[bytes] = []
+        stop = threading.Event()
+
+        def pump_a():
+            while not stop.is_set():
+                for m in a.poll(topic, group, max_n=10):
+                    seen_a.append(m.value)
+                    a.ack(m)
+                time.sleep(0.02)
+
+        t = threading.Thread(target=pump_a, daemon=True)
+        t.start()
+        try:
+            seen_b: list[bytes] = []
+            deadline = time.monotonic() + 20
+            joined = False
+            while time.monotonic() < deadline and not joined:
+                b.poll(topic, group, max_n=10)
+                cb = b._consumers[(topic, group)]
+                ca = a._consumers[(topic, group)]
+                joined = (sorted(ca.partitions + cb.partitions) == [0, 1, 2]
+                          and ca.generation == cb.generation)
+            assert joined, "group never stabilized with both members"
+            ca, cb = (a._consumers[(topic, group)],
+                      b._consumers[(topic, group)])
+            assert set(ca.partitions).isdisjoint(cb.partitions)
+            assert {len(ca.partitions), len(cb.partitions)} == {1, 2}
+
+            payloads = {f"img-{i}".encode() for i in range(30)}
+            for p in sorted(payloads):
+                a.produce(topic, p, p)  # distinct keys spread partitions
+
+            deadline = time.monotonic() + 20
+            while (len(seen_a) + len(seen_b) < 30
+                   and time.monotonic() < deadline):
+                for m in b.poll(topic, group, max_n=10):
+                    seen_b.append(m.value)
+                    b.ack(m)
+                time.sleep(0.02)
+        finally:
+            stop.set()
+            t.join(timeout=5)
+        assert len(seen_a) + len(seen_b) == 30  # exactly-once across members
+        assert set(seen_a) | set(seen_b) == payloads
+        assert seen_a and seen_b  # both members did real work
+    finally:
+        a.close()
+        b.close()
+
+
+def test_rebalance_reclaims_partitions_after_member_leaves(server):
+    topic, group = "t", "g"
+    a = KafkaBroker(brokers=[server.address])
+    b = KafkaBroker(brokers=[server.address])
+    a.create_topic(topic, 3)
+    a.poll(topic, group, max_n=1)
+
+    stop = threading.Event()
+
+    def pump_a():
+        while not stop.is_set():
+            for m in a.poll(topic, group, max_n=10):
+                a.ack(m)
+            time.sleep(0.02)
+
+    t = threading.Thread(target=pump_a, daemon=True)
+    t.start()
+    try:
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            b.poll(topic, group, max_n=1)
+            if len(b._consumers[(topic, group)].partitions) >= 1 and \
+                    len(a._consumers[(topic, group)].partitions) < 3:
+                break
+        assert len(a._consumers[(topic, group)].partitions) < 3
+        b.close()  # LeaveGroup -> rebalance
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            if len(a._consumers[(topic, group)].partitions) == 3:
+                break
+            time.sleep(0.05)
+        assert len(a._consumers[(topic, group)].partitions) == 3
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        a.close()
+
+
+def test_commit_watermark_survives_client_restart(server):
+    """Kafka's actual durability contract: a restarted group member
+    resumes from the committed watermark — acked messages never replay,
+    unacked ones do (at-least-once, worker.go:125-146)."""
+    topic, group = "wm", "g"
+    c1 = KafkaBroker(brokers=[server.address])
+    c1.create_topic(topic, 1)
+    for i in range(4):
+        c1.produce(topic, b"k", f"m{i}".encode())
+    got = c1.poll(topic, group, max_n=2, lease_s=60)
+    assert [m.value for m in got] == [b"m0", b"m1"]
+    for m in got:
+        assert c1.ack(m)
+    c1.close()  # m2, m3 never delivered/committed
+
+    c2 = KafkaBroker(brokers=[server.address])
+    got2 = c2.poll(topic, group, max_n=10, lease_s=60)
+    assert [m.value for m in got2] == [b"m2", b"m3"]
+    c2.close()
+
+
+def test_depth_via_list_offsets(server):
+    c = KafkaBroker(brokers=[server.address])
+    c.create_topic("t", 3)
+    for i in range(5):
+        c.produce("t", f"k{i}".encode(), b"v")
+    assert c.depth("t", "g") == 5
+    msgs = c.poll("t", "g", max_n=5)
+    for m in msgs:
+        c.ack(m)
+    assert c.depth("t", "g") == 0
+    c.close()
+
+
+# ------------------------------------------------------------ worker e2e
+
+
+def test_worker_end_to_end_over_kafka_wire(server, tmp_path):
+    """The full service path with BROKER_BACKEND=kafka: upload enqueues a
+    task through the wire protocol, the worker consumes it from the
+    consumer group, processes, publishes to the results topic, commits."""
+    from imageprocessor_tpu.broker.base import build_broker
+    from imageprocessor_tpu.config import load as load_config
+    from imageprocessor_tpu.domain import (
+        ImageStatus,
+        OperationParams,
+        OperationType,
+        ProcessingResult,
+    )
+    from imageprocessor_tpu.service.usecase import ImageUsecase
+    from imageprocessor_tpu.service.worker import Worker
+    from imageprocessor_tpu.storage import (
+        LocalFSObjectStore,
+        SQLiteMetadataStore,
+    )
+    from imageprocessor_tpu.utils import RetryStrategy
+
+    cfg = load_config({"BROKER_BACKEND": "kafka",
+                       "KAFKA_BROKERS": server.address})
+    cfg.worker.batch_size = 4
+    broker = build_broker(cfg.broker)
+    assert isinstance(broker, KafkaBroker)
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    uc = ImageUsecase(meta, store, broker,
+                      retries=RetryStrategy(attempts=1, delay_ms=1))
+    worker = Worker(cfg, meta=meta, store=store, broker=broker)
+    try:
+        arr = RNG.integers(0, 256, size=(64, 80, 3), dtype=np.uint8)
+        bio = io.BytesIO()
+        PILImage.fromarray(arr).save(bio, format="PNG")
+        img = uc.upload_image(bio.getvalue(), "a.png", "image/png", [
+            OperationParams(OperationType.THUMBNAIL,
+                            {"size": 32, "crop_to_fit": True})])
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if worker.run_once() and \
+                    meta.get_image(img.id).status is ImageStatus.COMPLETED:
+                break
+        assert meta.get_image(img.id).status is ImageStatus.COMPLETED
+        rows = meta.list_processed(img.id)
+        assert len(rows) == 1 and store.get_object(rows[0].path)
+        # the task was committed: nothing redelivers
+        assert broker.depth(cfg.broker.processing_topic,
+                            cfg.broker.group_id) == 0
+        # completion published to the results topic over the wire
+        res_msgs = broker.poll(cfg.broker.results_topic, "observer",
+                               max_n=4)
+        assert len(res_msgs) == 1
+        res = ProcessingResult.from_json(res_msgs[0].value)
+        assert res.image_id == img.id
+        assert res.status is ImageStatus.COMPLETED
+    finally:
+        worker.close()

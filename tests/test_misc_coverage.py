@@ -86,20 +86,13 @@ def test_metrics_reservoir_bounded():
     assert snap["timings"]["x"]["max"] <= 9999.0
 
 
-def test_kafka_gate_raises_clearly():
-    cfg = load_config({"BROKER_BACKEND": "memory"})
-    with pytest.raises((MessageQueueError, NotImplementedError)) as err:
-        KafkaBroker(cfg.broker)
-    assert "BROKER_BACKEND=sqlite" in str(err.value) or "client" in str(
-        err.value)
-
-
-def test_postgres_gate_raises_clearly():
-    from imageprocessor_tpu.storage.metadata import MetadataError
-    from imageprocessor_tpu.storage.postgres_meta import _driver
-
-    with pytest.raises(MetadataError, match="sqlite"):
-        _driver()
+def test_kafka_unreachable_broker_raises_clearly():
+    cfg = load_config({"BROKER_BACKEND": "kafka",
+                       "KAFKA_BROKERS": "127.0.0.1:1"})
+    b = KafkaBroker(cfg.broker)
+    with pytest.raises(MessageQueueError, match="no kafka broker reachable"):
+        b.produce("t", b"k", b"v")
+    b.close()
 
 
 def test_batched_flip_respects_valid_extent():

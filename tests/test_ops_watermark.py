@@ -119,3 +119,42 @@ def test_batched_watermark_positions_follow_valid_dims():
                                             position="bottom-right",
                                             opacity=0.5))
         assert psnr(out[i, :h, :w], single) > 50.0, f"image {i} diverged"
+
+
+def test_font_resolution_order(tmp_path, monkeypatch):
+    """Default font resolves env var > assets/fonts drop-in > DejaVu, and
+    tile caching keys on the RESOLVED font path (a font switch mid-process
+    must not serve stale glyphs). Go-Regular parity (reference
+    watermark.go:29-38) is a file-copy into assets/fonts/."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    import imageprocessor_tpu.ops.watermark as wm
+
+    serif = "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf"
+    monkeypatch.setenv("IMAGEPROCESSOR_FONT", serif)
+    wm._DEFAULT_FONT_PATH = None
+    assert wm._default_font_path() == serif
+    t_serif = wm.rasterize_text("Parity 123", 24.0)
+
+    monkeypatch.delenv("IMAGEPROCESSOR_FONT")
+    wm._DEFAULT_FONT_PATH = None
+    assert wm._default_font_path().endswith("DejaVuSans.ttf")
+    t_sans = wm.rasterize_text("Parity 123", 24.0)
+    # resolved-path cache key: same (text, size) but different glyphs
+    assert (t_serif.width_px != t_sans.width_px
+            or not np.array_equal(t_serif.coverage, t_sans.coverage))
+
+    assets = os.path.join(os.path.dirname(wm.__file__), os.pardir,
+                          "assets", "fonts")
+    os.makedirs(assets, exist_ok=True)
+    target = os.path.join(assets, "Go-Regular.ttf")
+    try:
+        shutil.copy(serif, target)
+        wm._DEFAULT_FONT_PATH = None
+        assert os.path.samefile(wm._default_font_path(), target)
+    finally:
+        os.remove(target)
+        wm._DEFAULT_FONT_PATH = None

@@ -196,7 +196,31 @@ def test_s3_store_crud(stub_s3):
     store.close()
 
 
-# --- SQLite metadata ----------------------------------------------------------
+# --- Metadata stores (shared contract: sqlite + postgres wire) ---------------
+
+@pytest.fixture(params=["sqlite", "postgres"])
+def meta_store(request):
+    """The same contract suite runs against SQLite and against the real
+    Postgres wire driver + metadata SQL over sockets (tests/pg_stub.py)."""
+    if request.param == "sqlite":
+        store = SQLiteMetadataStore(":memory:")
+        stub = None
+    else:
+        from types import SimpleNamespace
+
+        from imageprocessor_tpu.storage.postgres_meta import (
+            PostgresMetadataStore,
+        )
+        from tests.pg_stub import PgStubServer
+
+        stub = PgStubServer(auth="scram")
+        store = PostgresMetadataStore(
+            SimpleNamespace(dsn=lambda: stub.dsn()))
+    yield store
+    store.close()
+    if stub is not None:
+        stub.close()
+
 
 def _image(**kw):
     defaults = dict(
@@ -207,7 +231,7 @@ def _image(**kw):
     return Image(**defaults)
 
 
-def test_sqlite_metadata_roundtrip():
+def test_metadata_metadata_roundtrip(meta_store):
     store = SQLiteMetadataStore(":memory:")
     img = _image()
     store.save_image(img)
@@ -224,8 +248,8 @@ def test_sqlite_metadata_roundtrip():
         store.update_status("nope", ImageStatus.FAILED)
 
 
-def test_sqlite_soft_delete_hides_image():
-    store = SQLiteMetadataStore(":memory:")
+def test_metadata_soft_delete_hides_image(meta_store):
+    store = meta_store
     img = _image()
     store.save_image(img)
     store.update_status(img.id, ImageStatus.DELETED)
@@ -234,8 +258,8 @@ def test_sqlite_soft_delete_hides_image():
     assert store.list_images() == []
 
 
-def test_sqlite_processed_images():
-    store = SQLiteMetadataStore(":memory:")
+def test_metadata_processed_images(meta_store):
+    store = meta_store
     img = _image()
     store.save_image(img)
     assert store.get_processed_by_operation(img.id, "resize") is None  # not error
@@ -250,8 +274,8 @@ def test_sqlite_processed_images():
     assert store.get_processed_by_operation(img.id, "resize") is None
 
 
-def test_sqlite_list_newest_first_excludes_deleted():
-    store = SQLiteMetadataStore(":memory:")
+def test_metadata_list_newest_first_excludes_deleted(meta_store):
+    store = meta_store
     now = dt.datetime.now(dt.timezone.utc)
     a = _image(created_at=now - dt.timedelta(minutes=2))
     b = _image(created_at=now - dt.timedelta(minutes=1))
@@ -263,3 +287,4 @@ def test_sqlite_list_newest_first_excludes_deleted():
     assert ids == [c.id, a.id]
     assert [i.id for i in store.list_images(limit=1)] == [c.id]
     assert [i.id for i in store.list_images(limit=1, offset=1)] == [a.id]
+
