@@ -276,10 +276,16 @@ class PipelineModel:
                       layout: str = "hwc", fused_meta=None):
         # Donating the source batch lets XLA alias the watermark output onto
         # the input buffer: the full-resolution "copy" becomes an in-place
-        # region blend (the input is never reused after a step).
+        # region blend (the input is never reused after a step). Only a
+        # watermark output shares the input's exact shape/dtype AND can be
+        # computed in place, so donation is gated on one being present —
+        # donating elsewhere just drops the buffer and emits XLA's
+        # "donated buffers were not usable" warning on every step.
+        donate = ((0,) if any(op.type is OperationType.WATERMARK
+                              for op in plan.ops) else ())
         return jax.jit(self._build(plan, specs, wm_static, pallas_plans,
                                    layout, fused_meta),
-                       donate_argnums=(0,))
+                       donate_argnums=donate)
 
     # -- public API ------------------------------------------------------------
 
