@@ -303,8 +303,10 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
     # load phase can hit — each cold compile through the dev tunnel costs
     # tens of seconds and would otherwise land inside the timed window.
     _progress("latency warmup: compiling bucket x batch-size programs")
-    for data, copies in ((small_jpeg, (16, 8, 4, 2, 1)),
-                         (big_jpeg, (4, 2, 1))):
+    warm_sets = [(small_jpeg, (16, 8, 4, 2, 1))]
+    if big_every > 0:
+        warm_sets.append((big_jpeg, (4, 2, 1)))
+    for data, copies in warm_sets:
         for n in copies:
             for i in range(n):
                 uc.upload_image(data, f"warm{n}-{i}.jpg", "image/jpeg", ops)
@@ -314,6 +316,11 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
         pass
     broker.poll("image-processed", "bench-warm", max_n=1000)
     _progress("latency warmup done")
+
+    # Stage decomposition starts clean: only the timed window's
+    # queue-wait/decode/device/encode observations enter the report.
+    from imageprocessor_tpu.utils.metrics import METRICS
+    METRICS.reset()
 
     t_start: dict[str, float] = {}
     t_done: dict[str, float] = {}
@@ -354,6 +361,13 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
                        for k in t_done if k in t_start and not is_big[k])
     if not lat:
         raise RuntimeError("no latencies measured")
+    snap = METRICS.snapshot()["timings"]
+    stages = {name: {k: round(v, 1) for k, v in t.items() if k != "count"}
+              for name, t in snap.items()
+              if name in ("queue_wait_ms", "engine_decode_ms",
+                          "engine_device_ms", "engine_encode_ms",
+                          "worker_batch_ms")}
+
     pct = lambda p: lat[min(int(len(lat) * p), len(lat) - 1)]  # noqa: E731
     spct = (lambda p: small_lat[min(int(len(small_lat) * p),
                                     len(small_lat) - 1)]) if small_lat \
@@ -370,6 +384,7 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
         "small_p50_ms": round(spct(0.50), 1),
         "small_p99_ms": round(spct(0.99), 1),
         "n": len(lat),
+        "stages_ms": stages,
         "note": ("full stack: upload -> queue -> batch worker -> device "
                  "engine -> storage -> results topic; vs_baseline = "
                  "500ms target / p99 (>1 beats target). On the dev "

@@ -19,6 +19,11 @@ class BrokerMessage:
     value: bytes
     # Opaque redelivery token used by lease-based backends.
     token: str = field(default="", compare=False)
+    # Producer-side wall-clock stamp (epoch seconds; 0.0 = unknown).
+    # Backends fill it from their durable record (sqlite created_at,
+    # Kafka message timestamp) so consumers can observe queue wait —
+    # the first stage of the p99 queue-to-processed decomposition.
+    enqueued_at: float = field(default=0.0, compare=False)
 
 
 def partition_for_key(key: bytes, num_partitions: int) -> int:

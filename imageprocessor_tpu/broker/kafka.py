@@ -231,7 +231,8 @@ class KafkaBroker(Broker):
                 raise MessageQueueError(f"topic {topic!r} has no partitions")
             pid = partition_for_key(key, len(parts))
             leader = dict(parts)[pid]
-            mset = kw.encode_message_set([(0, key, value)])
+            mset = kw.encode_message_set(
+                [(0, key, value)], timestamp_ms=int(time.time() * 1000))
             body = (kw.Writer().i16(-1).i32(10000)
                     .array([topic], lambda w, t: (
                         w.string(t)
@@ -460,7 +461,8 @@ class KafkaBroker(Broker):
                 ent.msg = BrokerMessage(topic=old.topic,
                                         partition=old.partition,
                                         offset=old.offset, key=old.key,
-                                        value=old.value, token=ent.token)
+                                        value=old.value, token=ent.token,
+                                        enqueued_at=old.enqueued_at)
                 self._tokens[ent.token] = (c, key[0], key[1])
                 out.append(ent.msg)
 
@@ -482,9 +484,11 @@ class KafkaBroker(Broker):
                         break
                     c.positions[pid] = m.offset + 1
                     token = uuid.uuid4().hex
-                    bm = BrokerMessage(topic=topic, partition=pid,
-                                       offset=m.offset, key=m.key or b"",
-                                       value=m.value or b"", token=token)
+                    bm = BrokerMessage(
+                        topic=topic, partition=pid, offset=m.offset,
+                        key=m.key or b"", value=m.value or b"", token=token,
+                        enqueued_at=(m.timestamp_ms / 1000.0
+                                     if m.timestamp_ms >= 0 else 0.0))
                     ent = _InFlight(bm, token, now + lease_s)
                     c.inflight[(pid, m.offset)] = ent
                     self._tokens[token] = (c, pid, m.offset)

@@ -186,7 +186,8 @@ class KafkaServer:
                         continue
                     base = len(plog[pid])
                     for m in kw.decode_message_set(mset):
-                        plog[pid].append((m.key or b"", m.value or b""))
+                        plog[pid].append((m.key or b"", m.value or b"",
+                                          m.timestamp_ms))
                     results.append((topic, pid, kw.NONE, base))
         w = kw.Writer()
         w.i32(len(results))
@@ -223,11 +224,11 @@ class KafkaServer:
                     entries = []
                     size = 0
                     for i in range(off, len(log)):
-                        k, v = log[i]
-                        size += 26 + len(k) + len(v)
+                        k, v, ts = log[i]
+                        size += 34 + len(k) + len(v)
                         if entries and size > max_bytes:
                             break
-                        entries.append((i, k, v))
+                        entries.append((i, k, v, ts))
                     mset = kw.encode_message_set(entries)
                     w.i32(pid).i16(kw.NONE).i64(len(log)).bytes_(mset)
         return w.done()

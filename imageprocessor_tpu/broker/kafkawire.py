@@ -145,21 +145,34 @@ class WireMessage:
     offset: int
     key: bytes | None
     value: bytes | None
+    # CreateTime in epoch ms (magic >= 1); -1 = absent (magic 0).
+    timestamp_ms: int = -1
 
 
-def encode_message(key: bytes | None, value: bytes | None) -> bytes:
-    """One legacy (magic 0, no compression) message; CRC32 over
-    magic..value per the spec."""
-    body = (Writer().i8(0).i8(0).bytes_(key).bytes_(value)).done()
+def encode_message(key: bytes | None, value: bytes | None,
+                   timestamp_ms: int = -1) -> bytes:
+    """One legacy message, no compression; CRC32 over magic..value per
+    the spec. timestamp_ms >= 0 selects magic 1 with a CreateTime stamp
+    (attribute bits 0 => CreateTime); -1 keeps the magic-0 layout."""
+    w = Writer()
+    if timestamp_ms >= 0:
+        w.i8(1).i8(0).i64(timestamp_ms)
+    else:
+        w.i8(0).i8(0)
+    body = w.bytes_(key).bytes_(value).done()
     crc = zlib.crc32(body) & 0xFFFFFFFF
     return struct.pack(">I", crc) + body
 
 
-def encode_message_set(entries: list[tuple[int, bytes | None, bytes | None]]
-                       ) -> bytes:
+def encode_message_set(entries: list[tuple],
+                       timestamp_ms: int = -1) -> bytes:
+    """entries: (offset, key, value) or (offset, key, value, ts_ms);
+    a per-entry ts_ms overrides the set-wide `timestamp_ms` default."""
     w = Writer()
-    for offset, key, value in entries:
-        msg = encode_message(key, value)
+    for e in entries:
+        offset, key, value = e[0], e[1], e[2]
+        ts = e[3] if len(e) > 3 else timestamp_ms
+        msg = encode_message(key, value, ts)
         w.i64(offset).i32(len(msg)).raw(msg)
     return w.done()
 
@@ -181,13 +194,12 @@ def decode_message_set(buf: bytes) -> list[WireMessage]:
         br = Reader(body)
         magic = br.i8()
         attrs = br.i8()
-        if magic == 1:
-            br.i64()  # timestamp
+        ts_ms = br.i64() if magic == 1 else -1
         if attrs & 0x07:
             raise WireError("compressed message sets not supported")
         key = br.bytes_()
         value = br.bytes_()
-        out.append(WireMessage(offset, key, value))
+        out.append(WireMessage(offset, key, value, ts_ms))
         r.pos = end
     return out
 

@@ -39,7 +39,8 @@ class MemoryBroker(Broker):
             p = partition_for_key(key, self._partitions(topic))
             q = self._messages[(topic, p)]
             msg = BrokerMessage(topic=topic, partition=p, offset=len(q),
-                                key=key, value=value)
+                                key=key, value=value,
+                                enqueued_at=time.time())
             q.append(_Stored(msg=msg))
             self._lock.notify_all()
             return msg

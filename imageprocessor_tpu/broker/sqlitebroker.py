@@ -101,7 +101,7 @@ class SQLiteBroker(Broker):
         with self._lock:
             rows = self._conn.execute(
                 """
-                SELECT m.partition, m.offset, m.key, m.value
+                SELECT m.partition, m.offset, m.key, m.value, m.created_at
                 FROM messages m
                 LEFT JOIN deliveries d
                   ON d.topic = m.topic AND d.partition = m.partition
@@ -112,7 +112,7 @@ class SQLiteBroker(Broker):
                 ORDER BY m.created_at, m.partition, m.offset
                 LIMIT ?
                 """, (group, topic, now, max_n)).fetchall()
-            for p, offset, key, value in rows:
+            for p, offset, key, value, created_at in rows:
                 token = uuid.uuid4().hex
                 self._conn.execute(
                     "INSERT INTO deliveries (topic, partition, offset, grp,"
@@ -124,7 +124,8 @@ class SQLiteBroker(Broker):
                     (topic, p, offset, group, token, now + lease_s))
                 out.append(BrokerMessage(topic=topic, partition=p,
                                          offset=offset, key=key or b"",
-                                         value=value, token=token))
+                                         value=value, token=token,
+                                         enqueued_at=created_at))
             if rows:
                 self._conn.commit()
         return out

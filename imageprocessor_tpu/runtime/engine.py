@@ -555,6 +555,8 @@ class ProcessingEngine:
         return out
 
     def _run_group(self, group, results: list) -> None:
+        import time as _time
+
         plan, outs_np, out_hws, layout = self.device_group(group)
 
         def _finish(i):
@@ -562,9 +564,12 @@ class ProcessingEngine:
             return task_idx, self.finish_item(group, i, plan, outs_np,
                                               out_hws, layout)
 
+        t_enc = _time.monotonic()
         for task_idx, res in self._pool.map(_finish,
                                             range(len(group.items))):
             results[task_idx] = res
+        METRICS.observe("engine_encode_ms",
+                        (_time.monotonic() - t_enc) * 1000.0)
 
     def close(self) -> None:
         self._pool.shutdown(wait=True)

@@ -76,15 +76,30 @@ class PipelinedWorker(Worker):
                 self._flush_due()
                 self._stop.wait(self._idle_sleep)
                 continue
+            now_wall = time.time()
             for msg in msgs:
+                if msg.enqueued_at > 0:  # stage 0 of the decomposition
+                    METRICS.observe(
+                        "queue_wait_ms",
+                        max(0.0, (now_wall - msg.enqueued_at) * 1000.0))
                 self._inflight.acquire()
                 self._handle_message(msg)
             self._flush_due()
         # drain: flush whatever is pending
         with self._batcher_lock:
             for group in self._batcher.flush_all():
-                self._group_q.put(group)
+                self._dispatch(group)
         self._group_q.put(_SENTINEL)
+
+    def _dispatch(self, group) -> None:
+        """Hand a flushed group to the device stage, recording how long
+        each item sat in the deadline batcher (bounded by
+        batch_deadline_ms + one poll-loop iteration; test-asserted)."""
+        now = time.monotonic()
+        for it in group.items:
+            METRICS.observe("batcher_wait_ms",
+                            max(0.0, (now - it.enqueued_at) * 1000.0))
+        self._group_q.put(group)
 
     def _handle_message(self, msg: BrokerMessage) -> None:
         try:
@@ -146,13 +161,13 @@ class PipelinedWorker(Worker):
         with self._batcher_lock:
             group = self._batcher.add(item)
         if group is not None:
-            self._group_q.put(group)
+            self._dispatch(group)
 
     def _flush_due(self) -> None:
         with self._batcher_lock:
             due = self._batcher.due()
         for group in due:
-            self._group_q.put(group)
+            self._dispatch(group)
 
     # ---------------------------------------------------------------- stage 2
 

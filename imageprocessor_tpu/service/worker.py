@@ -127,6 +127,11 @@ class Worker:
         if not msgs:
             return 0
         t0 = time.monotonic()
+        now_wall = time.time()
+        for m in msgs:
+            if m.enqueued_at > 0:  # stage 0 of the latency decomposition
+                METRICS.observe("queue_wait_ms",
+                                max(0.0, (now_wall - m.enqueued_at) * 1000.0))
         parsed: list[tuple[BrokerMessage, ProcessingTask | None, bytes | None]] = []
         for msg in msgs:
             try:

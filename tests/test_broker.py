@@ -104,6 +104,23 @@ def test_different_keys_spread_partitions(broker):
     assert parts == {0, 1, 2}
 
 
+def test_enqueued_at_survives_delivery(broker):
+    """Every backend stamps produce time so consumers can measure queue
+    wait (sqlite created_at; Kafka legacy message v1 CreateTime)."""
+    import time as _time
+
+    t0 = _time.time()
+    broker.produce("t", b"k", b"v")
+    got = broker.poll("t", "g", max_n=1)
+    assert len(got) == 1
+    assert t0 - 2.0 <= got[0].enqueued_at <= _time.time() + 2.0
+    # redelivery keeps the original stamp
+    broker.nack(got[0])
+    again = broker.poll("t", "g", max_n=1)
+    assert len(again) == 1
+    assert abs(again[0].enqueued_at - got[0].enqueued_at) < 1.5
+
+
 def test_partition_for_key_stable():
     assert partition_for_key(b"abc", 3) == partition_for_key(b"abc", 3)
     assert partition_for_key(b"", 1) == 0

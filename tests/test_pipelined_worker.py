@@ -170,3 +170,47 @@ def test_pipelined_with_device_jpeg(tmp_path):
         worker.stop()
         thread.join(timeout=20)
         worker.engine.close()
+
+
+def test_deadline_bounds_batcher_wait(tmp_path):
+    """With batch_size far above the offered load, a lone item must flush
+    on the deadline — queue-to-flush is bounded at batch_deadline_ms plus
+    one poll-loop iteration (BASELINE p99 contract's latency lever)."""
+    from imageprocessor_tpu.utils.metrics import METRICS
+
+    deadline_ms = 120.0
+    cfg = load_config({})
+    cfg.worker.batch_size = 64           # a full batch can never form
+    cfg.worker.batch_deadline_ms = deadline_ms
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    uc = ImageUsecase(meta, store, broker,
+                      retries=RetryStrategy(attempts=1, delay_ms=1))
+    worker = PipelinedWorker(cfg, meta=meta, store=store, broker=broker)
+    worker._idle_sleep = 0.01
+    thread = threading.Thread(target=worker.run, daemon=True)
+    thread.start()
+    try:
+        # warm the compiled program so compile time never pollutes timing
+        warm = uc.upload_image(png_bytes(), "w.png", "image/png", OPS)
+        assert wait_for(lambda: meta.get_image(warm.id).status
+                        is ImageStatus.COMPLETED)
+        METRICS.reset()
+        img = uc.upload_image(png_bytes(), "d.png", "image/png", OPS)
+        assert wait_for(lambda: meta.get_image(img.id).status
+                        is ImageStatus.COMPLETED)
+    finally:
+        worker.stop()
+        thread.join(timeout=20)
+        worker.engine.close()
+
+    snap = METRICS.snapshot()["timings"]
+    assert "batcher_wait_ms" in snap, snap.keys()
+    wait = snap["batcher_wait_ms"]["max"]
+    # flushed BY the deadline (+poll granularity & 1-core scheduling slack),
+    # not held for the 64-item batch...
+    assert wait <= deadline_ms + 1500.0, wait
+    # ...and actually deadline-triggered, not size-triggered
+    assert wait >= deadline_ms * 0.9, wait
+    assert "queue_wait_ms" in snap, snap.keys()
