@@ -269,3 +269,20 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
     if errors:
         raise ConfigError("config validation failed: " + "; ".join(errors))
     return cfg
+
+
+def apply_device_platform(cfg: Config, _jax=None) -> bool:
+    """Force the configured JAX platform (DEVICE_PLATFORM, e.g. "cpu").
+
+    Must run BEFORE the first jax.devices()/jit call in the process.
+    Setting the JAX_PLATFORMS env var alone is NOT sufficient: TPU
+    plugins (e.g. the axon PJRT plugin) append themselves to
+    jax_platforms at import time, so the config update after import is
+    the only reliable override. Returns True when a platform was forced.
+    """
+    if not cfg.device.platform:
+        return False
+    if _jax is None:  # pragma: no branch - test seam
+        import jax as _jax
+    _jax.config.update("jax_platforms", cfg.device.platform)
+    return True

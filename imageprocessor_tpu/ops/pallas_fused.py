@@ -72,7 +72,7 @@ class FusedPlan:
     t_rows: int          # M_t
     t_col_band: int
     compute_dtype: str = "bfloat16"
-    nbuf: int = 6        # band DMA pipeline depth (outstanding copies)
+    nbuf: int = 4        # band DMA pipeline depth (outstanding copies)
 
     @property
     def n_bands(self) -> int:
@@ -116,32 +116,41 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
                     compute_dtype: str = "bfloat16") -> FusedPlan:
     dt = 2 if compute_dtype == "bfloat16" else 4
     # Pipeline depth: nbuf-1 band copies stay in flight while a band is
-    # being consumed. 6 wins on v5e (measured 2:6247, 3:6230, 6:6888,
-    # 8:6608 img/s): the deep queue absorbs the once-per-image horizontal
-    # burst at the last band without starving the DMA engine.
-    nbuf = int(os.environ.get("IMAGEPROCESSOR_FUSED_NBUF", "6"))
-    nbuf = max(2, min(nbuf, 8))
+    # being consumed. At the tuned own=240 band size 4/6/8 measure the
+    # same within noise (12.04k/11.97k/12.03k img/s on v5e, 12 MP) — the
+    # kernel is compute-bound, not DMA-bound — so take the shallowest
+    # queue and keep the VMEM for bands.
+    nbuf = int(os.environ.get("IMAGEPROCESSOR_FUSED_NBUF", "4"))
+    nbuf = max(2, min(nbuf, 32))
+    vmem_budget = int(os.environ.get("IMAGEPROCESSOR_FUSED_VMEM_MB",
+                                     "48")) * 1024 * 1024
     # Chunk starts are floor-8-aligned in OUTPUT rows, but the leading
     # pre-owned rows of each chunk are MASKED in the vband store (the
     # previous band's correct values win), so the band only needs to
-    # cover its OWN rows' sources: 8 rows of start alignment + bilinear
-    # support + the shared-start shift between the two outputs. (The old
-    # unmasked design needed 8*scale rows of backward slack — 23% of
-    # every band re-read, re-cast and re-matmul'd at 12 MP.)
-    slack = 48
+    # cover its OWN rows' sources: band start >= floor8(first owned
+    # support) >= own_lo - 7 and the last owned bilinear support is
+    # <= own_hi, so the span is <= own + 7 for BOTH outputs (the shared
+    # min() start only lowers the base, never the bound) — 16 rows of
+    # slack suffice with margin. make_fused_args still verifies every
+    # actual geometry and flags ok=False on overflow. (The old unmasked
+    # design needed 8*scale rows of backward slack — 23% of every band
+    # re-read, re-cast and re-matmul'd at 12 MP.)
+    slack = int(os.environ.get("IMAGEPROCESSOR_FUSED_SLACK", "16"))
     cband_r = min(_round_up(int(np.ceil(128 * max_scale_w_r)) + 132, 128),
                   src_w)
     cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
                   src_w)
-    # 320 wins empirically with masked stores (v5e, 12 MP: 192:10.8k*,
-    # 224:8.2k, 256:9.4-9.5k, 288:9.1k, 320:9.8k x3 runs, 384:8.1k,
-    # 512:7.5k, 640:6.4k; * noisy outliers excluded): smaller per-step
-    # compute quanta hide under the DMA, until grid overhead dominates.
+    # 240 wins empirically with slack=16 masked stores (v5e, 12 MP,
+    # batch 8, tools/kprobe.py sweep: 208:12.0k, 224:11.4k, 240:12.0k
+    # x2 runs, 256:9.6k, 272:9.9k, 320:10.3k img/s): smaller per-step
+    # compute quanta hide under the DMA, until grid overhead dominates;
+    # the dips are not monotonic (band_rows tiling vs the MXU pass
+    # structure), so trust the sweep, not a model.
     # IMAGEPROCESSOR_FUSED_OWN overrides for tuning.
     own = 64
     own_env = os.environ.get("IMAGEPROCESSOR_FUSED_OWN")
     ladder = ((int(own_env),) if own_env
-              else (320, 256, 192, 128, 64))
+              else (240, 208, 192, 128, 64))
     for cand in ladder:
         band = min(_round_up(cand + slack, 8), src_h)
         m_r = _round_up(int(np.ceil(cand / max(min_scale_r, 1e-6))) + 10, 8)
@@ -153,7 +162,7 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
                 + (t_out + m_t) * _round_up(t_out, 128)
                 + (_round_up(r_out_w, 128) // 128) * cband_r * 128 * dt
                 + (_round_up(t_out, 128) // 128) * cband_t * 128 * dt)
-        if vmem <= 48 * 1024 * 1024:
+        if vmem <= vmem_budget:
             own = cand
             break
     band = min(_round_up(own + slack, 8), src_h)
@@ -357,6 +366,10 @@ def _kernel(plan: FusedPlan, interpret: bool):
     cdtype = (jnp.bfloat16 if plan.compute_dtype == "bfloat16"
               else jnp.float32)
     aligned = (lambda v, m: v) if interpret else pl.multiple_of
+    # Probe-only stage isolation (tools/kprobe.py): "dma" times the band
+    # pipeline alone, "vert" adds the cast+vertical matmul, "" is the
+    # full kernel. Output is garbage for non-"" values.
+    debug_stage = os.environ.get("IMAGEPROCESSOR_FUSED_DEBUG_STAGE", "")
 
     k_r = plan.r_out_w // ck
     k_t = plan.t_out_w // ck
@@ -380,6 +393,11 @@ def _kernel(plan: FusedPlan, interpret: bool):
         # copies for steps g+1..g+nbuf-1 stay in flight (pallas guide
         # §double-buffering, generalized). The prefetch targets the
         # NEXT steps' (b, c, band) coordinates across boundaries.
+        # Bands stay INNERMOST: a (b, j, c) order (channels innermost,
+        # to share the vertical weight build across a band's three
+        # channel steps) measured 35% SLOWER — consecutive steps then
+        # stride between channel planes and HBM sequential-read
+        # locality is worth far more than the hoisted VPU build.
         g = (b * n_c + c) * nb + j
         total = plan.batch * n_c * nb
         nbuf = plan.nbuf
@@ -396,6 +414,11 @@ def _kernel(plan: FusedPlan, interpret: bool):
                 band2.at[to_bank], sems.at[to_bank])
 
         # Warmup: fill the pipeline with the first nbuf-1 copies.
+        # (Probed alternatives that did NOT pay, kept out: an SMEM-
+        # counter catch-up loop issuing several copies per step to
+        # refill the queue after the horizontal burst (9.9k vs 10.4k —
+        # the kernel is MXU-bound, so deeper DMA queues at nbuf 16/24
+        # change nothing and the per-step SMEM bookkeeping costs 4%).)
         @pl.when(g == 0)
         def _():
             for s in range(min(nbuf - 1, total)):  # static bounds
@@ -406,6 +429,10 @@ def _kernel(plan: FusedPlan, interpret: bool):
         @pl.when(g + nbuf - 1 < total)
         def _():
             dma_for(g + nbuf - 1, jax.lax.rem(g + nbuf - 1, nbuf)).start()
+
+        if debug_stage == "dma":
+            out_r_ref[0, 0, 0, 0] = band2[bank][0, 0]
+            return
 
         # u8 -> (xor 0x80) -> bitcast i8 -> bf16: Mosaic has no direct
         # u8->float cast, and the i16 route was the kernel's entire
@@ -428,9 +455,17 @@ def _kernel(plan: FusedPlan, interpret: bool):
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (band_rows, m_cat), 0)
         wr = (jnp.where(iota_v == r0, 1.0 - rfc, 0.0)
               + jnp.where(iota_v == r1, rfc, 0.0)).astype(cdtype)
-        vcat = (jax.lax.dot_general(
+        # The +128 de-bias (see the XOR cast above) is folded through to
+        # the horizontal quantize: both passes' one-hot weights sum to 1
+        # per output, so signed values ride the second matmul unchanged.
+        # That drops a full-size VPU add per band step AND halves the
+        # scratch quantization step (signed bf16 [-128,127]: max |ULP|
+        # 0.5 vs 1.0 for biased [0,255] — measured +4 dB). Mosaic
+        # requires a 32-bit matmul accumulator, so the bf16 round still
+        # happens in the cast.
+        vcat = jax.lax.dot_general(
             wr, band_c, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + 128.0).astype(cdtype)
+            preferred_element_type=jnp.float32).astype(cdtype)
         # Accumulate each band's vertical result into a FULL-HEIGHT
         # scratch at its output-row offset. The horizontal pass then runs
         # once per (b, c) on the whole image instead of once per band:
@@ -459,12 +494,15 @@ def _kernel(plan: FusedPlan, interpret: bool):
             iota_8 < tfrac_ref[slot], head_t, vcat[plan.r_rows:plan.r_rows + 8])
         vband_t[pl.ds(tlo + 8, plan.t_rows - 8)] = vcat[plan.r_rows + 8:]
 
+        if debug_stage == "vert":
+            return
+
         # Horizontal one-hot weights are identical for every (c, j) step
         # of an image — build them ONCE per image into scratch instead of
         # re-running the iota/where construction on all C*NB steps (the
         # VPU build cost rivaled the matmuls themselves).
         @pl.when((c == 0) & (j == 0))
-        def _build_col_weights():
+        def _build_col_weights():  # noqa: F841 — traced via pl.when
             for q in range(k_r):
                 i0 = rc0_ref[b * k_r + q]
                 i1 = rc1_ref[b * k_r + q]
@@ -492,7 +530,10 @@ def _kernel(plan: FusedPlan, interpret: bool):
                     sub = vband_ref[:, pl.ds(cs, cband)]
                 w = wcol_ref[q]
                 chunk = jnp.dot(sub, w, preferred_element_type=jnp.float32)
-                qv = jnp.clip(jnp.floor(chunk * (257.0 / 256.0)), 0.0, 255.0)
+                # +128 de-biases the signed vertical scratch (the XOR-cast
+                # correction, folded through both one-hot passes).
+                qv = jnp.clip(jnp.floor((chunk + 128.0) * (257.0 / 256.0)),
+                              0.0, 255.0)
                 qv = qv.astype(jnp.int32).astype(jnp.uint8)
                 for ci in range(plan.channels):
                     out_ref[0, ci, :, q * ck:(q + 1) * ck] = (
@@ -503,6 +544,9 @@ def _kernel(plan: FusedPlan, interpret: bool):
         # channels, and the matmul is MXU weight-load-bound (17 weight
         # tiles for a 2176-column source window), so stacking the three
         # channels' rows through one weight pass cuts the stalls 3x.
+        # (A per-band incremental variant measured 9.7k vs 10.4k img/s:
+        # 30x the weight-tile reloads cost more than the burst; the
+        # burst itself is hidden by the catch-up DMA issue above.)
         @pl.when((c == n_c - 1) & (j == nb - 1))
         def _horizontal():
             resample(vband_r, wcol_r, rcbs_ref, k_r, plan.r_col_band,

@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
         server.close()
         return 0
 
+    if args.mode in ("worker", "standalone") and config_mod.apply_device_platform(cfg):
+        log.info("Forced JAX platform", platform=cfg.device.platform)
+
     if args.mode == "worker":
         if args.pipelined:
             from imageprocessor_tpu.service.pipelined import PipelinedWorker as Worker

@@ -66,3 +66,28 @@ def test_retry_strategy_delays():
     cfg = load({"RETRIES_ATTEMPTS": "3", "RETRIES_DELAY_MS": "100",
                 "RETRIES_BACKOFF": "2"})
     assert cfg.retry_strategy().delays() == [0.1, 0.2]
+
+
+def test_apply_device_platform_forces_jax_config():
+    # DEVICE_PLATFORM=cpu must translate into a jax.config.update call —
+    # setting the JAX_PLATFORMS env var alone is ignored by TPU plugins
+    # that append themselves to jax_platforms at import (CLAUDE.md).
+    from imageprocessor_tpu.config import apply_device_platform
+
+    calls = []
+
+    class FakeConfig:
+        def update(self, key, value):
+            calls.append((key, value))
+
+    class FakeJax:
+        config = FakeConfig()
+
+    cfg = load({"DEVICE_PLATFORM": "cpu"})
+    assert cfg.device.platform == "cpu"
+    assert apply_device_platform(cfg, _jax=FakeJax()) is True
+    assert calls == [("jax_platforms", "cpu")]
+
+    cfg = load({})
+    assert apply_device_platform(cfg, _jax=FakeJax()) is False
+    assert calls == [("jax_platforms", "cpu")]  # untouched
