@@ -250,7 +250,7 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
 
 
 def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
-                  deadline_ms: float = 25.0):
+                  deadline_ms: float = 25.0, arrival_per_sec: float = 200.0):
     """p99 queue-to-processed latency through the real worker stack.
 
     Stands up the full in-process stack (usecase -> broker -> batch worker
@@ -347,7 +347,7 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
         img = uc.upload_image(data, f"l{i}.jpg", "image/jpeg", ops)
         t_start[img.id] = time.monotonic()
         is_big[img.id] = big_one
-        time.sleep(0.005)  # ~200 uploads/sec arrival process
+        time.sleep(1.0 / arrival_per_sec)
 
     deadline = time.monotonic() + 300
     while len(t_done) < n_images and time.monotonic() < deadline:
@@ -417,12 +417,30 @@ def main() -> int:
                         help="tiny shapes, fast verification run")
     parser.add_argument("--latency", action="store_true",
                         help="p99 queue-to-processed through the full stack")
+    parser.add_argument("--lat-arrival", type=float, default=200.0,
+                        help="latency run: uploads/sec arrival rate "
+                             "(above the host's capacity this measures "
+                             "queue growth, not service latency)")
+    parser.add_argument("--lat-big-every", type=int, default=10,
+                        help="latency run: every Nth upload is 12 MP "
+                             "(0 disables)")
+    parser.add_argument("--lat-n", type=int, default=60,
+                        help="latency run: number of uploads")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
     args = parser.parse_args()
 
+    # Honor DEVICE_PLATFORM like the service entrypoints (config.py
+    # apply_device_platform): DEVICE_PLATFORM=cpu runs the same stack
+    # without the dev tunnel's 30-200 ms per-RPC latency, which is the
+    # honest way to measure the ARCHITECTURE's latency on this host.
+    from imageprocessor_tpu import config as _config
+    _config.apply_device_platform(_config.load())
+
     if args.latency:
-        print(json.dumps(bench_latency()))
+        print(json.dumps(bench_latency(
+            n_images=args.lat_n, big_every=args.lat_big_every,
+            arrival_per_sec=args.lat_arrival)))
         return 0
 
     if args.smoke:

@@ -87,3 +87,34 @@ def test_fused_small_image_in_tall_bucket():
     assert psnr(rz[1, :oh, :ow], ref_r) > 45.0
     ref_t = thumbnail_go(img, 64, crop_to_fit=True)
     assert psnr(th[1, :64, :64], ref_t) > 45.0
+
+
+def test_plan_defaults_and_env_overrides(monkeypatch):
+    """Lock in the tuned plan parameters (v5e sweep, PERF.md round 2):
+    own=240, band=own+16 slack, nbuf=4 at the flagship 12 MP geometry —
+    and the IMAGEPROCESSOR_FUSED_* tuning knobs must keep working."""
+    def plan_12mp():
+        return make_fused_plan(8, 3072, 4096, 768, 1024, 200,
+                               min_scale_r=3.9, max_scale_r=3.91,
+                               min_scale_t=15.0, max_scale_t=15.0,
+                               max_scale_w_r=3.91, max_scale_w_t=15.0)
+
+    plan = plan_12mp()
+    assert plan.own_rows == 240
+    assert plan.band_rows == 256          # own + 16 slack, 8-aligned
+    assert plan.nbuf == 4
+    assert plan.n_bands == 13
+
+    monkeypatch.setenv("IMAGEPROCESSOR_FUSED_OWN", "320")
+    monkeypatch.setenv("IMAGEPROCESSOR_FUSED_NBUF", "6")
+    monkeypatch.setenv("IMAGEPROCESSOR_FUSED_SLACK", "48")
+    plan = plan_12mp()
+    assert plan.own_rows == 320
+    assert plan.band_rows == 368
+    assert plan.nbuf == 6
+
+    # A tiny VMEM budget must push the ladder down to a smaller band.
+    monkeypatch.delenv("IMAGEPROCESSOR_FUSED_OWN")
+    monkeypatch.setenv("IMAGEPROCESSOR_FUSED_SLACK", "16")
+    monkeypatch.setenv("IMAGEPROCESSOR_FUSED_VMEM_MB", "24")
+    assert plan_12mp().own_rows < 240
