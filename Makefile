@@ -4,7 +4,7 @@
 PY ?= python
 
 .PHONY: test test-fast lint bench bench-smoke standalone api worker \
-        dryrun native clean
+        dryrun shardcheck native clean
 
 native:
 	g++ -O3 -march=native -shared -fPIC -pthread \
@@ -35,6 +35,11 @@ worker:
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# Compiled Mosaic fused kernel under shard_map on the live accelerator,
+# asserted bit-exact against the single-device path.
+shardcheck:
+	$(PY) tools/shardcheck.py
 
 docker-up:
 	docker compose -f deploy/docker-compose.yaml up -d

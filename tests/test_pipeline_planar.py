@@ -1,5 +1,6 @@
 """CHW end-to-end pipeline (planar layout) vs the HWC reference path."""
 
+import pytest
 import numpy as np
 
 from imageprocessor_tpu.domain import OperationParams, OperationType
@@ -161,3 +162,39 @@ def test_chw_aspect_thumbnail_takes_fused_path_and_matches():
             r = np.asarray(outs_ref[oi])[i, :oh, :ow]
             diff = np.abs(a.astype(int) - r.astype(int))
             assert diff.max() <= 1, (oi, i, diff.max())
+
+
+@pytest.mark.parametrize("h,w,bh,bw", [
+    (96, 2048, 128, 2048),    # 21:1 panorama
+    (2048, 96, 2048, 128),    # 1:21 tall strip
+    (70, 70, 128, 128),       # barely above the thumbnail size
+    (65, 130, 128, 256),
+])
+def test_extreme_aspect_geometries_stay_correct(h, w, bh, bw):
+    """Adversarial aspect ratios: the fused single-sweep plan rejects
+    geometries whose per-band row chunks overflow (make_fused_args
+    ok=False) and the pipeline must fall back — outputs always match the
+    oracle regardless of which path ran."""
+    from tests.oracle import psnr, resize_go, thumbnail_go
+
+    rng = np.random.default_rng(9)
+    plan = normalize_operations([
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": 64, "crop_to_fit": True}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": 128, "height": 96, "keep_aspect": True}),
+    ])
+    model = PipelineModel(use_pallas=True, pallas_interpret=True)
+    imgs = np.zeros((1, 3, bh, bw), dtype=np.uint8)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    imgs[0, :, :h, :w] = np.transpose(img, (2, 0, 1))
+    src_hw = np.asarray([[h, w]], np.int32)
+    tw, th = keep_aspect_dims(w, h, 128, 96)
+    out_hws = {1: np.asarray([[th, tw]], np.int32)}
+    specs = plan_output_specs(plan, (bh, bw))
+    outs = [np.asarray(o) for o in
+            model.run(plan, imgs, src_hw, out_hws, specs, layout="chw")]
+    thumb = np.transpose(outs[0][0, :, :64, :64], (1, 2, 0))
+    rz = np.transpose(outs[1][0, :, :th, :tw], (1, 2, 0))
+    assert psnr(thumb, thumbnail_go(img, 64, crop_to_fit=True)) > 45.0
+    assert psnr(rz, resize_go(img, tw, th, keep_aspect=False)) > 45.0
