@@ -45,6 +45,11 @@ from imageprocessor_tpu.utils import get_logger
 log = get_logger("kafka")
 
 _SESSION_TIMEOUT_MS = 30000
+# Heartbeat pacing: NOT per poll (the worker polls every few ms when idle
+# and each heartbeat is a synchronous coordinator RTT), but well under any
+# rebalance window so a member never misses a join round — the in-process
+# kafkaserver closes rounds after 1 s; real brokers allow far longer.
+_HEARTBEAT_INTERVAL_MS = 500
 _RETRIABLE = (kw.ILLEGAL_GENERATION, kw.REBALANCE_IN_PROGRESS,
               kw.UNKNOWN_MEMBER_ID, kw.NOT_COORDINATOR)
 
@@ -105,6 +110,7 @@ class _Consumer:
         self.inflight: dict[tuple[int, int], _InFlight] = {}
         self.joined = False
         self.next_fetch_idx = 0
+        self.last_heartbeat = 0.0
 
 
 class KafkaBroker(Broker):
@@ -167,8 +173,13 @@ class KafkaBroker(Broker):
     # -------------------------------------------------------------- metadata
 
     def _metadata(self, topic: str, force: bool = False
-                  ) -> list[tuple[int, tuple[str, int]]]:
-        """[(partition, leader_addr)] for a topic; cached."""
+                  ) -> list[tuple[int, tuple[str, int] | None]]:
+        """[(partition, leader_addr_or_None)] for a topic; cached.
+
+        Leaderless partitions (mid leader-election) are KEPT with a None
+        address: the partition COUNT must stay stable so keyed produce
+        maps every key to the same partition across leader changes
+        (reference per-image ordering, usecase/image/image.go:93-98)."""
         if not force and topic in self._meta:
             return self._meta[topic]
         conn = self._any_conn()
@@ -180,7 +191,7 @@ class KafkaBroker(Broker):
             host = r.string()
             port = r.i32()
             nodes[node_id] = (host, port)
-        parts: list[tuple[int, tuple[str, int]]] = []
+        parts: list[tuple[int, tuple[str, int] | None]] = []
         for _ in range(r.i32()):
             t_err = r.i16()
             t_name = r.string()
@@ -191,8 +202,8 @@ class KafkaBroker(Broker):
                 leader = r.i32()
                 r.array(lambda rr: rr.i32())  # replicas
                 r.array(lambda rr: rr.i32())  # isr
-                if t_name == topic and leader in nodes:
-                    parts.append((pid, nodes[leader]))
+                if t_name == topic:
+                    parts.append((pid, nodes.get(leader)))
             if t_name == topic and t_err not in (kw.NONE,):
                 raise MessageQueueError(
                     f"metadata error {t_err} for topic {topic!r}")
@@ -229,8 +240,17 @@ class KafkaBroker(Broker):
             parts = self._metadata(topic)
             if not parts:
                 raise MessageQueueError(f"topic {topic!r} has no partitions")
+            # Partition by the TOTAL partition count (leaderless ones
+            # included) so the key->partition map never shifts during a
+            # leader election.
             pid = partition_for_key(key, len(parts))
-            leader = dict(parts)[pid]
+            leader = dict(parts).get(pid)
+            if leader is None:  # mid-election: refresh once, then fail
+                leader = dict(self._metadata(topic, force=True)).get(pid)
+            if leader is None:
+                raise MessageQueueError(
+                    f"partition {topic}/{pid} has no leader (election in "
+                    "progress); retry")
             mset = kw.encode_message_set(
                 [(0, key, value)], timestamp_ms=int(time.time() * 1000))
             body = (kw.Writer().i16(-1).i32(10000)
@@ -247,6 +267,11 @@ class KafkaBroker(Broker):
                     err = r.i16()
                     base = r.i64()
                     if err != kw.NONE:
+                        if err in (kw.NOT_LEADER_FOR_PARTITION,
+                                   kw.LEADER_NOT_AVAILABLE,
+                                   kw.UNKNOWN_TOPIC_OR_PARTITION):
+                            # stale leader cache: next attempt re-resolves
+                            self._meta.pop(topic, None)
                         raise MessageQueueError(
                             f"produce error {err} on {topic}/{pid}")
                     offset = base
@@ -272,17 +297,34 @@ class KafkaBroker(Broker):
         self._coord[group] = addr
         return addr
 
+    def _drop_coordinator(self, group: str) -> None:
+        """Invalidate the cached coordinator (it moved, or its connection
+        died) so the next call re-resolves via FindCoordinator."""
+        self._coord.pop(group, None)
+
     def _join(self, c: _Consumer) -> None:
         """JoinGroup/SyncGroup until stable; range partition assignment."""
-        coord = self._coordinator(c.group)
         sub = kw.encode_subscription([c.topic])
         for _attempt in range(25):
+            # Resolve the coordinator PER ATTEMPT: NOT_COORDINATOR and
+            # connection errors drop the cache below, and retrying the
+            # stale address 25 times can never succeed.
+            try:
+                coord = self._coordinator(c.group)
+            except (OSError, kw.WireError, MessageQueueError):
+                time.sleep(0.05)
+                continue
             body = (kw.Writer().string(c.group).i32(_SESSION_TIMEOUT_MS)
                     .string(c.member_id).string("consumer")
                     .array([("range", sub)],
                            lambda w, pr: w.string(pr[0]).bytes_(pr[1]))
                     ).done()
-            r = self._req(coord, kw.JOIN_GROUP, 0, body)
+            try:
+                r = self._req(coord, kw.JOIN_GROUP, 0, body)
+            except (OSError, kw.WireError):
+                self._drop_coordinator(c.group)
+                time.sleep(0.05)
+                continue
             err = r.i16()
             generation = r.i32()
             r.string()  # protocol
@@ -293,6 +335,8 @@ class KafkaBroker(Broker):
                 c.member_id = ""
                 continue
             if err in _RETRIABLE:
+                if err == kw.NOT_COORDINATOR:
+                    self._drop_coordinator(c.group)
                 time.sleep(0.05)
                 continue
             if err != kw.NONE:
@@ -327,10 +371,17 @@ class KafkaBroker(Broker):
                     .string(member_id)
                     .array(assignments,
                            lambda w, a: w.string(a[0]).bytes_(a[1]))).done()
-            r = self._req(coord, kw.SYNC_GROUP, 0, body)
+            try:
+                r = self._req(coord, kw.SYNC_GROUP, 0, body)
+            except (OSError, kw.WireError):
+                self._drop_coordinator(c.group)
+                time.sleep(0.05)
+                continue
             err = r.i16()
             blob = r.bytes_()
             if err in _RETRIABLE:
+                if err == kw.NOT_COORDINATOR:
+                    self._drop_coordinator(c.group)
                 time.sleep(0.05)
                 continue
             if err != kw.NONE:
@@ -338,6 +389,7 @@ class KafkaBroker(Broker):
             owned = kw.decode_assignment(blob or b"").get(c.topic, [])
             self._apply_assignment(c, owned)
             c.joined = True
+            c.last_heartbeat = time.monotonic()
             return
         raise MessageQueueError("consumer group never stabilized")
 
@@ -379,27 +431,71 @@ class KafkaBroker(Broker):
         return out
 
     def _offset_commit(self, c: _Consumer, pid: int, offset: int) -> None:
-        coord = self._coordinator(c.group)
         body = (kw.Writer().string(c.group)
                 .array([c.topic], lambda w, t: (
                     w.string(t).array([pid], lambda w2, p: (
                         w2.i32(p).i64(offset).string(""))))).done())
-        r = self._req(coord, kw.OFFSET_COMMIT, 0, body)
+        for attempt in (0, 1):  # second attempt after a coordinator move
+            coord = self._coordinator(c.group)
+            r = self._req(coord, kw.OFFSET_COMMIT, 0, body)
+            moved = False
+            for _ in range(r.i32()):
+                r.string()
+                for _ in range(r.i32()):
+                    r.i32()
+                    err = r.i16()
+                    if err == kw.NOT_COORDINATOR:
+                        moved = True
+                    elif err != kw.NONE:
+                        log.error("offset_commit error", code=err,
+                                  topic=c.topic, partition=pid)
+            if not moved:
+                return
+            self._drop_coordinator(c.group)
+        log.error("offset_commit failed: coordinator unstable",
+                  topic=c.topic, partition=pid)
+
+    def _heartbeat_ok(self, c: _Consumer) -> bool:
+        """Heartbeat at most every _HEARTBEAT_INTERVAL_MS (a rebalance is
+        noticed within one interval; see the constant's comment)."""
+        now = time.monotonic()
+        if now - c.last_heartbeat < _HEARTBEAT_INTERVAL_MS / 1000.0:
+            return True
+        body = (kw.Writer().string(c.group).i32(c.generation)
+                .string(c.member_id)).done()
+        try:
+            coord = self._coordinator(c.group)
+            r = self._req(coord, kw.HEARTBEAT, 0, body)
+        except (OSError, kw.WireError, MessageQueueError):
+            self._drop_coordinator(c.group)
+            return False
+        err = r.i16()
+        if err == kw.NOT_COORDINATOR:
+            self._drop_coordinator(c.group)
+            return False
+        c.last_heartbeat = now
+        return err == kw.NONE
+
+    def _list_offset(self, topic: str, pid: int, time_ms: int) -> int:
+        """ListOffsets: -2 = log start (earliest), -1 = log end."""
+        leader = dict(self._metadata(topic)).get(pid)
+        if leader is None:
+            return 0
+        body = (kw.Writer().i32(-1)
+                .array([topic], lambda w, t: (
+                    w.string(t).array([pid], lambda w2, p: (
+                        w2.i32(p).i64(time_ms).i32(1))))).done())
+        r = self._req(leader, kw.LIST_OFFSETS, 0, body)
+        result = 0
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
                 r.i32()
                 err = r.i16()
-                if err != kw.NONE:
-                    log.error("offset_commit error", code=err,
-                              topic=c.topic, partition=pid)
-
-    def _heartbeat_ok(self, c: _Consumer) -> bool:
-        coord = self._coordinator(c.group)
-        body = (kw.Writer().string(c.group).i32(c.generation)
-                .string(c.member_id)).done()
-        r = self._req(coord, kw.HEARTBEAT, 0, body)
-        return r.i16() == kw.NONE
+                offs = r.array(lambda rr: rr.i64())
+                if err == kw.NONE and offs:
+                    result = offs[0]
+        return result
 
     def _fetch(self, c: _Consumer, pid: int, max_bytes: int = 1 << 20
                ) -> list[kw.WireMessage]:
@@ -422,7 +518,14 @@ class KafkaBroker(Broker):
                 r.i64()  # high watermark
                 mset = r.bytes_() or b""
                 if err == kw.OFFSET_OUT_OF_RANGE:
-                    c.positions[pid] = 0
+                    # Retention deleted our position's segment: resume at
+                    # the LOG START, not 0 (fetching 0 again would loop
+                    # forever), and move the commit floor past the
+                    # now-nonexistent offsets.
+                    start = self._list_offset(c.topic, pid, -2)
+                    c.positions[pid] = max(start, 0)
+                    if c.committed.get(pid, 0) < start:
+                        c.committed[pid] = start
                     continue
                 if err != kw.NONE:
                     continue
@@ -505,15 +608,18 @@ class KafkaBroker(Broker):
             if ent is None or ent.token != msg.token:
                 return False
             ent.done = True
-            # advance the commit watermark past contiguous done messages
-            wm = c.committed.get(pid, 0)
-            while True:
-                e = c.inflight.get((pid, wm))
-                if e is None or not e.done:
-                    break
-                self._tokens.pop(e.token, None)
-                del c.inflight[(pid, wm)]
-                wm += 1
+            # Advance the commit watermark to the lowest NOT-done inflight
+            # offset (or the fetch position if nothing is pending). Offsets
+            # need not be dense — compacted/truncated logs have gaps, and a
+            # dense +1 walk would stall the watermark forever at a gap.
+            pending = [o for (p, o), e in c.inflight.items()
+                       if p == pid and not e.done]
+            wm = min(pending) if pending else c.positions.get(pid, offset + 1)
+            wm = max(wm, c.committed.get(pid, 0))
+            for key2 in [k for k, e in c.inflight.items()
+                         if k[0] == pid and k[1] < wm]:
+                self._tokens.pop(c.inflight[key2].token, None)
+                del c.inflight[key2]
             if wm != c.committed.get(pid, 0):
                 c.committed[pid] = wm
                 try:
@@ -544,21 +650,8 @@ class KafkaBroker(Broker):
             if missing:
                 committed.update(self._offset_fetch(group, topic, missing))
             total = 0
-            for pid, leader in parts:
-                body = (kw.Writer().i32(-1)
-                        .array([topic], lambda w, t: (
-                            w.string(t).array([pid], lambda w2, p: (
-                                w2.i32(p).i64(-1).i32(1))))).done())
-                r = self._req(leader, kw.LIST_OFFSETS, 0, body)
-                log_end = 0
-                for _ in range(r.i32()):
-                    r.string()
-                    for _ in range(r.i32()):
-                        r.i32()
-                        err = r.i16()
-                        offs = r.array(lambda rr: rr.i64())
-                        if err == kw.NONE and offs:
-                            log_end = offs[0]
+            for pid, _leader in parts:
+                log_end = self._list_offset(topic, pid, -1)
                 total += max(0, log_end - committed.get(pid, 0))
             return total
 

@@ -167,14 +167,27 @@ class ProcessingEngine:
                         mime_type=mime, format=out_fmt)
 
     @staticmethod
-    def _classify_op_failure(out: EngineResult, op: NormalizedOp,
-                             exc: Exception) -> None:
-        """Fail-fast bookkeeping for one op failure: storage I/O errors are
-        TRANSIENT, everything else (compute/encode/params) PERMANENT."""
+    def _is_infra_failure(exc: Exception) -> bool:
+        """Infra (retryable) vs compute/params (permanent): storage I/O,
+        OS-level errors (sockets, the device tunnel), and JAX/XLA runtime
+        errors are transient — the same policy the batched device stage
+        applies to a whole micro-batch (a TPU hiccup must nack for
+        redelivery, not permanently fail the image)."""
         from imageprocessor_tpu.errors import StorageError
+        if isinstance(exc, (StorageError, OSError, TimeoutError)):
+            return True
+        mod = type(exc).__module__ or ""
+        return (isinstance(exc, RuntimeError)
+                and mod.startswith(("jaxlib", "jax")))
+
+    @classmethod
+    def _classify_op_failure(cls, out: EngineResult, op: NormalizedOp,
+                             exc: Exception) -> None:
+        """Fail-fast bookkeeping for one op failure: infra errors are
+        TRANSIENT, everything else (compute/encode/params) PERMANENT."""
         out.result.status = ImageStatus.FAILED
         out.result.error = f"Operation {op.type.value} failed: {exc}"
-        out.error_kind = (TRANSIENT if isinstance(exc, StorageError)
+        out.error_kind = (TRANSIENT if cls._is_infra_failure(exc)
                           else PERMANENT)
 
     def _save(self, path: str, data: bytes, mime: str) -> None:

@@ -69,27 +69,54 @@ class PipelinedWorker(Worker):
         topic = self.cfg.broker.processing_topic
         group_id = self.cfg.broker.group_id
         while not self._stop.is_set():
-            msgs = self.broker.poll(topic, group_id,
-                                    max_n=self.cfg.worker.batch_size,
-                                    lease_s=300.0)
-            if not msgs:
+            # Per-iteration isolation, like Worker.run: a transient
+            # broker error (sqlite "database is locked" on the shared
+            # compose volume, a Kafka reconnect) must not kill the
+            # decode thread — the whole pipeline deadlocks without it.
+            try:
+                msgs = self.broker.poll(topic, group_id,
+                                        max_n=self.cfg.worker.batch_size,
+                                        lease_s=300.0)
+                if not msgs:
+                    self._flush_due()
+                    self._stop.wait(self._idle_sleep)
+                    continue
+                now_wall = time.time()
+                for msg in msgs:
+                    if msg.enqueued_at > 0:  # stage 0 of the decomposition
+                        METRICS.observe(
+                            "queue_wait_ms",
+                            max(0.0, (now_wall - msg.enqueued_at) * 1000.0))
+                    self._inflight.acquire()
+                    self._handle_message(msg)
                 self._flush_due()
-                self._stop.wait(self._idle_sleep)
-                continue
-            now_wall = time.time()
-            for msg in msgs:
-                if msg.enqueued_at > 0:  # stage 0 of the decomposition
-                    METRICS.observe(
-                        "queue_wait_ms",
-                        max(0.0, (now_wall - msg.enqueued_at) * 1000.0))
-                self._inflight.acquire()
-                self._handle_message(msg)
-            self._flush_due()
+            except Exception as exc:
+                log.error("Decode stage iteration failed", error=str(exc),
+                          exc_info=True)
+                METRICS.inc("worker_loop_errors")
+                self._stop.wait(min(1.0, self._idle_sleep * 10))
         # drain: flush whatever is pending
         with self._batcher_lock:
             for group in self._batcher.flush_all():
                 self._dispatch(group)
         self._group_q.put(_SENTINEL)
+
+    def _safe_ack(self, msg: BrokerMessage) -> None:
+        """Ack, tolerating broker errors: the lease expires and the
+        message is redelivered — outputs are idempotent, so at-least-
+        once is preserved either way."""
+        try:
+            self.broker.ack(msg)
+        except Exception as exc:
+            log.error("Broker ack failed; message will be redelivered",
+                      offset=msg.offset, error=str(exc))
+
+    def _safe_nack(self, msg: BrokerMessage) -> None:
+        try:
+            self.broker.nack(msg)
+        except Exception as exc:
+            log.error("Broker nack failed; lease expiry will redeliver",
+                      offset=msg.offset, error=str(exc))
 
     def _dispatch(self, group) -> None:
         """Hand a flushed group to the device stage, recording how long
@@ -109,7 +136,7 @@ class PipelinedWorker(Worker):
         except Exception as exc:
             log.error("Failed to unmarshal task", offset=msg.offset,
                       error=str(exc))
-            self.broker.ack(msg)
+            self._safe_ack(msg)
             self._inflight.release()
             METRICS.inc("worker_malformed_tasks")
             return
@@ -121,8 +148,12 @@ class PipelinedWorker(Worker):
         except Exception as exc:
             log.error("Failed to get original image", image_id=task.image_id,
                       error=str(exc))
-            self._mark_failed(task.image_id)
-            self.broker.nack(msg)
+            try:
+                self._mark_failed(task.image_id)
+            except Exception as mexc:
+                log.error("Failed to mark image failed",
+                          image_id=task.image_id, error=str(mexc))
+            self._safe_nack(msg)
             self._inflight.release()
             METRICS.inc("worker_fetch_failures")
             return
@@ -204,12 +235,23 @@ class PipelinedWorker(Worker):
 
             def _one(i):
                 msg, task, _fmt, _plan = group.items[i].payload
-                with span("encode"):
-                    res = self.engine.finish_item(group, i, plan, outs_np,
-                                                  out_hws, layout)
+                try:
+                    with span("encode"):
+                        res = self.engine.finish_item(group, i, plan,
+                                                      outs_np, out_hws,
+                                                      layout)
+                except Exception as exc:  # keep the stage thread alive
+                    log.error("Finish stage item failed", task_id=task.id,
+                              error=str(exc), exc_info=True)
+                    res = self.engine._failed(
+                        task, f"device error: {exc}", kind=TRANSIENT)
                 self._complete(msg, task, res)
 
-            list(self.engine._pool.map(_one, range(len(group.items))))
+            try:
+                list(self.engine._pool.map(_one, range(len(group.items))))
+            except Exception as exc:
+                log.error("Finish stage batch failed", error=str(exc),
+                          exc_info=True)
 
     def _complete(self, msg: BrokerMessage, task: ProcessingTask,
                   eng_res: EngineResult) -> None:
@@ -219,13 +261,13 @@ class PipelinedWorker(Worker):
             self._record(task, eng_res)
             res = eng_res.result
             if res.status is ImageStatus.COMPLETED:
-                self.broker.ack(msg)
+                self._safe_ack(msg)
                 METRICS.inc("worker_completed")
             elif eng_res.error_kind == TRANSIENT:
-                self.broker.nack(msg)
+                self._safe_nack(msg)
                 METRICS.inc("worker_failed_transient")
             else:
-                self.broker.ack(msg)
+                self._safe_ack(msg)
                 METRICS.inc("worker_failed_permanent")
             try:
                 self.broker.produce(self.cfg.broker.results_topic,
@@ -233,6 +275,12 @@ class PipelinedWorker(Worker):
             except Exception:
                 log.error("Failed to publish result", image_id=task.image_id)
             self._deliver_webhook(res)
+        except Exception as exc:
+            # _record (metadata store) failed: leave the message for
+            # redelivery instead of killing the calling stage thread.
+            log.error("Completion failed; leaving message for redelivery",
+                      image_id=task.image_id, error=str(exc), exc_info=True)
+            self._safe_nack(msg)
         finally:
             self._inflight.release()
 

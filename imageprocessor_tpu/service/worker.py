@@ -213,7 +213,7 @@ class Worker:
     def _webhook_loop(self) -> None:
         while True:
             payload = self._webhook_q.get()
-            if payload is None:
+            if payload is None or self._stop.is_set():
                 return
             post_webhook(self.cfg.worker.webhook_url, payload,
                          self.cfg.retry_strategy())
@@ -291,7 +291,13 @@ class Worker:
     def close(self) -> None:
         self.stop()
         if self._webhook_t is not None:
-            self._webhook_q.put(None)
+            # Never block shutdown on a full webhook queue (a dead
+            # endpoint + retry budget can keep it full indefinitely);
+            # the loop also checks _stop after every delivery.
+            try:
+                self._webhook_q.put_nowait(None)
+            except queue.Full:
+                pass
             self._webhook_t.join(timeout=10)
         self.engine.close()
         for closer in (self.meta, self.store, self.broker):

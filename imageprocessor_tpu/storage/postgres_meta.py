@@ -11,7 +11,9 @@ real Postgres (trust/password/md5/SCRAM auth).
 
 from __future__ import annotations
 
+import contextlib
 import datetime as _dt
+import threading
 import uuid
 
 from imageprocessor_tpu.domain import Image, ImageStatus, OperationType, ProcessedImage
@@ -62,11 +64,23 @@ class PostgresMetadataStore(MetadataStore):
     def __init__(self, cfg):
         self._conn = pgwire.connect(cfg.dsn())
         self._conn.autocommit = True
-        with self._conn.cursor() as cur:
+        # pgwire.Connection is a single socket with no internal locking;
+        # the store contract is internal thread-safety (the pipelined
+        # worker calls save_processed_image/update_status from several
+        # stage threads concurrently), so serialize every query here —
+        # exactly like SQLiteMetadataStore does.
+        self._lock = threading.Lock()
+        with self._cursor() as cur:
             cur.execute(MIGRATION_SQL)
 
+    @contextlib.contextmanager
+    def _cursor(self):
+        with self._lock:
+            with self._conn.cursor() as cur:
+                yield cur
+
     def save_image(self, image: Image) -> None:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute(
                 "INSERT INTO images (id, original_filename, original_size,"
                 " mime_type, status, original_path, bucket, created_at,"
@@ -76,7 +90,7 @@ class PostgresMetadataStore(MetadataStore):
                  image.bucket, image.created_at, image.updated_at))
 
     def get_image(self, image_id: str) -> Image:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute(
                 "SELECT id, original_filename, original_size, mime_type,"
                 " status, original_path, bucket, created_at, updated_at"
@@ -91,7 +105,7 @@ class PostgresMetadataStore(MetadataStore):
                      created_at=_ts(row[7]), updated_at=_ts(row[8]))
 
     def update_status(self, image_id: str, status: ImageStatus) -> None:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute(
                 "UPDATE images SET status = %s, updated_at = %s WHERE id = %s",
                 (str(status), _dt.datetime.now(_dt.timezone.utc), image_id))
@@ -99,7 +113,7 @@ class PostgresMetadataStore(MetadataStore):
                 raise NotFound(image_id)
 
     def save_processed_image(self, processed: ProcessedImage) -> None:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute(
                 "INSERT INTO processed_images (id, image_id, operation,"
                 " parameters, path, size, mime_type, format, status,"
@@ -112,7 +126,7 @@ class PostgresMetadataStore(MetadataStore):
 
     def get_processed_by_operation(self, image_id: str,
                                    operation: str) -> ProcessedImage | None:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute(
                 "SELECT id, image_id, operation, parameters, path, size,"
                 " mime_type, format, status, created_at FROM processed_images"
@@ -128,7 +142,7 @@ class PostgresMetadataStore(MetadataStore):
                               status=row[8], created_at=_ts(row[9]))
 
     def list_processed(self, image_id: str) -> list[ProcessedImage]:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute(
                 "SELECT id, image_id, operation, parameters, path, size,"
                 " mime_type, format, status, created_at FROM processed_images"
@@ -141,12 +155,12 @@ class PostgresMetadataStore(MetadataStore):
                                created_at=_ts(r[9])) for r in rows]
 
     def delete_processed_images(self, image_id: str) -> None:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute("DELETE FROM processed_images WHERE image_id = %s",
                         (image_id,))
 
     def list_images(self, limit: int = 50, offset: int = 0) -> list[Image]:
-        with self._conn.cursor() as cur:
+        with self._cursor() as cur:
             cur.execute(
                 "SELECT id, original_filename, original_size, mime_type,"
                 " status, original_path, bucket, created_at, updated_at"

@@ -253,3 +253,66 @@ def test_worker_end_to_end_over_kafka_wire(server, tmp_path):
         assert res.status is ImageStatus.COMPLETED
     finally:
         worker.close()
+
+
+# ------------------------------------------- deployment-hardening paths
+
+
+def test_commit_watermark_tolerates_offset_gaps():
+    """Compacted/truncated partitions deliver non-dense offsets; the
+    commit watermark must advance across the gaps (a dense +1 walk stalls
+    forever at the first hole and leaks inflight entries)."""
+    from imageprocessor_tpu.broker.kafka import _Consumer, _InFlight
+    from imageprocessor_tpu.broker.base import BrokerMessage
+
+    b = KafkaBroker(brokers=["localhost:1"])  # never contacted
+    commits = []
+    b._offset_commit = lambda c, pid, off: commits.append((pid, off))
+
+    c = _Consumer("t", "g")
+    c.partitions = [0]
+    c.committed = {0: 5}
+    c.positions = {0: 9}  # next fetch; offset 6 does not exist (gap)
+    for off in (5, 7, 8):
+        tok = f"tok{off}"
+        msg = BrokerMessage(topic="t", partition=0, offset=off,
+                            key=b"", value=b"", token=tok)
+        c.inflight[(0, off)] = _InFlight(msg, tok, 1e18)
+        b._tokens[tok] = (c, 0, off)
+    b._consumers[("t", "g")] = c
+
+    assert b.ack(c.inflight[(0, 5)].msg)
+    # 5 done -> watermark jumps the hole at 6 to the first pending (7)
+    assert c.committed[0] == 7 and commits[-1] == (0, 7)
+    assert (0, 5) not in c.inflight
+
+    assert b.ack(c.inflight[(0, 8)].msg)   # out of order: 7 still pending
+    assert c.committed[0] == 7
+    assert b.ack(c.inflight[(0, 7)].msg)
+    # everything delivered is done -> watermark = fetch position
+    assert c.committed[0] == 9 and commits[-1] == (0, 9)
+    assert not c.inflight
+
+
+def test_coordinator_cache_invalidated_on_errors():
+    """NOT_COORDINATOR and dead connections must drop the cached
+    coordinator address so the client re-resolves instead of retrying a
+    stale broker forever."""
+    b = KafkaBroker(brokers=["localhost:1"])
+    from imageprocessor_tpu.broker.kafka import _Consumer
+
+    b._coord["g"] = ("dead-host", 1234)
+    c = _Consumer("t", "g")
+    c.generation, c.member_id, c.joined = 1, "m", True
+    c.last_heartbeat = 0.0
+
+    calls = []
+
+    def fail_req(addr, api, ver, body):
+        calls.append(addr)
+        raise OSError("connection refused")
+
+    b._req = fail_req
+    assert b._heartbeat_ok(c) is False
+    assert "g" not in b._coord          # cache dropped for re-resolution
+    assert calls == [("dead-host", 1234)]

@@ -231,8 +231,8 @@ def _image(**kw):
     return Image(**defaults)
 
 
-def test_metadata_metadata_roundtrip(meta_store):
-    store = SQLiteMetadataStore(":memory:")
+def test_metadata_roundtrip(meta_store):
+    store = meta_store
     img = _image()
     store.save_image(img)
     got = store.get_image(img.id)
