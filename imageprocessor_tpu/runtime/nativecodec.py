@@ -42,15 +42,26 @@ def _build() -> bool:
     # Built at import time on the machine that runs it, so -march=native
     # is safe and worth ~15% on the entropy decoder; fall back to plain
     # -O3 for compilers/arches that reject it.
+    # Compile to a per-process temp name, then atomically rename into
+    # place: concurrent worker processes cold-starting together must
+    # never dlopen a half-written .so (which would pin the slow
+    # PIL/OpenCV fallback for that process's whole lifetime).
+    tmp = _LIB.with_suffix(f".{os.getpid()}.tmp.so")
     for extra in (["-march=native"], []):
         try:
             subprocess.run(
                 ["g++", "-O3", *extra, "-shared", "-fPIC", "-pthread",
-                 *srcs, "-o", str(_LIB), "-ljpeg"],
+                 *srcs, "-o", str(tmp), "-ljpeg"],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _LIB)
             return True
         except (subprocess.SubprocessError, OSError):
             continue
+        finally:
+            try:
+                tmp.unlink(missing_ok=True)
+            except OSError:
+                pass
     return False
 
 
@@ -348,7 +359,11 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     cores.
     """
     lib = _load()
-    if lib is None or not hasattr(lib, "ip_jpeg_emit"):
+    # Guard on the symbol actually called below — a stale library built
+    # from older sources may expose ip_jpeg_emit but not the strided
+    # entry point, and an AttributeError here would bypass callers'
+    # NativeCodecError fallbacks.
+    if lib is None or not hasattr(lib, "ip_jpeg_emit_strided"):
         raise NativeCodecError("native emitter unavailable")
     ncomp = len(planes)
     if ncomp not in (1, 3):
@@ -370,6 +385,13 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     qt2 = np.zeros((2, 64), dtype=np.uint16)
     qt2[0] = qt[0]
     qt2[1] = qt[1] if qt.shape[0] > 1 else qt[0]
+    # The emitter writes 8-bit (pq=0) DQT segments; a 16-bit table value
+    # would be silently clamped to 255 and every decoder would then
+    # dequantize with the wrong step — reject instead of corrupting.
+    if qt2.max() > 255 or qt2.min() < 1:
+        raise NativeCodecError(
+            "quant table values must be in 1..255 (8-bit DQT); got "
+            f"range {int(qt2.min())}..{int(qt2.max())}")
     h0, v0 = (int(sampling[0]), int(sampling[1])) if ncomp == 3 else (1, 1)
     # The native emitter trusts plane dims; reject undersized planes
     # here so a caller bug can't turn into an out-of-bounds read.
@@ -439,6 +461,12 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
     lib = _load()
     if lib is None:
         raise NativeCodecError("native codec unavailable")
+    rgb = np.asarray(rgb)
+    # The native encoder unconditionally reads 3 bytes/pixel: anything
+    # narrower would make it read past the final row (heap OOB).
+    if rgb.ndim != 3 or rgb.shape[2] < 3:
+        raise NativeCodecError(
+            f"encode_jpeg needs an (H, W, >=3) array, got {rgb.shape}")
     rgb = np.ascontiguousarray(rgb[:, :, :3], dtype=np.uint8)
     out_p = ctypes.c_void_p()
     out_len = ctypes.c_size_t()

@@ -42,10 +42,20 @@ def escape_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr() would render the bare tokens inf/nan, which are not
+        # valid Postgres numeric literals — they must be quoted.
+        if v != v:
+            return "'NaN'::float8"
+        if v in (float("inf"), float("-inf")):
+            return f"'{'-' if v < 0 else ''}Infinity'::float8"
         return repr(v)
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
         return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):  # date.isoformat() takes no arguments
+        return "'" + v.isoformat() + "'"
     if isinstance(v, bytes):
         return "'\\x" + v.hex() + "'"
     s = str(v)
@@ -142,6 +152,7 @@ class Connection:
         self._user = user
         self._password = password
         self.autocommit = True  # simple-query statements autocommit
+        self._broken = False     # poisoned by mid-protocol I/O errors
         self._startup(user, dbname)
 
     # --------------------------------------------------------------- framing
@@ -264,6 +275,25 @@ class Connection:
                 f"{fields.get('M', 'unknown')}")
 
     def _query(self, sql: str):
+        if self._broken:
+            raise PgError("connection is broken (previous I/O error); "
+                          "reconnect required")
+        try:
+            return self._query_inner(sql)
+        except (OSError, struct.error) as exc:
+            # A timeout or partial read mid-protocol leaves the stream
+            # desynchronized: the next reader would consume THIS query's
+            # buffered response as its own. Poison the connection so
+            # every later use fails loudly instead of returning
+            # another query's rows.
+            self._broken = True
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            raise PgError(f"connection broken mid-query: {exc}") from exc
+
+    def _query_inner(self, sql: str):
         self._send(b"Q", _enc_str(sql))
         rows: list[tuple] = []
         oids: list[int] = []

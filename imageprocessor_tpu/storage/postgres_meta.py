@@ -62,7 +62,8 @@ def _ts(v) -> _dt.datetime:
 
 class PostgresMetadataStore(MetadataStore):
     def __init__(self, cfg):
-        self._conn = pgwire.connect(cfg.dsn())
+        self._dsn = cfg.dsn()
+        self._conn = pgwire.connect(self._dsn)
         self._conn.autocommit = True
         # pgwire.Connection is a single socket with no internal locking;
         # the store contract is internal thread-safety (the pipelined
@@ -76,6 +77,12 @@ class PostgresMetadataStore(MetadataStore):
     @contextlib.contextmanager
     def _cursor(self):
         with self._lock:
+            if self._conn._broken:
+                # a mid-protocol I/O error poisoned the old session; the
+                # failed call already surfaced a PgError (retried at the
+                # usecase layer) — later calls get a fresh connection.
+                self._conn = pgwire.connect(self._dsn)
+                self._conn.autocommit = True
             with self._conn.cursor() as cur:
                 yield cur
 

@@ -53,7 +53,10 @@ def sign_v4(method: str, host: str, path: str, query: dict[str, str],
     amz_date = now.strftime("%Y%m%dT%H%M%SZ")
     date_stamp = now.strftime("%Y%m%d")
 
-    hdrs = {k.lower(): v.strip() for k, v in headers.items()}
+    # SigV4 canonicalization: trim AND collapse sequential internal
+    # whitespace (AWS SigV4 spec "Trimall"); .strip() alone makes the
+    # server's canonical request differ for values like "my  photo.jpg".
+    hdrs = {k.lower(): " ".join(v.split()) for k, v in headers.items()}
     hdrs["host"] = host
     hdrs["x-amz-date"] = amz_date
     if service == "s3":  # S3 requires the payload hash header; IAM etc. don't
@@ -149,8 +152,15 @@ class S3ObjectStore(ObjectStore):
     def save_original(self, filename: str, data: bytes,
                       content_type: str = "") -> str:
         path = original_object_path(filename)
+        # Metadata header values must survive both SigV4 canonicalization
+        # and HTTP transport (httpx sends headers latin-1): percent-encode
+        # non-ASCII / control bytes and collapse whitespace, keeping
+        # plain ASCII names readable (reference stores the raw name,
+        # minio.go:84 — the SDK RFC-2047-encodes it the same way).
+        safe_name = urllib.parse.quote(" ".join(filename.split()),
+                                       safe=" -._~()[]{}!@#$&+=,")
         headers = {"Content-Type": content_type or "application/octet-stream",
-                   "x-amz-meta-original-filename": filename[:256]}
+                   "x-amz-meta-original-filename": safe_name[:256]}
         r = self._request("PUT", self._key_path(path), body=data, headers=headers)
         if r.status_code != 200:
             raise ObjectStoreError(f"save original failed: {r.status_code}")

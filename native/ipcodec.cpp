@@ -114,7 +114,11 @@ int ip_jpeg_decode_planar(const uint8_t* data, size_t len, int scale_num,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = silence_output;
-  uint8_t* row = nullptr;
+  // volatile: assigned between setjmp and longjmp, then read after the
+  // longjmp — without it the register-restored value is indeterminate
+  // (C11 7.13.2.1) and the scanline buffer leaks (or worse) on every
+  // corrupt-stream bail-out.
+  uint8_t* volatile row = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
     free(row);
     jpeg_destroy_decompress(&cinfo);
@@ -354,13 +358,8 @@ int ip_jpeg_read_coefs(const uint8_t* data, size_t len,
     return 3;
   }
   int16_t* outs[3] = {coef0, coef1, coef2};
-  // libjpeg natural-order zigzag inverse table
-  static const int kZigzagToNatural[64] = {
-      0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
-      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
-      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
-  (void)kZigzagToNatural;
+  // (libjpeg already returns coefficients in natural order; no zigzag
+  // reordering happens here.)
   for (int c = 0; c < cinfo.num_components && c < 3; ++c) {
     jpeg_component_info* ci = &cinfo.comp_info[c];
     const JDIMENSION bw = ci->width_in_blocks;

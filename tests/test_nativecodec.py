@@ -65,3 +65,34 @@ def test_bad_scale_rejected():
     data, _ = jpeg_bytes()
     with pytest.raises(ValueError):
         nativecodec.decode_jpeg(data, scale_num=0)
+
+
+def test_encode_rejects_narrow_arrays():
+    """The native encoder reads 3 bytes/pixel unconditionally; narrower
+    inputs must be rejected up front (not read out of bounds)."""
+    import pytest
+
+    from imageprocessor_tpu.runtime import nativecodec
+
+    if not nativecodec.available():
+        pytest.skip("native codec unavailable")
+    with pytest.raises(nativecodec.NativeCodecError):
+        nativecodec.encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(nativecodec.NativeCodecError):
+        nativecodec.encode_jpeg(np.zeros((8, 8, 2), dtype=np.uint8))
+
+
+def test_emit_rejects_16bit_quant_tables():
+    """8-bit DQT segments can't represent values >255; silently clamping
+    would make every decoder dequantize wrongly."""
+    import pytest
+
+    from imageprocessor_tpu.runtime import nativecodec
+
+    if not nativecodec.available():
+        pytest.skip("native codec unavailable")
+    planes = [np.zeros((16, 16), dtype=np.int16)]
+    bad = np.full((1, 64), 300, dtype=np.uint16)
+    with pytest.raises(nativecodec.NativeCodecError, match="1..255"):
+        nativecodec.emit_jpeg_from_coefficients(planes, bad, 16, 16,
+                                                sampling=(1, 1))

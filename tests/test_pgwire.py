@@ -101,3 +101,44 @@ def test_null_and_float_columns():
         conn.close()
     finally:
         stub.close()
+
+
+def test_literal_date_and_special_floats():
+    """date params must interpolate (date.isoformat takes no sep arg) and
+    non-finite floats must render as quoted Postgres literals, not the
+    bare inf/nan tokens."""
+    import datetime as dt
+
+    from imageprocessor_tpu.storage.pgwire import escape_literal
+
+    assert escape_literal(dt.date(2026, 1, 2)) == "'2026-01-02'"
+    assert escape_literal(
+        dt.datetime(2026, 1, 2, 3, 4, 5)) == "'2026-01-02 03:04:05'"
+    assert escape_literal(float("inf")) == "'Infinity'::float8"
+    assert escape_literal(float("-inf")) == "'-Infinity'::float8"
+    assert escape_literal(float("nan")) == "'NaN'::float8"
+    assert escape_literal(1.5) == "1.5"
+
+
+def test_broken_connection_poisons_not_desyncs():
+    """A mid-protocol I/O error must poison the connection (every later
+    use raises) rather than leaving the stream desynchronized where the
+    next query would read the previous response's rows."""
+    import pytest
+
+    from imageprocessor_tpu.storage.pgwire import PgError
+    from tests.pg_stub import PgStubServer
+    from imageprocessor_tpu.storage import pgwire
+
+    stub = PgStubServer()
+    try:
+        conn = pgwire.connect(stub.dsn())
+        conn._query("SELECT 1")          # healthy roundtrip
+        conn._sock.close()               # simulate the transport dying
+        with pytest.raises(PgError):
+            conn._query("SELECT 2")
+        assert conn._broken
+        with pytest.raises(PgError, match="broken"):
+            conn._query("SELECT 3")      # still poisoned, fails loudly
+    finally:
+        stub.close()
