@@ -93,6 +93,10 @@ class KafkaServer:
             t = threading.Thread(target=self._serve, args=(conn,),
                                  daemon=True)
             t.start()
+            # reap finished connection threads so a long-lived dev queue
+            # (clients reconnect on every rebalance) doesn't accumulate
+            # dead Thread objects unboundedly
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _serve(self, conn: socket.socket) -> None:

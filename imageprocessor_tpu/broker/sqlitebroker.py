@@ -45,6 +45,12 @@ CREATE TABLE IF NOT EXISTS deliveries (
 );
 CREATE INDEX IF NOT EXISTS idx_deliveries_grp
     ON deliveries(grp, topic, state, lease_until);
+CREATE TABLE IF NOT EXISTS offsets (
+    topic TEXT NOT NULL,
+    partition INTEGER NOT NULL,
+    next_off INTEGER NOT NULL,
+    PRIMARY KEY (topic, partition)
+);
 """
 
 
@@ -82,9 +88,22 @@ class SQLiteBroker(Broker):
     def produce(self, topic: str, key: bytes, value: bytes) -> BrokerMessage:
         with self._lock:
             p = partition_for_key(key, self._partitions(topic))
+            # Offsets come from a MONOTONIC persistent counter, never
+            # MAX(offset) over surviving rows: after retention purges a
+            # fully-acked partition, MAX() would restart at 0 and the
+            # reused (topic, partition, offset) key would join against
+            # the purged era's 'done' delivery row — making the new
+            # message silently undeliverable.
+            self._conn.execute(
+                "INSERT INTO offsets (topic, partition, next_off)"
+                " VALUES (?,?,COALESCE((SELECT MAX(offset) + 1 FROM messages"
+                "   WHERE topic = ? AND partition = ?), 0))"
+                " ON CONFLICT (topic, partition) DO NOTHING",
+                (topic, p, topic, p))
             row = self._conn.execute(
-                "SELECT COALESCE(MAX(offset), -1) + 1 FROM messages"
-                " WHERE topic = ? AND partition = ?", (topic, p)).fetchone()
+                "UPDATE offsets SET next_off = next_off + 1"
+                " WHERE topic = ? AND partition = ?"
+                " RETURNING next_off - 1", (topic, p)).fetchone()
             offset = row[0]
             self._conn.execute(
                 "INSERT INTO messages (topic, partition, offset, key, value,"
@@ -162,14 +181,28 @@ class SQLiteBroker(Broker):
                 """, (group, topic)).fetchone()
             return row[0]
 
-    def purge_done(self, older_than_s: float = 3600.0) -> int:
-        """Garbage-collect fully-acked messages (retention)."""
-        cutoff = time.time() - older_than_s
+    def purge_done(self, older_than_s: float = 3600.0,
+                   unconsumed_ttl_s: float = 7 * 86400.0) -> int:
+        """Garbage-collect messages (retention).
+
+        Two tiers, mirroring Kafka segment retention:
+        * acked tier: messages older than `older_than_s` whose delivery
+          rows are all 'done' (and at least one exists — a group that
+          has never polled the topic at all cannot veto, same as a
+          Kafka group that never subscribed);
+        * retention tier: ANY message older than `unconsumed_ttl_s`
+          (Kafka's log.retention default is 7 days) — bounds growth of
+          topics nobody consumes (e.g. the results topic when no
+          downstream is attached).
+
+        Delivery rows of purged messages are deleted with them.
+        """
+        now = time.time()
         with self._lock:
             cur = self._conn.execute(
                 """
                 DELETE FROM messages
-                WHERE created_at < ?
+                WHERE (created_at < ?
                   AND NOT EXISTS (
                     SELECT 1 FROM deliveries d
                     WHERE d.topic = messages.topic
@@ -180,8 +213,18 @@ class SQLiteBroker(Broker):
                     SELECT 1 FROM deliveries d2
                     WHERE d2.topic = messages.topic
                       AND d2.partition = messages.partition
-                      AND d2.offset = messages.offset)
-                """, (cutoff,))
+                      AND d2.offset = messages.offset))
+                  OR created_at < ?
+                """, (now - older_than_s, now - unconsumed_ttl_s))
+            self._conn.execute(
+                """
+                DELETE FROM deliveries
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM messages m
+                  WHERE m.topic = deliveries.topic
+                    AND m.partition = deliveries.partition
+                    AND m.offset = deliveries.offset)
+                """)
             self._conn.commit()
             return cur.rowcount
 

@@ -25,7 +25,7 @@ import time
 
 from imageprocessor_tpu.broker.base import BrokerMessage
 from imageprocessor_tpu.config import Config
-from imageprocessor_tpu.domain import ImageStatus, ProcessingTask
+from imageprocessor_tpu.domain import ProcessingTask
 from imageprocessor_tpu.errors import DecodeError
 from imageprocessor_tpu.errors import UnsupportedOperationError
 from imageprocessor_tpu.models.plan import (
@@ -87,7 +87,18 @@ class PipelinedWorker(Worker):
                         METRICS.observe(
                             "queue_wait_ms",
                             max(0.0, (now_wall - msg.enqueued_at) * 1000.0))
-                    self._inflight.acquire()
+                    # NEVER block indefinitely on the inflight permits:
+                    # items sitting in the DeadlineBatcher each hold a
+                    # permit, and only THIS thread can flush them — an
+                    # unconditional acquire() here deadlocks the whole
+                    # pipeline once pending batcher items exhaust the
+                    # semaphore (and any stall delays deadline flushes
+                    # past batch_deadline_ms, defeating the p99 lever).
+                    while not self._inflight.acquire(
+                            timeout=self._batcher.deadline_s):
+                        self._flush_due()
+                        if self._stop.is_set():
+                            return self._drain()
                     self._handle_message(msg)
                 self._flush_due()
             except Exception as exc:
@@ -95,28 +106,14 @@ class PipelinedWorker(Worker):
                           exc_info=True)
                 METRICS.inc("worker_loop_errors")
                 self._stop.wait(min(1.0, self._idle_sleep * 10))
-        # drain: flush whatever is pending
+        self._drain()
+
+    def _drain(self) -> None:
+        """Flush whatever is pending and signal downstream shutdown."""
         with self._batcher_lock:
             for group in self._batcher.flush_all():
                 self._dispatch(group)
         self._group_q.put(_SENTINEL)
-
-    def _safe_ack(self, msg: BrokerMessage) -> None:
-        """Ack, tolerating broker errors: the lease expires and the
-        message is redelivered — outputs are idempotent, so at-least-
-        once is preserved either way."""
-        try:
-            self.broker.ack(msg)
-        except Exception as exc:
-            log.error("Broker ack failed; message will be redelivered",
-                      offset=msg.offset, error=str(exc))
-
-    def _safe_nack(self, msg: BrokerMessage) -> None:
-        try:
-            self.broker.nack(msg)
-        except Exception as exc:
-            log.error("Broker nack failed; lease expiry will redeliver",
-                      offset=msg.offset, error=str(exc))
 
     def _dispatch(self, group) -> None:
         """Hand a flushed group to the device stage, recording how long
@@ -145,14 +142,20 @@ class PipelinedWorker(Worker):
                 self.cfg.retry_strategy(),
                 lambda path=task.original_path: self.store.get_object(path),
                 retryable=lambda e: not isinstance(e, ObjectNotFound))
+        except ObjectNotFound:
+            # Blob gone (image deleted while queued): PERMANENT — a nack
+            # would redeliver a message that can never succeed, forever.
+            log.error("Original blob missing; failing permanently",
+                      image_id=task.image_id, path=task.original_path)
+            self._mark_failed(task.image_id)
+            self._safe_ack(msg)
+            self._inflight.release()
+            METRICS.inc("worker_fetch_missing")
+            return
         except Exception as exc:
             log.error("Failed to get original image", image_id=task.image_id,
                       error=str(exc))
-            try:
-                self._mark_failed(task.image_id)
-            except Exception as mexc:
-                log.error("Failed to mark image failed",
-                          image_id=task.image_id, error=str(mexc))
+            self._mark_failed(task.image_id)
             self._safe_nack(msg)
             self._inflight.release()
             METRICS.inc("worker_fetch_failures")
@@ -181,6 +184,17 @@ class PipelinedWorker(Worker):
             prefix = ("Failed to decode image" if isinstance(exc, DecodeError)
                       else "Operation failed")
             res = self.engine._failed(task, f"{prefix}: {exc}")
+            self._complete(msg, task, res)
+            return
+        except Exception as exc:
+            # Any other decode-path exception (cv2.error, MemoryError on a
+            # decompression bomb, ...): same policy as the batch path's
+            # _dec_safe catch-all — a decode failure, permanent. Letting
+            # it propagate would leak the _inflight permit acquired by
+            # the caller and leave the message to redeliver forever.
+            log.error("Decode failed with unclassified error",
+                      image_id=task.image_id, error=str(exc), exc_info=True)
+            res = self.engine._failed(task, f"Failed to decode image: {exc}")
             self._complete(msg, task, res)
             return
 
@@ -250,34 +264,24 @@ class PipelinedWorker(Worker):
             try:
                 list(self.engine._pool.map(_one, range(len(group.items))))
             except Exception as exc:
+                # Submission itself failed (e.g. pool shut down mid-drain):
+                # _one never ran for ANY item — nack them all and release
+                # their permits, or the pipeline starves on leaked permits.
                 log.error("Finish stage batch failed", error=str(exc),
                           exc_info=True)
+                for it in group.items:
+                    msg, _task, _fmt, _plan = it.payload
+                    self._safe_nack(msg)
+                    self._inflight.release()
 
     def _complete(self, msg: BrokerMessage, task: ProcessingTask,
                   eng_res: EngineResult) -> None:
-        """Record metadata + ack/nack + publish result (commit-after-
-        success, worker.go:125-146 semantics)."""
+        """Record + ack/nack + publish via the shared Worker logic
+        (commit-after-success, worker.go:125-146 semantics), then release
+        this message's inflight permit. Never raises."""
         try:
-            self._record(task, eng_res)
-            res = eng_res.result
-            if res.status is ImageStatus.COMPLETED:
-                self._safe_ack(msg)
-                METRICS.inc("worker_completed")
-            elif eng_res.error_kind == TRANSIENT:
-                self._safe_nack(msg)
-                METRICS.inc("worker_failed_transient")
-            else:
-                self._safe_ack(msg)
-                METRICS.inc("worker_failed_permanent")
-            try:
-                self.broker.produce(self.cfg.broker.results_topic,
-                                    task.image_id.encode(), res.to_json())
-            except Exception:
-                log.error("Failed to publish result", image_id=task.image_id)
-            self._deliver_webhook(res)
-        except Exception as exc:
-            # _record (metadata store) failed: leave the message for
-            # redelivery instead of killing the calling stage thread.
+            self._finish_message(msg, task, eng_res)
+        except Exception as exc:  # belt-and-braces: keep stages alive
             log.error("Completion failed; leaving message for redelivery",
                       image_id=task.image_id, error=str(exc), exc_info=True)
             self._safe_nack(msg)

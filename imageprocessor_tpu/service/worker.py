@@ -141,7 +141,7 @@ class Worker:
             except Exception as exc:
                 log.error("Failed to unmarshal task", offset=msg.offset,
                           error=str(exc))
-                self.broker.ack(msg)  # malformed payload: permanent
+                self._safe_ack(msg)  # malformed payload: permanent
                 METRICS.inc("worker_malformed_tasks")
                 continue
             try:
@@ -151,12 +151,22 @@ class Worker:
                     self.cfg.retry_strategy(),
                     lambda path=task.original_path: self.store.get_object(path),
                     retryable=lambda e: not isinstance(e, ObjectNotFound))
+            except ObjectNotFound:
+                # The blob is gone (e.g. the image was deleted while its
+                # task sat in the queue): PERMANENT — nacking would
+                # redeliver a message that can never succeed, forever.
+                log.error("Original blob missing; failing permanently",
+                          image_id=task.image_id, path=task.original_path)
+                self._mark_failed(task.image_id)
+                self._safe_ack(msg)
+                METRICS.inc("worker_fetch_missing")
+                continue
             except Exception as exc:
                 log.error("Failed to get original image",
                           image_id=task.image_id, path=task.original_path,
                           error=str(exc))
                 self._mark_failed(task.image_id)
-                self.broker.nack(msg)  # transient: redeliver
+                self._safe_nack(msg)  # transient: redeliver
                 METRICS.inc("worker_fetch_failures")
                 continue
             parsed.append((msg, task, blob))
@@ -168,26 +178,7 @@ class Worker:
             [(task, blob) for (_m, task, blob) in parsed])
 
         for (msg, task, _blob), eng_res in zip(parsed, results):
-            self._record(task, eng_res)
-            res = eng_res.result
-            if res.status is ImageStatus.COMPLETED:
-                self.broker.ack(msg)
-                METRICS.inc("worker_completed")
-            elif eng_res.error_kind == TRANSIENT:
-                self.broker.nack(msg)
-                METRICS.inc("worker_failed_transient")
-            else:
-                # Typed classification (engine tags every failure); the
-                # reference replays failures forever on rebalance — here
-                # permanent input errors are acked to avoid poison loops.
-                self.broker.ack(msg)
-                METRICS.inc("worker_failed_permanent")
-            try:
-                self.broker.produce(self.cfg.broker.results_topic,
-                                    task.image_id.encode(), res.to_json())
-            except Exception:
-                log.error("Failed to publish result", image_id=task.image_id)
-            self._deliver_webhook(res)
+            self._finish_message(msg, task, eng_res)
 
         dur = (time.monotonic() - t0) * 1000.0
         METRICS.observe("worker_batch_ms", dur)
@@ -211,9 +202,12 @@ class Worker:
                       image_id=res.image_id)
 
     def _webhook_loop(self) -> None:
-        while True:
-            payload = self._webhook_q.get()
-            if payload is None or self._stop.is_set():
+        while not self._stop.is_set():
+            try:
+                payload = self._webhook_q.get(timeout=0.5)
+            except queue.Empty:
+                continue  # re-check _stop: no sentinel needed to exit
+            if payload is None:
                 return
             post_webhook(self.cfg.worker.webhook_url, payload,
                          self.cfg.retry_strategy())
@@ -224,9 +218,30 @@ class Worker:
         except Exception:
             log.error("Failed to update status to failed", image_id=image_id)
 
-    def _record(self, task: ProcessingTask, eng_res: EngineResult) -> None:
-        """Persist processed rows + final status (worker.go:202-232)."""
+    def _safe_ack(self, msg: BrokerMessage) -> None:
+        """Ack, tolerating broker errors: the lease expires and the
+        message is redelivered — outputs are idempotent, so at-least-once
+        is preserved either way (and one broken ack must not abort the
+        rest of the batch's completions)."""
+        try:
+            self.broker.ack(msg)
+        except Exception as exc:
+            log.error("Broker ack failed; message will be redelivered",
+                      offset=msg.offset, error=str(exc))
+
+    def _safe_nack(self, msg: BrokerMessage) -> None:
+        try:
+            self.broker.nack(msg)
+        except Exception as exc:
+            log.error("Broker nack failed; lease expiry will redeliver",
+                      offset=msg.offset, error=str(exc))
+
+    def _record(self, task: ProcessingTask, eng_res: EngineResult) -> bool:
+        """Persist processed rows + final status (worker.go:202-232).
+        Returns False when any metadata write failed — the caller must
+        NOT ack then (commit-after-success)."""
         res = eng_res.result
+        ok = True
         for artifact in eng_res.artifacts:
             try:
                 self.meta.save_processed_image(ProcessedImage(
@@ -235,6 +250,7 @@ class Worker:
                     size=artifact.size, mime_type=artifact.mime_type,
                     format=artifact.format, status="completed"))
             except Exception as exc:
+                ok = False
                 log.error("Failed to save processed row",
                           image_id=task.image_id,
                           operation=artifact.operation, error=str(exc))
@@ -243,11 +259,50 @@ class Worker:
         try:
             self.meta.update_status(task.image_id, status)
         except Exception:
+            ok = False
             log.error("Failed to update final status",
                       image_id=task.image_id)
         if res.status is not ImageStatus.COMPLETED:
             log.error("Image processing failed", image_id=task.image_id,
                       error=res.error)
+        return ok
+
+    def _finish_message(self, msg: BrokerMessage, task: ProcessingTask,
+                        eng_res: EngineResult) -> None:
+        """Record metadata + ack/nack + publish result for ONE message
+        (commit-after-success, worker.go:125-146). Never raises: one
+        message's broker/metadata trouble must not abort its batchmates'
+        completions."""
+        recorded = self._record(task, eng_res)
+        res = eng_res.result
+        if not recorded and res.status is ImageStatus.COMPLETED:
+            # The pixels were produced but the metadata writes failed
+            # (DB down): acking would mark the work committed while the
+            # DB has no record of it. Leave for redelivery — outputs are
+            # idempotent, the replay re-runs the writes.
+            log.error("Metadata writes failed; leaving for redelivery",
+                      image_id=task.image_id)
+            self._safe_nack(msg)
+            METRICS.inc("worker_record_failures")
+            return
+        if res.status is ImageStatus.COMPLETED:
+            self._safe_ack(msg)
+            METRICS.inc("worker_completed")
+        elif eng_res.error_kind == TRANSIENT:
+            self._safe_nack(msg)
+            METRICS.inc("worker_failed_transient")
+        else:
+            # Typed classification (engine tags every failure); the
+            # reference replays failures forever on rebalance — here
+            # permanent input errors are acked to avoid poison loops.
+            self._safe_ack(msg)
+            METRICS.inc("worker_failed_permanent")
+        try:
+            self.broker.produce(self.cfg.broker.results_topic,
+                                task.image_id.encode(), res.to_json())
+        except Exception:
+            log.error("Failed to publish result", image_id=task.image_id)
+        self._deliver_webhook(res)
 
     # ------------------------------------------------------------------- loop
 

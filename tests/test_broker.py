@@ -179,3 +179,79 @@ def test_sqlite_purge_done(tmp_path):
     assert b.purge_done(older_than_s=0.0) == 1
     assert b.poll("t", "g2", max_n=1) == []  # gone for all groups
     b.close()
+
+
+def test_sqlite_offsets_never_reused_after_purge(tmp_path):
+    """Retention must not make new messages undeliverable: offsets come
+    from a monotonic counter, so a message produced after purge_done
+    cannot collide with a purged era's 'done' delivery row."""
+    from imageprocessor_tpu.broker.sqlitebroker import SQLiteBroker
+
+    b = SQLiteBroker(str(tmp_path / "q.db"))
+    b.create_topic("t", 1)
+    m1 = b.produce("t", b"k", b"v1")
+    [d1] = b.poll("t", "g", max_n=1)
+    b.ack(d1)
+    assert b.purge_done(older_than_s=0.0) == 1
+    m2 = b.produce("t", b"k", b"v2")
+    assert m2.offset == m1.offset + 1          # never regresses
+    got = b.poll("t", "g", max_n=1)
+    assert [m.value for m in got] == [b"v2"]   # still deliverable
+    b.close()
+
+
+def test_sqlite_retention_purges_unconsumed_topics(tmp_path):
+    """Topics nobody consumes (e.g. the results topic without a
+    downstream) are bounded by the retention TTL, like Kafka segment
+    retention."""
+    from imageprocessor_tpu.broker.sqlitebroker import SQLiteBroker
+
+    b = SQLiteBroker(str(tmp_path / "q.db"))
+    b.create_topic("results", 1)
+    b.produce("results", b"k", b"v")
+    assert b.purge_done(older_than_s=0.0) == 0          # no deliveries yet
+    assert b.purge_done(older_than_s=0.0,
+                        unconsumed_ttl_s=0.0) == 1      # TTL tier collects
+    b.close()
+
+
+def test_worker_nacks_when_metadata_writes_fail(tmp_path):
+    """Commit-after-success: if the metadata store is down when a batch
+    completes, the message must be NACKED for redelivery — acking would
+    mark work committed that the DB never saw."""
+    import numpy as np
+    from PIL import Image as PILImage
+    import io as _io
+
+    from imageprocessor_tpu.broker.memory import MemoryBroker
+    from imageprocessor_tpu.config import load as load_config
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.service.usecase import ImageUsecase
+    from imageprocessor_tpu.service.worker import Worker
+    from imageprocessor_tpu.storage import (
+        LocalFSObjectStore,
+        SQLiteMetadataStore,
+    )
+
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    uc = ImageUsecase(meta, store, broker)
+    worker = Worker(load_config({}), meta=meta, store=store, broker=broker)
+
+    buf = _io.BytesIO()
+    PILImage.fromarray(np.zeros((64, 64, 3), np.uint8)).save(buf, "PNG")
+    uc.upload_image(buf.getvalue(), "a.png", "image/png",
+                    [OperationParams(OperationType.THUMBNAIL, {"size": 16})])
+
+    boom = lambda *a, **k: (_ for _ in ()).throw(OSError("db down"))  # noqa: E731
+    orig = meta.update_status
+    meta.update_status = boom
+    meta.save_processed_image = boom
+    try:
+        assert worker.run_once() == 1
+    finally:
+        meta.update_status = orig
+    # nacked: still deliverable for redelivery once the DB recovers
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 1

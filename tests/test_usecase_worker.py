@@ -176,12 +176,31 @@ def test_worker_permanent_failure_acked_and_marked(worker_stack):
                         worker.cfg.broker.group_id) == 0  # acked
 
 
-def test_worker_transient_fetch_failure_nacks(worker_stack):
+def test_worker_missing_blob_fails_permanently(worker_stack):
+    """A deleted/missing blob can never succeed on redelivery: it must be
+    acked with status=failed, not nacked into an infinite poison loop
+    (image deleted while its task sat in the queue)."""
     uc, worker, meta, store, broker = worker_stack
     img = uc.upload_image(png_bytes(), "t.png", "image/png", DEFAULT_OPS)
-    # delete blob -> fetch fails -> nack for redelivery
     store.delete_object(meta.get_image(img.id).original_path)
     assert worker.run_once() == 1
+    assert meta.get_image(img.id).status is ImageStatus.FAILED
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 0  # acked: permanent
+
+
+def test_worker_transient_fetch_failure_nacks(worker_stack):
+    """Infra errors fetching the blob (storage down) ARE transient: nack
+    for redelivery, like the reference's leave-uncommitted behavior."""
+    uc, worker, meta, store, broker = worker_stack
+    img = uc.upload_image(png_bytes(), "t.png", "image/png", DEFAULT_OPS)
+    orig_get = store.get_object
+    store.get_object = lambda path: (_ for _ in ()).throw(
+        OSError("storage unreachable"))
+    try:
+        assert worker.run_once() == 1
+    finally:
+        store.get_object = orig_get
     assert meta.get_image(img.id).status is ImageStatus.FAILED
     # still deliverable (nacked)
     assert broker.depth("image-processing",
