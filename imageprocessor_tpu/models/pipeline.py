@@ -336,8 +336,12 @@ class PipelineModel:
     def prepare_wm_args(self, plan: OperationPlan) -> dict[int, tuple]:
         """Runtime watermark inputs (tile content, color, metrics).
         Device-cached per watermark spec — repeated steps transfer nothing."""
-        key = tuple((op.text, op.font_size, op.font_color, op.opacity)
-                    for op in plan.ops
+        # The op INDEX is part of the key: the returned dict is keyed by
+        # position in the plan, so [watermark] and [thumbnail, watermark]
+        # with identical params must not share a cache entry (the cached
+        # {0: ...} would crash the second plan's step() with KeyError).
+        key = tuple((i, op.text, op.font_size, op.font_color, op.opacity)
+                    for i, op in enumerate(plan.ops)
                     if op.type is OperationType.WATERMARK)
         with self._lock:
             cached = self._args_cache.get(("wm", key))
@@ -547,23 +551,23 @@ class PipelineModel:
             hb, wb = imgs_u8.shape[1], imgs_u8.shape[2]
         src_hw = np.asarray(src_hw, dtype=np.int32)
 
-        # Plans sized for the local shard; args built globally and sharded
-        # (geometry is per-image, batch-major, so shards slice cleanly).
+        # Plan geometry must come from the GLOBAL batch (scale mins/maxes
+        # over every image, not just shard 0's slice); the local kernels
+        # reuse that geometry with only the batch size swapped, so the
+        # P("data")-sharded global index arrays line up by construction.
         fused_meta, fused_arrays = (None, None)
         if layout == "chw":
-            fused_meta, fused_arrays = self._fused_setup(
-                plan, (hb, wb), b_local, src_hw[:b_local],
-                {k: np.asarray(v)[:b_local] for k, v in out_hws.items()})
-            if fused_meta is not None:
-                # rebuild args for the FULL batch with the local plan's
-                # geometry so shard slices line up
-                i_t, i_r, fplan = fused_meta
+            fused_meta_g, _ = self._fused_setup(plan, (hb, wb), b, src_hw,
+                                                out_hws)
+            if fused_meta_g is not None:
+                i_t, i_r, fplan_g = fused_meta_g
+                fused_meta = (i_t, i_r, pallas_fused.FusedPlan(
+                    **{**fplan_g.__dict__, "batch": b_local}))
                 t_hw = (np.asarray(out_hws[i_t], dtype=np.int32)
                         if (not plan.ops[i_t].crop_to_fit
                             and i_t in out_hws) else None)
                 fargs = pallas_fused.make_fused_args(
-                    pallas_fused.FusedPlan(**{**fplan.__dict__,
-                                              "batch": b}),
+                    fplan_g,
                     src_hw, np.asarray(out_hws[i_r], dtype=np.int32),
                     t_hw)
                 if not fargs.ok:
@@ -577,13 +581,18 @@ class PipelineModel:
                         fargs.r_colf, fargs.t_colbs, fargs.t_cols0,
                         fargs.t_cols1, fargs.t_colf))
         skip = fused_meta[:2] if fused_meta else ()
-        # Per-op pallas plans for the local batch; args for the global.
-        local_plans, _ = self._pallas_setup(
-            plan, (hb, wb), b_local, src_hw[:b_local],
-            {k: np.asarray(v)[:b_local] for k, v in out_hws.items()},
-            specs, skip=skip)
-        _, global_args = self._pallas_setup(
+        # Per-op pallas plans: geometry (quantized scales -> tile/band
+        # rows) is a MAX over the batch, so the local kernels must be
+        # derived from the GLOBAL plan with only the batch size swapped —
+        # building them from shard 0's slice diverges whenever another
+        # shard carries the batch's max resample scale, and the global
+        # index-array slices then feed a kernel compiled for different
+        # band geometry (shape error at best, corrupt pixels at worst).
+        global_plans, global_args = self._pallas_setup(
             plan, (hb, wb), b, src_hw, out_hws, specs, skip=skip)
+        from dataclasses import replace as _dc_replace
+        local_plans = {i: _dc_replace(rp, batch=b_local)
+                       for i, rp in global_plans.items()}
         if fused_arrays is not None:
             global_args["fused"] = fused_arrays
         raw = self.get_raw_step(plan, specs, local_plans, layout, fused_meta)

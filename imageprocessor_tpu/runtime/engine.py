@@ -252,19 +252,9 @@ class ProcessingEngine:
             plan = normalize_operations(task.operations)
         except (InvalidParamsError, UnsupportedOperationError, ValueError) as exc:
             return self._failed(task, f"Operation failed: {exc}")
-
-        out = EngineResult(result=ProcessingResult(
-            id=task.id, image_id=task.image_id, status=ImageStatus.COMPLETED))
-        for op in plan:
-            try:
-                processed = self._apply_single(arr, op)
-                artifact = self._encode_and_save(task, op, processed, fmt)
-            except Exception as exc:  # fail-fast per reference
-                self._classify_op_failure(out, op, exc)
-                return out
-            out.artifacts.append(artifact)
-            out.result.processed_paths[op.type.value] = artifact.path
-        return out
+        # One op loop for both entry points (fail-fast + typed
+        # classification live in _process_decoded_single only).
+        return self._process_decoded_single(task, arr, fmt, plan)
 
     # ------------------------------------------------------------ batched path
 
@@ -367,9 +357,24 @@ class ProcessingEngine:
                                    payload=(i, task, fmt, plan),
                                    layout=layout, valid_hw=valid_hw))
 
-        # 2. group + run fused programs
+        # 2. group + run fused programs — with PER-GROUP isolation: one
+        # group's device failure must not abort batchmates in other
+        # groups whose results are already computed (and must carry the
+        # typed infra/permanent classification, not bypass it by
+        # propagating out of process_tasks).
         for group in group_items(items, max_batch=self.batch_size):
-            self._run_group(group, results)
+            try:
+                self._run_group(group, results)
+            except Exception as exc:
+                kind = (TRANSIENT if self._is_infra_failure(exc)
+                        else PERMANENT)
+                log.error("Device group failed", error=str(exc),
+                          kind=kind, size=len(group.items), exc_info=True)
+                for it in group.items:
+                    i, task = it.payload[0], it.payload[1]
+                    if results[i] is None:
+                        results[i] = self._failed(
+                            task, f"device error: {exc}", kind=kind)
 
         return [r if r is not None else self._failed(
             tasks_with_data[i][0], "internal: no result produced",

@@ -17,6 +17,16 @@ from imageprocessor_tpu.domain import OperationType
 from imageprocessor_tpu.models.plan import NormalizedOp
 
 
+def op_path_prefixes() -> tuple[str, ...]:
+    """Every per-op directory name generate_path can emit — the single
+    source of truth for delete_image's prefix sweep (a hand-copied list
+    would silently orphan blobs of any newly added operation)."""
+    special = {OperationType.RESIZE: "resize",
+               OperationType.THUMBNAIL: "thumbnails",
+               OperationType.WATERMARK: "watermarked"}
+    return tuple(special.get(t, t.value.lower()) for t in OperationType)
+
+
 def generate_path(image_id: str, op: NormalizedOp, fmt: str) -> str:
     if op.type is OperationType.RESIZE:
         return f"processed/resize/{image_id}/{op.width}x{op.height}.{fmt}"

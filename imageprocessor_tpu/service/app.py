@@ -119,12 +119,17 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
 
 
 async def _metrics_handler(request):
-    # ?format=prometheus (or an Accept for the text exposition) serves
-    # the Prometheus 0.0.4 text format; default stays JSON.
+    # ?format=prometheus (or a scraper's Accept header) serves the
+    # Prometheus 0.0.4 text format; default stays JSON. Modern Prometheus
+    # sends "application/openmetrics-text, text/plain;version=0.0.4, ..."
+    # — the 0.0.4 text format is a valid response to BOTH, so any mention
+    # of either selects text (refusing openmetrics made real scrapers
+    # receive JSON and mark the target down).
     accept = request.headers.get("Accept", "")
-    if (request.query.get("format") == "prometheus"
-            or "text/plain" in accept and "openmetrics" not in accept
-            and "json" not in accept and accept.strip() not in ("", "*/*")):
+    wants_text = ("openmetrics" in accept
+                  or ("text/plain" in accept and "json" not in accept
+                      and accept.strip() not in ("", "*/*")))
+    if request.query.get("format") == "prometheus" or wants_text:
         return web.Response(text=METRICS.prometheus_text(),
                             content_type="text/plain")
     return web.json_response(METRICS.snapshot())

@@ -37,6 +37,7 @@ log = get_logger("http")
 _ALLOWED_EXT = {".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff"}
 # Cap for non-file multipart parts (operation flags, watermark text).
 _MAX_FORM_PART_SIZE = 64 << 10
+_MAX_FORM_PARTS = 64  # file + every documented flag, with headroom
 
 
 def _rfc3339(dt: _dt.datetime) -> str:
@@ -102,7 +103,14 @@ class ImageHandlers:
         filename = ""
         file_ct = ""
         form: dict[str, str] = {}
+        n_parts = 0
         async for part in reader:
+            # aiohttp's client_max_size does NOT bound manually streamed
+            # multipart: without a part-count cap, millions of ~64 KiB
+            # form fields would accumulate unboundedly in `form`.
+            n_parts += 1
+            if n_parts > _MAX_FORM_PARTS:
+                return _json_error(400, "Too many multipart fields")
             if part.name == "file":
                 filename = part.filename or ""
                 file_ct = part.headers.get("Content-Type", "")
@@ -190,11 +198,22 @@ class ImageHandlers:
         if operation:
             stem, ext = posixpath.splitext(filename)
             filename = f"{stem}_{operation}{ext}"
+        # Header-safe filename: strip control chars (a CR/LF smuggled in
+        # via an RFC 2231 filename* would make aiohttp reject the header
+        # -> permanent 500 for an image that uploaded fine) and escape
+        # per RFC 6266 quoted-string rules.
+        safe = "".join(c for c in filename if c.isprintable())
+        safe = safe.replace("\\", "\\\\").replace('"', '\\"')
+        try:
+            safe.encode("latin-1")  # HTTP header transport encoding
+        except UnicodeEncodeError:
+            import urllib.parse
+            safe = urllib.parse.quote(safe)
         return web.Response(
             body=blob,
             headers={
                 "Content-Type": img.mime_type,
-                "Content-Disposition": f'inline; filename="{filename}"',
+                "Content-Disposition": f'inline; filename="{safe}"',
                 "Cache-Control": "public, max-age=3600",
             })
 

@@ -47,8 +47,11 @@ log = get_logger("usecase")
 # same way — wbf dbpg/kafka wrap every call, postgres.go:36 etc.).
 _def_retryable = (lambda exc: not isinstance(exc, (NotFound, ObjectNotFound)))
 
-_OP_PREFIXES = ("resize", "thumbnails", "watermarked", "crop", "rotate",
-                "flip", "grayscale")
+# Derived from the path scheme's single source of truth so a newly added
+# operation can never be silently skipped by delete_image's prefix sweep.
+from imageprocessor_tpu.runtime.paths import op_path_prefixes
+
+_OP_PREFIXES = op_path_prefixes()
 
 
 class ImageUsecase:
@@ -146,9 +149,10 @@ class ImageUsecase:
                 return img, self._retry(
                     lambda: self.store.get_object(img.original_path)), \
                     img.original_path
-            except ObjectNotFound as exc:
-                raise StorageError(str(exc)) from exc
             except Exception as exc:
+                # ObjectNotFound included: a recorded-but-missing blob is
+                # a storage inconsistency (500), matching the reference's
+                # ErrStorage mapping (image/image.go:129-136).
                 raise StorageError(str(exc)) from exc
 
         try:
@@ -161,9 +165,8 @@ class ImageUsecase:
         try:
             return img, self._retry(
                 lambda: self.store.get_object(processed.path)), processed.path
-        except ObjectNotFound as exc:
-            raise StorageError(str(exc)) from exc
         except Exception as exc:
+            # ObjectNotFound included — see the comment above.
             raise StorageError(str(exc)) from exc
 
     def get_status(self, image_id: str) -> ImageStatus:
@@ -175,24 +178,29 @@ class ImageUsecase:
             raise DatabaseError(str(exc)) from exc
 
     def delete_image(self, image_id: str) -> None:
+        # Every repo call retries transient errors like the other
+        # usecase methods — a hiccup mid-delete must not strand an image
+        # with its blobs gone but status still visible.
         try:
-            img = self.meta.get_image(image_id)
+            img = self._retry(lambda: self.meta.get_image(image_id))
         except NotFound:
             raise ImageNotFoundError(image_id) from None
         except Exception as exc:
             raise DatabaseError(str(exc)) from exc
 
         try:
-            self.store.delete_object(img.original_path)
+            self._retry(lambda: self.store.delete_object(img.original_path))
         except Exception:
             log.error("Failed to delete original blob",
                       path=img.original_path)
         # Delete recorded artifacts exactly, then sweep every per-op prefix
         # (fixes the reference's dead "processed/{id}/" prefix, SURVEY §3.5).
         try:
-            for processed in self.meta.list_processed(image_id):
+            for processed in self._retry(
+                    lambda: self.meta.list_processed(image_id)):
                 try:
-                    self.store.delete_object(processed.path)
+                    self._retry(lambda p=processed.path:
+                                self.store.delete_object(p))
                 except Exception:
                     log.error("Failed to delete processed blob",
                               path=processed.path)
@@ -200,17 +208,19 @@ class ImageUsecase:
             log.error("Failed to enumerate processed rows", image_id=image_id)
         for op_prefix in _OP_PREFIXES:
             try:
-                self.store.delete_objects_with_prefix(
-                    f"processed/{op_prefix}/{image_id}/")
+                self._retry(lambda pref=op_prefix:
+                            self.store.delete_objects_with_prefix(
+                                f"processed/{pref}/{image_id}/"))
             except Exception:
                 log.error("Failed prefix delete", image_id=image_id,
                           prefix=op_prefix)
         try:
-            self.meta.delete_processed_images(image_id)
+            self._retry(lambda: self.meta.delete_processed_images(image_id))
         except Exception:
             log.error("Failed to delete processed rows", image_id=image_id)
         try:
-            self.meta.update_status(image_id, ImageStatus.DELETED)
+            self._retry(lambda: self.meta.update_status(
+                image_id, ImageStatus.DELETED))
         except Exception as exc:
             raise DatabaseError(str(exc)) from exc
         log.info("Image deleted", image_id=image_id)

@@ -198,3 +198,30 @@ def test_extreme_aspect_geometries_stay_correct(h, w, bh, bw):
     rz = np.transpose(outs[1][0, :, :th, :tw], (1, 2, 0))
     assert psnr(thumb, thumbnail_go(img, 64, crop_to_fit=True)) > 45.0
     assert psnr(rz, resize_go(img, tw, th, keep_aspect=False)) > 45.0
+
+
+def test_wm_args_cache_keyed_by_op_index():
+    """[watermark] and [thumbnail, watermark] with identical watermark
+    params must not share a cached wm_args dict — the dict is keyed by
+    position in the plan (a shared entry crashed the second plan's step
+    with KeyError, poisoning the worker for the process lifetime)."""
+    model = PipelineModel(use_pallas=False)
+    plan_a = normalize_operations([
+        OperationParams(OperationType.WATERMARK, {"text": "cache"}),
+    ])
+    plan_b = normalize_operations([
+        OperationParams(OperationType.THUMBNAIL, {"size": 32}),
+        OperationParams(OperationType.WATERMARK, {"text": "cache"}),
+    ])
+    args_a = model.prepare_wm_args(plan_a)
+    args_b = model.prepare_wm_args(plan_b)
+    assert set(args_a) == {0}
+    assert set(args_b) == {1}      # not the cached {0: ...}
+
+    # and the full program runs (this crashed before the fix)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (1, 64, 128, 3), dtype=np.uint8)
+    src_hw = np.asarray([[64, 128]], np.int32)
+    specs = plan_output_specs(plan_b, (64, 128))
+    outs = model.run(plan_b, imgs, src_hw, {}, specs)
+    assert len(outs) == 2

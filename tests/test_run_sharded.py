@@ -157,3 +157,40 @@ def test_run_sharded_planar_fused_matches_single():
         h, w = src_hw[i]
         np.testing.assert_array_equal(sharded[2][i, :, :h, :w],
                                       single[2][i, :, :h, :w])
+
+
+def test_run_sharded_mixed_scale_quantization_matches_single():
+    """Shard 0's images must NOT determine the kernel geometry: here the
+    batch's max resample scale lives in the LAST shard (shard 0 images
+    quantize to a smaller scale bucket), so plans derived from shard 0
+    alone would disagree with the globally built index arrays."""
+    plan = _default_plan()
+    b, bucket = 8, (512, 512)
+    imgs = np.zeros((b, *bucket, 3), dtype=np.uint8)
+    src_hw = np.zeros((b, 2), dtype=np.int32)
+    for i in range(b):
+        # first shards: mild downscale; last shard: much larger scale
+        h = w = 180 if i < 6 else 500
+        imgs[i, :h, :w] = RNG.integers(0, 256, size=(h, w, 3),
+                                       dtype=np.uint8)
+        src_hw[i] = (h, w)
+    out_hw = np.zeros((b, 2), dtype=np.int32)
+    for i in range(b):
+        tw, th = keep_aspect_dims(int(src_hw[i, 1]), int(src_hw[i, 0]),
+                                  128, 96)
+        out_hw[i] = (th, tw)
+    out_hws = {1: out_hw}
+    specs = plan_output_specs(plan, bucket)
+
+    model = PipelineModel(use_pallas=True, pallas_interpret=True)
+    single = [np.asarray(o) for o in
+              model.run(plan, imgs, src_hw, out_hws, specs)]
+    mesh = make_mesh(4, space=1)
+    sharded = [np.asarray(o) for o in
+               model.run_sharded(mesh, plan, imgs, src_hw, out_hws, specs)]
+    for i in range(b):
+        np.testing.assert_array_equal(sharded[0][i, :64, :64],
+                                      single[0][i, :64, :64])
+        th, tw = out_hw[i]
+        np.testing.assert_array_equal(sharded[1][i, :th, :tw],
+                                      single[1][i, :th, :tw])

@@ -128,6 +128,13 @@ def test_metrics_prometheus_exposition(server):
         # JSON remains the default
         r2 = c.get(f"{server}/api/metrics")
         assert r2.headers["content-type"].startswith("application/json")
+        # A real Prometheus scraper's Accept header (openmetrics first)
+        # must get the text exposition, not JSON (scrape would fail).
+        r3 = c.get(f"{server}/api/metrics", headers={
+            "Accept": "application/openmetrics-text;version=1.0.0,"
+                      "text/plain;version=0.0.4;q=0.5,*/*;q=0.1"})
+        assert r3.headers["content-type"].startswith("text/plain")
+        assert "# TYPE imageprocessor_" in r3.text
 
 
 def test_webhook_completion_push(tmp_path):
