@@ -24,7 +24,11 @@ class MemoryBroker(Broker):
     def __init__(self, default_partitions: int = 3):
         self._default_partitions = default_partitions
         self._topics: dict[str, int] = {}
-        self._messages: dict[tuple[str, int], list[_Stored]] = defaultdict(list)
+        # offset -> _Stored (a dict, not a list: retention deletes acked
+        # entries, and offsets must stay monotonic, not index-coupled)
+        self._messages: dict[tuple[str, int], dict[int, _Stored]] = \
+            defaultdict(dict)
+        self._next: dict[tuple[str, int], int] = defaultdict(int)
         self._lock = threading.Condition()
 
     def create_topic(self, topic: str, partitions: int = 3) -> None:
@@ -37,11 +41,12 @@ class MemoryBroker(Broker):
     def produce(self, topic: str, key: bytes, value: bytes) -> BrokerMessage:
         with self._lock:
             p = partition_for_key(key, self._partitions(topic))
-            q = self._messages[(topic, p)]
-            msg = BrokerMessage(topic=topic, partition=p, offset=len(q),
+            offset = self._next[(topic, p)]
+            self._next[(topic, p)] = offset + 1
+            msg = BrokerMessage(topic=topic, partition=p, offset=offset,
                                 key=key, value=value,
                                 enqueued_at=time.time())
-            q.append(_Stored(msg=msg))
+            self._messages[(topic, p)][offset] = _Stored(msg=msg)
             self._lock.notify_all()
             return msg
 
@@ -55,7 +60,7 @@ class MemoryBroker(Broker):
             # fairness analog.
             candidates = []
             for p in range(self._partitions(topic)):
-                for stored in self._messages.get((topic, p), []):
+                for stored in self._messages.get((topic, p), {}).values():
                     if group in stored.done:
                         continue
                     if stored.lease_until.get(group, 0.0) > now:
@@ -72,10 +77,8 @@ class MemoryBroker(Broker):
         return out
 
     def _find(self, msg: BrokerMessage) -> _Stored | None:
-        q = self._messages.get((msg.topic, msg.partition), [])
-        if 0 <= msg.offset < len(q):
-            return q[msg.offset]
-        return None
+        return self._messages.get((msg.topic, msg.partition), {}).get(
+            msg.offset)
 
     def ack(self, msg: BrokerMessage) -> bool:
         with self._lock:
@@ -105,10 +108,30 @@ class MemoryBroker(Broker):
         with self._lock:
             total = 0
             for p in range(self._partitions(topic)):
-                for stored in self._messages.get((topic, p), []):
+                for stored in self._messages.get((topic, p), {}).values():
                     if group not in stored.done:
                         total += 1
             return total
+
+    def purge_done(self, older_than_s: float = 3600.0,
+                   unconsumed_ttl_s: float = 7 * 86400.0) -> int:
+        """Retention: drop acked messages past `older_than_s` and ANY
+        message past `unconsumed_ttl_s` (same two tiers as the SQLite
+        broker) — without it the standalone service's queue grows
+        unboundedly and every poll scans the whole history."""
+        now = time.time()
+        removed = 0
+        with self._lock:
+            for q in self._messages.values():
+                for offset in [
+                    o for o, s in q.items()
+                    if ((s.msg.enqueued_at < now - older_than_s
+                         and s.done and not s.lease_token)
+                        or s.msg.enqueued_at < now - unconsumed_ttl_s)
+                ]:
+                    del q[offset]
+                    removed += 1
+        return removed
 
     def wait_for_messages(self, topic: str, group: str, timeout: float) -> bool:
         """Block until something may be deliverable (poll-free idle wait)."""

@@ -8,8 +8,12 @@ everything dense runs here:
 * 8x8 inverse DCT — two tiny matmuls per block, batched over all blocks
   (einsum over a (nblocks, 8, 8) tensor: MXU territory, exactly the shape
   systolic arrays love);
-* chroma upsampling — pixel replication for 4:2:0/4:2:2 (Go's image/jpeg
-  does the same, so end-to-end parity holds);
+* chroma upsampling — libjpeg's "fancy" triangular filter for 2x factors
+  (matching the host-side native decoder this path substitutes for, and
+  libjpeg-turbo in production; Go's image/jpeg replicates instead, so
+  chroma-edge pixels may differ from a Go decode by a few LSBs — the
+  PSNR contract vs the oracle is over the RESAMPLE ops, which decode via
+  the same path on both sides);
 * YCbCr -> RGB (BT.601, the JFIF matrix both libjpeg and Go use).
 
 Fidelity: float iDCT vs libjpeg's integer islow differs by <=1 LSB in

@@ -45,11 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from imageprocessor_tpu.ops.pallas_resample import _axis_coords
-
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
+from imageprocessor_tpu.ops.pallas_resample import _axis_coords, _round_up
 
 
 @dataclass(frozen=True)
@@ -208,8 +204,12 @@ def _band_rows_args(plan: FusedPlan, out_len_pad: int, alloc_h: int,
                              & (y0[:n_out] < own_hi))[0]
             if sel.size == 0:
                 lo[i, j] = out_len_pad  # garbage zone
-                starts[i, j] = max(0, min(own_lo, plan.src_h
-                                          - plan.band_rows))
+                # floor-8 like the owned path: the kernel promises
+                # pl.multiple_of(start, 8) for the DMA row offset, and
+                # src_h - band_rows is unaligned for non-multiple-of-8
+                # bucket heights (tall-image exact-height buckets).
+                starts[i, j] = (max(0, min(own_lo, plan.src_h
+                                           - plan.band_rows)) // 8) * 8
                 continue
             first = (int(sel[0]) // 8) * 8
             cnt = min(m_rows, alloc_h - first)

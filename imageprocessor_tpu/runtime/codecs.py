@@ -115,6 +115,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     arr = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
     if arr is None:
         return _decode_pil(data, fmt)  # cv2 lacks the codec? try PIL
+    # Normalize bit depth to uint8 BEFORE alpha handling: _flatten_alpha
+    # divides alpha by 255, so a 16-bit RGBA (alpha up to 65535) fed in
+    # first would scale rgb by up to 257x and saturate the whole image.
+    if arr.dtype != np.uint8:
+        arr = (arr.astype(np.float64) * (255.0 / np.iinfo(arr.dtype).max)).astype(np.uint8) \
+            if np.issubdtype(arr.dtype, np.integer) else \
+            np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     if arr.ndim == 2:
         arr = cv2.cvtColor(arr, cv2.COLOR_GRAY2RGB)
     elif arr.shape[2] == 4:
@@ -122,10 +129,6 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         arr = _flatten_alpha(arr)
     else:
         arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
-    if arr.dtype != np.uint8:
-        arr = (arr.astype(np.float64) * (255.0 / np.iinfo(arr.dtype).max)).astype(np.uint8) \
-            if np.issubdtype(arr.dtype, np.integer) else \
-            np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     return np.ascontiguousarray(arr), fmt or "jpeg"
 
 
@@ -138,7 +141,14 @@ def _decode_pil(data: bytes, fmt_hint: str) -> tuple[np.ndarray, str]:
             if fmt == "jpg":
                 fmt = "jpeg"
             im.seek(0)  # GIF: first frame only, like Go image.Decode
-            if im.mode in ("RGBA", "LA", "PA"):
+            # P-mode with a transparency index (transparent GIFs) must
+            # route through RGBA: convert("RGB") would substitute the
+            # palette entry's arbitrary color where Go's image/gif
+            # yields {0,0,0,0} -> black after premultiplied encode.
+            has_alpha = (im.mode in ("RGBA", "LA", "PA")
+                         or (im.mode == "P"
+                             and "transparency" in im.info))
+            if has_alpha:
                 arr = np.asarray(im.convert("RGBA"))
                 arr = _flatten_alpha(arr)
             else:

@@ -120,7 +120,12 @@ class ProcessingEngine:
         self.model = PipelineModel(use_pallas=use_pallas,
                                    pallas_interpret=pallas_interpret,
                                    resample_dtype=compute_dtype)
-        self.batch_size = batch_size
+        # Clamp to the device-program cap: a WORKER_BATCH_SIZE above
+        # MAX_BATCH would make group_items emit groups bigger than the
+        # quantize_batch canvas -> IndexError in Group.pack for every
+        # full batch.
+        from imageprocessor_tpu.runtime.batcher import MAX_BATCH
+        self.batch_size = max(1, min(batch_size, MAX_BATCH))
         # TPU-side JPEG decode: host keeps only the streaming entropy
         # scan; IDCT + chroma upsample + color convert run batched on
         # device (ops/jpeg_decode.batched_decode_ycbcr420). Off by

@@ -76,12 +76,19 @@ class StructuredLogger:
         return self._log.isEnabledFor(_LEVELS.get(level_name, logging.INFO))
 
 
-def init_logging(level: str = "info", stream: Any = None) -> None:
-    """Install the JSON handler on the framework's root logger (idempotent)."""
+def init_logging(level: str | None = None, stream: Any = None) -> None:
+    """Install the JSON handler on the framework's root logger (idempotent).
+
+    The level is applied on FIRST init or when passed explicitly —
+    implicit re-inits (every get_logger at lazy module import) must not
+    reset an operator-configured LOG_LEVEL back to the default.
+    """
     global _initialized
     with _init_lock:
         root = logging.getLogger("imageprocessor_tpu")
-        root.setLevel(_LEVELS.get(level.lower(), logging.INFO))
+        if level is not None or not _initialized:
+            root.setLevel(_LEVELS.get((level or "info").lower(),
+                                      logging.INFO))
         if not _initialized:
             handler = logging.StreamHandler(stream or sys.stderr)
             handler.setFormatter(_JSONFormatter())

@@ -36,15 +36,17 @@ def retry_sync(
     strategy: RetryStrategy,
     fn: Callable[[], T],
     *,
-    retryable: Callable[[BaseException], bool] = lambda _: True,
+    retryable: Callable[[Exception], bool] = lambda _: True,
     sleep: Callable[[float], None] = time.sleep,
 ) -> T:
-    last: BaseException | None = None
+    last: Exception | None = None
     delays = strategy.delays()
     for attempt in range(max(1, strategy.attempts)):
         try:
             return fn()
-        except BaseException as exc:  # noqa: BLE001 — caller filters via `retryable`
+        # Exception, not BaseException: KeyboardInterrupt/SystemExit/
+        # CancelledError must abort immediately, never sleep-and-retry.
+        except Exception as exc:
             last = exc
             if attempt >= len(delays) or not retryable(exc):
                 raise
@@ -56,14 +58,16 @@ async def retry_async(
     strategy: RetryStrategy,
     fn: Callable[[], Awaitable[T]],
     *,
-    retryable: Callable[[BaseException], bool] = lambda _: True,
+    retryable: Callable[[Exception], bool] = lambda _: True,
 ) -> T:
-    last: BaseException | None = None
+    last: Exception | None = None
     delays = strategy.delays()
     for attempt in range(max(1, strategy.attempts)):
         try:
             return await fn()
-        except BaseException as exc:  # noqa: BLE001
+        # Exception, not BaseException: CancelledError (BaseException on
+        # 3.8+) must propagate for task cancellation to work.
+        except Exception as exc:
             last = exc
             if attempt >= len(delays) or not retryable(exc):
                 raise

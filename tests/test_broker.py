@@ -255,3 +255,25 @@ def test_worker_nacks_when_metadata_writes_fail(tmp_path):
     # nacked: still deliverable for redelivery once the DB recovers
     assert broker.depth("image-processing",
                         worker.cfg.broker.group_id) == 1
+
+
+def test_memory_broker_purge_and_monotonic_offsets():
+    """The standalone broker must garbage-collect acked messages (it runs
+    for the process lifetime) while offsets stay monotonic so acks of
+    in-flight messages can't alias purged ones."""
+    from imageprocessor_tpu.broker.memory import MemoryBroker
+
+    b = MemoryBroker()
+    b.create_topic("t", 1)
+    m1 = b.produce("t", b"k", b"v1")
+    [d1] = b.poll("t", "g", max_n=1)
+    b.ack(d1)
+    assert b.purge_done(older_than_s=0.0) == 1
+    m2 = b.produce("t", b"k", b"v2")
+    assert m2.offset == m1.offset + 1
+    got = b.poll("t", "g", max_n=5)
+    assert [m.value for m in got] == [b"v2"]
+    # unconsumed retention tier
+    b.produce("results", b"k", b"r")
+    assert b.purge_done(older_than_s=0.0) == 0
+    assert b.purge_done(older_than_s=0.0, unconsumed_ttl_s=0.0) >= 1

@@ -129,3 +129,40 @@ def test_mime_from_path():
     assert mime_from_path("a/b.png") == "image/png"
     assert mime_from_path("a/b.tif") == "image/tiff"
     assert mime_from_path("noext") == "image/jpeg"
+
+
+def test_16bit_rgba_png_decodes_sanely():
+    """Bit depth must normalize BEFORE alpha flattening: a 16-bit RGBA
+    PNG's alpha (up to 65535) fed into the /255 premultiply scaled rgb by
+    ~257x and saturated the whole image white."""
+    import cv2
+
+    rgba16 = np.zeros((8, 8, 4), dtype=np.uint16)
+    rgba16[..., 0] = 100 * 257   # R = 100 in 8-bit terms (RGBA order)
+    rgba16[..., 3] = 65535       # fully opaque
+    bgra16 = cv2.cvtColor(rgba16, cv2.COLOR_RGBA2BGRA)
+    ok, png = cv2.imencode(".png", bgra16)
+    assert ok
+    arr, fmt = decode_image(png.tobytes())
+    assert fmt == "png"
+    assert abs(int(arr[0, 0, 0]) - 100) <= 1   # not 255 (saturated)
+    assert int(arr[0, 0, 1]) <= 1
+
+
+def test_transparent_gif_pixels_render_black():
+    """P-mode GIFs with a transparency index must composite transparent
+    pixels to black (Go's image/gif yields {0,0,0,0} and the
+    premultiplied encode renders black), not the palette entry's color."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    # palette: index 0 = bright red, used as the TRANSPARENT index
+    im = PILImage.new("P", (4, 4), 0)
+    im.putpalette([255, 0, 0] + [0, 255, 0] + [0] * (254 * 3))
+    im.info["transparency"] = 0
+    buf = _io.BytesIO()
+    im.save(buf, "GIF", transparency=0)
+    arr, fmt = decode_image(buf.getvalue())
+    assert fmt == "gif"
+    assert arr.max() == 0   # transparent red -> black, not (255,0,0)
