@@ -110,3 +110,22 @@ def test_batched_flip_respects_valid_extent():
     for i, (h, w) in enumerate(dims):
         np.testing.assert_array_equal(out_h[i, :h, :w], srcs[i][:, ::-1])
         np.testing.assert_array_equal(out_v[i, :h, :w], srcs[i][::-1, :])
+
+
+def test_log_level_survives_lazy_get_logger():
+    """get_logger() at lazy module import must not reset an explicitly
+    configured level (init_logging re-ran root.setLevel with its default
+    on every call, silently dropping LOG_LEVEL=debug)."""
+    import logging as _logging
+
+    from imageprocessor_tpu.utils.logging import get_logger, init_logging
+
+    root = _logging.getLogger("imageprocessor_tpu")
+    before = root.level
+    try:
+        init_logging("debug")                 # operator's explicit choice
+        assert root.level == _logging.DEBUG
+        get_logger("some.lazy.module")        # implicit re-init
+        assert root.level == _logging.DEBUG   # unchanged
+    finally:
+        root.setLevel(before)

@@ -214,3 +214,40 @@ def test_deadline_bounds_batcher_wait(tmp_path):
     # ...and actually deadline-triggered, not size-triggered
     assert wait >= deadline_ms * 0.9, wait
     assert "queue_wait_ms" in snap, snap.keys()
+
+
+def test_permit_exhaustion_by_distinct_buckets_does_not_deadlock(tmp_path):
+    """Regression: items parked in the DeadlineBatcher each hold an
+    inflight permit and only the decode thread can flush them. With a
+    tiny queue depth and every image in a DIFFERENT bucket (so no group
+    reaches batch_size), an unconditional permit acquire deadlocked the
+    whole pipeline; the timed acquire + flush loop must keep it moving."""
+    cfg = load_config({})
+    cfg.worker.batch_size = 32           # never reached by any one bucket
+    cfg.worker.batch_deadline_ms = 40
+    cfg.worker.max_queue_depth = 8       # clamp floor: 8 permits
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    uc = ImageUsecase(meta, store, broker,
+                      retries=RetryStrategy(attempts=1, delay_ms=1))
+    worker = PipelinedWorker(cfg, meta=meta, store=store, broker=broker)
+    worker._idle_sleep = 0.01
+    thread = threading.Thread(target=worker.run, daemon=True)
+    thread.start()
+    try:
+        # 12 images in 12 distinct buckets > the 8-permit depth
+        imgs = []
+        for k in range(12):
+            h, w = 64 + 64 * (k % 6), 80 + 128 * (k // 6)
+            imgs.append(uc.upload_image(png_bytes(h, w),
+                                        f"b{k}.png", "image/png", OPS))
+        assert wait_for(lambda: all(
+            meta.get_image(im.id).status is ImageStatus.COMPLETED
+            for im in imgs), timeout=240), "pipeline deadlocked"
+        assert broker.depth("image-processing",
+                            worker.cfg.broker.group_id) == 0
+    finally:
+        worker.stop()
+        thread.join(timeout=20)
+        worker.engine.close()
