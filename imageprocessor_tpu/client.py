@@ -138,7 +138,6 @@ class ImageProcessorClient:
 def main(argv: list[str] | None = None) -> int:
     import argparse
     import json
-    import sys
 
     parser = argparse.ArgumentParser(prog="imageprocessor_tpu.client")
     parser.add_argument("--url", default="http://localhost:8034")

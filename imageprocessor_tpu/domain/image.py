@@ -54,7 +54,10 @@ class ImageFormat(str, enum.Enum):
 
 
 def utcnow() -> _dt.datetime:
-    """Naive-UTC timestamps, formatted like Go time.Time in JSON."""
+    """Timezone-AWARE UTC timestamps (rendered with a Z suffix in JSON,
+    like Go time.Time). Storage backends that strip tzinfo (Postgres
+    TIMESTAMP) re-attach UTC on read so the same entity never flips
+    between aware and naive representations."""
     return _dt.datetime.now(_dt.timezone.utc)
 
 

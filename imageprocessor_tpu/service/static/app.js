@@ -18,7 +18,10 @@ class ImageBoard {
     this.items = new Map(); // id -> {id, filename, status, size, created_at}
     this.bindUpload();
     this.refresh();
-    setInterval(() => this.pollPending(), POLL_INTERVAL_MS);
+    setInterval(() => {
+      this.pollPending();
+      this.refresh(); // recovers a failed initial load; sees other clients
+    }, POLL_INTERVAL_MS);
   }
 
   bindUpload() {
@@ -54,6 +57,7 @@ class ImageBoard {
     const img = el("preview");
     if (!file) { img.hidden = true; return; }
     el("drop-label").textContent = `${file.name} (${fmtSize(file.size)})`;
+    if (img.src.startsWith("blob:")) URL.revokeObjectURL(img.src);
     img.src = URL.createObjectURL(file);
     img.hidden = false;
   }
@@ -103,7 +107,14 @@ class ImageBoard {
     for (const item of this.items.values()) {
       if (item.status === "processing" || item.status === "uploaded") {
         fetch(`/api/images/${item.id}/status`)
-          .then((r) => (r.ok ? r.json() : null))
+          .then((r) => {
+            if (r.status === 404) { // deleted elsewhere: stop polling it
+              this.items.delete(item.id);
+              this.render();
+              return null;
+            }
+            return r.ok ? r.json() : null;
+          })
           .then((s) => {
             if (s && s.status !== item.status) {
               item.status = s.status;
@@ -168,6 +179,8 @@ class ImageBoard {
       return;
     }
     const blob = await r.blob();
+    const prev = el("modal-img").src;
+    if (prev.startsWith("blob:")) URL.revokeObjectURL(prev);
     const obj = URL.createObjectURL(blob);
     el("modal-img").src = obj;
     const dl = el("modal-download");

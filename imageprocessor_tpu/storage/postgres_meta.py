@@ -54,10 +54,15 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_operation
 
 def _ts(v) -> _dt.datetime:
     """Timestamps arrive as datetime from the wire driver; tolerate text
-    (e.g. test doubles that don't type their columns)."""
-    if isinstance(v, _dt.datetime):
-        return v
-    return _dt.datetime.fromisoformat(str(v))
+    (e.g. test doubles that don't type their columns). Postgres TIMESTAMP
+    (no tz) strips tzinfo on the round-trip — re-attach UTC so read-back
+    entities render identically to freshly created ones ("Z" suffix) and
+    aware/naive comparisons can't raise."""
+    if not isinstance(v, _dt.datetime):
+        v = _dt.datetime.fromisoformat(str(v))
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=_dt.timezone.utc)
+    return v
 
 
 class PostgresMetadataStore(MetadataStore):
