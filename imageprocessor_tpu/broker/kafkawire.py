@@ -124,7 +124,12 @@ class Reader:
         n = self.i16()
         if n < 0:
             return None
-        return self._take(n).decode("utf-8")
+        try:
+            return self._take(n).decode("utf-8")
+        except UnicodeDecodeError as exc:
+            # malformed frame: surface the same error class as every
+            # other framing problem so callers' WireError handling holds
+            raise WireError(f"invalid utf-8 in string: {exc}") from exc
 
     def bytes_(self) -> bytes | None:
         n = self.i32()

@@ -316,3 +316,20 @@ def test_coordinator_cache_invalidated_on_errors():
     assert b._heartbeat_ok(c) is False
     assert "g" not in b._coord          # cache dropped for re-resolution
     assert calls == [("dead-host", 1234)]
+
+
+def test_wire_decoders_raise_only_wireerror_on_garbage():
+    """Malformed frames from a broker must surface as WireError (which
+    every caller handles with reconnect/rejoin), never leak a different
+    exception class past the protocol layer."""
+    import random
+
+    rng = random.Random(7)
+    for _trial in range(500):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+        for fn in (kw.decode_message_set, kw.decode_subscription,
+                   kw.decode_assignment):
+            try:
+                fn(data)
+            except kw.WireError:
+                pass  # the only acceptable failure mode
