@@ -2,12 +2,17 @@
 # reference: Makefile:1-31, adapted to the Python/TPU stack).
 
 PY ?= python
+# -march=native is right when the build host IS the run host (the
+# auto-build-on-first-use path). Container image builds must override
+# with a portable baseline (deploy/Dockerfile passes x86-64-v2) or the
+# shipped .so can SIGILL on older CPUs.
+NATIVE_ARCH ?= native
 
 .PHONY: test test-fast lint bench bench-smoke standalone api worker \
         dryrun shardcheck native clean
 
 native:
-	g++ -O3 -march=native -shared -fPIC -pthread \
+	g++ -O3 -march=$(NATIVE_ARCH) -shared -fPIC -pthread \
 	  native/ipcodec.cpp native/jpeg_scan.cpp native/jpeg_emit.cpp \
 	  -o native/libipcodec.so -ljpeg
 

@@ -16,6 +16,7 @@ class _Stored:
     msg: BrokerMessage
     # per consumer-group delivery state
     done: set = field(default_factory=set)            # groups that acked
+    seen: set = field(default_factory=set)            # groups ever leased
     lease_until: dict = field(default_factory=dict)   # group -> expiry ts
     lease_token: dict = field(default_factory=dict)   # group -> token
 
@@ -69,6 +70,7 @@ class MemoryBroker(Broker):
             candidates.sort(key=lambda s: (s.msg.offset, s.msg.partition))
             for stored in candidates[:max_n]:
                 token = uuid.uuid4().hex
+                stored.seen.add(group)
                 stored.lease_until[group] = now + lease_s
                 stored.lease_token[group] = token
                 m = BrokerMessage(**{**stored.msg.__dict__})
@@ -125,8 +127,14 @@ class MemoryBroker(Broker):
             for q in self._messages.values():
                 for offset in [
                     o for o, s in q.items()
+                    # Acked tier mirrors SQLiteBroker's non-done-delivery
+                    # check: a group that has SEEN the message (leased it,
+                    # then nacked — awaiting redelivery) vetoes the purge
+                    # until it acks, even though nack() pops its lease
+                    # token.
                     if ((s.msg.enqueued_at < now - older_than_s
-                         and s.done and not s.lease_token)
+                         and s.done and s.seen.issubset(s.done)
+                         and not s.lease_token)
                         or s.msg.enqueued_at < now - unconsumed_ttl_s)
                 ]:
                     del q[offset]

@@ -73,10 +73,10 @@ from imageprocessor_tpu.utils.metrics import METRICS
 
 log = get_logger("engine")
 
-# Ops with fused batched kernels; the rest run per-image (still on device).
-BATCHABLE = {OperationType.RESIZE, OperationType.THUMBNAIL,
-             OperationType.WATERMARK, OperationType.GRAYSCALE,
-             OperationType.FLIP, OperationType.CROP, OperationType.ROTATE}
+# Every operation type normalize_operations admits has a batched kernel
+# (models/pipeline.py builds programs for all 7); plans that reach the
+# engine are batchable by construction — normalize_operations is the
+# single gate, there is no per-op fallback to guard.
 
 # Typed failure classification carried on EngineResult.error_kind so ack
 # policy never depends on error-message wording: PERMANENT failures are
@@ -275,7 +275,6 @@ class ProcessingEngine:
         if (plan is not None and self.device_jpeg
                 and nativecodec.available()
                 and detect_content_type(data[:512]) == "image/jpeg"
-                and all(op.type in BATCHABLE for op in plan)
                 and self.model.supports_planar(plan, (1, 1))):
             try:
                 planes, qt, (w, h), samp = \
@@ -350,13 +349,6 @@ class ProcessingEngine:
             arr, detected, layout, valid_hw = dec
             plan = plans[i]
             fmt = (task.format or detected or "jpeg").lower()
-            if not all(op.type in BATCHABLE for op in plan):
-                if layout == "chw":  # single path works on HWC arrays
-                    arr = np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
-                    h, w = valid_hw
-                    arr = arr[:h, :w]
-                results[i] = self._process_decoded_single(task, arr, fmt, plan)
-                continue
             items.append(BatchItem(item_id=str(i), image=arr,
                                    plan_key=plan.compile_key(),
                                    payload=(i, task, fmt, plan),

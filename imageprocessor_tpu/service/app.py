@@ -18,7 +18,12 @@ from aiohttp import web
 
 from imageprocessor_tpu.broker.base import build_broker
 from imageprocessor_tpu.config import Config
-from imageprocessor_tpu.service.handlers import ImageHandlers
+from imageprocessor_tpu.service.handlers import (
+    LOOP_RUNNER_KEY,
+    STORES_KEY,
+    USECASE_KEY,
+    ImageHandlers,
+)
 from imageprocessor_tpu.service.usecase import ImageUsecase
 from imageprocessor_tpu.storage.metadata import build_metadata_store
 from imageprocessor_tpu.storage.object_store import build_object_store
@@ -87,9 +92,9 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
         return await asyncio.get_running_loop().run_in_executor(
             pool, functools.partial(fn, *args))
 
-    app["loop_runner"] = loop_runner
-    app["usecase"] = usecase
-    app["stores"] = (meta, store, broker)
+    app[LOOP_RUNNER_KEY] = loop_runner
+    app[USECASE_KEY] = usecase
+    app[STORES_KEY] = (meta, store, broker)
 
     app.router.add_post("/api/images/upload", handlers.upload)
     app.router.add_get("/api/images/{id}/status", handlers.get_status)

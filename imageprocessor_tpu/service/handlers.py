@@ -34,6 +34,12 @@ from imageprocessor_tpu.utils import get_logger
 
 log = get_logger("http")
 
+# Typed aiohttp application-state keys (web.AppKey) shared by the app
+# wiring (app.py) and the handlers.
+LOOP_RUNNER_KEY: web.AppKey = web.AppKey("loop_runner", object)
+USECASE_KEY: web.AppKey = web.AppKey("usecase", object)
+STORES_KEY: web.AppKey = web.AppKey("stores", tuple)
+
 _ALLOWED_EXT = {".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff"}
 # Cap for non-file multipart parts (operation flags, watermark text).
 _MAX_FORM_PART_SIZE = 64 << 10
@@ -156,7 +162,7 @@ class ImageHandlers:
             return _json_error(400, "File must be an image")
 
         operations = parse_operations_from_form(form)
-        loop = request.app["loop_runner"]
+        loop = request.app[LOOP_RUNNER_KEY]
         try:
             img = await loop(self.usecase.upload_image, file_bytes, filename,
                              file_ct, operations)
@@ -181,7 +187,7 @@ class ImageHandlers:
         operation = request.query.get("operation", "")
         if not image_id:
             return _json_error(400, "Image ID is required")
-        loop = request.app["loop_runner"]
+        loop = request.app[LOOP_RUNNER_KEY]
         try:
             img, blob, _path = await loop(self.usecase.get_image, image_id,
                                           operation)
@@ -221,7 +227,7 @@ class ImageHandlers:
         image_id = request.match_info.get("id", "")
         if not image_id:
             return _json_error(400, "Image ID is required")
-        loop = request.app["loop_runner"]
+        loop = request.app[LOOP_RUNNER_KEY]
         try:
             status = await loop(self.usecase.get_status, image_id)
         except ImageNotFoundError:
@@ -236,7 +242,7 @@ class ImageHandlers:
         image_id = request.match_info.get("id", "")
         if not image_id:
             return _json_error(400, "Image ID is required")
-        loop = request.app["loop_runner"]
+        loop = request.app[LOOP_RUNNER_KEY]
         try:
             await loop(self.usecase.delete_image, image_id)
         except ImageNotFoundError:
@@ -261,7 +267,7 @@ class ImageHandlers:
                 offset = cand
         except ValueError:
             pass
-        loop = request.app["loop_runner"]
+        loop = request.app[LOOP_RUNNER_KEY]
         try:
             images = await loop(self.usecase.list_images, limit, offset)
         except Exception as exc:

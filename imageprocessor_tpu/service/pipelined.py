@@ -34,7 +34,6 @@ from imageprocessor_tpu.models.plan import (
 )
 from imageprocessor_tpu.runtime.batcher import BatchItem, DeadlineBatcher
 from imageprocessor_tpu.runtime.engine import (
-    BATCHABLE,
     TRANSIENT,
     EngineResult,
 )
@@ -165,20 +164,6 @@ class PipelinedWorker(Worker):
             with span("decode"):
                 arr, detected, layout, valid_hw = \
                     self.engine.decode_for_plan(blob, plan)
-            if not all(op.type in BATCHABLE for op in plan):
-                if layout == "chw":
-                    import numpy as _np
-
-                    h, w = valid_hw
-                    arr = _np.ascontiguousarray(
-                        _np.transpose(arr, (1, 2, 0)))[:h, :w]
-                raise _SinglePath(arr, detected, plan)
-        except _SinglePath as sp:
-            fmt = (task.format or sp.detected or "jpeg").lower()
-            res = self.engine._process_decoded_single(task, sp.arr, fmt,
-                                                      sp.plan)
-            self._complete(msg, task, res)
-            return
         except (DecodeError, InvalidParamsError,
                 UnsupportedOperationError, ValueError) as exc:
             prefix = ("Failed to decode image" if isinstance(exc, DecodeError)
@@ -261,17 +246,32 @@ class PipelinedWorker(Worker):
                         task, f"device error: {exc}", kind=TRANSIENT)
                 self._complete(msg, task, res)
 
-            try:
-                list(self.engine._pool.map(_one, range(len(group.items))))
-            except Exception as exc:
-                # Submission itself failed (e.g. pool shut down mid-drain):
-                # _one never ran for ANY item — nack them all and release
-                # their permits, or the pipeline starves on leaked permits.
-                log.error("Finish stage batch failed", error=str(exc),
-                          exc_info=True)
-                for it in group.items:
-                    msg, _task, _fmt, _plan = it.payload
-                    self._safe_nack(msg)
+            # Submit items INDIVIDUALLY (not pool.map): map's futures are
+            # eager, so a submission failure mid-drain can land after some
+            # items already completed — a blanket nack-all would then
+            # double-release those items' inflight permits, permanently
+            # inflating the cap. Per-item submission scopes the recovery
+            # to exactly the items whose _one never ran.
+            futures: dict[int, object] = {}
+            for i in range(len(group.items)):
+                try:
+                    futures[i] = self.engine._pool.submit(_one, i)
+                except Exception as exc:
+                    # Pool shut down mid-drain: _one never ran for THIS
+                    # item — nack it and release its permit only.
+                    log.error("Finish stage submit failed", error=str(exc))
+                    self._safe_nack(group.items[i].payload[0])
+                    self._inflight.release()
+            for i, fut in futures.items():
+                try:
+                    fut.result()
+                except Exception as exc:
+                    # _one never raises once it runs (it catches and
+                    # completes), so reaching here means it never executed
+                    # (e.g. cancelled by shutdown(cancel_futures=True)).
+                    log.error("Finish stage item never ran",
+                              error=str(exc))
+                    self._safe_nack(group.items[i].payload[0])
                     self._inflight.release()
 
     def _complete(self, msg: BrokerMessage, task: ProcessingTask,
@@ -306,13 +306,3 @@ class PipelinedWorker(Worker):
             device_t.join(timeout=60)
             finish_t.join(timeout=60)
         log.info("Pipelined worker stopped gracefully")
-
-
-class _SinglePath(Exception):
-    """Control-flow: plan contains ops without batched kernels."""
-
-    def __init__(self, arr, detected, plan):
-        super().__init__()
-        self.arr = arr
-        self.detected = detected
-        self.plan = plan

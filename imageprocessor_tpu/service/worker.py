@@ -275,13 +275,15 @@ class Worker:
         completions."""
         recorded = self._record(task, eng_res)
         res = eng_res.result
-        if not recorded and res.status is ImageStatus.COMPLETED:
-            # The pixels were produced but the metadata writes failed
-            # (DB down): acking would mark the work committed while the
-            # DB has no record of it. Leave for redelivery — outputs are
-            # idempotent, the replay re-runs the writes.
+        if not recorded:
+            # The metadata writes failed (DB down): acking a COMPLETED
+            # result would mark the work committed while the DB has no
+            # record of it, and acking a FAILED one would strand the
+            # image in 'processing' forever (the UI polls it
+            # indefinitely). Leave for redelivery either way — outputs
+            # and writes are idempotent, the replay re-runs them.
             log.error("Metadata writes failed; leaving for redelivery",
-                      image_id=task.image_id)
+                      image_id=task.image_id, status=res.status.value)
             self._safe_nack(msg)
             METRICS.inc("worker_record_failures")
             return

@@ -277,3 +277,23 @@ def test_memory_broker_purge_and_monotonic_offsets():
     b.produce("results", b"k", b"r")
     assert b.purge_done(older_than_s=0.0) == 0
     assert b.purge_done(older_than_s=0.0, unconsumed_ttl_s=0.0) >= 1
+
+
+def test_memory_broker_purge_vetoed_by_nacked_group():
+    """A group that leased-then-nacked a message (awaiting redelivery)
+    must veto the acked-tier purge until it acks — nack() pops the lease
+    token, so the veto has to come from delivery history, not the token
+    (matching the SQLite broker's non-done-delivery retention check)."""
+    from imageprocessor_tpu.broker.memory import MemoryBroker
+
+    b = MemoryBroker()
+    b.create_topic("t", 1)
+    b.produce("t", b"k", b"v")
+    [da] = b.poll("t", "ga", max_n=1)
+    b.ack(da)
+    [db] = b.poll("t", "gb", max_n=1)
+    b.nack(db)  # gb awaits redelivery: not purgeable yet
+    assert b.purge_done(older_than_s=0.0) == 0
+    [db2] = b.poll("t", "gb", max_n=1)
+    b.ack(db2)
+    assert b.purge_done(older_than_s=0.0) == 1

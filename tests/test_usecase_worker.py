@@ -256,6 +256,35 @@ def test_storage_save_failure_is_transient(worker_stack):
                         worker.cfg.broker.group_id) == 1  # nacked
 
 
+def test_failed_result_with_broken_status_write_nacks(worker_stack):
+    """A PERMANENT failure whose update_status write also fails must NOT
+    be acked: acking would strand the image in 'processing' forever (the
+    UI polls it indefinitely). Nack so the replay re-runs the status
+    write once the DB recovers."""
+    uc, worker, meta, _store, broker = worker_stack
+    img = uc.upload_image(png_bytes(), "f.png", "image/png", DEFAULT_OPS)
+    # poison the blob -> permanent decode failure
+    path = meta.get_image(img.id).original_path
+    worker.store.save_processed(path, b"corrupted not an image")
+    orig = meta.update_status
+
+    def boom(*a, **k):
+        raise RuntimeError("db down")
+
+    meta.update_status = boom
+    try:
+        assert worker.run_once() == 1
+    finally:
+        meta.update_status = orig
+    # nacked: FAILED status eventually lands on redelivery
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 1
+    assert worker.run_once() == 1
+    assert meta.get_image(img.id).status is ImageStatus.FAILED
+    assert broker.depth("image-processing",
+                        worker.cfg.broker.group_id) == 0
+
+
 def test_worker_batch_mixed_outcomes(worker_stack):
     uc, worker, meta, _store, broker = worker_stack
     good = uc.upload_image(png_bytes(), "g1.png", "image/png", DEFAULT_OPS)
