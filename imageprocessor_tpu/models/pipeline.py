@@ -533,13 +533,12 @@ class PipelineModel:
         cleanly because its leading axis is batch-major; the Pallas plans
         are built for the LOCAL batch. Images are independent, so no
         collectives cross the ICI — the mesh buys pure throughput.
-        """
-        from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
 
+        Geometry and the jitted shard_map program are cached exactly like
+        `run` (this is the serving engine's hot path on multi-chip hosts,
+        ProcessingEngine.device_group): recurring batch geometries reuse
+        the device-resident index arrays and the compiled executable.
+        """
         n = int(mesh.shape["data"])
         b = imgs_u8.shape[0]
         if b % n != 0:
@@ -551,79 +550,139 @@ class PipelineModel:
             hb, wb = imgs_u8.shape[1], imgs_u8.shape[2]
         src_hw = np.asarray(src_hw, dtype=np.int32)
 
-        # Plan geometry must come from the GLOBAL batch (scale mins/maxes
-        # over every image, not just shard 0's slice); the local kernels
-        # reuse that geometry with only the batch size swapped, so the
-        # P("data")-sharded global index arrays line up by construction.
-        fused_meta, fused_arrays = (None, None)
-        if layout == "chw":
-            fused_meta_g, _ = self._fused_setup(plan, (hb, wb), b, src_hw,
-                                                out_hws)
-            if fused_meta_g is not None:
-                i_t, i_r, fplan_g = fused_meta_g
-                fused_meta = (i_t, i_r, pallas_fused.FusedPlan(
-                    **{**fplan_g.__dict__, "batch": b_local}))
-                t_hw = (np.asarray(out_hws[i_t], dtype=np.int32)
-                        if (not plan.ops[i_t].crop_to_fit
-                            and i_t in out_hws) else None)
-                fargs = pallas_fused.make_fused_args(
-                    fplan_g,
-                    src_hw, np.asarray(out_hws[i_r], dtype=np.int32),
-                    t_hw)
-                if not fargs.ok:
-                    fused_meta, fused_arrays = None, None
-                else:
-                    fused_arrays = tuple(jnp.asarray(v) for v in (
-                        fargs.band_starts, fargs.r_lo, fargs.t_lo,
-                        fargs.r_frac, fargs.t_frac,
-                        fargs.rows0, fargs.rows1, fargs.rowf,
-                        fargs.r_colbs, fargs.r_cols0, fargs.r_cols1,
-                        fargs.r_colf, fargs.t_colbs, fargs.t_cols0,
-                        fargs.t_cols1, fargs.t_colf))
-        skip = fused_meta[:2] if fused_meta else ()
-        # Per-op pallas plans: geometry (quantized scales -> tile/band
-        # rows) is a MAX over the batch, so the local kernels must be
-        # derived from the GLOBAL plan with only the batch size swapped —
-        # building them from shard 0's slice diverges whenever another
-        # shard carries the batch's max resample scale, and the global
-        # index-array slices then feed a kernel compiled for different
-        # band geometry (shape error at best, corrupt pixels at worst).
-        global_plans, global_args = self._pallas_setup(
-            plan, (hb, wb), b, src_hw, out_hws, specs, skip=skip)
-        from dataclasses import replace as _dc_replace
-        local_plans = {i: _dc_replace(rp, batch=b_local)
-                       for i, rp in global_plans.items()}
-        if fused_arrays is not None:
-            global_args["fused"] = fused_arrays
-        raw = self.get_raw_step(plan, specs, local_plans, layout, fused_meta)
-        wm_args = self.prepare_wm_args(plan)
-        dummy = np.zeros((b, 2), dtype=np.int32)
-        hws = tuple(np.asarray(out_hws.get(i, dummy), dtype=np.int32)
-                    for i in range(len(plan.ops)))
+        geo_key = ("sh", plan.compile_key(), (hb, wb), b, layout, n,
+                   src_hw.tobytes(),
+                   tuple(sorted((k, np.asarray(v, np.int32).tobytes())
+                                for k, v in out_hws.items())))
+        with self._lock:
+            cached = self._args_cache.get(geo_key)
+        if cached is not None:
+            fused_meta, local_plans, global_args, hws, src_hw_j = cached
+        else:
+            # Plan geometry must come from the GLOBAL batch (scale
+            # mins/maxes over every image, not just shard 0's slice); the
+            # local kernels reuse that geometry with only the batch size
+            # swapped, so the P("data")-sharded global index arrays line
+            # up by construction.
+            fused_meta, fused_arrays = (None, None)
+            if layout == "chw":
+                fused_meta_g, _ = self._fused_setup(plan, (hb, wb), b,
+                                                    src_hw, out_hws)
+                if fused_meta_g is not None:
+                    i_t, i_r, fplan_g = fused_meta_g
+                    fused_meta = (i_t, i_r, pallas_fused.FusedPlan(
+                        **{**fplan_g.__dict__, "batch": b_local}))
+                    t_hw = (np.asarray(out_hws[i_t], dtype=np.int32)
+                            if (not plan.ops[i_t].crop_to_fit
+                                and i_t in out_hws) else None)
+                    fargs = pallas_fused.make_fused_args(
+                        fplan_g,
+                        src_hw, np.asarray(out_hws[i_r], dtype=np.int32),
+                        t_hw)
+                    if not fargs.ok:
+                        fused_meta, fused_arrays = None, None
+                    else:
+                        fused_arrays = tuple(jnp.asarray(v) for v in (
+                            fargs.band_starts, fargs.r_lo, fargs.t_lo,
+                            fargs.r_frac, fargs.t_frac,
+                            fargs.rows0, fargs.rows1, fargs.rowf,
+                            fargs.r_colbs, fargs.r_cols0, fargs.r_cols1,
+                            fargs.r_colf, fargs.t_colbs, fargs.t_cols0,
+                            fargs.t_cols1, fargs.t_colf))
+            skip = fused_meta[:2] if fused_meta else ()
+            # Per-op pallas plans: geometry (quantized scales -> tile/band
+            # rows) is a MAX over the batch, so the local kernels must be
+            # derived from the GLOBAL plan with only the batch size
+            # swapped — building them from shard 0's slice diverges
+            # whenever another shard carries the batch's max resample
+            # scale, and the global index-array slices then feed a kernel
+            # compiled for different band geometry (shape error at best,
+            # corrupt pixels at worst).
+            global_plans, global_args = self._pallas_setup(
+                plan, (hb, wb), b, src_hw, out_hws, specs, skip=skip)
+            from dataclasses import replace as _dc_replace
+            local_plans = {i: _dc_replace(rp, batch=b_local)
+                           for i, rp in global_plans.items()}
+            if fused_arrays is not None:
+                global_args["fused"] = fused_arrays
+            dummy = np.zeros((b, 2), dtype=np.int32)
+            # jnp.asarray keeps these UNcommitted: jit is free to lay
+            # them out per the shard_map in_specs without a host round
+            # trip on later calls.
+            hws = tuple(jnp.asarray(np.asarray(out_hws.get(i, dummy),
+                                               dtype=np.int32))
+                        for i in range(len(plan.ops)))
+            src_hw_j = jnp.asarray(src_hw)
+            with self._lock:
+                self._args_cache[geo_key] = (fused_meta, local_plans,
+                                             global_args, hws, src_hw_j)
+                self._args_order.append(geo_key)
+                while len(self._args_order) > 256:
+                    self._args_cache.pop(self._args_order.pop(0), None)
 
+        prog = self._get_sharded_program(mesh, plan, specs, local_plans,
+                                         layout, fused_meta)
+        wm_args = self.prepare_wm_args(plan)
+        outs = prog(jnp.asarray(imgs_u8), src_hw_j, hws, wm_args,
+                    global_args)
+        return list(outs)
+
+    def _get_sharded_program(self, mesh, plan: OperationPlan,
+                             specs: tuple[OpOutputSpec, ...],
+                             local_plans: dict, layout: str, fused_meta):
+        """Build-or-fetch the jitted shard_map wrapper for one (mesh,
+        plan, geometry). Mesh objects hash by device grid + axis names,
+        so one engine-held mesh always hits the same entry."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        wm_static: dict[int, tuple[int, int, str]] = {}
+        for i, op in enumerate(plan.ops):
+            if op.type is OperationType.WATERMARK:
+                tile = quantize_tile(rasterize_text(op.text, op.font_size))
+                th, tw = tile.coverage.shape
+                wm_static[i] = (th, tw, op.position)
+        key = ("sh", mesh, plan.compile_key(),
+               tuple(s.canvas for s in specs),
+               tuple(sorted(wm_static.items())),
+               tuple(sorted(local_plans.items())), layout, fused_meta)
+        with self._lock:
+            prog = self._cache.get(key)
+        if prog is not None:
+            return prog
+
+        raw = self._build(plan, specs, wm_static, local_plans, layout,
+                          fused_meta)
         shard = P("data")
         repl = P()
-        args_spec = jax.tree.map(lambda _: shard, global_args)
-        wm_spec = jax.tree.map(lambda _: repl, wm_args)
-        hws_spec = tuple(shard for _ in hws)
+        hws_spec = tuple(shard for _ in range(len(plan.ops)))
 
-        # check_vma=False: Pallas custom calls can't declare their
-        # varying-mesh-axes metadata, so the replication checker rejects
-        # them; every output here is batch-sharded by construction.
-        try:
-            fn = shard_map(
-                raw, mesh=mesh,
-                in_specs=(shard, shard, hws_spec, wm_spec, args_spec),
-                out_specs=shard, check_vma=False)
-        except TypeError:  # older jax: the kwarg was check_rep
-            fn = shard_map(
-                raw, mesh=mesh,
-                in_specs=(shard, shard, hws_spec, wm_spec, args_spec),
-                out_specs=shard, check_rep=False)
-        jitted = jax.jit(fn)
-        outs = jitted(jnp.asarray(imgs_u8), jnp.asarray(src_hw), hws,
-                      wm_args, global_args)
-        return list(outs)
+        def call(imgs, src_hw_j, hws, wm_args, global_args):
+            # Index/arg pytree: every leaf is batch-major, so a uniform
+            # P("data") spec is correct for the fused tuple and each
+            # per-op pallas tuple alike; watermark args are replicated.
+            # check_vma=False: Pallas custom calls can't declare their
+            # varying-mesh-axes metadata, so the replication checker
+            # rejects them; every output here is batch-sharded by
+            # construction.
+            kw = {"mesh": mesh,
+                  "in_specs": (shard, shard, hws_spec,
+                               jax.tree.map(lambda _: repl, wm_args),
+                               jax.tree.map(lambda _: shard, global_args)),
+                  "out_specs": shard}
+            try:
+                fn = shard_map(raw, check_vma=False, **kw)
+            except TypeError:  # older jax: the kwarg was check_rep
+                fn = shard_map(raw, check_rep=False, **kw)
+            return fn(imgs, src_hw_j, hws, wm_args, global_args)
+
+        prog = jax.jit(call)
+        with self._lock:
+            self._cache[key] = prog
+        return prog
 
     def cache_size(self) -> int:
         with self._lock:

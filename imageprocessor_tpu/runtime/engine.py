@@ -24,6 +24,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -115,8 +116,34 @@ class ProcessingEngine:
                  use_pallas: bool | None = None,
                  compute_dtype: str = "bfloat16",
                  device_jpeg: bool | None = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 data_axis: int | None = None,
+                 space_axis: int = 1):
         self.store = object_store
+        # Multi-chip serving: ONE worker process drives every local chip
+        # (the TPU-native analog of the reference's goroutine pool,
+        # worker.go:88-96 — intra-host fan-out per SURVEY §2's
+        # parallelism table). data_axis 0/None = auto: all local devices
+        # on TPU backends, 1 elsewhere (CPU test environments opt in
+        # explicitly so the 8-virtual-device suite doesn't silently shard
+        # every test). space_axis > 1 additionally shards image WIDTH —
+        # the GSPMD jit path where XLA inserts the halo collectives over
+        # ICI — for buckets whose frames strain HBM; the Pallas kernels
+        # are full-width, so spatial sharding forces the XLA resample
+        # path (which those >6144-wide buckets use anyway).
+        space = max(1, int(space_axis or 1))
+        n_data = int(data_axis or 0)
+        if n_data == 0:
+            n_data = (len(jax.devices()) // space
+                      if jax.default_backend() == "tpu" else 1)
+        self._mesh = None
+        self._mesh_spatial = space > 1
+        if n_data * space > 1:
+            from imageprocessor_tpu.parallel.mesh import make_mesh
+            self._mesh = make_mesh(n_data * space, space=space)
+            if self._mesh_spatial:
+                use_pallas = False
+            log.info("Device mesh active", data=n_data, space=space)
         self.model = PipelineModel(use_pallas=use_pallas,
                                    pallas_interpret=pallas_interpret,
                                    resample_dtype=compute_dtype)
@@ -398,6 +425,13 @@ class ProcessingEngine:
         Reusable by both the batch worker and the pipelined worker."""
         plan: OperationPlan = group.items[0].payload[3]
         b = quantize_batch(len(group.items))
+        if self._mesh is not None:
+            # shard_map needs the batch divisible by the data axis; both
+            # sides are normally powers of two, and the ceil keeps odd
+            # DEVICE_DATA_AXIS settings (e.g. 6) working too.
+            n_data = int(self._mesh.shape["data"])
+            if b % n_data:
+                b = -(-b // n_data) * n_data
         imgs, src_hw = group.pack(pad_batch_to=b)
 
         # Per-op, per-image valid output dims (host arithmetic, Go-exact)
@@ -465,8 +499,25 @@ class ProcessingEngine:
             imgs = np.ascontiguousarray(np.transpose(imgs, (0, 2, 3, 1)))
             layout = "hwc"
         t_dev = _time.monotonic()
-        outs = self.model.run(plan, imgs, src_hw, out_hws, specs,
-                              layout=layout)
+        if self._mesh is not None and not self._mesh_spatial:
+            # Data-parallel over the local mesh: one fused program under
+            # shard_map, batch axis split across chips, no cross-chip
+            # collectives (images are independent).
+            outs = self.model.run_sharded(self._mesh, plan, imgs, src_hw,
+                                          out_hws, specs, layout=layout)
+        elif self._mesh is not None:
+            # (data x space) GSPMD path: place the batch on the mesh and
+            # let XLA auto-partition the jitted XLA-op program — the
+            # horizontal resample's cross-shard gathers lower to ICI
+            # collectives (spatial layout is always HWC; planar decode is
+            # disabled when space > 1).
+            from imageprocessor_tpu.parallel.mesh import batch_sharding
+            imgs = jax.device_put(imgs, batch_sharding(self._mesh))
+            outs = self.model.run(plan, imgs, src_hw, out_hws, specs,
+                                  layout=layout)
+        else:
+            outs = self.model.run(plan, imgs, src_hw, out_hws, specs,
+                                  layout=layout)
         # Crop device-side to the group's max valid extent before D2H —
         # canvases are padded well past the real outputs (e.g. a 480x640
         # upload's resize is valid 480x640 inside a 768x1024 canvas), so

@@ -104,7 +104,12 @@ class Worker:
             compute_dtype=(cfg.device.compute_dtype
                            if cfg.device.compute_dtype in ("float32",
                                                            "bfloat16")
-                           else "bfloat16"))
+                           else "bfloat16"),
+            # DEVICE_DATA_AXIS / DEVICE_SPACE_AXIS: multi-chip serving —
+            # one worker process drives all local chips via the engine's
+            # mesh (0 = auto-detect on TPU backends).
+            data_axis=cfg.device.data_axis,
+            space_axis=cfg.device.space_axis)
         self._stop = threading.Event()
         self._idle_sleep = max(cfg.worker.batch_deadline_ms / 1000.0, 0.005)
         # Background webhook delivery (never in the batch hot loop).
