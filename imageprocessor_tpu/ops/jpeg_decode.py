@@ -142,31 +142,57 @@ def _clamp_extent(plane, valid_hw):
                                mode="promise_in_bounds")
 
 
-@jax.jit
-def batched_decode_ycbcr420(yc, cbc, crc, qtabs, chroma_valid):
-    """Batched TPU-side baseline 4:2:0 decode into a planar bucket.
+@functools.partial(jax.jit, static_argnames=("fh", "fw", "out_h", "out_w"))
+def batched_decode_ycbcr(yc, cbc, crc, qtabs, chroma_valid,
+                         fh: int = 2, fw: int = 2,
+                         out_h: int | None = None, out_w: int | None = None):
+    """Batched TPU-side baseline YCbCr decode into a planar bucket.
+
+    fh/fw: chroma upsample factors (luma/chroma sampling ratio) —
+    (2, 2) = 4:2:0, (1, 2) = 4:2:2, (2, 1) = 4:4:0, (1, 1) = 4:4:4.
+    out_h/out_w: crop the decoded canvas back to the resolution bucket
+    (the coefficient canvas is MCU-padded past it) inside this program.
 
     yc: (B, Hb, Wb) int16 luma coefficient canvases (bucket-sized, zero
-    padded); cbc/crc: (B, Hb/2, Wb/2); qtabs: (B, 3, 8, 8) float32;
+    padded); cbc/crc: (B, Hb/fh, Wb/fw); qtabs: (B, 3, 8, 8) float32;
     chroma_valid: (B, 2) int32 — each image's own chroma plane dims
-    (its MCU grid / 2), the clamp boundary for the upsample taps.
+    (its MCU grid / factor), the clamp boundary for the upsample taps.
     Returns planar (B, 3, Hb, Wb) uint8 — the exact canvas the engine's
     CHW pipeline consumes, so the dense half of every JPEG decode (IDCT,
     fancy chroma upsample, color convert) runs on the MXU/VPU and the
     host keeps only the streaming entropy scan.
     """
     y = _idct_planes_batched(yc, qtabs[:, 0])
-    cb = _clamp_extent(_idct_planes_batched(cbc, qtabs[:, 1]), chroma_valid)
-    cr = _clamp_extent(_idct_planes_batched(crc, qtabs[:, 2]), chroma_valid)
+    cb = _idct_planes_batched(cbc, qtabs[:, 1])
+    cr = _idct_planes_batched(crc, qtabs[:, 2])
+    if fh > 1 or fw > 1:
+        # The triangular filter's `next` tap must not read a zero-padded
+        # block at the image's chroma grid boundary.
+        cb = _clamp_extent(cb, chroma_valid)
+        cr = _clamp_extent(cr, chroma_valid)
     # libjpeg fancy (triangular) 2x upsample; batched planes use
     # axes (1, 2) of (B, h, w).
-    cb = _fancy_up2_axis(_fancy_up2_axis(cb, 1), 2) - 128.0
-    cr = _fancy_up2_axis(_fancy_up2_axis(cr, 1), 2) - 128.0
+    if fh == 2:
+        cb = _fancy_up2_axis(cb, 1)
+        cr = _fancy_up2_axis(cr, 1)
+    if fw == 2:
+        cb = _fancy_up2_axis(cb, 2)
+        cr = _fancy_up2_axis(cr, 2)
+    cb = cb - 128.0
+    cr = cr - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bch = y + 1.772 * cb
     rgb = jnp.stack([r, g, bch], axis=1)  # (B, 3, H, W)
+    if out_h is not None or out_w is not None:
+        rgb = rgb[:, :, :out_h, :out_w]
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+def batched_decode_ycbcr420(yc, cbc, crc, qtabs, chroma_valid):
+    """Back-compat wrapper: batched 4:2:0 decode (fh=fw=2)."""
+    return batched_decode_ycbcr(yc, cbc, crc, qtabs, chroma_valid,
+                                fh=2, fw=2)
 
 
 def decode_jpeg_device(data: bytes, pad_hw: tuple[int, int] | None = None):

@@ -47,6 +47,26 @@ def quantize_batch(n: int, cap: int = MAX_BATCH) -> int:
     return min(b, cap)
 
 
+def coef_layout(fh: int, fw: int) -> str:
+    """Layout tag for coefficient-plane items: subsampling is part of the
+    grouping key (different modes need different canvas shapes)."""
+    return f"coef:{fh}{fw}"
+
+
+def coef_factors(layout: str) -> tuple[int, int]:
+    return int(layout[5]), int(layout[6])
+
+
+def coef_canvas(bucket: tuple[int, int], fh: int, fw: int
+                ) -> tuple[int, int]:
+    """Luma coefficient canvas for a bucket: padded up to the MCU grid
+    (8*fh x 8*fw) so non-MCU-aligned ladder rungs (e.g. 200) still carry
+    whole per-image MCU grids; the decoded pixels are cropped back to
+    the bucket on device."""
+    mh, mw = 8 * fh, 8 * fw
+    return -(-bucket[0] // mh) * mh, -(-bucket[1] // mw) * mw
+
+
 @dataclass
 class BatchItem:
     """One decoded image waiting for device processing.
@@ -93,13 +113,18 @@ class Group:
         n = len(self.items)
         b = pad_batch_to or n
         src_hw = np.zeros((b, 2), dtype=np.int32)
-        if self.layout == "coef":
+        if self.layout.startswith("coef"):
             # items carry (y, cb, cr, qtabs) int16/float32 coefficient
             # planes (each image's own MCU-aligned grid); pack them into
-            # bucket-sized canvases for the batched device IDCT.
-            yc = np.zeros((b, hb, wb), dtype=np.int16)
-            cbc = np.zeros((b, hb // 2, wb // 2), dtype=np.int16)
-            crc = np.zeros((b, hb // 2, wb // 2), dtype=np.int16)
+            # MCU-padded bucket canvases for the batched device IDCT.
+            # The canvas exceeds the bucket up to one MCU per axis (e.g.
+            # the 200 rung packs into 208 for 4:2:0); the device decode
+            # crops back to the bucket.
+            fh, fw = coef_factors(self.layout)
+            ch, cw = coef_canvas((hb, wb), fh, fw)
+            yc = np.zeros((b, ch, cw), dtype=np.int16)
+            cbc = np.zeros((b, ch // fh, cw // fw), dtype=np.int16)
+            crc = np.zeros((b, ch // fh, cw // fw), dtype=np.int16)
             qt = np.zeros((b, 3, 8, 8), dtype=np.float32)
             qt[:, :, 0, 0] = 1.0  # benign tables for pad rows
             cv = np.ones((b, 2), dtype=np.int32)  # chroma plane extents

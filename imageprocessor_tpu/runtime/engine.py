@@ -60,7 +60,11 @@ from imageprocessor_tpu.runtime.batcher import (
     quantize_batch,
 )
 from imageprocessor_tpu.runtime import nativecodec
-from imageprocessor_tpu.runtime.batcher import bucket_for
+from imageprocessor_tpu.runtime.batcher import (
+    bucket_for,
+    coef_canvas,
+    coef_layout,
+)
 from imageprocessor_tpu.runtime.codecs import (
     decode_image,
     detect_content_type,
@@ -155,13 +159,21 @@ class ProcessingEngine:
         self.batch_size = max(1, min(batch_size, MAX_BATCH))
         # TPU-side JPEG decode: host keeps only the streaming entropy
         # scan; IDCT + chroma upsample + color convert run batched on
-        # device (ops/jpeg_decode.batched_decode_ycbcr420). Off by
-        # default: byte-for-byte the coefficient canvases equal the
-        # pixel canvases, so the win is host CPU (scan 47 ms vs full
-        # planar decode 52 ms per 12 MP core), not transfer.
+        # device (ops/jpeg_decode.batched_decode_ycbcr). Host codecs are
+        # the deployment bottleneck (PERF.md: scan 47 ms vs full planar
+        # decode 52 ms per 12 MP core, and the encode front half moves
+        # on-device too), so this is ON by default wherever it helps:
+        # auto = native scanner present AND backend is TPU.
+        # IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces it either way.
         if device_jpeg is None:
-            device_jpeg = os.environ.get(
-                "IMAGEPROCESSOR_DEVICE_JPEG", "0") == "1"
+            env_flag = os.environ.get("IMAGEPROCESSOR_DEVICE_JPEG", "")
+            if env_flag in ("1", "true", "yes"):
+                device_jpeg = True
+            elif env_flag in ("0", "false", "no"):
+                device_jpeg = False
+            else:
+                device_jpeg = (jax.default_backend() == "tpu"
+                               and nativecodec.available())
         self.device_jpeg = device_jpeg
         self.jpeg_quality = jpeg_quality
         self._pool = ThreadPoolExecutor(max_workers=max(codec_threads, 1),
@@ -307,18 +319,25 @@ class ProcessingEngine:
                 planes, qt, (w, h), samp = \
                     nativecodec.scan_jpeg_coefficients(data)
                 bucket = bucket_for(h, w)
-                if (len(planes) == 3 and tuple(samp[0]) == (2, 2)
-                        and tuple(samp[1]) == (1, 1)
-                        and tuple(samp[2]) == (1, 1)
-                        and bucket[1] <= 6144
-                        # canvas must be MCU-aligned for the 4:2:0
-                        # block math (the 200 ladder rung is not)
-                        and bucket[0] % 16 == 0 and bucket[1] % 16 == 0
-                        and planes[0].shape[0] <= bucket[0]
-                        and planes[0].shape[1] <= bucket[1]):
-                    return ((planes[0], planes[1], planes[2],
-                             np.asarray(qt, dtype=np.float32)),
-                            "jpeg", "coef", (h, w))
+                if len(planes) == 3 and bucket[1] <= 6144:
+                    (hy, vy), (hc, vc), (hr, vr) = (tuple(s) for s in samp)
+                    fh, fw = vy, hy
+                    ch, cw = coef_canvas(bucket, fh, fw)
+                    # Chroma must be unsubsampled relative to itself and
+                    # the luma ratio one of the common modes: (2,2)=4:2:0,
+                    # (1,2)=4:2:2, (2,1)=4:4:0, (1,1)=4:4:4. Canvases are
+                    # MCU-padded past the bucket, so non-aligned ladder
+                    # rungs (200) are eligible too.
+                    if ((hc, vc) == (hr, vr) == (1, 1)
+                            and fh in (1, 2) and fw in (1, 2)
+                            and planes[0].shape[0] <= ch
+                            and planes[0].shape[1] <= cw
+                            and planes[1].shape == planes[2].shape
+                            and planes[1].shape[0] * fh == planes[0].shape[0]
+                            and planes[1].shape[1] * fw == planes[0].shape[1]):
+                        return ((planes[0], planes[1], planes[2],
+                                 np.asarray(qt, dtype=np.float32)),
+                                "jpeg", coef_layout(fh, fw), (h, w))
             except nativecodec.NativeCodecError:
                 pass  # progressive/exotic: fall through
         if (plan is not None and nativecodec.available()
@@ -482,15 +501,21 @@ class ProcessingEngine:
 
         specs = plan_output_specs(plan, group.bucket, aspect_long)
         layout = group.layout
-        if layout == "coef":
+        if layout.startswith("coef"):
             # Batched TPU-side JPEG decode straight into the planar
             # bucket; the result is a device array, so the downstream
-            # program consumes it with no extra host round trip.
+            # program consumes it with no extra host round trip. The
+            # coefficient canvas is MCU-padded past the bucket; the
+            # decode crops back inside the same program.
             from imageprocessor_tpu.ops.jpeg_decode import (
-                batched_decode_ycbcr420,
+                batched_decode_ycbcr,
             )
+            from imageprocessor_tpu.runtime.batcher import coef_factors
+            fh, fw = coef_factors(layout)
             yc, cbc, crc, qt, cv = imgs
-            imgs = batched_decode_ycbcr420(yc, cbc, crc, qt, cv)
+            imgs = batched_decode_ycbcr(yc, cbc, crc, qt, cv, fh=fh, fw=fw,
+                                        out_h=group.bucket[0],
+                                        out_w=group.bucket[1])
             layout = "chw"
         if layout == "chw" and not self.model.supports_planar(plan,
                                                               group.bucket):

@@ -78,12 +78,57 @@ def test_coef_layout_selected_for_baseline_420(engines):
     from imageprocessor_tpu.models.plan import normalize_operations
     plan = normalize_operations(make_task().operations)
     out = e1.decode_for_plan(jpeg_bytes(300, 400), plan)
-    assert out[2] == "coef"
+    assert out[2] == "coef:22"
     assert out[3] == (300, 400)
     y, cb, cr, qt = out[0]
     assert y.shape == (304, 400)  # MCU-aligned (16) luma grid
     assert cb.shape == (152, 200)
     assert qt.shape == (3, 8, 8)
+
+
+@pytest.mark.parametrize("subsampling,layout", [
+    (0, "coef:11"),   # 4:4:4
+    (1, "coef:12"),   # 4:2:2 (chroma half width)
+    (2, "coef:22"),   # 4:2:0
+])
+def test_coef_layout_covers_all_subsampling_modes(engines, subsampling,
+                                                  layout):
+    (e1, s1), (e2, s2) = engines
+    from imageprocessor_tpu.models.plan import normalize_operations
+    plan = normalize_operations(make_task().operations)
+    blob = jpeg_bytes(300, 400, subsampling=subsampling)
+    out = e1.decode_for_plan(blob, plan)
+    assert out[2] == layout
+    r1 = e1.process_tasks([(make_task(), blob)])[0]
+    r2 = e2.process_tasks([(make_task(), blob)])[0]
+    assert r1.result.status is ImageStatus.COMPLETED, r1.result.error
+    for op in ("thumbnail", "resize"):
+        x, _ = decode_image(s1.get_object(r1.result.processed_paths[op]))
+        y, _ = decode_image(s2.get_object(r2.result.processed_paths[op]))
+        diff = np.abs(x.astype(int) - y.astype(int))
+        mse = (diff.astype(float) ** 2).mean()
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 45.0
+        assert diff.max() <= 4
+
+
+def test_coef_path_covers_non_mcu_aligned_bucket(engines):
+    """The 200 ladder rung (200 % 16 != 0) joins the coefficient path:
+    the canvas MCU-pads to 208 and the device decode crops back."""
+    (e1, s1), (e2, s2) = engines
+    from imageprocessor_tpu.models.plan import normalize_operations
+    plan = normalize_operations(make_task().operations)
+    blob = jpeg_bytes(190, 196)  # bucket (200, 200)
+    out = e1.decode_for_plan(blob, plan)
+    assert out[2] == "coef:22"
+    r1 = e1.process_tasks([(make_task(), blob)])[0]
+    r2 = e2.process_tasks([(make_task(), blob)])[0]
+    assert r1.result.status is ImageStatus.COMPLETED, r1.result.error
+    for op in ("thumbnail", "resize"):
+        x, _ = decode_image(s1.get_object(r1.result.processed_paths[op]))
+        y, _ = decode_image(s2.get_object(r2.result.processed_paths[op]))
+        diff = np.abs(x.astype(int) - y.astype(int))
+        mse = (diff.astype(float) ** 2).mean()
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 45.0
 
 
 def test_device_jpeg_matches_host_decode(engines):
@@ -105,17 +150,13 @@ def test_device_jpeg_matches_host_decode(engines):
             assert diff.max() <= 4
 
 
-@pytest.mark.parametrize("kw", [
-    dict(subsampling=0),            # 4:4:4 — scanner path declines
-    dict(mode="L"),                 # grayscale — single component
-])
-def test_non_420_falls_back_and_completes(engines, kw):
+def test_grayscale_falls_back_and_completes(engines):
     (e1, _), _ = engines
-    blob = jpeg_bytes(200, 260, **kw)
+    blob = jpeg_bytes(200, 260, mode="L")  # single component
     from imageprocessor_tpu.models.plan import normalize_operations
     plan = normalize_operations(make_task().operations)
     out = e1.decode_for_plan(blob, plan)
-    assert out[2] != "coef"  # fell through to a pixel decode
+    assert not out[2].startswith("coef")  # fell through to a pixel decode
     res = e1.process_tasks([(make_task(), blob)])[0]
     assert res.result.status is ImageStatus.COMPLETED, res.result.error
 
@@ -169,12 +210,22 @@ def test_device_encode_skipped_for_png_output(engines):
     assert res.result.processed_paths["watermark"].endswith(".png")
 
 
-def test_device_jpeg_off_by_default(tmp_path, monkeypatch):
+def test_device_jpeg_default_policy(tmp_path, monkeypatch):
+    """Unset env -> auto: on only when the backend is TPU and the native
+    scanner exists (tests run on CPU, so auto is off here); explicit
+    1/0 forces either way."""
+    import jax
+
     monkeypatch.delenv("IMAGEPROCESSOR_DEVICE_JPEG", raising=False)
     eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
-    assert eng.device_jpeg is False
+    assert eng.device_jpeg is (jax.default_backend() == "tpu"
+                               and nc.available())
     eng.close()
     monkeypatch.setenv("IMAGEPROCESSOR_DEVICE_JPEG", "1")
     eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
     assert eng.device_jpeg is True
+    eng.close()
+    monkeypatch.setenv("IMAGEPROCESSOR_DEVICE_JPEG", "0")
+    eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
+    assert eng.device_jpeg is False
     eng.close()
