@@ -8,12 +8,20 @@ internal/broker/kafka/consumer.go:21-56, producer.go:19-33), keyed
 produce so one image's tasks stay ordered within a partition
 (usecase/image/image.go:93-98).
 
+Versions are negotiated per connection via ApiVersions (KIP-35): modern
+brokers get Produce v3 / Fetch v4 with RecordBatch v2 framing (the only
+format Kafka 4.x accepts; timestamps ride natively so queue_wait_ms
+works), brokers without ApiVersions fall back to v0 APIs with magic-0
+message sets, and a broker whose advertised range excludes both raises a
+clear MessageQueueError naming the ranges.
+
 Mapping the framework's lease-based Broker contract onto Kafka:
 
-* produce  -> Produce v0 (acks=-1) to the key's partition
+* produce  -> Produce v3 (acks=-1, record batch) to the key's partition,
+              v0 legacy fallback
 * poll     -> JoinGroup/SyncGroup membership (range assignment), then
-              Fetch v0 from owned partitions; each delivered message gets
-              a client-side lease token
+              Fetch v4/v0 from owned partitions; each delivered message
+              gets a client-side lease token
 * ack      -> mark done; the per-partition commit watermark (lowest
               offset with any un-done message below it) advances and is
               OffsetCommit'ed — commit-after-success with per-message
@@ -55,7 +63,10 @@ _RETRIABLE = (kw.ILLEGAL_GENERATION, kw.REBALANCE_IN_PROGRESS,
 
 
 class _Conn:
-    """One broker connection: framed request/response with correlation."""
+    """One broker connection: framed request/response with correlation,
+    plus the broker's advertised API version ranges (ApiVersions v0,
+    negotiated once per connection; empty dict = legacy broker that
+    closed the connection or errored on the request)."""
 
     def __init__(self, host: str, port: int, client_id: str,
                  timeout: float = 15.0):
@@ -63,6 +74,7 @@ class _Conn:
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self.client_id = client_id
         self._corr = 0
+        self.api_versions: dict[int, tuple[int, int]] | None = None
 
     def request(self, api_key: int, api_version: int, body: bytes
                 ) -> kw.Reader:
@@ -76,6 +88,48 @@ class _Conn:
         if got != corr:
             raise kw.WireError(f"correlation mismatch {got} != {corr}")
         return r
+
+    def negotiate(self) -> dict[int, tuple[int, int]]:
+        """ApiVersions v0 handshake, once per connection. A broker that
+        does not speak it (pre-0.10, or the bundled server in legacy
+        mode) drops the connection or answers garbage — treated as
+        'everything at v0 only'."""
+        if self.api_versions is not None:
+            return self.api_versions
+        try:
+            r = self.request(kw.API_VERSIONS, 0, b"")
+            err = r.i16()
+            vers: dict[int, tuple[int, int]] = {}
+            for _ in range(r.i32()):
+                key = r.i16()
+                vers[key] = (r.i16(), r.i16())
+            # UNSUPPORTED_VERSION still carries the ranges per KIP-35.
+            self.api_versions = (vers if err in (kw.NONE,
+                                                 kw.UNSUPPORTED_VERSION)
+                                 else {})
+        except (OSError, kw.WireError):
+            self.api_versions = {}
+            # The failed exchange may have desynced the stream; callers
+            # reconnect on the next request error. Re-open eagerly so the
+            # first real request after negotiation doesn't pay a retry.
+            try:
+                peer = self.sock.getpeername()
+                self.sock.close()
+                self.sock = socket.create_connection(peer, timeout=15.0)
+                self.sock.setsockopt(socket.IPPROTO_TCP,
+                                     socket.TCP_NODELAY, 1)
+            except OSError:
+                pass
+        return self.api_versions
+
+    def pick(self, api_key: int, preferred: int) -> int:
+        """Highest usable version <= preferred; -1 if the broker's range
+        excludes everything we can speak (vmin > preferred)."""
+        vers = self.negotiate()
+        vmin, vmax = vers.get(api_key, (0, 0))
+        if vmin > preferred:
+            return -1
+        return min(vmax, preferred)
 
     def close(self):
         try:
@@ -170,6 +224,26 @@ class KafkaBroker(Broker):
             self._drop_conn(addr)
             return self._conn(addr).request(api, ver, body)
 
+    def _pick_version(self, addr: tuple[str, int], api: int,
+                      preferred: int) -> int:
+        """Negotiated version for an API (ApiVersions handshake, cached
+        per connection). Raises a CLEAR MessageQueueError — not an opaque
+        WireError — when the broker's advertised range excludes every
+        version this client speaks."""
+        try:
+            conn = self._conn(addr)
+        except OSError as exc:
+            raise MessageQueueError(f"broker {addr} unreachable: {exc}")
+        ver = conn.pick(api, preferred)
+        if ver < 0:
+            name = {kw.PRODUCE: "Produce", kw.FETCH: "Fetch"}.get(
+                api, f"api {api}")
+            raise MessageQueueError(
+                f"broker {addr[0]}:{addr[1]} advertises {name} versions "
+                f"{conn.api_versions.get(api)} but this client speaks "
+                f"v0..v{preferred}; no common version")
+        return ver
+
     # -------------------------------------------------------------- metadata
 
     def _metadata(self, topic: str, force: bool = False
@@ -251,14 +325,27 @@ class KafkaBroker(Broker):
                 raise MessageQueueError(
                     f"partition {topic}/{pid} has no leader (election in "
                     "progress); retry")
-            mset = kw.encode_message_set(
-                [(0, key, value)], timestamp_ms=int(time.time() * 1000))
-            body = (kw.Writer().i16(-1).i32(10000)
+            ver = self._pick_version(leader, kw.PRODUCE, 3)
+            if ver >= 3:
+                # RecordBatch v2 (the only format Kafka 4.x accepts);
+                # timestamps ride natively, so queue_wait_ms works on
+                # real brokers.
+                rset = kw.encode_record_batch(
+                    [(0, key, value, int(time.time() * 1000))])
+                w = kw.Writer().string(None)  # transactional_id
+            else:
+                # Ancient broker (no ApiVersions): magic-0 message set —
+                # the one framing every broker since 0.8 accepts. No
+                # timestamp field exists at magic 0, so queue_wait_ms is
+                # unavailable there (documented in MULTIHOST.md).
+                rset = kw.encode_message_set([(0, key, value)])
+                w = kw.Writer()
+            body = (w.i16(-1).i32(10000)
                     .array([topic], lambda w, t: (
                         w.string(t)
                         .array([pid], lambda w2, p: (
-                            w2.i32(p).i32(len(mset)).raw(mset)))))).done()
-            r = self._req(leader, kw.PRODUCE, 0, body)
+                            w2.i32(p).i32(len(rset)).raw(rset)))))).done()
+            r = self._req(leader, kw.PRODUCE, max(ver, 0), body)
             offset = -1
             for _ in range(r.i32()):
                 r.string()
@@ -266,6 +353,8 @@ class KafkaBroker(Broker):
                     r.i32()
                     err = r.i16()
                     base = r.i64()
+                    if ver >= 2:
+                        r.i64()  # log_append_time
                     if err != kw.NONE:
                         if err in (kw.NOT_LEADER_FOR_PARTITION,
                                    kw.LEADER_NOT_AVAILABLE,
@@ -503,12 +592,19 @@ class KafkaBroker(Broker):
         leader = parts.get(pid)
         if leader is None:
             return []
-        body = (kw.Writer().i32(-1).i32(0).i32(0)
-                .array([c.topic], lambda w, t: (
+        ver = self._pick_version(leader, kw.FETCH, 4)
+        w = kw.Writer().i32(-1).i32(0).i32(0)
+        if ver >= 3:
+            w.i32(max_bytes)   # request-level max_bytes
+        if ver >= 4:
+            w.i8(0)            # isolation_level: read_uncommitted
+        body = (w.array([c.topic], lambda w, t: (
                     w.string(t).array([pid], lambda w2, p: (
                         w2.i32(p).i64(c.positions[pid]).i32(max_bytes))))
                        )).done()
-        r = self._req(leader, kw.FETCH, 0, body)
+        r = self._req(leader, kw.FETCH, ver, body)
+        if ver >= 1:
+            r.i32()  # throttle_time_ms
         msgs: list[kw.WireMessage] = []
         for _ in range(r.i32()):
             r.string()
@@ -516,6 +612,9 @@ class KafkaBroker(Broker):
                 r.i32()
                 err = r.i16()
                 r.i64()  # high watermark
+                if ver >= 4:
+                    r.i64()  # last_stable_offset
+                    r.array(lambda rr: (rr.i64(), rr.i64()))  # aborted txns
                 mset = r.bytes_() or b""
                 if err == kw.OFFSET_OUT_OF_RANGE:
                     # Retention deleted our position's segment: resume at
@@ -529,7 +628,7 @@ class KafkaBroker(Broker):
                     continue
                 if err != kw.NONE:
                     continue
-                msgs.extend(kw.decode_message_set(mset))
+                msgs.extend(kw.decode_records(mset))
         return msgs
 
     def poll(self, topic: str, group: str, max_n: int = 1,

@@ -49,7 +49,17 @@ class KafkaServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  default_partitions: int = 3,
-                 rebalance_timeout_s: float = 1.0):
+                 rebalance_timeout_s: float = 1.0,
+                 legacy: bool = False,
+                 api_versions_override: dict[int, tuple[int, int]]
+                 | None = None):
+        # legacy=True simulates a pre-0.10 broker: ApiVersions closes the
+        # connection, only v0 requests are answered — contract-tests the
+        # client's fallback path. api_versions_override replaces the
+        # advertised ranges (e.g. a future broker that dropped v0-v2) to
+        # test the no-common-version error.
+        self._legacy = legacy
+        self._api_versions_override = api_versions_override
         self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._lsock.bind((host, port))
@@ -112,6 +122,8 @@ class KafkaServer:
                 ver = r.i16()
                 corr = r.i32()
                 r.string()  # client id
+                if self._legacy and (api == kw.API_VERSIONS or ver > 0):
+                    return  # pre-0.10 behavior: drop the connection
                 handler = self._handlers().get(api)
                 if handler is None:
                     return
@@ -126,6 +138,7 @@ class KafkaServer:
 
     def _handlers(self):
         return {
+            kw.API_VERSIONS: self._h_api_versions,
             kw.METADATA: self._h_metadata,
             kw.PRODUCE: self._h_produce,
             kw.FETCH: self._h_fetch,
@@ -152,6 +165,27 @@ class KafkaServer:
 
     # -------------------------------------------------------------- handlers
 
+    def _h_api_versions(self, r: kw.Reader, ver: int) -> bytes:
+        vers = self._api_versions_override or {
+            kw.PRODUCE: (0, 3),
+            kw.FETCH: (0, 4),
+            kw.LIST_OFFSETS: (0, 0),
+            kw.METADATA: (0, 0),
+            kw.OFFSET_COMMIT: (0, 0),
+            kw.OFFSET_FETCH: (0, 0),
+            kw.FIND_COORDINATOR: (0, 0),
+            kw.JOIN_GROUP: (0, 0),
+            kw.HEARTBEAT: (0, 0),
+            kw.LEAVE_GROUP: (0, 0),
+            kw.SYNC_GROUP: (0, 0),
+            kw.API_VERSIONS: (0, 0),
+            kw.CREATE_TOPICS: (0, 0),
+        }
+        w = kw.Writer().i16(kw.NONE)
+        w.array(sorted(vers.items()),
+                lambda ww, kv: ww.i16(kv[0]).i16(kv[1][0]).i16(kv[1][1]))
+        return w.done()
+
     def _h_metadata(self, r: kw.Reader, ver: int) -> bytes:
         names = r.array(lambda rr: rr.string())
         with self._lock:
@@ -174,6 +208,8 @@ class KafkaServer:
             return w.done()
 
     def _h_produce(self, r: kw.Reader, ver: int) -> bytes:
+        if ver >= 3:
+            r.string()  # transactional_id
         r.i16()  # acks
         r.i32()  # timeout
         results = []
@@ -189,7 +225,9 @@ class KafkaServer:
                                         kw.UNKNOWN_TOPIC_OR_PARTITION, -1))
                         continue
                     base = len(plog[pid])
-                    for m in kw.decode_message_set(mset):
+                    # decode_records handles both RecordBatch v2 (ver>=3)
+                    # and legacy magic-0/1 message sets.
+                    for m in kw.decode_records(mset):
                         plog[pid].append((m.key or b"", m.value or b"",
                                           m.timestamp_ms))
                     results.append((topic, pid, kw.NONE, base))
@@ -197,13 +235,23 @@ class KafkaServer:
         w.i32(len(results))
         for topic, pid, err, base in results:
             w.string(topic).i32(1).i32(pid).i16(err).i64(base)
+            if ver >= 2:
+                w.i64(-1)  # log_append_time (CreateTime in use)
+        if ver >= 1:
+            w.i32(0)  # throttle_time_ms
         return w.done()
 
     def _h_fetch(self, r: kw.Reader, ver: int) -> bytes:
         r.i32()  # replica
         r.i32()  # max wait
         r.i32()  # min bytes
+        if ver >= 3:
+            r.i32()  # request-level max_bytes
+        if ver >= 4:
+            r.i8()   # isolation_level
         w = kw.Writer()
+        if ver >= 1:
+            w.i32(0)  # throttle_time_ms
         with self._lock:
             n_topics = r.i32()
             w.i32(n_topics)
@@ -218,24 +266,38 @@ class KafkaServer:
                     max_bytes = r.i32()
                     if pid >= len(plog):
                         w.i32(pid).i16(kw.UNKNOWN_TOPIC_OR_PARTITION)
-                        w.i64(0).bytes_(b"")
+                        w.i64(0)
+                        self._fetch_tail(w, ver, b"")
                         continue
                     log = plog[pid]
                     if off > len(log) or off < 0:
                         w.i32(pid).i16(kw.OFFSET_OUT_OF_RANGE)
-                        w.i64(len(log)).bytes_(b"")
+                        w.i64(len(log))
+                        self._fetch_tail(w, ver, b"")
                         continue
                     entries = []
                     size = 0
                     for i in range(off, len(log)):
                         k, v, ts = log[i]
-                        size += 34 + len(k) + len(v)
+                        size += 70 + len(k) + len(v)
                         if entries and size > max_bytes:
                             break
                         entries.append((i, k, v, ts))
-                    mset = kw.encode_message_set(entries)
-                    w.i32(pid).i16(kw.NONE).i64(len(log)).bytes_(mset)
+                    if ver >= 4:
+                        mset = (kw.encode_record_batch(entries, entries[0][0])
+                                if entries else b"")
+                    else:
+                        mset = kw.encode_message_set(entries)
+                    w.i32(pid).i16(kw.NONE).i64(len(log))
+                    self._fetch_tail(w, ver, mset)
         return w.done()
+
+    @staticmethod
+    def _fetch_tail(w: kw.Writer, ver: int, mset: bytes) -> None:
+        if ver >= 4:
+            w.i64(-1)                            # last_stable_offset
+            w.array([], lambda *_: None)         # aborted_transactions
+        w.bytes_(mset)
 
     def _h_list_offsets(self, r: kw.Reader, ver: int) -> bytes:
         r.i32()  # replica

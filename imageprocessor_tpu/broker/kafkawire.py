@@ -32,6 +32,7 @@ JOIN_GROUP = 11
 HEARTBEAT = 12
 LEAVE_GROUP = 13
 SYNC_GROUP = 14
+API_VERSIONS = 18
 CREATE_TOPICS = 19
 
 # Error codes (subset)
@@ -44,6 +45,7 @@ NOT_COORDINATOR = 16
 ILLEGAL_GENERATION = 22
 UNKNOWN_MEMBER_ID = 25
 REBALANCE_IN_PROGRESS = 27
+UNSUPPORTED_VERSION = 35
 TOPIC_ALREADY_EXISTS = 36
 
 
@@ -144,6 +146,71 @@ class Reader:
         return [decode(self) for _ in range(n)]
 
 
+# ------------------------------------------------------------------ varints
+
+
+def write_uvarint(w: Writer, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            w.raw(bytes([b | 0x80]))
+        else:
+            w.raw(bytes([b]))
+            return
+
+
+def write_varint(w: Writer, v: int) -> None:
+    """Zigzag-encoded signed varint (Kafka record fields)."""
+    write_uvarint(w, (v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+
+def read_uvarint(r: Reader) -> int:
+    shift = 0
+    out = 0
+    while True:
+        b = r._take(1)[0]
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out
+        shift += 7
+        if shift > 63:
+            raise WireError("varint overflow")
+
+
+def read_varint(r: Reader) -> int:
+    u = read_uvarint(r)
+    return (u >> 1) ^ -(u & 1)
+
+
+# ------------------------------------------------------------------- crc32c
+
+
+def _crc32c_table() -> list[int]:
+    poly = 0x82F63B78  # Castagnoli, reflected
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli), the checksum RecordBatch v2 mandates.
+    Table-driven pure Python — record batches here are task-sized
+    (hundreds of bytes), so this is never a hot path."""
+    crc ^= 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        crc = tab[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
 # ---------------------------------------------------------------- message set
 
 
@@ -208,6 +275,134 @@ def decode_message_set(buf: bytes) -> list[WireMessage]:
         value = br.bytes_()
         out.append(WireMessage(offset, key, value, ts_ms))
         r.pos = end
+    return out
+
+
+# ------------------------------------------------------- record batch (v2)
+
+
+def encode_record_batch(entries: list[tuple], base_offset: int = 0) -> bytes:
+    """RecordBatch magic 2 (KIP-98 format), no compression, no producer
+    state. entries: (offset, key, value, ts_ms) with ABSOLUTE offsets
+    (>= base_offset); ts_ms -1 entries stamp 0."""
+    if not entries:
+        return b""
+    ts0 = min((e[3] for e in entries if len(e) > 3 and e[3] >= 0),
+              default=0)
+    max_ts = ts0
+    recs = Writer()
+    last_delta = 0
+    for e in entries:
+        offset, key, value = e[0], e[1], e[2]
+        ts = e[3] if len(e) > 3 and e[3] >= 0 else ts0
+        max_ts = max(max_ts, ts)
+        delta = offset - base_offset
+        last_delta = delta
+        body = Writer()
+        body.i8(0)  # record attributes
+        write_varint(body, ts - ts0)
+        write_varint(body, delta)
+        if key is None:
+            write_varint(body, -1)
+        else:
+            write_varint(body, len(key))
+            body.raw(key)
+        if value is None:
+            write_varint(body, -1)
+        else:
+            write_varint(body, len(value))
+            body.raw(value)
+        write_varint(body, 0)  # headers
+        b = body.done()
+        write_varint(recs, len(b))
+        recs.raw(b)
+    tail = (Writer()
+            .i16(0)                    # attributes: no compression
+            .i32(last_delta)           # lastOffsetDelta
+            .i64(ts0).i64(max_ts)      # base/max timestamp
+            .i64(-1).i16(-1).i32(-1)   # producer id/epoch, base sequence
+            .i32(len(entries))
+            .raw(recs.done())).done()
+    crc = crc32c(tail)
+    batch = (Writer()
+             .i64(base_offset)
+             .i32(len(tail) + 4 + 4 + 1)  # partitionLeaderEpoch+magic+crc
+             .i32(-1)                     # partitionLeaderEpoch
+             .i8(2)                       # magic
+             .raw(struct.pack(">I", crc))
+             .raw(tail)).done()
+    return batch
+
+
+def _decode_one_batch_v2(buf: bytes, pos: int, end: int,
+                         out: list[WireMessage]) -> None:
+    r = Reader(buf, pos)
+    base_offset = r.i64()
+    r.i32()   # batchLength (end already computed by caller)
+    r.i32()   # partitionLeaderEpoch
+    magic = r.i8()
+    if magic != 2:
+        raise WireError(f"unexpected magic {magic} in record batch")
+    crc = struct.unpack(">I", r._take(4))[0]
+    body = buf[r.pos:end]
+    if crc32c(body) != crc:
+        raise WireError(f"record batch CRC mismatch at {base_offset}")
+    attrs = r.i16()
+    codec = attrs & 0x07
+    is_control = bool(attrs & 0x20)
+    r.i32()   # lastOffsetDelta
+    ts0 = r.i64()
+    r.i64()   # maxTimestamp
+    r.i64()   # producerId
+    r.i16()   # producerEpoch
+    r.i32()   # baseSequence
+    count = r.i32()
+    payload = buf[r.pos:end]
+    if codec == 1:
+        import gzip
+        payload = gzip.decompress(payload)
+    elif codec != 0:
+        raise WireError(
+            f"unsupported record-batch compression codec {codec} "
+            "(only none/gzip)")
+    rr = Reader(payload)
+    for _ in range(count):
+        rec_len = read_varint(rr)
+        rec_end = rr.pos + rec_len
+        rr.i8()  # record attributes
+        ts_delta = read_varint(rr)
+        off_delta = read_varint(rr)
+        klen = read_varint(rr)
+        key = rr._take(klen) if klen >= 0 else None
+        vlen = read_varint(rr)
+        value = rr._take(vlen) if vlen >= 0 else None
+        rr.pos = rec_end  # skip headers
+        if not is_control:
+            out.append(WireMessage(base_offset + off_delta, key, value,
+                                   ts0 + ts_delta))
+
+
+def decode_records(buf: bytes) -> list[WireMessage]:
+    """Unified Fetch-records decoder: v2 record batches AND legacy magic
+    0/1 message sets (both place the magic byte at offset 16 of each
+    entry). Tolerates a partial trailing entry (Fetch may truncate);
+    control batches are skipped."""
+    out: list[WireMessage] = []
+    pos = 0
+    n = len(buf)
+    while n - pos >= 17:
+        size = struct.unpack(">i", buf[pos + 8:pos + 12])[0]
+        magic = buf[pos + 16]
+        if magic == 2:
+            end = pos + 12 + size
+            if size < 49 or end > n:
+                break  # partial trailing batch
+            _decode_one_batch_v2(buf, pos, end, out)
+            pos = end
+        else:
+            # Legacy message set from this position to the end.
+            out.extend(decode_message_set(buf[pos:]))
+            return out
     return out
 
 

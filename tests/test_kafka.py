@@ -49,6 +49,49 @@ def test_message_crc_validated():
         kw.decode_message_set(bytes(buf))
 
 
+def test_record_batch_v2_roundtrip():
+    entries = [(5, b"k0", b"v0", 1700000000000), (6, None, b"v1", -1),
+               (7, b"k2", None, 1700000002000), (8, b"", b"x" * 1000, -1)]
+    buf = kw.encode_record_batch(entries, base_offset=5)
+    out = kw.decode_records(buf)
+    assert [(m.offset, m.key, m.value) for m in out] == \
+        [(e[0], e[1], e[2]) for e in entries]
+    assert out[0].timestamp_ms == 1700000000000
+    assert out[2].timestamp_ms == 1700000002000
+    # partial trailing batch tolerated (Fetch truncation)
+    assert kw.decode_records(buf + buf[:30]) and \
+        len(kw.decode_records(buf + buf[:30])) == 4
+
+
+def test_record_batch_crc32c_validated():
+    buf = bytearray(kw.encode_record_batch([(0, b"k", b"v", 1)]))
+    buf[-1] ^= 0xFF
+    with pytest.raises(kw.WireError):
+        kw.decode_records(bytes(buf))
+
+
+def test_decode_records_handles_legacy_and_v2():
+    legacy = kw.encode_message_set([(0, b"k", b"v")], timestamp_ms=42)
+    out = kw.decode_records(legacy)
+    assert [(m.key, m.value, m.timestamp_ms) for m in out] == \
+        [(b"k", b"v", 42)]
+    v2 = kw.encode_record_batch([(3, b"a", b"b", 99)], base_offset=3)
+    assert [(m.offset, m.timestamp_ms) for m in kw.decode_records(v2)] == \
+        [(3, 99)]
+
+
+def test_record_batch_unsupported_compression_rejected():
+    buf = bytearray(kw.encode_record_batch([(0, b"k", b"v", 1)]))
+    # attributes live right after baseOffset(8)+len(4)+epoch(4)+magic(1)+
+    # crc(4) = offset 21; set codec bits to snappy (2) and re-CRC.
+    buf[22] = (buf[22] & ~0x07) | 2
+    import struct as _s
+    crc = kw.crc32c(bytes(buf[21:]))
+    buf[17:21] = _s.pack(">I", crc)
+    with pytest.raises(kw.WireError, match="compression"):
+        kw.decode_records(bytes(buf))
+
+
 def test_consumer_protocol_payloads_roundtrip():
     sub = kw.encode_subscription(["image-processing", "image-processed"])
     assert kw.decode_subscription(sub) == ["image-processing",
@@ -328,8 +371,75 @@ def test_wire_decoders_raise_only_wireerror_on_garbage():
     for _trial in range(500):
         data = bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
         for fn in (kw.decode_message_set, kw.decode_subscription,
-                   kw.decode_assignment):
+                   kw.decode_assignment, kw.decode_records):
             try:
                 fn(data)
             except kw.WireError:
                 pass  # the only acceptable failure mode
+
+
+# -------------------------------------------- version negotiation matrix
+
+
+def test_modern_broker_uses_v2_batches_and_timestamps(server):
+    """Against an ApiVersions-speaking broker the client negotiates
+    Produce v3 / Fetch v4 (RecordBatch v2): timestamps survive the wire,
+    so queue_wait_ms works on real brokers."""
+    c = KafkaBroker(brokers=[server.address])
+    try:
+        c.create_topic("vt", 1)
+        before = time.time()
+        c.produce("vt", b"k", b"payload")
+        conn = next(iter(c._conns.values()))
+        assert conn.api_versions.get(kw.PRODUCE) == (0, 3)
+        assert conn.pick(kw.PRODUCE, 3) == 3
+        assert conn.pick(kw.FETCH, 4) == 4
+        [m] = c.poll("vt", "g", max_n=1)
+        assert m.value == b"payload"
+        assert before - 2 <= m.enqueued_at <= time.time() + 2
+        assert c.ack(m)
+    finally:
+        c.close()
+
+
+def test_legacy_broker_falls_back_to_v0():
+    """A pre-0.10 broker (no ApiVersions — the connection drops) still
+    works over v0 APIs with magic-0 message sets; timestamps are simply
+    unavailable there (enqueued_at == 0)."""
+    s = KafkaServer(default_partitions=1, legacy=True)
+    c = KafkaBroker(brokers=[s.address])
+    try:
+        c.create_topic("lt", 1)
+        c.produce("lt", b"k", b"old-school")
+        conn = next(iter(c._conns.values()))
+        assert conn.api_versions == {}
+        [m] = c.poll("lt", "g", max_n=1)
+        assert m.value == b"old-school"
+        assert m.enqueued_at == 0.0
+        assert c.ack(m)
+        [m2] = c.poll("lt", "g2", max_n=1)  # second group re-reads
+        assert m2.value == b"old-school"
+    finally:
+        c.close()
+        s.close()
+
+
+def test_no_common_version_raises_clear_error():
+    """A broker whose advertised range excludes every version the client
+    speaks must produce a clear MessageQueueError naming the ranges —
+    never an opaque WireError."""
+    from imageprocessor_tpu.errors import MessageQueueError
+
+    s = KafkaServer(default_partitions=1, api_versions_override={
+        kw.PRODUCE: (9, 12), kw.FETCH: (15, 17),
+        kw.METADATA: (0, 0), kw.API_VERSIONS: (0, 0),
+        kw.CREATE_TOPICS: (0, 0),
+    })
+    c = KafkaBroker(brokers=[s.address])
+    try:
+        c.create_topic("nt", 1)
+        with pytest.raises(MessageQueueError, match="no common version"):
+            c.produce("nt", b"k", b"v")
+    finally:
+        c.close()
+        s.close()
