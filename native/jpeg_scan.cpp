@@ -7,14 +7,16 @@
 // SIMD decode (see PERF.md); this decoder writes int16 planes (natural
 // order, spatial block layout, MCU-aligned dims) directly.
 //
-// Scope: baseline sequential DCT, Huffman coding, 8-bit samples, 1 or 3
-// components, single interleaved scan (the overwhelmingly common camera /
-// PIL / libjpeg output). Progressive or arithmetic files return an error
-// and callers fall back to libjpeg.
+// Scope: baseline sequential DCT (single interleaved scan) AND
+// progressive DCT (DC first/refine, AC first/refine with EOB runs, per
+// ITU T.81 G.1.2 — the common camera / PIL / libjpeg / web-export
+// outputs), Huffman coding, 8-bit samples, 1 or 3 components.
+// Arithmetic-coded and lossless files return an error and callers fall
+// back to libjpeg.
 //
 // Validated bit-exactly against libjpeg's coefficient output across
-// sizes, qualities, subsampling modes and restart intervals
-// (tests/test_jpeg_scan.py).
+// sizes, qualities, subsampling modes, restart intervals, and
+// progressive scan scripts (tests/test_jpeg_scan.py).
 
 #include <cstdint>
 #include <cstring>
@@ -194,6 +196,13 @@ struct Component {
   }
 };
 
+// One SOS header's parameters (progressive files carry many scans).
+struct ScanInfo {
+  int ncomps = 0;
+  int idx[3] = {0, 0, 0};  // indices into Decoder::comp
+  int ss = 0, se = 63, ah = 0, al = 0;
+};
+
 struct Decoder {
   const uint8_t* data;
   size_t len;
@@ -201,6 +210,9 @@ struct Decoder {
   int width = 0, height = 0, ncomp = 0;
   int hmax = 1, vmax = 1;
   int restart_interval = 0;
+  bool progressive = false;
+  unsigned int eobrun = 0;  // EOB-run state, persists across blocks
+  ScanInfo scan;
   Component comp[3];
   HuffTable dc[4], ac[4];
   uint16_t qtab[4][64] = {};   // natural order
@@ -227,6 +239,9 @@ struct Decoder {
       size_t seg_end = pos + static_cast<size_t>(seglen) - 2;
       if (seg_end > len) return 13;
       switch (m) {
+        case 0xC2:  // SOF2 progressive DCT (same SOF layout)
+          progressive = true;
+          [[fallthrough]];
         case 0xC0:  // SOF0 baseline
         case 0xC1: {  // extended sequential (same coding model)
           if (seg_end - pos < 6) return 23;  // truncated SOF
@@ -261,67 +276,23 @@ struct Decoder {
           }
           break;
         }
-        case 0xC2:
         case 0xC3: case 0xC5: case 0xC6: case 0xC7:
         case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
-          return 20;  // progressive/arithmetic/lossless: caller falls back
-        case 0xC4: {  // DHT (may hold several tables)
-          size_t q = pos;
-          while (q + 17 <= seg_end) {
-            int tc = data[q] >> 4, th = data[q] & 15;
-            if (tc > 1 || th > 3) return 17;
-            const uint8_t* bits = data + q + 1;
-            int nv = 0;
-            for (int i = 0; i < 16; ++i) nv += bits[i];
-            if (q + 17 + static_cast<size_t>(nv) > seg_end || nv > 256)
-              return 18;
-            (tc == 0 ? dc[th] : ac[th]).build(bits, data + q + 17, nv);
-            q += 17 + static_cast<size_t>(nv);
-          }
+          return 20;  // arithmetic/lossless: caller falls back
+        case 0xC4: {  // DHT
+          int rc = parse_dht(seg_end);
+          if (rc != 0) return rc;
           break;
         }
         case 0xDD:  // DRI
           if (seg_end - pos < 2) return 23;
           restart_interval = (data[pos] << 8) | data[pos + 1];
           break;
-        case 0xDA: {  // SOS
-          if (seg_end - pos < 1) return 23;
-          int ns = data[pos];
-          if (ns != ncomp) return 19;  // single interleaved scan only
-          if (seg_end - pos < 1 + 2 * static_cast<size_t>(ns) + 3)
-            return 23;
-          for (int s = 0; s < ns; ++s) {
-            int cid = data[pos + 1 + 2 * s];
-            int tbls = data[pos + 2 + 2 * s];
-            if ((tbls >> 4) > 3 || (tbls & 15) > 3) return 28;
-            for (int c = 0; c < ncomp; ++c) {
-              if (comp[c].id == cid) {
-                comp[c].dc_tbl = tbls >> 4;
-                comp[c].ac_tbl = tbls & 15;
-              }
-            }
-          }
-          pos = seg_end;  // entropy data starts here
-          return 0;
-        }
-        case 0xDB: {  // DQT — values stored zigzag in the stream
-          size_t q = pos;
-          while (q < seg_end) {
-            int pq = data[q] >> 4, tq = data[q] & 15;
-            ++q;
-            if (tq > 3 || pq > 1) return 22;
-            if (seg_end - q < (pq ? 128u : 64u)) return 23;  // truncated
-            for (int i = 0; i < 64; ++i) {
-              int val;
-              if (pq) {
-                val = (data[q] << 8) | data[q + 1];
-                q += 2;
-              } else {
-                val = data[q++];
-              }
-              qtab[tq][kZigzag[i]] = static_cast<uint16_t>(val);
-            }
-          }
+        case 0xDA:  // SOS — entropy data starts at seg_end
+          return parse_sos(seg_end);
+        case 0xDB: {  // DQT
+          int rc = parse_dqt(seg_end);
+          if (rc != 0) return rc;
           break;
         }
         default:
@@ -330,6 +301,146 @@ struct Decoder {
       pos = seg_end;
     }
     return 21;
+  }
+
+  int parse_dht(size_t seg_end) {  // may hold several tables
+    size_t q = pos;
+    while (q + 17 <= seg_end) {
+      int tc = data[q] >> 4, th = data[q] & 15;
+      if (tc > 1 || th > 3) return 17;
+      const uint8_t* bits = data + q + 1;
+      int nv = 0;
+      for (int i = 0; i < 16; ++i) nv += bits[i];
+      if (q + 17 + static_cast<size_t>(nv) > seg_end || nv > 256)
+        return 18;
+      (tc == 0 ? dc[th] : ac[th]).build(bits, data + q + 17, nv);
+      q += 17 + static_cast<size_t>(nv);
+    }
+    return 0;
+  }
+
+  int parse_dqt(size_t seg_end) {  // values stored zigzag in the stream
+    size_t q = pos;
+    while (q < seg_end) {
+      int pq = data[q] >> 4, tq = data[q] & 15;
+      ++q;
+      if (tq > 3 || pq > 1) return 22;
+      if (seg_end - q < (pq ? 128u : 64u)) return 23;  // truncated
+      for (int i = 0; i < 64; ++i) {
+        int val;
+        if (pq) {
+          val = (data[q] << 8) | data[q + 1];
+          q += 2;
+        } else {
+          val = data[q++];
+        }
+        qtab[tq][kZigzag[i]] = static_cast<uint16_t>(val);
+      }
+    }
+    return 0;
+  }
+
+  int parse_sos(size_t seg_end) {
+    if (seg_end - pos < 1) return 23;
+    int ns = data[pos];
+    if (ns < 1 || ns > 3) return 19;
+    // Baseline keeps the single-interleaved-scan restriction; progressive
+    // scans may cover any subset (AC scans MUST be one component).
+    if (!progressive && ns != ncomp) return 19;
+    if (seg_end - pos < 1 + 2 * static_cast<size_t>(ns) + 3) return 23;
+    scan.ncomps = ns;
+    for (int s = 0; s < ns; ++s) {
+      int cid = data[pos + 1 + 2 * s];
+      int tbls = data[pos + 2 + 2 * s];
+      if ((tbls >> 4) > 3 || (tbls & 15) > 3) return 28;
+      int found = -1;
+      for (int c = 0; c < ncomp; ++c) {
+        if (comp[c].id == cid) found = c;
+      }
+      if (found < 0) return 19;
+      comp[found].dc_tbl = tbls >> 4;
+      comp[found].ac_tbl = tbls & 15;
+      scan.idx[s] = found;
+    }
+    const uint8_t* q = data + pos + 1 + 2 * static_cast<size_t>(ns);
+    scan.ss = q[0];
+    scan.se = q[1];
+    scan.ah = q[2] >> 4;
+    scan.al = q[2] & 15;
+    if (scan.ss > 63 || scan.se > 63 || scan.se < scan.ss) return 29;
+    if (progressive) {
+      if (scan.ss > 0 && ns != 1) return 29;  // AC scans: one component
+      if (scan.ss == 0 && scan.se != 0) return 29;  // DC scan: Se == 0
+      if (scan.ah > 13 || scan.al > 13) return 29;
+      if (scan.ah != 0 && scan.ah != scan.al + 1) return 29;
+    }
+    pos = seg_end;  // entropy data starts here
+    return 0;
+  }
+
+  // Raw-scan past a scan's entropy data to the next real marker
+  // (stuffed 0xFF00 and RSTn are part of the entropy stream).
+  size_t find_scan_end(size_t start) const {
+    size_t i = start;
+    while (i + 1 < len) {
+      if (data[i] == 0xFF) {
+        const uint8_t m = data[i + 1];
+        if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) {
+          i += 2;
+          continue;
+        }
+        if (m == 0xFF) {  // fill byte
+          i += 1;
+          continue;
+        }
+        return i;
+      }
+      ++i;
+    }
+    return len;
+  }
+
+  // Parse inter-scan segments until the next SOS (progressive files
+  // interleave DHT/DRI with scans). Returns 0 = scan ready, 1 = EOI /
+  // end of stream, else an error code.
+  int parse_next_scan() {
+    while (pos + 2 <= len) {
+      if (data[pos] != 0xFF) return 11;
+      uint8_t m = data[pos + 1];
+      if (m == 0xFF) {  // fill byte
+        ++pos;
+        continue;
+      }
+      pos += 2;
+      if (m == 0xD9) return 1;  // EOI
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
+      int seglen = u16();
+      if (seglen < 2) return 12;
+      size_t seg_end = pos + static_cast<size_t>(seglen) - 2;
+      if (seg_end > len) return 13;
+      switch (m) {
+        case 0xC4: {
+          int rc = parse_dht(seg_end);
+          if (rc != 0) return rc;
+          break;
+        }
+        case 0xDD:
+          if (seg_end - pos < 2) return 23;
+          restart_interval = (data[pos] << 8) | data[pos + 1];
+          break;
+        case 0xDB: {
+          int rc = parse_dqt(seg_end);
+          if (rc != 0) return rc;
+          break;
+        }
+        case 0xDA:
+          return parse_sos(seg_end);
+        default:
+          break;
+      }
+      pos = seg_end;
+    }
+    return 1;  // tolerate a missing EOI
   }
 
   // Writes ONLY the non-zero coefficients; the caller's plane must be
@@ -444,6 +555,205 @@ struct Decoder {
     }
     return 0;
   }
+
+  // ---------------------------------------------------- progressive scans
+  // ITU T.81 G.1.2 / libjpeg jdphuff semantics: DC first/refine, AC
+  // first/refine with EOB runs. Coefficients accumulate across scans in
+  // the same output planes the baseline path writes.
+
+  int decode_prog_dc_block(BitReader& br, Component& c, int16_t* blk) {
+    if (scan.ah == 0) {  // first DC scan: diff-coded, scaled by 2^Al
+      const HuffTable& dct = dc[c.dc_tbl];
+      if (!dct.present) return 30;
+      br.fill();
+      int s = huff_decode(br, dct);
+      if (s < 0 || s > 11) return 31;
+      int diff = s ? extend(br.get_bits_nofill(s), s) : 0;
+      c.pred += diff;
+      blk[0] = static_cast<int16_t>(
+          static_cast<unsigned>(c.pred) << scan.al);
+    } else {  // refinement: one bit per block at position Al
+      if (br.get_bits(1))
+        blk[0] = static_cast<int16_t>(blk[0] | (1 << scan.al));
+    }
+    return 0;
+  }
+
+  int decode_ac_first_block(BitReader& br, Component& c, int16_t* blk) {
+    if (eobrun > 0) {  // block is inside an EOB run: all-zero band
+      --eobrun;
+      return 0;
+    }
+    const HuffTable& act = ac[c.ac_tbl];
+    if (!act.present) return 30;
+    const int32_t* zig = c.zigoff;
+    for (int k = scan.ss; k <= scan.se; ++k) {
+      if (br.nbits < 26) br.fill();
+      int rs = huff_decode(br, act);
+      if (rs < 0) return 32;
+      int r = rs >> 4, s = rs & 15;
+      if (s) {
+        if (s > 10) return 34;
+        k += r;
+        if (k > scan.se) return 33;
+        int v = extend(br.get_bits_nofill(s), s);
+        blk[zig[k]] = static_cast<int16_t>(
+            static_cast<unsigned>(v) << scan.al);
+      } else {
+        if (r != 15) {  // EOBr: run of 2^r + appended bits blocks
+          eobrun = 1u << r;
+          if (r) eobrun += static_cast<unsigned>(br.get_bits(r));
+          --eobrun;  // this block is a member of the run
+          break;
+        }
+        k += 15;  // ZRL
+      }
+    }
+    return 0;
+  }
+
+  int decode_ac_refine_block(BitReader& br, Component& c, int16_t* blk) {
+    const HuffTable& act = ac[c.ac_tbl];
+    if (!act.present) return 30;
+    const int p1 = 1 << scan.al;
+    const int m1 = -(1 << scan.al);
+    const int32_t* zig = c.zigoff;
+    int k = scan.ss;
+    if (eobrun == 0) {
+      for (; k <= scan.se; ++k) {
+        if (br.nbits < 26) br.fill();
+        int rs = huff_decode(br, act);
+        if (rs < 0) return 32;
+        int r = rs >> 4, s = rs & 15;
+        int val = 0;
+        if (s) {
+          if (s != 1) return 34;  // a newly-nonzero coef is always +-1
+          val = br.get_bits(1) ? p1 : m1;
+        } else if (r != 15) {
+          eobrun = 1u << r;
+          if (r) eobrun += static_cast<unsigned>(br.get_bits(r));
+          break;  // rest of the band handled by the EOB logic below
+        }
+        // Advance over already-nonzero coefs (appending correction
+        // bits) and r still-zero coefs, to the target zero position.
+        while (k <= scan.se) {
+          int16_t* coefp = blk + zig[k];
+          if (*coefp != 0) {
+            if (br.get_bits(1)) {
+              if ((*coefp & p1) == 0)
+                *coefp = static_cast<int16_t>(
+                    *coefp + (*coefp >= 0 ? p1 : m1));
+            }
+          } else {
+            if (--r < 0) break;
+          }
+          ++k;
+        }
+        if (val) {
+          if (k > scan.se) return 33;
+          blk[zig[k]] = static_cast<int16_t>(val);
+        }
+      }
+    }
+    if (eobrun > 0) {
+      // Append correction bits to the remaining nonzero coefs of a
+      // block inside the EOB run.
+      for (; k <= scan.se; ++k) {
+        int16_t* coefp = blk + zig[k];
+        if (*coefp != 0) {
+          if (br.get_bits(1)) {
+            if ((*coefp & p1) == 0)
+              *coefp = static_cast<int16_t>(
+                  *coefp + (*coefp >= 0 ? p1 : m1));
+          }
+        }
+      }
+      --eobrun;
+    }
+    return 0;
+  }
+
+  int decode_progressive_scan() {
+    BitReader br{data + pos, data + len};
+    eobrun = 0;
+    for (int c = 0; c < ncomp; ++c) comp[c].pred = 0;
+    const int mcus_x = (width + hmax * 8 - 1) / (hmax * 8);
+    const int mcus_y = (height + vmax * 8 - 1) / (vmax * 8);
+    const bool interleaved = scan.ncomps > 1;
+    Component& sc = comp[scan.idx[0]];
+    int units, ux;
+    if (interleaved) {
+      units = mcus_x * mcus_y;
+      ux = mcus_x;
+    } else {
+      // Non-interleaved geometry: the component's OWN block grid
+      // (T.81 A.2.2), which can be smaller than the MCU-aligned
+      // output plane; writes use the plane stride.
+      const int sw = (width * sc.h + hmax - 1) / hmax;
+      const int sh = (height * sc.v + vmax - 1) / vmax;
+      ux = (sw + 7) / 8;
+      units = ux * ((sh + 7) / 8);
+    }
+    int until_rst = restart_interval ? restart_interval : units + 1;
+    for (int u = 0; u < units; ++u) {
+      if (interleaved) {  // interleaved scans are DC scans (ss == 0)
+        const int my = u / ux, mx = u % ux;
+        for (int s = 0; s < scan.ncomps; ++s) {
+          Component& cc = comp[scan.idx[s]];
+          const int stride = cc.bw * 8;
+          for (int v = 0; v < cc.v; ++v) {
+            for (int h = 0; h < cc.h; ++h) {
+              const int bx = mx * cc.h + h;
+              const int by = my * cc.v + v;
+              int16_t* blk = cc.out
+                  + static_cast<size_t>(by) * 8 * stride
+                  + static_cast<size_t>(bx) * 8;
+              int rc = decode_prog_dc_block(br, cc, blk);
+              if (rc != 0) return rc;
+            }
+          }
+        }
+      } else {
+        const int by = u / ux, bx = u % ux;
+        const int stride = sc.bw * 8;
+        int16_t* blk = sc.out
+            + static_cast<size_t>(by) * 8 * stride
+            + static_cast<size_t>(bx) * 8;
+        int rc = (scan.ss == 0)
+            ? decode_prog_dc_block(br, sc, blk)
+            : (scan.ah == 0 ? decode_ac_first_block(br, sc, blk)
+                            : decode_ac_refine_block(br, sc, blk));
+        if (rc != 0) return rc;
+      }
+      if (--until_rst == 0 && u != units - 1) {
+        if (!br.saw_marker) br.fill();
+        if (br.saw_marker && br.marker >= 0xD0 && br.marker <= 0xD7) {
+          br.p += 1;
+          br.align_and_clear_marker();
+        } else {
+          return 34;
+        }
+        for (int c = 0; c < ncomp; ++c) comp[c].pred = 0;
+        eobrun = 0;
+        until_rst = restart_interval;
+      }
+    }
+    return 0;
+  }
+
+  // Decode the whole file: one scan for baseline, the full scan script
+  // for progressive (headers already parsed to the first SOS).
+  int decode_all() {
+    if (!progressive) return decode_scan();
+    while (true) {
+      int rc = decode_progressive_scan();
+      if (rc != 0) return rc;
+      pos = find_scan_end(pos);
+      rc = parse_next_scan();
+      if (rc == 1) return 0;
+      if (rc != 0) return rc;
+    }
+  }
 };
 
 }  // namespace
@@ -499,7 +809,7 @@ int ip_jpeg_scan_coefs(const uint8_t* data, size_t len,
     d.comp[c].build_zigoff();
     if (outs[c] == nullptr) return 40;
   }
-  return d.decode_scan();
+  return d.decode_all();
 }
 
 // Multithreaded streaming entropy decode. The stream must carry restart
@@ -524,7 +834,9 @@ int ip_jpeg_scan_coefs_mt(const uint8_t* data, size_t len, int nthreads,
     if (outs[c] == nullptr) return 40;
   }
   const int ri = d.restart_interval;
-  if (ri <= 0 || nthreads <= 1) return d.decode_scan();
+  // Progressive files run the sequential multi-scan path: the restart-
+  // segment parallelism below assumes one scan covering all MCUs.
+  if (d.progressive || ri <= 0 || nthreads <= 1) return d.decode_all();
 
   // Segment k starts at offset[k] and covers MCUs [k*ri, ...). Offsets
   // come from a raw byte scan for RSTn markers: inside entropy data a

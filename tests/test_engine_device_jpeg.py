@@ -161,14 +161,29 @@ def test_grayscale_falls_back_and_completes(engines):
     assert res.result.status is ImageStatus.COMPLETED, res.result.error
 
 
-def test_progressive_falls_back(engines):
-    (e1, _), _ = engines
+def test_progressive_joins_device_decode_path(engines):
+    """Progressive uploads now flow through the streaming scanner into
+    the coefficient path (round-3: native progressive scan passes) and
+    must match the host-decoded engine."""
+    (e1, s1), (e2, s2) = engines
     arr = RNG.integers(0, 256, (150, 180, 3), dtype=np.uint8)
     bio = io.BytesIO()
     PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
                                  progressive=True)
-    res = e1.process_tasks([(make_task(), bio.getvalue())])[0]
-    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    blob = bio.getvalue()
+    from imageprocessor_tpu.models.plan import normalize_operations
+    plan = normalize_operations(make_task().operations)
+    out = e1.decode_for_plan(blob, plan)
+    assert out[2].startswith("coef"), out[2]
+    r1 = e1.process_tasks([(make_task(), blob)])[0]
+    r2 = e2.process_tasks([(make_task(), blob)])[0]
+    assert r1.result.status is ImageStatus.COMPLETED, r1.result.error
+    for op in ("thumbnail", "resize"):
+        x, _ = decode_image(s1.get_object(r1.result.processed_paths[op]))
+        y, _ = decode_image(s2.get_object(r2.result.processed_paths[op]))
+        diff = np.abs(x.astype(int) - y.astype(int))
+        mse = (diff.astype(float) ** 2).mean()
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 45.0
 
 
 def test_device_encode_watermark_output(engines):

@@ -93,14 +93,54 @@ def test_restart_intervals_bit_exact():
         assert_scan_matches_libjpeg(jpeg)
 
 
-def test_progressive_rejected_cleanly():
-    jpeg = make_jpeg(100, 100, progressive=True)
+@pytest.mark.parametrize("subsampling", [0, 1, 2],
+                         ids=["444", "422", "420"])
+def test_progressive_bit_exact(subsampling):
+    """Progressive scan scripts (DC first/refine, AC first/refine with
+    EOB runs) decode bit-exactly vs libjpeg's buffered coefficients."""
+    assert_scan_matches_libjpeg(
+        make_jpeg(121, 165, subsampling=subsampling, progressive=True))
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (7, 5), (100, 100), (17, 333),
+                                (257, 16), (480, 640)])
+def test_progressive_sizes_bit_exact(hw):
+    assert_scan_matches_libjpeg(make_jpeg(*hw, progressive=True))
+
+
+@pytest.mark.parametrize("quality", [60, 85, 95])
+def test_progressive_qualities_bit_exact(quality):
+    assert_scan_matches_libjpeg(
+        make_jpeg(180, 220, quality=quality, progressive=True))
+
+
+def test_progressive_grayscale_bit_exact():
+    assert_scan_matches_libjpeg(make_jpeg(90, 130, mode="L",
+                                          progressive=True))
+
+
+def test_progressive_mt_entry_point_sequential_fallback():
+    """The multithreaded entry point must route progressive files through
+    the sequential multi-scan path (restart-segment parallelism assumes
+    one scan) and still be bit-exact."""
+    jpeg = make_jpeg(150, 200, progressive=True)
+    ref_planes, _, _, _ = nc.read_jpeg_coefficients(jpeg)
+    planes, _, _, _ = nc.scan_jpeg_coefficients(jpeg, threads=4)
+    for got, want in zip(planes, ref_planes):
+        np.testing.assert_array_equal(
+            got[:want.shape[0], :want.shape[1]], want)
+
+
+def test_arithmetic_and_lossless_rejected_cleanly():
+    """Non-Huffman/non-DCT SOFs still reject so callers fall back."""
+    jpeg = bytearray(make_jpeg(64, 64))
+    i = jpeg.find(b"\xff\xc0")
+    if i < 0:
+        i = jpeg.find(b"\xff\xc2")
+    assert i >= 0
+    jpeg[i + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(nc.NativeCodecError):
-        nc.scan_jpeg_coefficients(jpeg)
-    # ...and the libjpeg fallback still handles it
-    planes, _, dims, _ = nc.read_jpeg_coefficients(jpeg)
-    assert dims == (100, 100)
-    assert len(planes) == 3
+        nc.scan_jpeg_coefficients(bytes(jpeg))
 
 
 def test_garbage_rejected_cleanly():
@@ -130,10 +170,13 @@ def test_fuzzed_streams_never_crash():
     segfaulted on header segments with lying lengths near EOF (DQT/SOF/
     SOS over-reads) and unvalidated quant/Huffman table indices."""
     rng = np.random.default_rng(99)
-    base = bytearray(make_jpeg(120, 150, quality=88))
+    bases = [bytearray(make_jpeg(120, 150, quality=88)),
+             # progressive base: fuzzes the multi-scan parse loops
+             # (parse_next_scan / find_scan_end / refinement decoders)
+             bytearray(make_jpeg(120, 150, quality=88, progressive=True))]
     survived = 0
     for trial in range(400):
-        buf = bytearray(base)
+        buf = bytearray(bases[trial % 2])
         kind = trial % 5
         if kind == 0:
             buf = buf[:rng.integers(2, len(buf))]
