@@ -118,6 +118,9 @@ class WorkerConfig:
     batch_size: int = 32          # max images per device micro-batch
     batch_deadline_ms: float = 25  # flush partial batch after this long
     max_queue_depth: int = 256
+    # Broker lease per delivered message: a crashed worker's in-flight
+    # messages redeliver after this long (at-least-once recovery bound).
+    lease_s: float = 300.0
     commit_interval_ms: float = 200
     # Optional completion push: POST each ProcessingResult JSON here
     # (retry-wrapped; failures are logged, never fatal).
@@ -231,6 +234,8 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
                                         cfg.worker.batch_deadline_ms, errors)
     cfg.worker.max_queue_depth = _get(env, "WORKER_MAX_QUEUE_DEPTH", int,
                                       cfg.worker.max_queue_depth, errors)
+    cfg.worker.lease_s = _get(env, "WORKER_LEASE_S", float,
+                              cfg.worker.lease_s, errors)
 
     cfg.device.platform = env.get("DEVICE_PLATFORM", cfg.device.platform)
     cfg.device.data_axis = _get(env, "DEVICE_DATA_AXIS", int, cfg.device.data_axis, errors)

@@ -75,7 +75,7 @@ class PipelinedWorker(Worker):
             try:
                 msgs = self.broker.poll(topic, group_id,
                                         max_n=self.cfg.worker.batch_size,
-                                        lease_s=300.0)
+                                        lease_s=self.cfg.worker.lease_s)
                 if not msgs:
                     self._flush_due()
                     self._stop.wait(self._idle_sleep)

@@ -128,7 +128,7 @@ class Worker:
         group = self.cfg.broker.group_id
         msgs = self.broker.poll(topic, group,
                                 max_n=max_n or self.cfg.worker.batch_size,
-                                lease_s=300.0)
+                                lease_s=self.cfg.worker.lease_s)
         if not msgs:
             return 0
         t0 = time.monotonic()

@@ -126,6 +126,13 @@ class PostgresMetadataStore(MetadataStore):
 
     def save_processed_image(self, processed: ProcessedImage) -> None:
         with self._cursor() as cur:
+            # Idempotent under at-least-once replay (see sqlite_meta):
+            # same (image, operation, path) replaces, never duplicates.
+            cur.execute(
+                "DELETE FROM processed_images WHERE image_id = %s"
+                " AND operation = %s AND path = %s",
+                (processed.image_id, str(processed.operation),
+                 processed.path))
             cur.execute(
                 "INSERT INTO processed_images (id, image_id, operation,"
                 " parameters, path, size, mime_type, format, status,"

@@ -109,6 +109,16 @@ class SQLiteMetadataStore(MetadataStore):
     def save_processed_image(self, processed: ProcessedImage) -> None:
         pid = processed.id or str(uuid.uuid4())
         with self._lock:
+            # Idempotent under at-least-once replay: output paths are
+            # deterministic per (image, operation), so a redelivered task
+            # re-recording the same artifact replaces its row instead of
+            # accumulating duplicates (delete+insert keeps the reference
+            # drop-in schema free of extra unique indexes).
+            self._conn.execute(
+                "DELETE FROM processed_images WHERE image_id = ?"
+                " AND operation = ? AND path = ?",
+                (processed.image_id, str(processed.operation),
+                 processed.path))
             self._conn.execute(
                 "INSERT INTO processed_images (id, image_id, operation,"
                 " parameters, path, size, mime_type, format, status,"
