@@ -204,6 +204,135 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
     }
 
 
+def bench_device_jpeg_step(batch: int, src_hw_px=(3000, 4000),
+                           resize_to=(768, 1024), thumb=200):
+    """Time the FULL device-JPEG production step: batched coefficient
+    decode (IDCT + fancy upsample + color convert) -> fused pipeline ->
+    batched 4:2:0 encode front half, chained on-device with the same
+    fori_loop slope harness as the pixel step. This is the default
+    serving path on TPU hosts (engine device_jpeg auto-on), so its rate
+    is what the end-to-end per-host-core estimate composes with the
+    host entropy scan + emit."""
+    import jax
+    import jax.numpy as jnp
+
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.models.pipeline import PipelineModel, plan_output_specs
+    from imageprocessor_tpu.models.plan import normalize_operations
+    from imageprocessor_tpu.ops.coords import keep_aspect_dims
+    from imageprocessor_tpu.ops.jpeg_decode import batched_decode_ycbcr
+    from imageprocessor_tpu.ops.jpeg_encode import (
+        batched_encode_420,
+        quality_qtables,
+    )
+    from imageprocessor_tpu.runtime import nativecodec as nc
+    from imageprocessor_tpu.runtime.batcher import bucket_for
+    from imageprocessor_tpu.runtime.codecs import encode_image
+
+    src_h, src_w = src_hw_px
+    bucket_h, bucket_w = bucket_for(src_h, src_w)
+    if bucket_h % 16 or bucket_w % 16 or not nc.available():
+        return None
+    plan = normalize_operations([
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": thumb, "crop_to_fit": True}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": resize_to[1], "height": resize_to[0],
+                         "keep_aspect": True}),
+        OperationParams(OperationType.WATERMARK,
+                        {"text": "© ImageProcessor"}),
+    ])
+    model = PipelineModel()
+    if not model.supports_planar(plan, (bucket_h, bucket_w)):
+        return None  # device-JPEG serving needs the planar Pallas path
+
+    _progress("device-jpeg step: scanning input coefficients")
+    imgs_np, src_hw_np = make_inputs(batch, src_h, src_w, src_h, src_w)
+    yc = np.zeros((batch, bucket_h, bucket_w), dtype=np.int16)
+    cbc = np.zeros((batch, bucket_h // 2, bucket_w // 2), dtype=np.int16)
+    crc = np.zeros((batch, bucket_h // 2, bucket_w // 2), dtype=np.int16)
+    qt = np.zeros((batch, 3, 8, 8), dtype=np.float32)
+    cv = np.ones((batch, 2), dtype=np.int32)
+    for i in range(batch):
+        jpeg = encode_image(imgs_np[i], "jpeg", 85)
+        planes, qtabs, _dims, _samp = nc.scan_jpeg_coefficients(jpeg)
+        y, cb, cr = planes
+        yc[i, :y.shape[0], :y.shape[1]] = y
+        cbc[i, :cb.shape[0], :cb.shape[1]] = cb
+        crc[i, :cr.shape[0], :cr.shape[1]] = cr
+        qt[i] = np.asarray(qtabs, dtype=np.float32)
+        cv[i] = cb.shape
+
+    out_w, out_h = keep_aspect_dims(src_w, src_h, resize_to[1], resize_to[0])
+    out_hw_np = np.tile(np.asarray([[out_h, out_w]], np.int32), (batch, 1))
+    out_hws = {1: out_hw_np}
+    specs = plan_output_specs(plan, (bucket_h, bucket_w))
+    fused_meta, fused_arrays = model._fused_setup(
+        plan, (bucket_h, bucket_w), batch, src_hw_np.astype(np.int32),
+        out_hws)
+    skip = fused_meta[:2] if fused_meta else ()
+    pallas_plans, pallas_args = model._pallas_setup(
+        plan, (bucket_h, bucket_w), batch, src_hw_np.astype(np.int32),
+        out_hws, specs, skip=skip)
+    if fused_arrays is not None:
+        pallas_args["fused"] = fused_arrays
+    raw_step = model.get_raw_step(plan, specs, pallas_plans, "chw",
+                                  fused_meta)
+    wm_args = model.prepare_wm_args(plan)
+    dummy = np.zeros((batch, 2), dtype=np.int32)
+
+    dev = jax.devices()[0]
+    src_hw_dev = jax.device_put(src_hw_np.astype(np.int32), dev)
+    hws = tuple(jax.device_put(np.asarray(out_hws.get(i, dummy),
+                                          dtype=np.int32), dev)
+                for i in range(len(plan.ops)))
+    cbc_dev = jax.device_put(cbc, dev)
+    crc_dev = jax.device_put(crc, dev)
+    qt_dev = jax.device_put(qt, dev)
+    cv_dev = jax.device_put(cv, dev)
+    eqt = jax.device_put(np.asarray(quality_qtables(85), dtype=np.float32),
+                         dev)
+
+    def body(_i, ycoef):
+        pix = batched_decode_ycbcr(ycoef, cbc_dev, crc_dev, qt_dev, cv_dev,
+                                   fh=2, fw=2)
+        outs = raw_step(pix, src_hw_dev, hws, wm_args, pallas_args)
+        ey, _ecb, _ecr = batched_encode_420(outs[2], src_hw_dev, eqt)
+        dep = (outs[0].reshape(-1)[0].astype(jnp.int16)
+               ^ outs[1].reshape(-1)[0].astype(jnp.int16)
+               ^ ey.reshape(-1)[0].astype(jnp.int16))
+        return ycoef.at[0, 0, 0].set(ycoef[0, 0, 0] ^ dep)
+
+    def looped(y0, k):
+        return jax.lax.fori_loop(0, k, body, y0)
+
+    loop_j = jax.jit(looped)
+    _progress("device-jpeg step: warmup compile")
+    yc_dev = jax.device_put(yc, dev)
+    np.asarray(loop_j(yc_dev, 2).reshape(-1)[0])
+
+    def _timed(k: int) -> float:
+        t0 = time.monotonic()
+        np.asarray(loop_j(yc_dev, k).reshape(-1)[0])
+        return time.monotonic() - t0
+
+    k_small, k_big = 4, 16
+    _timed(k_small)
+    tb = _timed(k_big)
+    while tb < 1.5 and k_big < 1024:
+        k_big *= 4
+        tb = _timed(k_big)
+    _progress(f"device-jpeg step: measuring (k_big={k_big})")
+    slopes = []
+    for _ in range(2):
+        ts = _timed(k_small)
+        tb = _timed(k_big)
+        slopes.append(max((tb - ts) / (k_big - k_small), 1e-9))
+    per_batch_s = sum(slopes) / len(slopes)
+    return {"device_jpeg_step_images_per_sec": batch / per_batch_s,
+            "batch": batch}
+
+
 def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
     """Single-core host codec rates (cv2/libjpeg-turbo)."""
     from imageprocessor_tpu.runtime.codecs import decode_image, encode_image
@@ -449,18 +578,37 @@ def main() -> int:
                                     src_hw_px=(480, 640),
                                     resize_to=(96, 128), thumb=64)
         codecs = bench_host_codecs(src_hw_px=(480, 640), n=2)
+        djpeg = None
     else:
         dev = bench_device_pipeline(batch=args.batch or 8,
                                     iters=args.iters or 6)
         codecs = bench_host_codecs()
+        try:
+            djpeg = bench_device_jpeg_step(batch=args.batch or 8)
+        except Exception as exc:  # never fail the whole bench for it
+            _progress(f"device-jpeg step bench skipped: {exc}")
+            djpeg = None
 
     psnr_db = quick_psnr_check()
 
     value = dev["device_step_images_per_sec"]
-    # End-to-end on THIS host: decode+encode share one core with everything.
+    # End-to-end on THIS host, on the DEFAULT serving path. With the
+    # native scanner present and a TPU backend, device_jpeg is on by
+    # default (engine auto policy): the host keeps only the entropy scan
+    # + emit, the dense codec halves run on-chip inside the step.
     dec = codecs["host_decode_images_per_sec_per_core"]
     enc = codecs["host_encode_images_per_sec_per_core"]
-    e2e_one_core = 1.0 / (1.0 / dec + 1.0 / enc + 1.0 / max(value, 1e-9))
+    scan = codecs.get("host_entropy_scan_images_per_sec_per_core")
+    emit = codecs.get("host_entropy_emit_images_per_sec_per_core")
+    e2e_host_codec = 1.0 / (1.0 / dec + 1.0 / enc + 1.0 / max(value, 1e-9))
+    if djpeg and scan and emit:
+        dj_rate = djpeg["device_jpeg_step_images_per_sec"]
+        e2e_one_core = 1.0 / (1.0 / scan + 1.0 / emit
+                              + 1.0 / max(dj_rate, 1e-9))
+        e2e_path = "device_jpeg"
+    else:
+        e2e_one_core = e2e_host_codec
+        e2e_path = "host_codec"
 
     out = {
         "metric": "12MP images/sec/chip (decode→resize→watermark"
@@ -478,6 +626,11 @@ def main() -> int:
         "tunnel_h2d_mbps": round(dev["tunnel_h2d_mbps"], 1),
         "tunnel_d2h_mbps": round(dev["tunnel_d2h_mbps"], 1),
         "end_to_end_one_host_core_images_per_sec": round(e2e_one_core, 2),
+        "end_to_end_path": e2e_path,
+        "end_to_end_one_host_core_host_codec_images_per_sec": round(
+            e2e_host_codec, 2),
+        **({"device_jpeg_step_images_per_sec": round(
+            djpeg["device_jpeg_step_images_per_sec"], 2)} if djpeg else {}),
         "host_decode_images_per_sec_per_core": round(dec, 2),
         "host_encode_images_per_sec_per_core": round(enc, 2),
         # Host halves of the TPU-side JPEG codec (see PERF.md): the
