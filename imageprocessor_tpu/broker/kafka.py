@@ -253,22 +253,43 @@ class KafkaBroker(Broker):
         Leaderless partitions (mid leader-election) are KEPT with a None
         address: the partition COUNT must stay stable so keyed produce
         maps every key to the same partition across leader changes
-        (reference per-image ordering, usecase/image/image.go:93-98)."""
+        (reference per-image ordering, usecase/image/image.go:93-98).
+
+        Metadata v4 against modern brokers (Kafka 4.x removed v0-v3,
+        KIP-896), v0 fallback for ancient ones."""
         if not force and topic in self._meta:
             return self._meta[topic]
         conn = self._any_conn()
-        body = kw.Writer().array([topic], lambda w, t: w.string(t)).done()
-        r = conn.request(kw.METADATA, 0, body)
+        ver = conn.pick(kw.METADATA, 4)
+        if ver < 0:
+            raise MessageQueueError(
+                f"broker advertises Metadata versions "
+                f"{conn.api_versions.get(kw.METADATA)} but this client "
+                "speaks v0..v4; no common version")
+        w = kw.Writer().array([topic], lambda w, t: w.string(t))
+        if ver >= 4:
+            w.i8(1)  # allow_auto_topic_creation
+        r = conn.request(kw.METADATA, ver, w.done())
+        if ver >= 3:
+            r.i32()  # throttle_time_ms
         nodes: dict[int, tuple[str, int]] = {}
         for _ in range(r.i32()):
             node_id = r.i32()
             host = r.string()
             port = r.i32()
+            if ver >= 1:
+                r.string()  # rack
             nodes[node_id] = (host, port)
+        if ver >= 2:
+            r.string()  # cluster_id
+        if ver >= 1:
+            r.i32()  # controller_id
         parts: list[tuple[int, tuple[str, int] | None]] = []
         for _ in range(r.i32()):
             t_err = r.i16()
             t_name = r.string()
+            if ver >= 1:
+                r.i8()  # is_internal
             n_parts = r.i32()
             for _ in range(n_parts):
                 r.i16()  # partition error
@@ -291,17 +312,24 @@ class KafkaBroker(Broker):
     def create_topic(self, topic: str, partitions: int = 3) -> None:
         with self._lock:
             conn = self._any_conn()
-            body = (kw.Writer()
-                    .array([topic], lambda w, t: (
-                        w.string(t).i32(partitions).i16(1)
-                        .array([], lambda *_: None)   # replica assignments
-                        .array([], lambda *_: None)))  # configs
-                    .i32(10000)).done()
             try:
-                r = conn.request(kw.CREATE_TOPICS, 0, body)
+                ver = max(conn.pick(kw.CREATE_TOPICS, 2), 0)
+                w = (kw.Writer()
+                     .array([topic], lambda w, t: (
+                         w.string(t).i32(partitions).i16(1)
+                         .array([], lambda *_: None)   # replica assignments
+                         .array([], lambda *_: None)))  # configs
+                     .i32(10000))
+                if ver >= 1:
+                    w.i8(0)  # validate_only
+                r = conn.request(kw.CREATE_TOPICS, ver, w.done())
+                if ver >= 2:
+                    r.i32()  # throttle_time_ms
                 for _ in range(r.i32()):
                     r.string()
                     err = r.i16()
+                    if ver >= 1:
+                        r.string()  # error_message
                     if err not in (kw.NONE, kw.TOPIC_ALREADY_EXISTS):
                         log.info("create_topic error", topic=topic, code=err)
             except (OSError, kw.WireError) as exc:
@@ -374,9 +402,16 @@ class KafkaBroker(Broker):
         if addr is not None:
             return addr
         conn = self._any_conn()
-        r = conn.request(kw.FIND_COORDINATOR, 0,
-                         kw.Writer().string(group).done())
+        ver = max(conn.pick(kw.FIND_COORDINATOR, 1), 0)
+        w = kw.Writer().string(group)
+        if ver >= 1:
+            w.i8(0)  # key_type: group coordinator
+        r = conn.request(kw.FIND_COORDINATOR, ver, w.done())
+        if ver >= 1:
+            r.i32()  # throttle_time_ms
         err = r.i16()
+        if ver >= 1:
+            r.string()  # error_message
         if err != kw.NONE:
             raise MessageQueueError(f"find_coordinator error {err}")
         r.i32()  # node id
@@ -403,17 +438,26 @@ class KafkaBroker(Broker):
             except (OSError, kw.WireError, MessageQueueError):
                 time.sleep(0.05)
                 continue
-            body = (kw.Writer().string(c.group).i32(_SESSION_TIMEOUT_MS)
-                    .string(c.member_id).string("consumer")
+            try:
+                jver = self._pick_version(coord, kw.JOIN_GROUP, 2)
+            except MessageQueueError:
+                time.sleep(0.05)
+                continue
+            w = kw.Writer().string(c.group).i32(_SESSION_TIMEOUT_MS)
+            if jver >= 1:
+                w.i32(_SESSION_TIMEOUT_MS)  # rebalance_timeout
+            body = (w.string(c.member_id).string("consumer")
                     .array([("range", sub)],
                            lambda w, pr: w.string(pr[0]).bytes_(pr[1]))
                     ).done()
             try:
-                r = self._req(coord, kw.JOIN_GROUP, 0, body)
+                r = self._req(coord, kw.JOIN_GROUP, jver, body)
             except (OSError, kw.WireError):
                 self._drop_coordinator(c.group)
                 time.sleep(0.05)
                 continue
+            if jver >= 2:
+                r.i32()  # throttle_time_ms
             err = r.i16()
             generation = r.i32()
             r.string()  # protocol
@@ -461,11 +505,17 @@ class KafkaBroker(Broker):
                     .array(assignments,
                            lambda w, a: w.string(a[0]).bytes_(a[1]))).done()
             try:
-                r = self._req(coord, kw.SYNC_GROUP, 0, body)
+                sver = self._pick_version(coord, kw.SYNC_GROUP, 1)
+                r = self._req(coord, kw.SYNC_GROUP, sver, body)
+            except MessageQueueError:
+                time.sleep(0.05)
+                continue
             except (OSError, kw.WireError):
                 self._drop_coordinator(c.group)
                 time.sleep(0.05)
                 continue
+            if sver >= 1:
+                r.i32()  # throttle_time_ms
             err = r.i16()
             blob = r.bytes_()
             if err in _RETRIABLE:
@@ -506,7 +556,10 @@ class KafkaBroker(Broker):
         body = (kw.Writer().string(group)
                 .array([topic], lambda w, t: (
                     w.string(t).array(pids, lambda w2, p: w2.i32(p))))).done()
-        r = self._req(coord, kw.OFFSET_FETCH, 0, body)
+        # v1 reads Kafka-stored offsets (v0 reads ZooKeeper; removed in
+        # Kafka 4.x) — identical wire layout.
+        ver = max(self._conn(coord).pick(kw.OFFSET_FETCH, 1), 0)
+        r = self._req(coord, kw.OFFSET_FETCH, ver, body)
         out: dict[int, int] = {}
         for _ in range(r.i32()):
             r.string()
@@ -520,13 +573,20 @@ class KafkaBroker(Broker):
         return out
 
     def _offset_commit(self, c: _Consumer, pid: int, offset: int) -> None:
-        body = (kw.Writer().string(c.group)
-                .array([c.topic], lambda w, t: (
-                    w.string(t).array([pid], lambda w2, p: (
-                        w2.i32(p).i64(offset).string(""))))).done())
         for attempt in (0, 1):  # second attempt after a coordinator move
             coord = self._coordinator(c.group)
-            r = self._req(coord, kw.OFFSET_COMMIT, 0, body)
+            # v2 commits carry the member's generation (fencing) and a
+            # retention override (-1 = broker default); v0 removed in 4.x.
+            ver = max(self._conn(coord).pick(kw.OFFSET_COMMIT, 2), 0)
+            w = kw.Writer().string(c.group)
+            if ver >= 1:
+                w.i32(c.generation).string(c.member_id)
+            if ver >= 2:
+                w.i64(-1)  # retention_time_ms: broker default
+            body = (w.array([c.topic], lambda w, t: (
+                w.string(t).array([pid], lambda w2, p: (
+                    w2.i32(p).i64(offset).string(""))))).done())
+            r = self._req(coord, kw.OFFSET_COMMIT, ver, body)
             moved = False
             for _ in range(r.i32()):
                 r.string()
@@ -554,10 +614,13 @@ class KafkaBroker(Broker):
                 .string(c.member_id)).done()
         try:
             coord = self._coordinator(c.group)
-            r = self._req(coord, kw.HEARTBEAT, 0, body)
+            ver = max(self._conn(coord).pick(kw.HEARTBEAT, 1), 0)
+            r = self._req(coord, kw.HEARTBEAT, ver, body)
         except (OSError, kw.WireError, MessageQueueError):
             self._drop_coordinator(c.group)
             return False
+        if ver >= 1:
+            r.i32()  # throttle_time_ms
         err = r.i16()
         if err == kw.NOT_COORDINATOR:
             self._drop_coordinator(c.group)
@@ -570,20 +633,32 @@ class KafkaBroker(Broker):
         leader = dict(self._metadata(topic)).get(pid)
         if leader is None:
             return 0
-        body = (kw.Writer().i32(-1)
-                .array([topic], lambda w, t: (
-                    w.string(t).array([pid], lambda w2, p: (
-                        w2.i32(p).i64(time_ms).i32(1))))).done())
-        r = self._req(leader, kw.LIST_OFFSETS, 0, body)
+        ver = max(self._conn(leader).pick(kw.LIST_OFFSETS, 1), 0)
+        w = kw.Writer().i32(-1)
+        if ver >= 1:  # v1 drops max_num_offsets; response adds timestamp
+            w.array([topic], lambda w, t: (
+                w.string(t).array([pid], lambda w2, p: (
+                    w2.i32(p).i64(time_ms)))))
+        else:
+            w.array([topic], lambda w, t: (
+                w.string(t).array([pid], lambda w2, p: (
+                    w2.i32(p).i64(time_ms).i32(1)))))
+        r = self._req(leader, kw.LIST_OFFSETS, ver, w.done())
         result = 0
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
                 r.i32()
                 err = r.i16()
-                offs = r.array(lambda rr: rr.i64())
-                if err == kw.NONE and offs:
-                    result = offs[0]
+                if ver >= 1:
+                    r.i64()  # timestamp
+                    off = r.i64()
+                    if err == kw.NONE:
+                        result = off
+                else:
+                    offs = r.array(lambda rr: rr.i64())
+                    if err == kw.NONE and offs:
+                        result = offs[0]
         return result
 
     def _fetch(self, c: _Consumer, pid: int, max_bytes: int = 1 << 20
@@ -680,6 +755,16 @@ class KafkaBroker(Broker):
                     continue
                 attempts = 0
                 for m in msgs:
+                    # RecordBatch fetches return WHOLE batches: when the
+                    # fetch offset lands mid-batch (max_n truncation left
+                    # the position there, or a restart resumed from a
+                    # mid-batch commit), records below the position are
+                    # re-reads of messages already delivered/leased —
+                    # consuming them would mint fresh lease tokens and
+                    # invalidate the outstanding ones (double delivery +
+                    # the first completion's ack returning False).
+                    if m.offset < c.positions[pid]:
+                        continue
                     if len(out) >= max_n:
                         # not consumed: leave the position at this message
                         c.positions[pid] = m.offset
@@ -760,7 +845,9 @@ class KafkaBroker(Broker):
                 if c.joined:
                     try:
                         coord = self._coordinator(group)
-                        self._req(coord, kw.LEAVE_GROUP, 0,
+                        lver = max(self._conn(coord).pick(
+                            kw.LEAVE_GROUP, 1), 0)
+                        self._req(coord, kw.LEAVE_GROUP, lver,
                                   kw.Writer().string(group)
                                   .string(c.member_id).done())
                     except Exception:

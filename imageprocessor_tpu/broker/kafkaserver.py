@@ -47,18 +47,31 @@ class _Group:
 class KafkaServer:
     """Threaded TCP server; one thread per connection."""
 
+    # Kafka 4.x minimum versions (KIP-896 removed everything below).
+    K4_MIN = {
+        kw.PRODUCE: 3, kw.FETCH: 4, kw.LIST_OFFSETS: 1, kw.METADATA: 4,
+        kw.OFFSET_COMMIT: 2, kw.OFFSET_FETCH: 1, kw.FIND_COORDINATOR: 1,
+        kw.JOIN_GROUP: 2, kw.HEARTBEAT: 1, kw.LEAVE_GROUP: 1,
+        kw.SYNC_GROUP: 1, kw.API_VERSIONS: 0, kw.CREATE_TOPICS: 2,
+    }
+
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  default_partitions: int = 3,
                  rebalance_timeout_s: float = 1.0,
                  legacy: bool = False,
+                 modern_only: bool = False,
                  api_versions_override: dict[int, tuple[int, int]]
                  | None = None):
         # legacy=True simulates a pre-0.10 broker: ApiVersions closes the
         # connection, only v0 requests are answered — contract-tests the
-        # client's fallback path. api_versions_override replaces the
-        # advertised ranges (e.g. a future broker that dropped v0-v2) to
-        # test the no-common-version error.
+        # client's fallback path. modern_only=True simulates a Kafka 4.x
+        # broker: versions below K4_MIN are REJECTED (connection drop,
+        # like a real broker's disconnect on removed versions), proving
+        # the client never sends them. api_versions_override replaces the
+        # advertised ranges (e.g. a future broker that dropped every
+        # version we speak) to test the no-common-version error.
         self._legacy = legacy
+        self._modern_only = modern_only
         self._api_versions_override = api_versions_override
         self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -124,6 +137,8 @@ class KafkaServer:
                 r.string()  # client id
                 if self._legacy and (api == kw.API_VERSIONS or ver > 0):
                     return  # pre-0.10 behavior: drop the connection
+                if self._modern_only and ver < self.K4_MIN.get(api, 0):
+                    return  # Kafka 4.x: removed version -> disconnect
                 handler = self._handlers().get(api)
                 if handler is None:
                     return
@@ -166,20 +181,16 @@ class KafkaServer:
     # -------------------------------------------------------------- handlers
 
     def _h_api_versions(self, r: kw.Reader, ver: int) -> bytes:
+        maxes = {
+            kw.PRODUCE: 3, kw.FETCH: 4, kw.LIST_OFFSETS: 1,
+            kw.METADATA: 4, kw.OFFSET_COMMIT: 2, kw.OFFSET_FETCH: 1,
+            kw.FIND_COORDINATOR: 1, kw.JOIN_GROUP: 2, kw.HEARTBEAT: 1,
+            kw.LEAVE_GROUP: 1, kw.SYNC_GROUP: 1, kw.API_VERSIONS: 0,
+            kw.CREATE_TOPICS: 2,
+        }
         vers = self._api_versions_override or {
-            kw.PRODUCE: (0, 3),
-            kw.FETCH: (0, 4),
-            kw.LIST_OFFSETS: (0, 0),
-            kw.METADATA: (0, 0),
-            kw.OFFSET_COMMIT: (0, 0),
-            kw.OFFSET_FETCH: (0, 0),
-            kw.FIND_COORDINATOR: (0, 0),
-            kw.JOIN_GROUP: (0, 0),
-            kw.HEARTBEAT: (0, 0),
-            kw.LEAVE_GROUP: (0, 0),
-            kw.SYNC_GROUP: (0, 0),
-            kw.API_VERSIONS: (0, 0),
-            kw.CREATE_TOPICS: (0, 0),
+            k: ((self.K4_MIN[k] if self._modern_only else 0), vmax)
+            for k, vmax in maxes.items()
         }
         w = kw.Writer().i16(kw.NONE)
         w.array(sorted(vers.items()),
@@ -188,6 +199,8 @@ class KafkaServer:
 
     def _h_metadata(self, r: kw.Reader, ver: int) -> bytes:
         names = r.array(lambda rr: rr.string())
+        if ver >= 4:
+            r.i8()  # allow_auto_topic_creation
         with self._lock:
             if not names:
                 names = sorted(self._topics)
@@ -195,12 +208,23 @@ class KafkaServer:
                 for n in names:  # auto.create.topics.enable=true
                     self._ensure_topic(n)
             w = kw.Writer()
-            w.array([(0, self.host, self.port)],
-                    lambda ww, b: ww.i32(b[0]).string(b[1]).i32(b[2]))
+            if ver >= 3:
+                w.i32(0)  # throttle_time_ms
+            w.i32(1)  # brokers
+            w.i32(0).string(self.host).i32(self.port)
+            if ver >= 1:
+                w.string(None)  # rack
+            if ver >= 2:
+                w.string("ipkafka-dev")  # cluster_id
+            if ver >= 1:
+                w.i32(0)  # controller_id
             w.i32(len(names))
             for n in names:
                 parts = self._topics[n]
-                w.i16(kw.NONE).string(n).i32(len(parts))
+                w.i16(kw.NONE).string(n)
+                if ver >= 1:
+                    w.i8(0)  # is_internal
+                w.i32(len(parts))
                 for pid in range(len(parts)):
                     (w.i16(kw.NONE).i32(pid).i32(0)
                      .array([0], lambda ww, x: ww.i32(x))
@@ -313,23 +337,42 @@ class KafkaServer:
                 for _ in range(n_parts):
                     pid = r.i32()
                     ts = r.i64()
-                    r.i32()  # max offsets
+                    if ver == 0:
+                        r.i32()  # max offsets (dropped in v1)
                     if pid >= len(plog):
                         w.i32(pid).i16(kw.UNKNOWN_TOPIC_OR_PARTITION)
-                        w.array([], lambda ww, x: ww.i64(x))
+                        if ver >= 1:
+                            w.i64(-1).i64(-1)
+                        else:
+                            w.array([], lambda ww, x: ww.i64(x))
                         continue
                     off = 0 if ts == -2 else len(plog[pid])
                     w.i32(pid).i16(kw.NONE)
-                    w.array([off], lambda ww, x: ww.i64(x))
+                    if ver >= 1:
+                        w.i64(-1).i64(off)  # timestamp, offset
+                    else:
+                        w.array([off], lambda ww, x: ww.i64(x))
         return w.done()
 
     def _h_find_coordinator(self, r: kw.Reader, ver: int) -> bytes:
-        r.string()  # group
-        return (kw.Writer().i16(kw.NONE).i32(0)
-                .string(self.host).i32(self.port)).done()
+        r.string()  # group / key
+        if ver >= 1:
+            r.i8()  # key_type
+        w = kw.Writer()
+        if ver >= 1:
+            w.i32(0)  # throttle_time_ms
+        w.i16(kw.NONE)
+        if ver >= 1:
+            w.string(None)  # error_message
+        return w.i32(0).string(self.host).i32(self.port).done()
 
     def _h_offset_commit(self, r: kw.Reader, ver: int) -> bytes:
         group = r.string()
+        if ver >= 1:
+            r.i32()     # generation_id
+            r.string()  # member_id
+        if ver >= 2:
+            r.i64()     # retention_time_ms
         w = kw.Writer()
         with self._lock:
             g = self._groups.setdefault(group, _Group())
@@ -342,6 +385,8 @@ class KafkaServer:
                 for _ in range(n_parts):
                     pid = r.i32()
                     off = r.i64()
+                    if ver == 1:
+                        r.i64()  # per-partition timestamp (v1 only)
                     r.string()  # metadata
                     g.offsets[(topic, pid)] = off
                     w.i32(pid).i16(kw.NONE)
@@ -368,10 +413,18 @@ class KafkaServer:
     def _h_join_group(self, r: kw.Reader, ver: int) -> bytes:
         group = r.string()
         r.i32()  # session timeout
+        if ver >= 1:
+            r.i32()  # rebalance timeout
         member_id = r.string() or ""
         r.string()  # protocol type
         protocols = r.array(lambda rr: (rr.string(), rr.bytes_()))
         metadata = protocols[0][1] if protocols else b""
+
+        def _resp() -> kw.Writer:
+            w = kw.Writer()
+            if ver >= 2:
+                w.i32(0)  # throttle_time_ms
+            return w
 
         with self._cond:
             g = self._groups.setdefault(group, _Group())
@@ -404,10 +457,10 @@ class KafkaServer:
                 self._cond.notify_all()
             if member_id not in g.members:
                 # joined after the round closed: be told to retry
-                return (kw.Writer().i16(kw.REBALANCE_IN_PROGRESS).i32(-1)
+                return (_resp().i16(kw.REBALANCE_IN_PROGRESS).i32(-1)
                         .string("").string("").string(member_id)
                         .array([], lambda *a: None)).done()
-            w = (kw.Writer().i16(kw.NONE).i32(g.generation)
+            w = (_resp().i16(kw.NONE).i32(g.generation)
                  .string("range").string(g.leader).string(member_id))
             members = (sorted(g.members.items())
                        if member_id == g.leader else [])
@@ -420,10 +473,17 @@ class KafkaServer:
         generation = r.i32()
         member_id = r.string()
         assignments = r.array(lambda rr: (rr.string(), rr.bytes_()))
+
+        def _resp() -> kw.Writer:
+            w = kw.Writer()
+            if ver >= 1:
+                w.i32(0)  # throttle_time_ms
+            return w
+
         with self._cond:
             g = self._groups.setdefault(group, _Group())
             if generation != g.generation or member_id not in g.members:
-                return kw.Writer().i16(kw.ILLEGAL_GENERATION).bytes_(b"").done()
+                return _resp().i16(kw.ILLEGAL_GENERATION).bytes_(b"").done()
             if assignments:  # leader
                 g.assignments = dict(assignments)
                 g.assign_generation = generation
@@ -435,13 +495,13 @@ class KafkaServer:
                    and not self._stop.is_set()):
                 self._cond.wait(timeout=0.05)
             if g.generation != generation:
-                return (kw.Writer().i16(kw.REBALANCE_IN_PROGRESS)
+                return (_resp().i16(kw.REBALANCE_IN_PROGRESS)
                         .bytes_(b"").done())
             if g.assign_generation != generation:
-                return (kw.Writer().i16(kw.REBALANCE_IN_PROGRESS)
+                return (_resp().i16(kw.REBALANCE_IN_PROGRESS)
                         .bytes_(b"").done())
             blob = g.assignments.get(member_id, b"")
-            return kw.Writer().i16(kw.NONE).bytes_(blob).done()
+            return _resp().i16(kw.NONE).bytes_(blob).done()
 
     def _h_heartbeat(self, r: kw.Reader, ver: int) -> bytes:
         group = r.string()
@@ -457,7 +517,10 @@ class KafkaServer:
                 err = kw.ILLEGAL_GENERATION
             else:
                 err = kw.NONE
-            return kw.Writer().i16(err).done()
+            w = kw.Writer()
+            if ver >= 1:
+                w.i32(0)  # throttle_time_ms
+            return w.i16(err).done()
 
     def _h_leave_group(self, r: kw.Reader, ver: int) -> bytes:
         group = r.string()
@@ -474,7 +537,10 @@ class KafkaServer:
             else:
                 g.state = "Empty"
             self._cond.notify_all()
-            return kw.Writer().i16(kw.NONE).done()
+            w = kw.Writer()
+            if ver >= 1:
+                w.i32(0)  # throttle_time_ms
+            return w.i16(kw.NONE).done()
 
     def _h_create_topics(self, r: kw.Reader, ver: int) -> bytes:
         reqs = []
@@ -488,7 +554,11 @@ class KafkaServer:
             r.array(lambda rr: (rr.string(), rr.string()))
             reqs.append((name, partitions))
         r.i32()  # timeout
+        if ver >= 1:
+            r.i8()  # validate_only
         w = kw.Writer()
+        if ver >= 2:
+            w.i32(0)  # throttle_time_ms
         with self._lock:
             w.i32(len(reqs))
             for name, partitions in reqs:
@@ -498,4 +568,6 @@ class KafkaServer:
                     self._ensure_topic(
                         name, partitions if partitions > 0 else None)
                     w.string(name).i16(kw.NONE)
+                if ver >= 1:
+                    w.string(None)  # error_message
         return w.done()

@@ -198,12 +198,30 @@ def _crc32c_table() -> list[int]:
 
 
 _CRC32C_TABLE = _crc32c_table()
+_native_crc32c = None
+_native_crc32c_checked = False
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
     """CRC-32C (Castagnoli), the checksum RecordBatch v2 mandates.
-    Table-driven pure Python — record batches here are task-sized
-    (hundreds of bytes), so this is never a hot path."""
+
+    Prefers the native implementation (native/ipcodec.cpp ip_crc32c:
+    SSE4.2 hardware CRC when the build arch has it) — Fetch validates
+    the checksum of every record batch, and real brokers return up to
+    1 MiB per partition, which at pure-Python table speed (~5 MB/s)
+    would burn the one-core host's poll loop. Falls back to the Python
+    table when the library is unavailable."""
+    global _native_crc32c, _native_crc32c_checked
+    if not _native_crc32c_checked:
+        _native_crc32c_checked = True
+        try:
+            from imageprocessor_tpu.runtime import nativecodec
+            if nativecodec.crc32c(b"123456789") == 0xE3069283:
+                _native_crc32c = nativecodec.crc32c
+        except Exception:  # pragma: no cover — no native toolchain
+            _native_crc32c = None
+    if _native_crc32c is not None:
+        return _native_crc32c(data, crc)
     crc ^= 0xFFFFFFFF
     tab = _CRC32C_TABLE
     for b in data:

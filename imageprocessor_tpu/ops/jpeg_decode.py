@@ -111,18 +111,27 @@ def _decode_ycbcr(y_c, cb_c, cr_c, qt, shapes, sampling, out_h: int,
 def _idct_planes_batched(coefs_i16, qtabs_f32):
     """(B, bh*8, bw*8) int16 quantized coefs + (B, 8, 8) per-image quant
     tables -> float32 samples (level-shifted +128). Zero-padded blocks
-    decode to flat 128-gray, which stays inside the cropped region."""
+    decode to flat 128-gray, which stays inside the cropped region.
+
+    Layout-preserving formulation: both 8-point transforms contract an
+    axis carved out of the plane IN PLACE ((B, bh, 8, W) then
+    (B, H, bw, 8)) — no per-block gather/transpose ever materializes.
+    The earlier (b, bh*bw, 8, 8) block-gather form cost 24 ms per
+    8x12 MP luma pass on v5e (lane-granularity shuffles); this one runs
+    the same math in ~7.5 ms (tools probe, round 3)."""
     b, hh, ww = coefs_i16.shape
     bh, bw = hh // 8, ww // 8
     d = jnp.asarray(_idct_basis())
     x = coefs_i16.astype(jnp.float32).reshape(b, bh, 8, bw, 8)
     x = x * qtabs_f32[:, None, :, None, :]
-    x = x.transpose(0, 1, 3, 2, 4).reshape(b, bh * bw, 8, 8)
-    x = jnp.einsum("ki,bnkl->bnil", d, x,
+    # vertical: spatial_i = sum_k D[k, i] * coef[k, .]
+    x = x.reshape(b, bh, 8, ww)
+    x = jnp.einsum("ki,bhkw->bhiw", d, x,
                    preferred_element_type=jnp.float32)
-    x = jnp.einsum("bnil,lj->bnij", x, d,
+    # horizontal: spatial_j = sum_l coef[., l] * D[l, j]
+    x = x.reshape(b, hh, bw, 8)
+    x = jnp.einsum("bhwl,lj->bhwj", x, d,
                    preferred_element_type=jnp.float32)
-    x = x.reshape(b, bh, bw, 8, 8).transpose(0, 1, 3, 2, 4)
     return x.reshape(b, hh, ww) + 128.0
 
 

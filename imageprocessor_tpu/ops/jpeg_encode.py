@@ -127,20 +127,25 @@ def _rgb_to_coef_planes(rgb_u8, qt_f32, mcu_h: int, mcu_w: int,
 @jax.jit
 def _fdct_quantize_batched(planes_f32, qtab_f32):
     """(B, bh*8, bw*8) float32 samples + (8, 8) quant table ->
-    (B, bh*8, bw*8) int16 quantized coefficients."""
+    (B, bh*8, bw*8) int16 quantized coefficients.
+
+    Layout-preserving formulation (see jpeg_decode._idct_planes_batched):
+    both 8-point transforms contract an in-place axis, never gathering
+    8x8 blocks — ~3x faster than the block-gather form on v5e."""
     b, hh, ww = planes_f32.shape
     bh, bw = hh // 8, ww // 8
     d = jnp.asarray(_idct_basis())
-    x = planes_f32.reshape(b, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
-    x = x.reshape(b, bh * bw, 8, 8) - 128.0
-    c = jnp.einsum("ki,bnij->bnkj", d, x,
+    # vertical: coef_k = sum_i D[k, i] * x[i, .]
+    x = planes_f32.reshape(b, bh, 8, ww) - 128.0
+    x = jnp.einsum("ki,bhiw->bhkw", d, x,
                    preferred_element_type=jnp.float32)
-    c = jnp.einsum("bnkj,lj->bnkl", c, d,
+    # horizontal: coef_l = sum_j x[., j] * D[l, j]
+    x = x.reshape(b, hh, bw, 8)
+    x = jnp.einsum("bhwj,lj->bhwl", x, d,
                    preferred_element_type=jnp.float32)
-    c = c / qtab_f32[None, None, :, :]
+    c = x.reshape(b, bh, 8, bw, 8) / qtab_f32[None, None, :, None, :]
     c = jnp.clip(jnp.round(c), -1023, 1023).astype(jnp.int16)
-    return c.reshape(b, bh, bw, 8, 8).transpose(0, 1, 3, 2, 4).reshape(
-        b, hh, ww)
+    return c.reshape(b, hh, ww)
 
 
 def _replicate_edges(plane, valid_hw):

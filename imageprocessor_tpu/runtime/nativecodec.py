@@ -157,6 +157,12 @@ def _load() -> ctypes.CDLL | None:
             lib.ip_jpeg_emit_strided.restype = ctypes.c_long
         except AttributeError:  # pragma: no cover — stale .so
             pass
+        try:
+            lib.ip_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_uint32]
+            lib.ip_crc32c.restype = ctypes.c_uint32
+        except AttributeError:  # pragma: no cover — stale .so
+            pass
         lib.ip_free.argtypes = [ctypes.c_void_p]
         lib.ip_free.restype = None
         _lib = lib
@@ -480,3 +486,12 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
         return ctypes.string_at(out_p, out_len.value)
     finally:
         lib.ip_free(out_p)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int | None:
+    """Native CRC-32C (Castagnoli); None when the library is unavailable
+    so callers (broker/kafkawire.py) fall back to the Python table."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ip_crc32c"):
+        return None
+    return int(lib.ip_crc32c(data, len(data), crc & 0xFFFFFFFF))

@@ -49,6 +49,8 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_image_id
     ON processed_images(image_id);
 CREATE INDEX IF NOT EXISTS idx_processed_images_operation
     ON processed_images(operation);
+CREATE UNIQUE INDEX IF NOT EXISTS idx_processed_images_replay
+    ON processed_images(image_id, operation, path);
 """
 
 
@@ -127,16 +129,18 @@ class PostgresMetadataStore(MetadataStore):
     def save_processed_image(self, processed: ProcessedImage) -> None:
         with self._cursor() as cur:
             # Idempotent under at-least-once replay (see sqlite_meta):
-            # same (image, operation, path) replaces, never duplicates.
-            cur.execute(
-                "DELETE FROM processed_images WHERE image_id = %s"
-                " AND operation = %s AND path = %s",
-                (processed.image_id, str(processed.operation),
-                 processed.path))
+            # an atomic UPSERT on idx_processed_images_replay — two
+            # workers replaying the same lease-expired message (the
+            # autocommit connection gives delete+insert no transaction
+            # to hide in) cannot produce duplicate rows.
             cur.execute(
                 "INSERT INTO processed_images (id, image_id, operation,"
                 " parameters, path, size, mime_type, format, status,"
-                " created_at) VALUES (%s,%s,%s,%s,%s,%s,%s,%s,%s,%s)",
+                " created_at) VALUES (%s,%s,%s,%s,%s,%s,%s,%s,%s,%s)"
+                " ON CONFLICT (image_id, operation, path) DO UPDATE SET"
+                " parameters=excluded.parameters, size=excluded.size,"
+                " mime_type=excluded.mime_type, format=excluded.format,"
+                " status=excluded.status, created_at=excluded.created_at",
                 (processed.id or str(uuid.uuid4()), processed.image_id,
                  str(processed.operation), processed.parameters,
                  processed.path, processed.size, processed.mime_type,

@@ -46,6 +46,8 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_image_id
     ON processed_images(image_id);
 CREATE INDEX IF NOT EXISTS idx_processed_images_operation
     ON processed_images(operation);
+CREATE UNIQUE INDEX IF NOT EXISTS idx_processed_images_replay
+    ON processed_images(image_id, operation, path);
 """
 
 
@@ -111,18 +113,17 @@ class SQLiteMetadataStore(MetadataStore):
         with self._lock:
             # Idempotent under at-least-once replay: output paths are
             # deterministic per (image, operation), so a redelivered task
-            # re-recording the same artifact replaces its row instead of
-            # accumulating duplicates (delete+insert keeps the reference
-            # drop-in schema free of extra unique indexes).
-            self._conn.execute(
-                "DELETE FROM processed_images WHERE image_id = ?"
-                " AND operation = ? AND path = ?",
-                (processed.image_id, str(processed.operation),
-                 processed.path))
+            # re-recording the same artifact UPSERTs its row (unique
+            # index idx_processed_images_replay) — atomic even when two
+            # workers replay the same lease-expired message concurrently.
             self._conn.execute(
                 "INSERT INTO processed_images (id, image_id, operation,"
                 " parameters, path, size, mime_type, format, status,"
-                " created_at) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                " created_at) VALUES (?,?,?,?,?,?,?,?,?,?)"
+                " ON CONFLICT (image_id, operation, path) DO UPDATE SET"
+                " parameters=excluded.parameters, size=excluded.size,"
+                " mime_type=excluded.mime_type, format=excluded.format,"
+                " status=excluded.status, created_at=excluded.created_at",
                 (pid, processed.image_id, str(processed.operation),
                  processed.parameters, processed.path, processed.size,
                  processed.mime_type, str(processed.format), processed.status,

@@ -395,4 +395,44 @@ int ip_jpeg_read_coefs(const uint8_t* data, size_t len,
   return 0;
 }
 
+// CRC-32C (Castagnoli) — the checksum Kafka RecordBatch v2 mandates.
+// Hardware SSE4.2 path when the build arch has it (-march=native /
+// x86-64-v2 both do), byte-table fallback otherwise. Exposed so the
+// pure-Python Kafka client can validate megabyte fetch payloads at
+// native speed instead of ~5 MB/s Python-loop speed.
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>
+#endif
+
+uint32_t ip_crc32c(const uint8_t* data, size_t len, uint32_t crc) {
+  crc ^= 0xFFFFFFFFu;
+#if defined(__SSE4_2__)
+  uint64_t c = crc;
+  while (len >= 8) {
+    uint64_t chunk;
+    memcpy(&chunk, data, 8);
+    c = _mm_crc32_u64(c, chunk);
+    data += 8;
+    len -= 8;
+  }
+  crc = static_cast<uint32_t>(c);
+  while (len--) crc = _mm_crc32_u8(crc, *data++);
+#else
+  // C++11 magic static: thread-safe one-time table build.
+  static const struct Table {
+    uint32_t t[256];
+    Table() {
+      for (uint32_t i = 0; i < 256; ++i) {
+        uint32_t r = i;
+        for (int k = 0; k < 8; ++k)
+          r = (r >> 1) ^ (0x82F63B78u & (0u - (r & 1u)));
+        t[i] = r;
+      }
+    }
+  } tbl;
+  while (len--) crc = tbl.t[(crc ^ *data++) & 0xFFu] ^ (crc >> 8);
+#endif
+  return crc ^ 0xFFFFFFFFu;
+}
+
 }  // extern "C"

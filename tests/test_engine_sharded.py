@@ -116,6 +116,41 @@ def test_engine_sharded_pallas_planar_path():
             assert st_s.blobs[a_s.path] == st_1.blobs[a_1.path]
 
 
+def test_engine_sharded_device_jpeg_coef_path():
+    """The production-default TPU combination: device_jpeg auto-ON plus
+    the auto-built mesh — JPEG uploads take the coefficient layout
+    (batched device IDCT decode) into run_sharded. Exercised explicitly
+    here because on CPU both defaults are off (auto policies)."""
+    from imageprocessor_tpu.runtime import nativecodec as nc
+
+    if not nc.available() or not hasattr(nc._load(), "ip_jpeg_scan_dims"):
+        pytest.skip("native scanner unavailable")
+    blobs = [_blob(110, 150, "JPEG"), _blob(120, 140, "JPEG"),
+             _blob(100, 150, "JPEG"), _blob(115, 145, "JPEG")]
+    tasks = [(_task(DEFAULT_OPS, "jpeg"), b) for b in blobs]
+    st_s, st_1 = CaptureStore(), CaptureStore()
+    eng_s = ProcessingEngine(st_s, data_axis=4, device_jpeg=True,
+                             use_pallas=True, pallas_interpret=True)
+    eng_1 = ProcessingEngine(st_1, device_jpeg=True,
+                             use_pallas=True, pallas_interpret=True)
+    try:
+        # confirm the coef layout is actually selected
+        from imageprocessor_tpu.models.plan import normalize_operations
+        plan = normalize_operations(DEFAULT_OPS)
+        dec = eng_s.decode_for_plan(blobs[0], plan)
+        assert dec[2].startswith("coef"), dec[2]
+        res_s = eng_s.process_tasks(tasks)
+        res_1 = eng_1.process_tasks(
+            [(_task(DEFAULT_OPS, "jpeg"), b) for b in blobs])
+    finally:
+        eng_s.close()
+        eng_1.close()
+    for rs, r1 in zip(res_s, res_1):
+        assert rs.result.status is ImageStatus.COMPLETED, rs.result.error
+        for a_s, a_1 in zip(rs.artifacts, r1.artifacts):
+            assert st_s.blobs[a_s.path] == st_1.blobs[a_1.path]
+
+
 def test_engine_spatial_mesh_matches_single():
     """DEVICE_SPACE_AXIS honored: a (2 data x 2 space) mesh routes the
     GSPMD jit path (XLA auto-partitions the width axis; Pallas off)."""

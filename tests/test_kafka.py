@@ -351,10 +351,15 @@ def test_coordinator_cache_invalidated_on_errors():
 
     calls = []
 
+    class _FakeConn:
+        def pick(self, api, preferred):
+            return 0
+
     def fail_req(addr, api, ver, body):
         calls.append(addr)
         raise OSError("connection refused")
 
+    b._conn = lambda addr: _FakeConn()  # negotiation reaches no socket
     b._req = fail_req
     assert b._heartbeat_ok(c) is False
     assert "g" not in b._coord          # cache dropped for re-resolution
@@ -376,6 +381,38 @@ def test_wire_decoders_raise_only_wireerror_on_garbage():
                 fn(data)
             except kw.WireError:
                 pass  # the only acceptable failure mode
+
+
+def test_poll_filters_records_below_position():
+    """RecordBatch fetches return WHOLE batches: when the fetch offset
+    lands mid-batch, records below the consumer position must be
+    skipped — consuming them would redeliver still-leased messages and
+    invalidate their outstanding lease tokens (the original delivery's
+    ack would return False and the image would process twice)."""
+    from imageprocessor_tpu.broker.kafka import _Consumer
+
+    b = KafkaBroker(brokers=["localhost:1"])  # never contacted
+    c = _Consumer("t", "g")
+    c.joined = True
+    c.partitions = [0]
+    c.positions = {0: 0}
+    c.committed = {0: 0}
+    b._consumers[("t", "g")] = c
+    b._heartbeat_ok = lambda _c: True
+    batch = [kw.WireMessage(i, b"k", f"v{i}".encode(), -1)
+             for i in range(4)]
+    b._fetch = lambda cc, pid, max_bytes=1 << 20: (
+        batch if cc.positions[pid] < 4 else [])
+
+    first = b.poll("t", "g", max_n=2, lease_s=60)
+    assert [m.offset for m in first] == [0, 1]
+    # position is now mid-batch (2); the broker re-returns the whole
+    # batch — offsets 0 and 1 must NOT redeliver
+    second = b.poll("t", "g", max_n=10, lease_s=60)
+    assert [m.offset for m in second] == [2, 3]
+    # the first delivery's leases survived the re-fetch
+    for m in first + second:
+        assert b.ack(m), f"ack failed for offset {m.offset}"
 
 
 # -------------------------------------------- version negotiation matrix
@@ -419,6 +456,41 @@ def test_legacy_broker_falls_back_to_v0():
         assert c.ack(m)
         [m2] = c.poll("lt", "g2", max_n=1)  # second group re-reads
         assert m2.value == b"old-school"
+    finally:
+        c.close()
+        s.close()
+
+
+def test_kafka4_modern_only_broker_full_cycle():
+    """A strict Kafka 4.x-like broker (every version below the KIP-896
+    minimum is REJECTED by disconnect) must serve the full client cycle:
+    topic creation, metadata, keyed produce, consumer-group membership,
+    fetch, commit, restart resume, depth. Proves the client never emits
+    a removed version on a negotiated-modern connection."""
+    s = KafkaServer(default_partitions=3, rebalance_timeout_s=2.0,
+                    modern_only=True)
+    c = KafkaBroker(brokers=[s.address])
+    try:
+        c.create_topic("m4", 3)
+        for i in range(6):
+            c.produce("m4", f"k{i}".encode(), f"v{i}".encode())
+        got = []
+        deadline = time.monotonic() + 20
+        while len(got) < 6 and time.monotonic() < deadline:
+            for m in c.poll("m4", "g4", max_n=10):
+                got.append(m.value)
+                assert m.enqueued_at > 0  # v2 batches carry timestamps
+                assert c.ack(m)
+        assert sorted(got) == sorted(f"v{i}".encode() for i in range(6))
+        assert c.depth("m4", "g4") == 0
+        c.close()
+        # committed watermark survives the client restart (OffsetFetch
+        # v1 / OffsetCommit v2 round-trip through the coordinator)
+        c2 = KafkaBroker(brokers=[s.address])
+        c2.produce("m4", b"k9", b"after")
+        [m] = c2.poll("m4", "g4", max_n=10)
+        assert m.value == b"after"
+        c2.close()
     finally:
         c.close()
         s.close()
