@@ -91,6 +91,13 @@ log = get_logger("engine")
 PERMANENT = "permanent"
 TRANSIENT = "transient"
 
+# device_jpeg auto policy: hosts with more cores than this serve more
+# JPEG throughput from the host codec pool than the chip-side codec cap
+# (see the policy comment in ProcessingEngine.__init__). The ratio is
+# scale-invariant in image size (both sides are linear in pixels).
+DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
+    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "16"))
+
 
 @dataclass
 class Artifact:
@@ -159,12 +166,18 @@ class ProcessingEngine:
         self.batch_size = max(1, min(batch_size, MAX_BATCH))
         # TPU-side JPEG decode: host keeps only the streaming entropy
         # scan; IDCT + chroma upsample + color convert run batched on
-        # device (ops/jpeg_decode.batched_decode_ycbcr). Host codecs are
-        # the deployment bottleneck (PERF.md: scan 47 ms vs full planar
-        # decode 52 ms per 12 MP core, and the encode front half moves
-        # on-device too), so this is ON by default wherever it helps:
-        # auto = native scanner present AND backend is TPU.
-        # IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces it either way.
+        # device (ops/jpeg_decode.batched_decode_ycbcr), and full-size
+        # JPEG outputs run the encode front half on device too.
+        # The codec halves trade CHIP time for HOST CPU: they cost ~8-10
+        # extra HBM passes over the frame (~26 ms decode + ~26 ms encode
+        # per 8x12MP batch vs the 0.7 ms fused pipeline step — PERF.md
+        # round-3 probe), capping the chip's JPEG-path throughput around
+        # 150 12MP img/s. That wins only when the host cannot feed the
+        # chip: per core the host codec manages ~10 12MP img/s, so below
+        # ~16 cores the device path serves more total throughput, above
+        # it the host pool does. Auto policy = native scanner present
+        # AND TPU backend AND a core-starved host;
+        # IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces either way.
         if device_jpeg is None:
             env_flag = os.environ.get("IMAGEPROCESSOR_DEVICE_JPEG", "")
             if env_flag in ("1", "true", "yes"):
@@ -173,7 +186,9 @@ class ProcessingEngine:
                 device_jpeg = False
             else:
                 device_jpeg = (jax.default_backend() == "tpu"
-                               and nativecodec.available())
+                               and nativecodec.available()
+                               and (os.cpu_count() or 1)
+                               <= DEVICE_JPEG_CORE_THRESHOLD)
         self.device_jpeg = device_jpeg
         self.jpeg_quality = jpeg_quality
         self._pool = ThreadPoolExecutor(max_workers=max(codec_threads, 1),

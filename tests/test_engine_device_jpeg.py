@@ -226,15 +226,23 @@ def test_device_encode_skipped_for_png_output(engines):
 
 
 def test_device_jpeg_default_policy(tmp_path, monkeypatch):
-    """Unset env -> auto: on only when the backend is TPU and the native
-    scanner exists (tests run on CPU, so auto is off here); explicit
-    1/0 forces either way."""
+    """Unset env -> auto: on only when the backend is TPU, the native
+    scanner exists, AND the host is core-starved (the device codec caps
+    chip JPEG throughput; big host codec pools outrun it — PERF.md).
+    Tests run on CPU, so auto is off here; explicit 1/0 forces."""
+    import os as _os
+
     import jax
+
+    from imageprocessor_tpu.runtime.engine import (
+        DEVICE_JPEG_CORE_THRESHOLD,
+    )
 
     monkeypatch.delenv("IMAGEPROCESSOR_DEVICE_JPEG", raising=False)
     eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
-    assert eng.device_jpeg is (jax.default_backend() == "tpu"
-                               and nc.available())
+    assert eng.device_jpeg is (
+        jax.default_backend() == "tpu" and nc.available()
+        and (_os.cpu_count() or 1) <= DEVICE_JPEG_CORE_THRESHOLD)
     eng.close()
     monkeypatch.setenv("IMAGEPROCESSOR_DEVICE_JPEG", "1")
     eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
