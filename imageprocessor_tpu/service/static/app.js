@@ -13,6 +13,17 @@ const OPERATIONS = ["thumbnail", "resize", "watermark"];
 
 const el = (id) => document.getElementById(id);
 
+// Localized status labels (reference app.js:518-527 ships RU text; the
+// badge CSS class keeps the raw wire status).
+const STATUS_TEXT = {
+  uploaded: "Загружено",
+  processing: "Обрабатывается",
+  completed: "Готово",
+  failed: "Ошибка",
+  deleted: "Удалено",
+};
+const statusText = (s) => STATUS_TEXT[s] || s;
+
 class ImageBoard {
   constructor() {
     this.items = new Map(); // id -> {id, filename, status, size, created_at}
@@ -70,6 +81,16 @@ class ImageBoard {
       msg.textContent = "File exceeds the 32 MiB limit.";
       return;
     }
+    // Dedup guard (reference app.js:35-138): ignore re-submits while an
+    // upload is in flight, and skip files already uploaded this session
+    // (same name + size).
+    if (this.uploading) return;
+    const dupKey = `${file.name}:${file.size}`;
+    if (this.uploaded && this.uploaded.has(dupKey)) {
+      msg.textContent = `${file.name} was already uploaded.`;
+      return;
+    }
+    this.uploading = true;
     const fd = new FormData();
     fd.append("file", file);
     for (const op of ["thumbnail", "resize", "watermark"]) {
@@ -85,11 +106,13 @@ class ImageBoard {
       const body = await r.json();
       if (!r.ok) throw new Error(body.message || r.statusText);
       msg.textContent = `Queued ${body.filename} — processing…`;
+      (this.uploaded ||= new Set()).add(dupKey);
       this.items.set(body.id, body);
       this.render();
     } catch (err) {
       msg.textContent = `Upload failed: ${err.message}`;
     } finally {
+      this.uploading = false;
       el("upload-btn").disabled = false;
     }
   }
@@ -153,7 +176,7 @@ class ImageBoard {
       row.innerHTML = `
         <div class="row-main">
           <span class="name">${escapeHtml(item.filename)}</span>
-          <span class="badge ${item.status}">${item.status}</span>
+          <span class="badge ${item.status}">${statusText(item.status)}</span>
           <span class="size">${fmtSize(item.size)}</span>
         </div>
         <div class="row-actions">
