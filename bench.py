@@ -602,10 +602,13 @@ def main() -> int:
     scan = codecs.get("host_entropy_scan_images_per_sec_per_core")
     emit = codecs.get("host_entropy_emit_images_per_sec_per_core")
     e2e_host_codec = 1.0 / (1.0 / dec + 1.0 / enc + 1.0 / max(value, 1e-9))
-    from imageprocessor_tpu.runtime.engine import DEVICE_JPEG_CORE_THRESHOLD
-    ncores = os.cpu_count() or 1
+    from imageprocessor_tpu.runtime.engine import (
+        DEVICE_JPEG_CORE_THRESHOLD,
+        usable_cores,
+    )
+    ncores = usable_cores()
     if (djpeg and scan and emit
-            and ncores <= DEVICE_JPEG_CORE_THRESHOLD):
+            and ncores < DEVICE_JPEG_CORE_THRESHOLD):
         # The engine's auto policy would serve THIS host via device_jpeg
         # (core-starved: the host codec pool tops out below the chip-side
         # codec cap) — report that path's per-core rate as the default.

@@ -313,7 +313,13 @@ class KafkaBroker(Broker):
         with self._lock:
             conn = self._any_conn()
             try:
-                ver = max(conn.pick(kw.CREATE_TOPICS, 2), 0)
+                ver = conn.pick(kw.CREATE_TOPICS, 2)
+                if ver < 0:
+                    # best-effort call: no common version is only logged
+                    # (topic may pre-exist / auto-create)
+                    raise kw.WireError(
+                        f"no common CreateTopics version "
+                        f"(broker: {conn.api_versions.get(kw.CREATE_TOPICS)})")
                 w = (kw.Writer()
                      .array([topic], lambda w, t: (
                          w.string(t).i32(partitions).i16(1)
@@ -558,7 +564,7 @@ class KafkaBroker(Broker):
                     w.string(t).array(pids, lambda w2, p: w2.i32(p))))).done()
         # v1 reads Kafka-stored offsets (v0 reads ZooKeeper; removed in
         # Kafka 4.x) — identical wire layout.
-        ver = max(self._conn(coord).pick(kw.OFFSET_FETCH, 1), 0)
+        ver = self._pick_version(coord, kw.OFFSET_FETCH, 1)
         r = self._req(coord, kw.OFFSET_FETCH, ver, body)
         out: dict[int, int] = {}
         for _ in range(r.i32()):
@@ -577,15 +583,21 @@ class KafkaBroker(Broker):
             coord = self._coordinator(c.group)
             # v2 commits carry the member's generation (fencing) and a
             # retention override (-1 = broker default); v0 removed in 4.x.
-            ver = max(self._conn(coord).pick(kw.OFFSET_COMMIT, 2), 0)
+            ver = self._pick_version(coord, kw.OFFSET_COMMIT, 2)
             w = kw.Writer().string(c.group)
             if ver >= 1:
                 w.i32(c.generation).string(c.member_id)
             if ver >= 2:
                 w.i64(-1)  # retention_time_ms: broker default
-            body = (w.array([c.topic], lambda w, t: (
-                w.string(t).array([pid], lambda w2, p: (
-                    w2.i32(p).i64(offset).string(""))))).done())
+            if ver == 1:
+                # v1 (only) carries a per-partition commit timestamp.
+                body = (w.array([c.topic], lambda w, t: (
+                    w.string(t).array([pid], lambda w2, p: (
+                        w2.i32(p).i64(offset).i64(-1).string(""))))).done())
+            else:
+                body = (w.array([c.topic], lambda w, t: (
+                    w.string(t).array([pid], lambda w2, p: (
+                        w2.i32(p).i64(offset).string(""))))).done())
             r = self._req(coord, kw.OFFSET_COMMIT, ver, body)
             moved = False
             for _ in range(r.i32()):
@@ -614,7 +626,7 @@ class KafkaBroker(Broker):
                 .string(c.member_id)).done()
         try:
             coord = self._coordinator(c.group)
-            ver = max(self._conn(coord).pick(kw.HEARTBEAT, 1), 0)
+            ver = self._pick_version(coord, kw.HEARTBEAT, 1)
             r = self._req(coord, kw.HEARTBEAT, ver, body)
         except (OSError, kw.WireError, MessageQueueError):
             self._drop_coordinator(c.group)
@@ -633,7 +645,7 @@ class KafkaBroker(Broker):
         leader = dict(self._metadata(topic)).get(pid)
         if leader is None:
             return 0
-        ver = max(self._conn(leader).pick(kw.LIST_OFFSETS, 1), 0)
+        ver = self._pick_version(leader, kw.LIST_OFFSETS, 1)
         w = kw.Writer().i32(-1)
         if ver >= 1:  # v1 drops max_num_offsets; response adds timestamp
             w.array([topic], lambda w, t: (
@@ -662,11 +674,14 @@ class KafkaBroker(Broker):
         return result
 
     def _fetch(self, c: _Consumer, pid: int, max_bytes: int = 1 << 20
-               ) -> list[kw.WireMessage]:
+               ) -> tuple[list[kw.WireMessage], int | None]:
+        """Returns (messages, next_offset) where next_offset is the
+        position just past every batch the response spanned — needed to
+        advance over compacted batches whose records no longer exist."""
         parts = dict(self._metadata(c.topic))
         leader = parts.get(pid)
         if leader is None:
-            return []
+            return [], None
         ver = self._pick_version(leader, kw.FETCH, 4)
         w = kw.Writer().i32(-1).i32(0).i32(0)
         if ver >= 3:
@@ -681,6 +696,7 @@ class KafkaBroker(Broker):
         if ver >= 1:
             r.i32()  # throttle_time_ms
         msgs: list[kw.WireMessage] = []
+        next_off: int | None = None
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
@@ -704,7 +720,11 @@ class KafkaBroker(Broker):
                 if err != kw.NONE:
                     continue
                 msgs.extend(kw.decode_records(mset))
-        return msgs
+                cand = kw.records_next_offset(mset)
+                if cand is not None and (next_off is None
+                                         or cand > next_off):
+                    next_off = cand
+        return msgs, next_off
 
     def poll(self, topic: str, group: str, max_n: int = 1,
              lease_s: float = 60.0) -> list[BrokerMessage]:
@@ -749,9 +769,20 @@ class KafkaBroker(Broker):
             while len(out) < max_n and n_parts and attempts < n_parts:
                 pid = c.partitions[c.next_fetch_idx % n_parts]
                 c.next_fetch_idx += 1
-                msgs = self._fetch(c, pid)
-                if not msgs:
-                    attempts += 1
+                msgs, next_off = self._fetch(c, pid)
+                pos = c.positions[pid]
+                if not msgs or all(m.offset < pos for m in msgs):
+                    # Nothing deliverable. A log-compacted batch can
+                    # span ONLY offsets below/at the position with no
+                    # surviving records past it — advance the position
+                    # over the compacted span (batch header's
+                    # lastOffsetDelta) or this loop would re-fetch the
+                    # same batch forever while holding the broker lock.
+                    if next_off is not None and next_off > pos:
+                        c.positions[pid] = next_off
+                        attempts = 0  # real progress: retry this pid
+                    else:
+                        attempts += 1
                     continue
                 attempts = 0
                 for m in msgs:
@@ -845,8 +876,7 @@ class KafkaBroker(Broker):
                 if c.joined:
                     try:
                         coord = self._coordinator(group)
-                        lver = max(self._conn(coord).pick(
-                            kw.LEAVE_GROUP, 1), 0)
+                        lver = self._pick_version(coord, kw.LEAVE_GROUP, 1)
                         self._req(coord, kw.LEAVE_GROUP, lver,
                                   kw.Writer().string(group)
                                   .string(c.member_id).done())

@@ -47,13 +47,19 @@ class _Group:
 class KafkaServer:
     """Threaded TCP server; one thread per connection."""
 
-    # Kafka 4.x minimum versions (KIP-896 removed everything below).
-    K4_MIN = {
-        kw.PRODUCE: 3, kw.FETCH: 4, kw.LIST_OFFSETS: 1, kw.METADATA: 4,
-        kw.OFFSET_COMMIT: 2, kw.OFFSET_FETCH: 1, kw.FIND_COORDINATOR: 1,
-        kw.JOIN_GROUP: 2, kw.HEARTBEAT: 1, kw.LEAVE_GROUP: 1,
-        kw.SYNC_GROUP: 1, kw.API_VERSIONS: 0, kw.CREATE_TOPICS: 2,
+    # api -> (kafka4_min, served_max). Single source of truth: the min
+    # column is what KIP-896 removed everything below (Kafka 4.x
+    # behavior in modern_only mode), the max column is the highest
+    # version the handlers implement.
+    API_TABLE = {
+        kw.PRODUCE: (3, 3), kw.FETCH: (4, 4), kw.LIST_OFFSETS: (1, 1),
+        kw.METADATA: (4, 4), kw.OFFSET_COMMIT: (2, 2),
+        kw.OFFSET_FETCH: (1, 1), kw.FIND_COORDINATOR: (1, 1),
+        kw.JOIN_GROUP: (2, 2), kw.HEARTBEAT: (1, 1),
+        kw.LEAVE_GROUP: (1, 1), kw.SYNC_GROUP: (1, 1),
+        kw.API_VERSIONS: (0, 0), kw.CREATE_TOPICS: (2, 2),
     }
+    K4_MIN = {k: v[0] for k, v in API_TABLE.items()}
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  default_partitions: int = 3,
@@ -181,16 +187,9 @@ class KafkaServer:
     # -------------------------------------------------------------- handlers
 
     def _h_api_versions(self, r: kw.Reader, ver: int) -> bytes:
-        maxes = {
-            kw.PRODUCE: 3, kw.FETCH: 4, kw.LIST_OFFSETS: 1,
-            kw.METADATA: 4, kw.OFFSET_COMMIT: 2, kw.OFFSET_FETCH: 1,
-            kw.FIND_COORDINATOR: 1, kw.JOIN_GROUP: 2, kw.HEARTBEAT: 1,
-            kw.LEAVE_GROUP: 1, kw.SYNC_GROUP: 1, kw.API_VERSIONS: 0,
-            kw.CREATE_TOPICS: 2,
-        }
         vers = self._api_versions_override or {
-            k: ((self.K4_MIN[k] if self._modern_only else 0), vmax)
-            for k, vmax in maxes.items()
+            k: ((vmin if self._modern_only else 0), vmax)
+            for k, (vmin, vmax) in self.API_TABLE.items()
         }
         w = kw.Writer().i16(kw.NONE)
         w.array(sorted(vers.items()),

@@ -400,6 +400,39 @@ def _decode_one_batch_v2(buf: bytes, pos: int, end: int,
                                    ts0 + ts_delta))
 
 
+def records_next_offset(buf: bytes) -> int | None:
+    """Offset just past the records spanned by `buf`'s batches (None if
+    nothing parseable). For RecordBatch v2 this reads baseOffset +
+    lastOffsetDelta from the batch header, which keeps counting offsets
+    whose records were compacted away — the consumer position must
+    advance past those or a fetch at a compacted position livelocks."""
+    nxt: int | None = None
+    pos = 0
+    n = len(buf)
+    while n - pos >= 17:
+        size = struct.unpack(">i", buf[pos + 8:pos + 12])[0]
+        magic = buf[pos + 16]
+        if magic == 2:
+            end = pos + 12 + size
+            if size < 49 or end > n:
+                break
+            base = struct.unpack(">q", buf[pos:pos + 8])[0]
+            last_delta = struct.unpack(">i", buf[pos + 23:pos + 27])[0]
+            cand = base + last_delta + 1
+            nxt = cand if nxt is None else max(nxt, cand)
+            pos = end
+        else:
+            try:
+                msgs = decode_message_set(buf[pos:])
+            except WireError:
+                break
+            if msgs:
+                cand = msgs[-1].offset + 1
+                nxt = cand if nxt is None else max(nxt, cand)
+            break
+    return nxt
+
+
 def decode_records(buf: bytes) -> list[WireMessage]:
     """Unified Fetch-records decoder: v2 record batches AND legacy magic
     0/1 message sets (both place the magic byte at offset 16 of each

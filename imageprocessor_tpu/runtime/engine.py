@@ -91,12 +91,24 @@ log = get_logger("engine")
 PERMANENT = "permanent"
 TRANSIENT = "transient"
 
-# device_jpeg auto policy: hosts with more cores than this serve more
-# JPEG throughput from the host codec pool than the chip-side codec cap
-# (see the policy comment in ProcessingEngine.__init__). The ratio is
-# scale-invariant in image size (both sides are linear in pixels).
+# device_jpeg auto policy: hosts with at least this many USABLE cores
+# serve more JPEG throughput from the host codec pool than the chip-side
+# codec cap (see the policy comment in ProcessingEngine.__init__). The
+# ratio is scale-invariant in image size (both sides are linear in
+# pixels); the crossover sits right at 16 cores x ~10 img/s = 160 vs the
+# ~150 img/s chip cap, so the comparison is STRICT (< 16 enables).
 DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
     "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "16"))
+
+
+def usable_cores() -> int:
+    """Cores this PROCESS may use: cgroup/affinity-aware (a container
+    pinned to 4 of 64 cores must count 4 — it is exactly the
+    core-starved host the device-JPEG offload targets)."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except (AttributeError, OSError):  # non-Linux
+        return os.cpu_count() or 1
 
 
 @dataclass
@@ -187,8 +199,8 @@ class ProcessingEngine:
             else:
                 device_jpeg = (jax.default_backend() == "tpu"
                                and nativecodec.available()
-                               and (os.cpu_count() or 1)
-                               <= DEVICE_JPEG_CORE_THRESHOLD)
+                               and usable_cores()
+                               < DEVICE_JPEG_CORE_THRESHOLD)
         self.device_jpeg = device_jpeg
         self.jpeg_quality = jpeg_quality
         self._pool = ThreadPoolExecutor(max_workers=max(codec_threads, 1),

@@ -153,6 +153,11 @@ class ImageBoard {
     if (!confirm("Delete this image and all processed versions?")) return;
     const r = await fetch(`/api/images/${id}`, { method: "DELETE" });
     if (r.status === 204) {
+      // free the dedup slot so the same file can be re-uploaded
+      const item = this.items.get(id);
+      if (item && this.uploaded) {
+        this.uploaded.delete(`${item.filename}:${item.size}`);
+      }
       this.items.delete(id);
       this.render();
     }

@@ -49,6 +49,12 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_image_id
     ON processed_images(image_id);
 CREATE INDEX IF NOT EXISTS idx_processed_images_operation
     ON processed_images(operation);
+-- Dedup before the unique index (see sqlite_meta): legacy databases can
+-- hold the duplicates the index now prevents, and the CREATE would fail
+-- at startup on them.
+DELETE FROM processed_images WHERE id NOT IN (
+    SELECT MIN(id) FROM processed_images
+    GROUP BY image_id, operation, path);
 CREATE UNIQUE INDEX IF NOT EXISTS idx_processed_images_replay
     ON processed_images(image_id, operation, path);
 """

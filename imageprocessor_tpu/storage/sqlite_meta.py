@@ -46,6 +46,14 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_image_id
     ON processed_images(image_id);
 CREATE INDEX IF NOT EXISTS idx_processed_images_operation
     ON processed_images(operation);
+-- Dedup before the unique index: databases written by the pre-upsert
+-- code can already hold duplicate (image_id, operation, path) rows —
+-- exactly what the index now prevents — and CREATE UNIQUE INDEX would
+-- fail at startup on them. Keep one row per key (min id; rows differ
+-- only in id/created_at).
+DELETE FROM processed_images WHERE id NOT IN (
+    SELECT MIN(id) FROM processed_images
+    GROUP BY image_id, operation, path);
 CREATE UNIQUE INDEX IF NOT EXISTS idx_processed_images_replay
     ON processed_images(image_id, operation, path);
 """

@@ -230,19 +230,18 @@ def test_device_jpeg_default_policy(tmp_path, monkeypatch):
     scanner exists, AND the host is core-starved (the device codec caps
     chip JPEG throughput; big host codec pools outrun it — PERF.md).
     Tests run on CPU, so auto is off here; explicit 1/0 forces."""
-    import os as _os
-
     import jax
 
     from imageprocessor_tpu.runtime.engine import (
         DEVICE_JPEG_CORE_THRESHOLD,
+        usable_cores,
     )
 
     monkeypatch.delenv("IMAGEPROCESSOR_DEVICE_JPEG", raising=False)
     eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))
     assert eng.device_jpeg is (
         jax.default_backend() == "tpu" and nc.available()
-        and (_os.cpu_count() or 1) <= DEVICE_JPEG_CORE_THRESHOLD)
+        and usable_cores() < DEVICE_JPEG_CORE_THRESHOLD)
     eng.close()
     monkeypatch.setenv("IMAGEPROCESSOR_DEVICE_JPEG", "1")
     eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)))

@@ -402,7 +402,7 @@ def test_poll_filters_records_below_position():
     batch = [kw.WireMessage(i, b"k", f"v{i}".encode(), -1)
              for i in range(4)]
     b._fetch = lambda cc, pid, max_bytes=1 << 20: (
-        batch if cc.positions[pid] < 4 else [])
+        (batch, 4) if cc.positions[pid] < 4 else ([], None))
 
     first = b.poll("t", "g", max_n=2, lease_s=60)
     assert [m.offset for m in first] == [0, 1]
@@ -413,6 +413,78 @@ def test_poll_filters_records_below_position():
     # the first delivery's leases survived the re-fetch
     for m in first + second:
         assert b.ack(m), f"ack failed for offset {m.offset}"
+
+
+def test_poll_advances_over_compacted_batch_without_livelock():
+    """A log-compacted batch can span ONLY offsets below the position
+    (surviving records 5-6, position 7, batch end 10): every record
+    filters out, and poll must advance the position past the batch via
+    the header's end offset instead of re-fetching the same batch
+    forever while holding the broker lock."""
+    from imageprocessor_tpu.broker.kafka import _Consumer
+
+    b = KafkaBroker(brokers=["localhost:1"])  # never contacted
+    c = _Consumer("t", "g")
+    c.joined = True
+    c.partitions = [0]
+    c.positions = {0: 7}
+    c.committed = {0: 7}
+    b._consumers[("t", "g")] = c
+    b._heartbeat_ok = lambda _c: True
+    compacted = [kw.WireMessage(5, b"k", b"v5", -1),
+                 kw.WireMessage(6, b"k", b"v6", -1)]
+    fresh = [kw.WireMessage(10, b"k", b"v10", -1)]
+
+    def fetch(cc, pid, max_bytes=1 << 20):
+        if cc.positions[pid] < 10:
+            return compacted, 10  # batch [5..9], records 7-9 compacted
+        return fresh, 11
+
+    b._fetch = fetch
+    t0 = time.monotonic()
+    got = b.poll("t", "g", max_n=5, lease_s=60)
+    assert time.monotonic() - t0 < 5.0, "poll livelocked"
+    assert [m.offset for m in got] == [10]
+    assert c.positions[0] == 11
+
+
+def test_records_next_offset_reads_batch_headers():
+    buf = kw.encode_record_batch(
+        [(5, b"k", b"v", 1), (9, b"k", b"w", 2)], base_offset=5)
+    assert kw.records_next_offset(buf) == 10  # lastOffsetDelta end
+    legacy = kw.encode_message_set([(3, b"k", b"v")])
+    assert kw.records_next_offset(legacy) == 4
+    assert kw.records_next_offset(b"") is None
+
+
+def test_offset_commit_v1_interop():
+    """A broker whose max OffsetCommit is v1 (0.8.2/0.9 era) requires
+    the per-partition commit timestamp field; a malformed v1 body loses
+    the commit and the restarted client replays acked messages."""
+    s = KafkaServer(default_partitions=1, api_versions_override={
+        kw.PRODUCE: (0, 3), kw.FETCH: (0, 4), kw.METADATA: (0, 4),
+        kw.LIST_OFFSETS: (0, 1), kw.FIND_COORDINATOR: (0, 1),
+        kw.JOIN_GROUP: (0, 2), kw.SYNC_GROUP: (0, 1),
+        kw.HEARTBEAT: (0, 1), kw.LEAVE_GROUP: (0, 1),
+        kw.OFFSET_COMMIT: (0, 1), kw.OFFSET_FETCH: (0, 1),
+        kw.API_VERSIONS: (0, 0), kw.CREATE_TOPICS: (0, 2),
+    })
+    c1 = KafkaBroker(brokers=[s.address])
+    try:
+        c1.create_topic("v1c", 1)
+        c1.produce("v1c", b"k", b"m0")
+        c1.produce("v1c", b"k", b"m1")
+        [m] = c1.poll("v1c", "g", max_n=1)
+        assert c1.ack(m)  # commits via OffsetCommit v1
+        c1.close()
+        c2 = KafkaBroker(brokers=[s.address])
+        got = c2.poll("v1c", "g", max_n=10)
+        assert [x.value for x in got] == [b"m1"], \
+            "v1 commit was lost (malformed request?)"
+        c2.close()
+    finally:
+        c1.close()
+        s.close()
 
 
 # -------------------------------------------- version negotiation matrix

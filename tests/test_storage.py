@@ -288,3 +288,52 @@ def test_metadata_list_newest_first_excludes_deleted(meta_store):
     assert [i.id for i in store.list_images(limit=1)] == [c.id]
     assert [i.id for i in store.list_images(limit=1, offset=1)] == [a.id]
 
+
+
+def test_legacy_duplicate_rows_deduped_on_init(tmp_path):
+    """Databases written by the pre-upsert code can hold duplicate
+    (image_id, operation, path) rows; store init must dedup them before
+    creating the unique replay index instead of failing to start."""
+    import sqlite3
+
+    from imageprocessor_tpu.domain import ProcessedImage
+    from imageprocessor_tpu.storage.sqlite_meta import SQLiteMetadataStore
+
+    path = str(tmp_path / "legacy.db")
+    # build a legacy-shaped DB (no unique index) with duplicates
+    conn = sqlite3.connect(path)
+    conn.executescript("""
+        CREATE TABLE images (id TEXT PRIMARY KEY, original_filename TEXT
+            NOT NULL, original_size INTEGER NOT NULL, mime_type TEXT NOT
+            NULL, status TEXT NOT NULL, original_path TEXT NOT NULL,
+            bucket TEXT NOT NULL, created_at TEXT NOT NULL,
+            updated_at TEXT NOT NULL);
+        CREATE TABLE processed_images (id TEXT PRIMARY KEY, image_id TEXT
+            NOT NULL REFERENCES images(id) ON DELETE CASCADE, operation
+            TEXT NOT NULL, parameters TEXT, path TEXT NOT NULL, size
+            INTEGER NOT NULL, mime_type TEXT NOT NULL, format TEXT NOT
+            NULL, status TEXT NOT NULL, created_at TEXT NOT NULL);
+        INSERT INTO images VALUES ('im1','a.png',1,'image/png',
+            'completed','o/a','b','2026-01-01T00:00:00',
+            '2026-01-01T00:00:00');
+        INSERT INTO processed_images VALUES ('p1','im1','thumbnail','',
+            'processed/thumbnails/im1/200.jpeg',10,'image/jpeg','jpeg',
+            'completed','2026-01-01T00:00:00');
+        INSERT INTO processed_images VALUES ('p2','im1','thumbnail','',
+            'processed/thumbnails/im1/200.jpeg',12,'image/jpeg','jpeg',
+            'completed','2026-01-02T00:00:00');
+    """)
+    conn.commit()
+    conn.close()
+
+    store = SQLiteMetadataStore(path)  # must not raise IntegrityError
+    rows = store.list_processed("im1")
+    assert len(rows) == 1  # deduped, one survivor per key
+    # and the upsert path works on the migrated DB
+    store.save_processed_image(ProcessedImage(
+        id="", image_id="im1", operation="thumbnail",
+        path="processed/thumbnails/im1/200.jpeg", size=99,
+        mime_type="image/jpeg", format="jpeg", status="completed"))
+    rows = store.list_processed("im1")
+    assert len(rows) == 1 and rows[0].size == 99
+    store.close()

@@ -112,3 +112,62 @@ b = time_plan("B thumb+resize", ["thumb", "resize"])
 c = time_plan("C watermark only", ["wm"])
 print(f"A-B (watermark inside step): {(a - b) * 1000:.3f} ms; "
       f"C alone: {c * 1000:.3f} ms")
+
+
+def time_plan_carry_wm():
+    """A with the PRODUCTION aliasing: the watermark output is the loop
+    carry (bench.py's harness), so XLA aliases it onto the input and the
+    full-frame 'copy' collapses to an in-place tile blend."""
+    plan = normalize_operations([OPS["thumb"], OPS["resize"], OPS["wm"]])
+    model = PipelineModel()
+    out_hws = {}
+    for i, op in enumerate(plan.ops):
+        if op.type is OperationType.RESIZE:
+            w, h = keep_aspect_dims(SRC_W, SRC_H, op.width, op.height)
+            out_hws[i] = np.tile(np.asarray([[h, w]], np.int32), (B, 1))
+    specs = plan_output_specs(plan, (BH, BW))
+    fused_meta, fused_arrays = model._fused_setup(
+        plan, (BH, BW), B, src_hw, out_hws)
+    skip = fused_meta[:2] if fused_meta else ()
+    pallas_plans, pallas_args = model._pallas_setup(
+        plan, (BH, BW), B, src_hw, out_hws, specs, skip=skip)
+    if fused_arrays is not None:
+        pallas_args["fused"] = fused_arrays
+    raw = model.get_raw_step(plan, specs, pallas_plans, "chw", fused_meta)
+    wm_args = model.prepare_wm_args(plan)
+    dev = jax.devices()[0]
+    dummy = np.zeros((B, 2), dtype=np.int32)
+    hws = tuple(jax.device_put(np.asarray(out_hws.get(i, dummy), np.int32),
+                               dev) for i in range(len(plan.ops)))
+    src_hw_d = jax.device_put(src_hw, dev)
+
+    def body(_i, img):
+        outs = raw(img, src_hw_d, hws, wm_args, pallas_args)
+        wm = outs[2]
+        dep = (outs[0][:, :, :1, :1] ^ outs[1][:, :, :1, :1])
+        return jax.lax.dynamic_update_slice(
+            wm, wm[:, :, :1, :1] ^ dep, (0, 0, 0, 0))
+
+    lp = jax.jit(lambda c, k: jax.lax.fori_loop(0, k, body, c))
+    img_d = jax.device_put(imgs, dev)
+    np.asarray(lp(img_d, 2).reshape(-1)[0])
+
+    def t(k):
+        t0 = time.monotonic()
+        np.asarray(lp(img_d, k).reshape(-1)[0])
+        return time.monotonic() - t0
+
+    t(4)
+    kb = 16
+    tb = t(kb)
+    while tb < 1.5 and kb < 4096:
+        kb *= 4
+        tb = t(kb)
+    ts = t(4)
+    tb = t(kb)
+    per = (tb - ts) / (kb - 4)
+    print(f"{'A2 wm output as carry (alias)':28s}: {per * 1000:.3f} "
+          f"ms/batch  ({B / per:8.1f} img/s)  k_big={kb}", flush=True)
+
+
+time_plan_carry_wm()
