@@ -95,10 +95,12 @@ TRANSIENT = "transient"
 # serve more JPEG throughput from the host codec pool than the chip-side
 # codec cap (see the policy comment in ProcessingEngine.__init__). The
 # ratio is scale-invariant in image size (both sides are linear in
-# pixels); the crossover sits right at 16 cores x ~10 img/s = 160 vs the
-# ~150 img/s chip cap, so the comparison is STRICT (< 16 enables).
+# pixels). Measured on v5e (BENCH r3): the composed on-chip
+# decode->pipeline->encode step runs ~90 12MP img/s and a host core
+# ~10 img/s, so the crossover is ~9 cores (stage-isolated probes
+# suggest up to ~150/s with better scheduling — see PERF.md).
 DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
-    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "16"))
+    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "9"))
 
 
 def usable_cores() -> int:
@@ -183,12 +185,13 @@ class ProcessingEngine:
         # The codec halves trade CHIP time for HOST CPU: they cost ~8-10
         # extra HBM passes over the frame (~26 ms decode + ~26 ms encode
         # per 8x12MP batch vs the 0.7 ms fused pipeline step — PERF.md
-        # round-3 probe), capping the chip's JPEG-path throughput around
-        # 150 12MP img/s. That wins only when the host cannot feed the
-        # chip: per core the host codec manages ~10 12MP img/s, so below
-        # ~16 cores the device path serves more total throughput, above
-        # it the host pool does. Auto policy = native scanner present
-        # AND TPU backend AND a core-starved host;
+        # round-3 probe), capping the chip's JPEG-path throughput at
+        # ~90 12MP img/s measured composed (BENCH r3; ~150 by stage
+        # sums). That wins only when the host cannot feed the chip: per
+        # core the host codec manages ~10 12MP img/s, so below the
+        # measured ~9-core crossover the device path serves more total
+        # throughput, above it the host pool does. Auto policy = native
+        # scanner present AND TPU backend AND a core-starved host;
         # IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces either way.
         if device_jpeg is None:
             env_flag = os.environ.get("IMAGEPROCESSOR_DEVICE_JPEG", "")
