@@ -8,6 +8,14 @@ lease-based per message, which is strictly stronger than the reference's
 offset commits: its latestOffset race (consumer.go:33-44, documented in
 SURVEY.md §5) cannot occur here because acks are keyed by a unique
 delivery token, not a shared offset watermark.
+
+Ordering: delivery order within a partition is offset order, but
+CONCURRENT consumers (or one consumer's parallel batch) may complete
+out of order — identical to the reference, whose WORKER_CONCURRENCY
+goroutines process same-partition messages concurrently (worker.go:
+88-96). The service keys one task per image, so per-image ordering is
+vacuous in production; producers enqueueing multiple ordered messages
+per key must serialize consumption themselves.
 """
 
 from __future__ import annotations
@@ -186,10 +194,12 @@ class SQLiteBroker(Broker):
         """Garbage-collect messages (retention).
 
         Two tiers, mirroring Kafka segment retention:
-        * acked tier: messages older than `older_than_s` whose delivery
-          rows are all 'done' (and at least one exists — a group that
-          has never polled the topic at all cannot veto, same as a
-          Kafka group that never subscribed);
+        * acked tier: messages older than `older_than_s` that EVERY
+          group active on the topic has acked (a group with any
+          delivery history on the topic but none for this message is
+          lagging, not absent — it vetoes; a group that has never
+          polled the topic at all cannot veto, same as a Kafka group
+          that never subscribed);
         * retention tier: ANY message older than `unconsumed_ttl_s`
           (Kafka's log.retention default is 7 days) — bounds growth of
           topics nobody consumes (e.g. the results topic when no
@@ -203,17 +213,24 @@ class SQLiteBroker(Broker):
                 """
                 DELETE FROM messages
                 WHERE (created_at < ?
-                  AND NOT EXISTS (
-                    SELECT 1 FROM deliveries d
-                    WHERE d.topic = messages.topic
-                      AND d.partition = messages.partition
-                      AND d.offset = messages.offset
-                      AND d.state != 'done')
                   AND EXISTS (
                     SELECT 1 FROM deliveries d2
                     WHERE d2.topic = messages.topic
                       AND d2.partition = messages.partition
-                      AND d2.offset = messages.offset))
+                      AND d2.offset = messages.offset)
+                  AND NOT EXISTS (
+                    -- any group active on this TOPIC that has not
+                    -- acked THIS message vetoes (lagging consumer)
+                    SELECT 1 FROM (
+                      SELECT DISTINCT grp FROM deliveries dt
+                      WHERE dt.topic = messages.topic) g
+                    WHERE NOT EXISTS (
+                      SELECT 1 FROM deliveries dd
+                      WHERE dd.topic = messages.topic
+                        AND dd.partition = messages.partition
+                        AND dd.offset = messages.offset
+                        AND dd.grp = g.grp
+                        AND dd.state = 'done')))
                   OR created_at < ?
                 """, (now - older_than_s, now - unconsumed_ttl_s))
             self._conn.execute(

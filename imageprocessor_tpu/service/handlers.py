@@ -40,7 +40,8 @@ LOOP_RUNNER_KEY: web.AppKey = web.AppKey("loop_runner", object)
 USECASE_KEY: web.AppKey = web.AppKey("usecase", object)
 STORES_KEY: web.AppKey = web.AppKey("stores", tuple)
 
-_ALLOWED_EXT = {".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".tiff"}
+_ALLOWED_EXT = {".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp",
+                ".tiff", ".tif"}
 # Cap for non-file multipart parts (operation flags, watermark text).
 _MAX_FORM_PART_SIZE = 64 << 10
 _MAX_FORM_PARTS = 64  # file + every documented flag, with headroom
@@ -157,7 +158,7 @@ class ImageHandlers:
             return _json_error(
                 400,
                 "Unsupported file format. Allowed: jpg, jpeg, png, gif, "
-                "webp, bmp")
+                "webp, bmp, tiff")
         if not file_ct.startswith("image/"):
             return _json_error(400, "File must be an image")
 

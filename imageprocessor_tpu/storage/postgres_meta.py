@@ -49,14 +49,19 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_image_id
     ON processed_images(image_id);
 CREATE INDEX IF NOT EXISTS idx_processed_images_operation
     ON processed_images(operation);
--- Dedup before the unique index (see sqlite_meta): legacy databases can
--- hold the duplicates the index now prevents, and the CREATE would fail
--- at startup on them.
+"""
+
+# See sqlite_meta: dedup runs only when the unique-index creation fails
+# on a legacy database with pre-upsert duplicates, so the full-table
+# scan happens at most once per database.
+_DEDUP_SQL = """
 DELETE FROM processed_images WHERE id NOT IN (
     SELECT MIN(id) FROM processed_images
-    GROUP BY image_id, operation, path);
+    GROUP BY image_id, operation, path)
+"""
+_REPLAY_INDEX_SQL = """
 CREATE UNIQUE INDEX IF NOT EXISTS idx_processed_images_replay
-    ON processed_images(image_id, operation, path);
+    ON processed_images(image_id, operation, path)
 """
 
 
@@ -86,6 +91,15 @@ class PostgresMetadataStore(MetadataStore):
         self._lock = threading.Lock()
         with self._cursor() as cur:
             cur.execute(MIGRATION_SQL)
+        try:
+            with self._cursor() as cur:
+                cur.execute(_REPLAY_INDEX_SQL)
+        except pgwire.PgError:
+            # legacy DB with pre-upsert duplicates: dedup once, retry
+            with self._cursor() as cur:
+                cur.execute(_DEDUP_SQL)
+            with self._cursor() as cur:
+                cur.execute(_REPLAY_INDEX_SQL)
 
     @contextlib.contextmanager
     def _cursor(self):
@@ -125,9 +139,12 @@ class PostgresMetadataStore(MetadataStore):
                      created_at=_ts(row[7]), updated_at=_ts(row[8]))
 
     def update_status(self, image_id: str, status: ImageStatus) -> None:
+        # Soft delete is FINAL (see sqlite_meta): late worker callbacks
+        # must not resurrect a deleted image.
         with self._cursor() as cur:
             cur.execute(
-                "UPDATE images SET status = %s, updated_at = %s WHERE id = %s",
+                "UPDATE images SET status = %s, updated_at = %s"
+                " WHERE id = %s AND status != 'deleted'",
                 (str(status), _dt.datetime.now(_dt.timezone.utc), image_id))
             if cur.rowcount == 0:
                 raise NotFound(image_id)

@@ -129,7 +129,10 @@ class S3ObjectStore(ObjectStore):
                          self.region)
         url = f"{self.scheme}://{self.host}{urllib.parse.quote(path)}"
         if query:
-            url += "?" + urllib.parse.urlencode(query)
+            # quote (not quote_plus): SigV4 canonicalizes spaces as %20;
+            # urlencode's '+' would diverge from the signed string.
+            url += "?" + urllib.parse.urlencode(
+                query, quote_via=urllib.parse.quote)
         return self._client.request(method, url, content=body, headers=signed)
 
     def _ensure_bucket(self) -> None:
@@ -194,8 +197,13 @@ class S3ObjectStore(ObjectStore):
         """List-then-delete pipeline (minio.go:146-176)."""
         count = 0
         token: str | None = None
+        # Preserve the trailing '/' sanitize strips: a directory-style
+        # prefix 'processed/resize/abc/' must not list 'abcd/...'.
+        list_prefix = sanitize_object_path(prefix)
+        if prefix.endswith("/"):
+            list_prefix += "/"
         while True:
-            query = {"list-type": "2", "prefix": sanitize_object_path(prefix)}
+            query = {"list-type": "2", "prefix": list_prefix}
             if token:
                 query["continuation-token"] = token
             r = self._request("GET", f"/{self.bucket}", query=query)

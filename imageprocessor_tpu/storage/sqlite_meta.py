@@ -46,16 +46,20 @@ CREATE INDEX IF NOT EXISTS idx_processed_images_image_id
     ON processed_images(image_id);
 CREATE INDEX IF NOT EXISTS idx_processed_images_operation
     ON processed_images(operation);
--- Dedup before the unique index: databases written by the pre-upsert
--- code can already hold duplicate (image_id, operation, path) rows —
--- exactly what the index now prevents — and CREATE UNIQUE INDEX would
--- fail at startup on them. Keep one row per key (min id; rows differ
--- only in id/created_at).
+"""
+
+# Dedup legacy duplicate (image_id, operation, path) rows — written by
+# the pre-upsert code — keeping one row per key. Only executed when
+# creating the unique replay index fails (see __init__), so the
+# full-table scan runs at most once per database, not on every start.
+_DEDUP_SQL = """
 DELETE FROM processed_images WHERE id NOT IN (
     SELECT MIN(id) FROM processed_images
-    GROUP BY image_id, operation, path);
+    GROUP BY image_id, operation, path)
+"""
+_REPLAY_INDEX_SQL = """
 CREATE UNIQUE INDEX IF NOT EXISTS idx_processed_images_replay
-    ON processed_images(image_id, operation, path);
+    ON processed_images(image_id, operation, path)
 """
 
 
@@ -79,6 +83,12 @@ class SQLiteMetadataStore(MetadataStore):
             self._conn.execute("PRAGMA journal_mode=WAL")
             self._conn.execute("PRAGMA foreign_keys=ON")
             self._conn.executescript(_SCHEMA)
+            try:
+                self._conn.execute(_REPLAY_INDEX_SQL)
+            except sqlite3.IntegrityError:
+                # legacy DB with pre-upsert duplicates: dedup once, retry
+                self._conn.execute(_DEDUP_SQL)
+                self._conn.execute(_REPLAY_INDEX_SQL)
             self._conn.commit()
 
     def save_image(self, image: Image) -> None:
@@ -108,9 +118,13 @@ class SQLiteMetadataStore(MetadataStore):
             updated_at=_parse_ts(row[8]))
 
     def update_status(self, image_id: str, status: ImageStatus) -> None:
+        # Soft delete is FINAL: a worker callback landing after the user
+        # deleted the image (its task was still queued) must not
+        # resurrect it into list/get results with its blob already gone.
         with self._lock:
             cur = self._conn.execute(
-                "UPDATE images SET status = ?, updated_at = ? WHERE id = ?",
+                "UPDATE images SET status = ?, updated_at = ?"
+                " WHERE id = ? AND status != 'deleted'",
                 (str(status), _ts(_dt.datetime.now(_dt.timezone.utc)), image_id))
             self._conn.commit()
         if cur.rowcount == 0:

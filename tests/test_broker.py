@@ -279,6 +279,33 @@ def test_memory_broker_purge_and_monotonic_offsets():
     assert b.purge_done(older_than_s=0.0, unconsumed_ttl_s=0.0) >= 1
 
 
+def test_sqlite_purge_vetoed_by_lagging_topic_group(tmp_path):
+    """A second group ACTIVE on the topic but lagging on a message (no
+    delivery row for it yet) must veto the acked-tier purge — otherwise
+    a fast worker group causes silent message loss for slow consumers
+    (e.g. an auditor group polling hourly)."""
+    from imageprocessor_tpu.broker.sqlitebroker import SQLiteBroker
+
+    b = SQLiteBroker(str(tmp_path / "b.db"))
+    b.create_topic("t", 1)
+    b.produce("t", b"k", b"m0")
+    # group B becomes topic-active on m0
+    [d0b] = b.poll("t", "gb", max_n=1)
+    b.ack(d0b)
+    b.produce("t", b"k", b"m1")
+    # group A (fast worker) drains and acks everything; B hasn't
+    # polled m1 yet
+    for m in b.poll("t", "ga", max_n=5):
+        b.ack(m)
+    assert b.purge_done(older_than_s=0.0) == 1  # m0: both groups acked
+    # m1 survives: B is topic-active but lagging
+    got = b.poll("t", "gb", max_n=5)
+    assert [m.value for m in got] == [b"m1"]
+    b.ack(got[0])
+    assert b.purge_done(older_than_s=0.0) == 1  # now purgeable
+    b.close()
+
+
 def test_memory_broker_purge_vetoed_by_nacked_group():
     """A group that leased-then-nacked a message (awaiting redelivery)
     must veto the acked-tier purge until it acks — nack() pops the lease

@@ -25,9 +25,15 @@ from imageprocessor_tpu.storage.s3 import S3ObjectStore, sign_v4
 
 def test_original_path_scheme():
     ns = 1755300000123456789  # 2025-08-15T...
-    path = original_object_path("photo.JPG", now_ns=ns)
+    path = original_object_path("photo.JPG", now_ns=ns, entropy="abc123")
     t = dt.datetime.fromtimestamp(ns // 10**9, dt.timezone.utc)
-    assert path == f"original/{t.year:04d}/{t.month:02d}/{t.day:02d}/{ns}.jpg"
+    assert path == (f"original/{t.year:04d}/{t.month:02d}/{t.day:02d}/"
+                    f"{ns}-abc123.jpg")
+    # entropy defaults to fresh randomness: same nanosecond from two
+    # processes cannot collide (the cross-process overwrite class)
+    a = original_object_path("x.png", now_ns=ns)
+    b = original_object_path("x.png", now_ns=ns)
+    assert a != b
 
 
 def test_sanitize_rejects_traversal():
@@ -337,3 +343,38 @@ def test_legacy_duplicate_rows_deduped_on_init(tmp_path):
     rows = store.list_processed("im1")
     assert len(rows) == 1 and rows[0].size == 99
     store.close()
+
+
+def test_deleted_image_cannot_be_resurrected(tmp_path):
+    """Soft delete is final: a worker callback landing after the user
+    deleted the image (its task still queued) must not flip the status
+    back and resurrect a blob-less image into list/get results."""
+    from imageprocessor_tpu.domain import ImageStatus
+    from imageprocessor_tpu.storage.metadata import NotFound
+    from imageprocessor_tpu.storage.sqlite_meta import SQLiteMetadataStore
+
+    store = SQLiteMetadataStore(":memory:")
+    img = _image()
+    store.save_image(img)
+    store.update_status(img.id, ImageStatus.DELETED)
+    with pytest.raises(NotFound):
+        store.update_status(img.id, ImageStatus.FAILED)
+    with pytest.raises(NotFound):
+        store.update_status(img.id, ImageStatus.COMPLETED)
+    assert all(i.id != img.id for i in store.list_images())
+    store.close()
+
+
+def test_localfs_dir_prefix_never_matches_sibling(tmp_path):
+    """A directory-style delete prefix ('.../abc/') must not delete the
+    sibling 'abcd/...' artifacts after sanitize strips the slash."""
+    from imageprocessor_tpu.storage.localfs import LocalFSObjectStore
+
+    store = LocalFSObjectStore(str(tmp_path / "o"))
+    store.save_processed("processed/resize/abcd/1024x768.jpeg", b"keep")
+    # 'abc' has no artifacts; the directory-style sweep must delete 0
+    assert store.delete_objects_with_prefix("processed/resize/abc/") == 0
+    assert store.get_object("processed/resize/abcd/1024x768.jpeg") == b"keep"
+    # real directory prefixes still sweep
+    store.save_processed("processed/resize/abc/1024x768.jpeg", b"gone")
+    assert store.delete_objects_with_prefix("processed/resize/abc/") == 1
