@@ -48,8 +48,10 @@ def _idct_plane(coefs_i16, qtab_f32, bh: int, bw: int):
     x = x * qtab_f32[None, :, None, :].reshape(1, 8, 1, 8)
     x = x.transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
     # spatial = D^T @ X @ D
-    x = jnp.einsum("ki,bkl->bil", d, x, preferred_element_type=jnp.float32)
-    x = jnp.einsum("bil,lj->bij", x, d, preferred_element_type=jnp.float32)
+    x = jnp.einsum("ki,bkl->bil", d, x, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bil,lj->bij", x, d, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     x = x.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     return x + 128.0
 
@@ -127,11 +129,13 @@ def _idct_planes_batched(coefs_i16, qtabs_f32):
     # vertical: spatial_i = sum_k D[k, i] * coef[k, .]
     x = x.reshape(b, bh, 8, ww)
     x = jnp.einsum("ki,bhkw->bhiw", d, x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     # horizontal: spatial_j = sum_l coef[., l] * D[l, j]
     x = x.reshape(b, hh, bw, 8)
     x = jnp.einsum("bhwl,lj->bhwj", x, d,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return x.reshape(b, hh, ww) + 128.0
 
 

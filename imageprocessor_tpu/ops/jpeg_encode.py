@@ -73,8 +73,10 @@ def _fdct_quantize(plane_f32, qtab_f32, bh: int, bw: int):
     d = jnp.asarray(_idct_basis())
     x = plane_f32.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
     x = x.reshape(bh * bw, 8, 8) - 128.0
-    c = jnp.einsum("ki,bij->bkj", d, x, preferred_element_type=jnp.float32)
-    c = jnp.einsum("bkj,lj->bkl", c, d, preferred_element_type=jnp.float32)
+    c = jnp.einsum("ki,bij->bkj", d, x, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    c = jnp.einsum("bkj,lj->bkl", c, d, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     c = c / qtab_f32[None, :, :]
     c = jnp.clip(jnp.round(c), -1023, 1023).astype(jnp.int16)
     return c.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
@@ -138,11 +140,13 @@ def _fdct_quantize_batched(planes_f32, qtab_f32):
     # vertical: coef_k = sum_i D[k, i] * x[i, .]
     x = planes_f32.reshape(b, bh, 8, ww) - 128.0
     x = jnp.einsum("ki,bhiw->bhkw", d, x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     # horizontal: coef_l = sum_j x[., j] * D[l, j]
     x = x.reshape(b, hh, bw, 8)
     x = jnp.einsum("bhwj,lj->bhwl", x, d,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     c = x.reshape(b, bh, 8, bw, 8) / qtab_f32[None, None, :, None, :]
     c = jnp.clip(jnp.round(c), -1023, 1023).astype(jnp.int16)
     return c.reshape(b, hh, ww)

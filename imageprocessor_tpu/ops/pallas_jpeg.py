@@ -1,0 +1,358 @@
+"""Pallas fused 4:2:0 JPEG coefficient decode — coefficients to pixels
+in ONE kernel sweep.
+
+The XLA decode path (ops/jpeg_decode.batched_decode_ycbcr) is
+HBM-pass-bound: dequant, two IDCT contractions, chroma clamp/upsample and
+color convert each materialize full-canvas intermediates (~26.5 ms per
+8x12 MP batch on v5e after the round-3 layout rewrite — PERF.md). This
+kernel reads each coefficient band once into VMEM and writes pixels once:
+
+* grid (B, luma-band); the luma coefficient band arrives via an automatic
+  BlockSpec; the chroma coefficient windows (band/2 + halo rows for the
+  fancy-upsample taps) are manually DMA'd from 8-aligned starts;
+* dequantization multiplies by host-tiled (8, W) quant patterns (band
+  starts are 8-aligned, so the pattern phase is static);
+* both 8-point IDCT contractions are matmuls against small STATIC
+  block-diagonal basis matrices (kron(I, D^T) from the left for the
+  vertical pass; per-128-column chunks of kron(I, D) from the right for
+  the horizontal pass) — layout-preserving, MXU-shaped, no per-block
+  gather ever materializes;
+* libjpeg's fancy (triangular) chroma upsample runs as one-hot matmuls
+  built from HOST-computed per-image tap indices (the
+  ops/pallas_resample.py machinery): vertical taps select rows of the
+  DMA'd chroma window, horizontal taps select columns of a static
+  128-wide window per output chunk. Per-image valid-extent clamping
+  (MCU-padded canvases) is folded into the indices, so batches of
+  mixed-size images decode exactly like the single-image path;
+* BT.601 color convert + round + u8 store finish in-register (u8 via
+  i32 — Mosaic has no direct f32->u8 cast).
+
+Pixels outside an image's valid (h, w) region are unspecified (the
+engine's consumers never read them — resample indices and watermark
+windows clamp to valid extents), matching the XLA path's contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imageprocessor_tpu.ops.jpeg_decode import _idct_basis
+
+
+@dataclass(frozen=True)
+class DecodePlan:
+    """Static geometry for one compiled decode kernel."""
+
+    batch: int
+    h: int              # luma canvas rows (multiple of 16)
+    w: int              # luma canvas cols (multiple of 16, of 128 too)
+    band_rows: int      # luma rows per grid step (multiple of 16)
+
+    @property
+    def hc(self) -> int:
+        return self.h // 2
+
+    @property
+    def wc(self) -> int:
+        return self.w // 2
+
+    @property
+    def n_bands(self) -> int:
+        return self.h // self.band_rows
+
+    @property
+    def win_rows(self) -> int:
+        # chroma coefficient window: band/2 plus one 8-row block of halo
+        # on each side (the fancy-upsample taps reach +-1 pixel row, and
+        # IDCT needs whole blocks); capped at the whole chroma canvas
+        # for small frames
+        return min(self.band_rows // 2 + 16, self.hc)
+
+    @property
+    def n_col_chunks(self) -> int:
+        return self.w // 128
+
+
+@dataclass
+class DecodeArgs:
+    """Per-batch runtime inputs (host-computed, no recompiles)."""
+
+    win_starts: np.ndarray   # (B * T,) i32 chroma window row starts
+    vrows0: np.ndarray       # (B * T, 1, R) i32 main vertical taps
+    vrows1: np.ndarray       # (B * T, 1, R) i32 other vertical taps
+    hcols0: np.ndarray       # (B * K, 1, 128) i32 main horizontal taps
+    hcols1: np.ndarray       # (B * K, 1, 128) i32
+    qty: np.ndarray          # (B, 8, W) f32 tiled luma quant pattern
+    qtcb: np.ndarray         # (B, 8, Wc) f32
+    qtcr: np.ndarray         # (B, 8, Wc) f32
+
+
+def make_plan(batch: int, h: int, w: int) -> DecodePlan:
+    if h % 16 or w % 16 or w % 128 or w < 256:
+        raise ValueError(f"canvas {h}x{w} must be multiples of 16, width "
+                         "a multiple of 128 and >= 256 (chroma chunks)")
+    band = 128 if w <= 4096 else 64
+    while h % band:
+        band //= 2
+    return DecodePlan(batch=batch, h=h, w=w, band_rows=band)
+
+
+def make_args(plan: DecodePlan, qtabs: np.ndarray,
+              chroma_valid: np.ndarray) -> DecodeArgs:
+    """qtabs: (B, 3, 8, 8) f32; chroma_valid: (B, 2) valid chroma dims
+    per image (its MCU grid / 2) — the upsample tap clamp boundary."""
+    b, t, r = plan.batch, plan.n_bands, plan.band_rows
+    k = plan.n_col_chunks
+    hc, wc, rc = plan.hc, plan.wc, plan.win_rows
+
+    qty = np.tile(qtabs[:, 0], (1, 1, plan.w // 8)).astype(np.float32)
+    qtcb = np.tile(qtabs[:, 1], (1, 1, wc // 8)).astype(np.float32)
+    qtcr = np.tile(qtabs[:, 2], (1, 1, wc // 8)).astype(np.float32)
+
+    cv_h = np.maximum(chroma_valid[:, 0].astype(np.int64), 1)
+    cv_w = np.maximum(chroma_valid[:, 1].astype(np.int64), 1)
+
+    win_starts = np.zeros((b, t), dtype=np.int32)
+    vrows0 = np.zeros((b, t, r), dtype=np.int32)
+    vrows1 = np.zeros((b, t, r), dtype=np.int32)
+    y_abs = np.arange(r, dtype=np.int64)
+    for j in range(t):
+        ws = min(max(j * r // 2 - 8, 0), hc - rc)
+        win_starts[:, j] = ws
+        yy = j * r + y_abs                      # absolute luma rows
+        i = yy // 2
+        other = np.where(yy % 2 == 0, i - 1, i + 1)
+        for im in range(b):
+            m = np.clip(i, 0, cv_h[im] - 1) - ws
+            o = np.clip(other, 0, cv_h[im] - 1) - ws
+            vrows0[im, j] = np.clip(m, 0, rc - 1)
+            vrows1[im, j] = np.clip(o, 0, rc - 1)
+
+    hcols0 = np.zeros((b, k, 128), dtype=np.int32)
+    hcols1 = np.zeros((b, k, 128), dtype=np.int32)
+    x_rel = np.arange(128, dtype=np.int64)
+    for c in range(k):
+        ws = min(max(c * 64 - 32, 0), wc - 128)
+        xx = c * 128 + x_rel
+        j = xx // 2
+        other = np.where(xx % 2 == 0, j - 1, j + 1)
+        for im in range(b):
+            m = np.clip(j, 0, cv_w[im] - 1) - ws
+            o = np.clip(other, 0, cv_w[im] - 1) - ws
+            hcols0[im, c] = np.clip(m, 0, 127)
+            hcols1[im, c] = np.clip(o, 0, 127)
+
+    return DecodeArgs(
+        win_starts=win_starts.reshape(-1),
+        vrows0=vrows0.reshape(b * t, 1, r),
+        vrows1=vrows1.reshape(b * t, 1, r),
+        hcols0=hcols0.reshape(b * k, 1, 128),
+        hcols1=hcols1.reshape(b * k, 1, 128),
+        qty=qty, qtcb=qtcb, qtcr=qtcr)
+
+
+def _kernel(plan: DecodePlan, interpret: bool):
+    r = plan.band_rows
+    rc = plan.win_rows
+    w, wc = plan.w, plan.wc
+    t = plan.n_bands
+    k = plan.n_col_chunks
+    # static horizontal-upsample window starts per output chunk
+    hws = [min(max(c * 64 - 32, 0), wc - 128) for c in range(k)]
+    aligned = (lambda v, m: v) if interpret else pl.multiple_of
+
+    def kernel(starts_ref,                       # scalar prefetch (B*T,)
+               y_ref,                            # VMEM (1, R, W) i16 block
+               cb_ref, cr_ref,                   # ANY (B, Hc, Wc) i16
+               v8_ref, v8c_ref, h8_ref, h8t_ref,  # VMEM static IDCT bases
+               qty_ref, qtcb_ref, qtcr_ref,      # VMEM (B, 8, W/Wc) f32
+               vrows0_ref, vrows1_ref,           # VMEM (B*T, 1, R)
+               hcols0_ref, hcols1_ref,           # VMEM (B*K, 1, 128)
+               out_ref,                          # VMEM (1, 3, R, W)
+               cbw_ref, crw_ref, sem0, sem1):
+
+        def idct_h(x):
+            """Horizontal IDCT: (rows, width) @ block-diag(D) in 128-col
+            chunks plus an optional 64-col tail (chroma widths are
+            multiples of 64, not always 128)."""
+            cols = []
+            width = x.shape[1]
+            for c in range(width // 128):
+                cols.append(jax.lax.dot_general(
+                    x[:, c * 128:(c + 1) * 128], h8_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+            if width % 128:
+                assert width % 128 == 64, width
+                cols.append(jax.lax.dot_general(
+                    x[:, width - 64:], h8t_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+            return jnp.concatenate(cols, axis=1)
+
+        b = pl.program_id(0)
+        tt = pl.program_id(1)
+
+        ws = aligned(starts_ref[b * t + tt], 8)
+        cp0 = pltpu.make_async_copy(
+            cb_ref.at[b, pl.ds(ws, rc), :], cbw_ref, sem0)
+        cp1 = pltpu.make_async_copy(
+            cr_ref.at[b, pl.ds(ws, rc), :], crw_ref, sem1)
+        cp0.start()
+        cp1.start()
+
+        # ---- luma: dequant + vertical + horizontal IDCT (+128 shift)
+        qy = jnp.concatenate([qty_ref[b]] * (r // 8), axis=0)   # (R, W)
+        yf = y_ref[0].astype(jnp.int32).astype(jnp.float32) * qy
+        yf = jax.lax.dot_general(
+            v8_ref[:], yf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        yf = idct_h(yf) + 128.0                                  # (R, W)
+
+        cp0.wait()
+        cp1.wait()
+
+        # ---- chroma windows: dequant + IDCT (no 128 shift: upsample
+        # weights sum to 1, so the shift cancels out of the color math)
+        qb = jnp.concatenate([qtcb_ref[b]] * (rc // 8), axis=0)  # (RC, Wc)
+        qr = jnp.concatenate([qtcr_ref[b]] * (rc // 8), axis=0)
+
+        def idct_win(win_ref, q):
+            x = win_ref[:].astype(jnp.int32).astype(jnp.float32) * q
+            x = jax.lax.dot_general(
+                v8c_ref[:], x, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            return idct_h(x)                                     # (RC, Wc)
+
+        cbp = idct_win(cbw_ref, qb)
+        crp = idct_win(crw_ref, qr)
+
+        # ---- vertical fancy upsample: (R, RC) one-hot @ (RC, Wc)
+        r0 = vrows0_ref[b * t + tt]             # (1, R)
+        r1 = vrows1_ref[b * t + tt]
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rc, r), 0)
+        wv = (jnp.where(iota_r == r0, 0.75, 0.0)
+              + jnp.where(iota_r == r1, 0.25, 0.0))              # (RC, R)
+        cbv = jax.lax.dot_general(
+            wv, cbp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)                  # (R, Wc)
+        crv = jax.lax.dot_general(
+            wv, crp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        # ---- horizontal upsample + color convert per 128-col out chunk
+        for c in range(k):
+            i0 = hcols0_ref[b * k + c]          # (1, 128)
+            i1 = hcols1_ref[b * k + c]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            wh = (jnp.where(iota == i0, 0.75, 0.0)
+                  + jnp.where(iota == i1, 0.25, 0.0))            # (128, 128)
+            cbh = jnp.dot(cbv[:, hws[c]:hws[c] + 128], wh,
+                          preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)    # (R, 128)
+            crh = jnp.dot(crv[:, hws[c]:hws[c] + 128], wh,
+                          preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            yc = yf[:, c * 128:(c + 1) * 128]
+            rr = yc + 1.402 * crh
+            gg = yc - 0.344136 * cbh - 0.714136 * crh
+            bb = yc + 1.772 * cbh
+            sl = slice(c * 128, (c + 1) * 128)
+            for ch, plane in ((0, rr), (1, gg), (2, bb)):
+                q = jnp.clip(jnp.round(plane), 0.0, 255.0)
+                out_ref[0, ch, :, sl] = q.astype(jnp.int32).astype(jnp.uint8)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(plan: DecodePlan, interpret: bool):
+    r, w = plan.band_rows, plan.w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan.batch, plan.n_bands),
+        in_specs=[
+            pl.BlockSpec((1, r, w), lambda b, tt, s: (b, tt, 0)),  # yc
+            pl.BlockSpec(memory_space=pltpu.ANY),                  # cbc
+            pl.BlockSpec(memory_space=pltpu.ANY),                  # crc
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # v8
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # v8c
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # h8
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # h8t
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qty
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qtcb
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qtcr
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # vrows0
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # vrows1
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # hcols0
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # hcols1
+        ],
+        out_specs=pl.BlockSpec((1, 3, r, w), lambda b, tt, s: (b, 0, tt, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((plan.win_rows, plan.wc), jnp.int16),
+            pltpu.VMEM((plan.win_rows, plan.wc), jnp.int16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    flops = (plan.batch * plan.n_bands
+             * 2 * (r * r * w                       # luma vertical
+                    + r * w * 128                   # luma horizontal
+                    + 2 * plan.win_rows * plan.win_rows * plan.wc
+                    + 2 * plan.win_rows * plan.wc * 128
+                    + 2 * r * plan.win_rows * plan.wc
+                    + 2 * r * w * 128))
+    return pl.pallas_call(
+        _kernel(plan, interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.batch, 3, plan.h, plan.w), jnp.uint8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=plan.batch * (plan.h * plan.w * 2
+                                         + plan.hc * plan.wc * 4
+                                         + 3 * plan.h * plan.w),
+            transcendentals=0),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _bases(band_rows: int, win_rows: int):
+    d = _idct_basis().astype(np.float32)  # D[k, n]
+    v8 = np.kron(np.eye(band_rows // 8, dtype=np.float32), d.T)
+    v8c = np.kron(np.eye(win_rows // 8, dtype=np.float32), d.T)
+    h8 = np.kron(np.eye(16, dtype=np.float32), d)
+    h8t = np.kron(np.eye(8, dtype=np.float32), d)   # 64-col tail
+    return (jnp.asarray(v8), jnp.asarray(v8c), jnp.asarray(h8),
+            jnp.asarray(h8t))
+
+
+def decode_420(yc, cbc, crc, plan: DecodePlan, args: DecodeArgs,
+               *, interpret: bool = False):
+    """(B, H, W) + 2x(B, Hc, Wc) int16 coefficient canvases ->
+    (B, 3, H, W) uint8 planar RGB."""
+    call = _build_call(plan, interpret)
+    v8, v8c, h8, h8t = _bases(plan.band_rows, plan.win_rows)
+    return call(
+        jnp.asarray(args.win_starts),
+        yc, cbc, crc,
+        v8, v8c, h8, h8t,
+        jnp.asarray(args.qty), jnp.asarray(args.qtcb),
+        jnp.asarray(args.qtcr),
+        jnp.asarray(args.vrows0), jnp.asarray(args.vrows1),
+        jnp.asarray(args.hcols0), jnp.asarray(args.hcols1),
+    )
