@@ -356,3 +356,262 @@ def decode_420(yc, cbc, crc, plan: DecodePlan, args: DecodeArgs,
         jnp.asarray(args.vrows0), jnp.asarray(args.vrows1),
         jnp.asarray(args.hcols0), jnp.asarray(args.hcols1),
     )
+
+
+# ===================================================================
+# Fused 4:2:0 encode front half: planar RGB pixels -> quantized
+# coefficient canvases in one sweep (mirror of decode_420).
+# ===================================================================
+
+
+@dataclass(frozen=True)
+class EncodePlan:
+    """Static geometry for one compiled encode kernel."""
+
+    batch: int
+    h: int              # luma canvas rows (multiple of 16)
+    w: int              # luma canvas cols (multiple of 128, >= 256)
+    band_rows: int      # luma rows per grid step (multiple of 16)
+
+    @property
+    def n_bands(self) -> int:
+        return self.h // self.band_rows
+
+    @property
+    def n_col_chunks(self) -> int:
+        return self.w // 128
+
+
+@dataclass
+class EncodeArgs:
+    """Per-batch runtime inputs (host-computed)."""
+
+    rrows: np.ndarray       # (B * T, 1, R) i32 band-relative replicated rows
+    rcols: np.ndarray       # (B * K, 1, 128) i32 chunk-relative repl. cols
+    qy: np.ndarray          # (8, W) f32 tiled luma quant pattern
+    qc: np.ndarray          # (8, W // 2) f32 tiled chroma quant pattern
+
+
+def make_encode_plan(batch: int, h: int, w: int) -> EncodePlan:
+    if h % 16 or w % 128 or w < 256:
+        raise ValueError(f"canvas {h}x{w} must be H%16==0, W%128==0, "
+                         "W>=256")
+    # The kernel holds ~5 f32 band-sized planes at once (3 replicated
+    # channels + vertical intermediates); keep the VMEM footprint under
+    # the 16 MB budget on wide canvases (64 rows x 4096 cols measured
+    # 16.43M — just over).
+    band = 128 if w <= 2048 else (64 if w <= 3072 else 32)
+    while h % band:
+        band //= 2
+    return EncodePlan(batch=batch, h=h, w=w, band_rows=band)
+
+
+def make_encode_args(plan: EncodePlan, qt: np.ndarray,
+                     valid_hw: np.ndarray) -> EncodeArgs:
+    """qt: (2, 8, 8) luma/chroma quant tables; valid_hw: (B, 2) per-image
+    valid pixel dims — edge MCU blocks replicate from there (libjpeg
+    pads the same way; blocks fully outside ceil16(valid) are emitted by
+    nobody, so their don't-care clamping is band/chunk-local)."""
+    b, t, r = plan.batch, plan.n_bands, plan.band_rows
+    k = plan.n_col_chunks
+    vh = np.maximum(valid_hw[:, 0].astype(np.int64), 1)
+    vw = np.maximum(valid_hw[:, 1].astype(np.int64), 1)
+
+    rrows = np.zeros((b, t, r), dtype=np.int32)
+    rel = np.arange(r, dtype=np.int64)
+    for j in range(t):
+        rows = j * r + rel
+        for im in range(b):
+            rrows[im, j] = np.clip(np.minimum(rows, vh[im] - 1) - j * r,
+                                   0, r - 1)
+    rcols = np.zeros((b, k, 128), dtype=np.int32)
+    relc = np.arange(128, dtype=np.int64)
+    for c in range(k):
+        cols = c * 128 + relc
+        for im in range(b):
+            rcols[im, c] = np.clip(np.minimum(cols, vw[im] - 1) - c * 128,
+                                   0, 127)
+
+    qy = np.tile(np.asarray(qt[0], np.float32), (1, plan.w // 8))
+    qc = np.tile(np.asarray(qt[1], np.float32), (1, plan.w // 16))
+    return EncodeArgs(rrows=rrows.reshape(b * t, 1, r),
+                      rcols=rcols.reshape(b * k, 1, 128),
+                      qy=qy, qc=qc)
+
+
+def _encode_kernel(plan: EncodePlan, interpret: bool):
+    r = plan.band_rows
+    w = plan.w
+    wc = w // 2
+    rc = r // 2
+    t = plan.n_bands
+    k = plan.n_col_chunks
+
+    def kernel(rgb_ref,                          # VMEM (1, 3, R, W) u8
+               vy_ref, vc_ref, hy_ref, hc_ref,   # VMEM static FDCT bases
+               qy_ref, qc_ref,                   # VMEM quant patterns
+               rrows_ref, rcols_ref,             # VMEM replication indices
+               yc_ref, cbc_ref, crc_ref):        # outputs (1, ., .) i16
+        b = pl.program_id(0)
+        tt = pl.program_id(1)
+
+        # per-image edge replication as one-hot matmuls: rows once per
+        # band, cols once per 128-chunk (straddling blocks stay within
+        # one band/chunk because blocks are 16-aligned)
+        rr = rrows_ref[b * t + tt]               # (1, R)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+        wrep = jnp.where(iota_r == rr, 1.0, 0.0)  # (R, R) select rows
+
+        def load_chan(ch):
+            x = rgb_ref[0, ch].astype(jnp.int32).astype(jnp.float32)
+            x = jax.lax.dot_general(
+                wrep, x, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # row replicate
+            cols = []
+            for c in range(k):
+                ic = rcols_ref[b * k + c]        # (1, 128)
+                iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                wc_rep = jnp.where(iota == ic, 1.0, 0.0)
+                cols.append(jnp.dot(x[:, c * 128:(c + 1) * 128], wc_rep,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST))
+            return jnp.concatenate(cols, axis=1)          # (R, W)
+
+        rr_ = load_chan(0)
+        gg = load_chan(1)
+        bb = load_chan(2)
+        y = 0.299 * rr_ + 0.587 * gg + 0.114 * bb - 128.0
+        cb = -0.168735892 * rr_ - 0.331264108 * gg + 0.5 * bb
+        cr = 0.5 * rr_ - 0.418687589 * gg - 0.081312411 * bb
+        # (chroma carries no 128 shift: the +128 level and the -128 FDCT
+        # shift cancel)
+
+        # ---- luma FDCT: vertical (R,R) static, horizontal per chunk
+        yv = jax.lax.dot_general(
+            vy_ref[:], y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        qy = jnp.concatenate([qy_ref[:]] * (r // 8), axis=0)   # (R, W)
+        ycoef = []
+        for c in range(k):
+            blk = jax.lax.dot_general(
+                yv[:, c * 128:(c + 1) * 128], hy_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            ycoef.append(blk)
+        yq = jnp.concatenate(ycoef, axis=1) / qy
+        yc_ref[0] = jnp.clip(jnp.round(yq), -1023, 1023).astype(jnp.int16)
+
+        # ---- chroma: vertical (R/2, R) static matrix folds the 2-row
+        # mean INTO the FDCT; horizontal (256, 128) static folds the
+        # 2-col mean the same way
+        qc = jnp.concatenate([qc_ref[:]] * (rc // 8), axis=0)  # (RC, Wc)
+        for plane, out_ref in ((cb, cbc_ref), (cr, crc_ref)):
+            pv = jax.lax.dot_general(
+                vc_ref[:], plane, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)       # (R/2, W)
+            coefs = []
+            for c in range(wc // 128):
+                blk = jax.lax.dot_general(
+                    pv[:, c * 256:(c + 1) * 256], hc_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # (R/2, 128)
+                coefs.append(blk)
+            if wc % 128:
+                assert wc % 128 == 64, wc
+                blk = jax.lax.dot_general(
+                    pv[:, w - 128:], hc_ref[:, :128][:128],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)[:, :64]
+                coefs.append(blk)
+            pq = jnp.concatenate(coefs, axis=1) / qc
+            out_ref[0] = jnp.clip(jnp.round(pq), -1023,
+                                  1023).astype(jnp.int16)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_bases(band_rows: int):
+    d = _idct_basis().astype(np.float32)
+    # vertical FDCT: coef = kron(I, D) @ x
+    vy = np.kron(np.eye(band_rows // 8, dtype=np.float32), d)
+    # chroma vertical: 2-row mean then FDCT -> (R/2, R) static
+    rc = band_rows // 2
+    pair = np.zeros((rc, band_rows), dtype=np.float32)
+    for i in range(rc):
+        pair[i, 2 * i] = 0.5
+        pair[i, 2 * i + 1] = 0.5
+    vc = np.kron(np.eye(rc // 8, dtype=np.float32), d) @ pair
+    # horizontal FDCT: x @ kron(I, D^T) per 128 chunk
+    hy = np.kron(np.eye(16, dtype=np.float32), d.T)
+    # chroma horizontal: 2-col mean then FDCT -> (256, 128) static
+    pairc = np.zeros((256, 128), dtype=np.float32)
+    for i in range(128):
+        pairc[2 * i, i] = 0.5
+        pairc[2 * i + 1, i] = 0.5
+    hcm = pairc @ np.kron(np.eye(16, dtype=np.float32), d.T)
+    return (jnp.asarray(vy), jnp.asarray(vc), jnp.asarray(hy),
+            jnp.asarray(hcm))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_encode_call(plan: EncodePlan, interpret: bool):
+    r, w = plan.band_rows, plan.w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(plan.batch, plan.n_bands),
+        in_specs=[
+            pl.BlockSpec((1, 3, r, w), lambda b, tt: (b, 0, tt, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # vy
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # vc
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hy
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hc
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qy
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qc
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rrows
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rcols
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r, w), lambda b, tt: (b, tt, 0)),
+            pl.BlockSpec((1, r // 2, w // 2), lambda b, tt: (b, tt, 0)),
+            pl.BlockSpec((1, r // 2, w // 2), lambda b, tt: (b, tt, 0)),
+        ],
+    )
+    flops = (plan.batch * plan.n_bands * 2 * r * w
+             * (3 * r + 3 * 128 + r + 128 + 128))
+    return pl.pallas_call(
+        _encode_kernel(plan, interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((plan.batch, plan.h, plan.w), jnp.int16),
+            jax.ShapeDtypeStruct((plan.batch, plan.h // 2, plan.w // 2),
+                                 jnp.int16),
+            jax.ShapeDtypeStruct((plan.batch, plan.h // 2, plan.w // 2),
+                                 jnp.int16),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=plan.batch * plan.h * plan.w * 6,
+            transcendentals=0),
+    )
+
+
+def encode_420(rgb_u8, plan: EncodePlan, args: EncodeArgs,
+               *, interpret: bool = False):
+    """(B, 3, H, W) uint8 planar RGB -> (yc, cbc, crc) int16 quantized
+    coefficient canvases (4:2:0, 2x2 box-mean downsample, Annex-K style
+    quant), matching ops/jpeg_encode.batched_encode_420 within one
+    quantization step (different FDCT summation order can cross an
+    exact rounding tie; measured <=1 coef per megapixel)."""
+    call = _build_encode_call(plan, interpret)
+    vy, vc, hy, hcm = _encode_bases(plan.band_rows)
+    return call(rgb_u8, vy, vc, hy, hcm,
+                jnp.asarray(args.qy), jnp.asarray(args.qc),
+                jnp.asarray(args.rrows), jnp.asarray(args.rcols))

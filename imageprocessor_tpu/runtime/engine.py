@@ -512,6 +512,45 @@ class ProcessingEngine:
         return batched_decode_ycbcr(yc, cbc, crc, qt, cv, fh=fh, fw=fw,
                                     out_h=bucket[0], out_w=bucket[1])
 
+    def _encode_coefs(self, rgb, vh: np.ndarray, qt: np.ndarray):
+        """Planar pixel canvas -> quantized 4:2:0 coefficient canvases
+        on device (the encode front half; host keeps only entropy emit).
+
+        Eligible geometry (H%16==0, W%128==0, W>=256) takes the fused
+        Pallas encode sweep (ops/pallas_jpeg.encode_420: 10.4 ms vs
+        108 ms XLA per 8x12MP batch on v5e, bit-exact); everything else
+        runs the XLA program. Kernel index args are host-built per
+        (geometry, quality, valid-extents) and device-cached, like the
+        decode dispatch above."""
+        b, _c, mh, mw = rgb.shape
+        if (self.model.use_pallas and mh % 16 == 0 and mw % 128 == 0
+                and mw >= 256):
+            from imageprocessor_tpu.ops import pallas_jpeg as pj
+            qt_np = np.asarray(qt, dtype=np.float32)
+            vh_np = np.asarray(vh, dtype=np.int32)
+            key = ("pjenc", b, mh, mw, qt_np.tobytes(), vh_np.tobytes())
+            with self.model._lock:
+                cached = self.model._args_cache.get(key)
+            if cached is None:
+                plan = pj.make_encode_plan(b, mh, mw)
+                args = pj.make_encode_args(plan, qt_np, vh_np)
+                cached = (plan, tuple(jnp.asarray(v) for v in (
+                    args.rrows, args.rcols, args.qy, args.qc)))
+                with self.model._lock:
+                    self.model._args_cache[key] = cached
+                    self.model._args_order.append(key)
+                    while len(self.model._args_order) > 256:
+                        self.model._args_cache.pop(
+                            self.model._args_order.pop(0), None)
+            plan, (rrows, rcols, qy, qc) = cached
+            call = pj._build_encode_call(plan, self.model._pallas_interpret)
+            vy, vc, hy, hcm = pj._encode_bases(plan.band_rows)
+            return call(jnp.asarray(rgb), vy, vc, hy, hcm, qy, qc,
+                        rrows, rcols)
+        from imageprocessor_tpu.ops.jpeg_encode import batched_encode_420
+        return batched_encode_420(rgb, jnp.asarray(vh),
+                                  jnp.asarray(qt, dtype=jnp.float32))
+
     def device_group(self, group):
         """Stage 2: run one packed group's fused program; returns the
         host-side outputs + geometry needed to finish each image.
@@ -653,7 +692,6 @@ class ProcessingEngine:
                                     is OperationType.WATERMARK) == "jpeg"
                                 for it in group.items)):
                     from imageprocessor_tpu.ops.jpeg_encode import (
-                        batched_encode_420,
                         quality_qtables,
                     )
                     qt = quality_qtables(self.jpeg_quality)
@@ -661,9 +699,15 @@ class ProcessingEngine:
                                   + [(1, 1)] * (o.shape[0]
                                                 - len(group.items)),
                                   dtype=np.int32)
-                    yc, cbc, crc = batched_encode_420(
-                        o[:, :, :mh, :mw], jnp.asarray(vh),
-                        jnp.asarray(qt, dtype=jnp.float32))
+                    # widen the crop to the next 128 multiple when that
+                    # keeps it inside the canvas — it makes the slice
+                    # eligible for the fused Pallas encode, and the
+                    # extra don't-care columns are never emitted
+                    if (self.model.use_pallas and mw % 128
+                            and -(-mw // 128) * 128 <= cv_w):
+                        mw = -(-mw // 128) * 128
+                    yc, cbc, crc = self._encode_coefs(
+                        o[:, :, :mh, :mw], vh, qt)
                     cropped.append(("coef420", yc, cbc, crc, qt))
                     continue
             if layout == "chw":

@@ -64,6 +64,50 @@ def test_plan_constraints():
     assert p.band_rows == 128 and p.n_bands == 24
 
 
+@pytest.mark.parametrize("H,W,dims", [
+    (64, 256, [(60, 250), (64, 256), (40, 130)]),
+    (64, 384, [(60, 380), (64, 384), (40, 200)]),   # 64-col chroma tail
+    (384, 512, [(380, 500), (384, 512), (200, 260)]),  # multi-band
+])
+def test_encode_matches_xla_bitexact(H, W, dims):
+    from imageprocessor_tpu.ops.jpeg_encode import (
+        batched_encode_420,
+        quality_qtables,
+    )
+    rng = np.random.default_rng(4)
+    B = len(dims)
+    rgb = rng.integers(0, 256, (B, 3, H, W), dtype=np.uint8)
+    vh = np.array(dims, np.int32)
+    qt = np.asarray(quality_qtables(85), np.float32)
+    ref = [np.asarray(x) for x in batched_encode_420(rgb, vh, qt)]
+    plan = pj.make_encode_plan(B, H, W)
+    args = pj.make_encode_args(plan, qt, vh)
+    out = [np.asarray(x)
+           for x in pj.encode_420(rgb, plan, args, interpret=True)]
+    # <=1 quant step: the XLA einsum and the Pallas matmul chain sum in
+    # different orders, so a coefficient landing exactly on a rounding
+    # boundary can cross by one (measured: <=1 coef per megapixel)
+    for (a, b, div) in zip(ref, out, (1, 2, 2)):
+        for i, (h, w) in enumerate(dims):
+            gh, gw = -(-h // 16) * 16 // div, -(-w // 16) * 16 // div
+            d = np.abs(a[i, :gh, :gw].astype(int)
+                       - b[i, :gh, :gw].astype(int))
+            assert d.max() <= 1, (div, i, h, w, d.max())
+            assert (d > 0).sum() <= 2 + gh * gw // 10000, \
+                (div, i, (d > 0).sum())
+
+
+def test_encode_plan_constraints():
+    with pytest.raises(ValueError):
+        pj.make_encode_plan(1, 100, 256)    # H not multiple of 16
+    with pytest.raises(ValueError):
+        pj.make_encode_plan(1, 64, 192)     # W not multiple of 128
+    with pytest.raises(ValueError):
+        pj.make_encode_plan(1, 64, 128)     # W below minimum
+    p = pj.make_encode_plan(8, 3072, 4096)
+    assert p.band_rows == 32 and p.n_bands == 96   # VMEM-bounded band
+
+
 def test_engine_routes_eligible_coefs_through_kernel(tmp_path):
     """The engine's coefficient decode dispatch: eligible 4:2:0
     geometry takes the Pallas kernel (interpret on CPU) and the result
@@ -116,3 +160,73 @@ def test_engine_routes_eligible_coefs_through_kernel(tmp_path):
     finally:
         e1.close()
         e2.close()
+
+
+def test_engine_routes_device_encode_through_kernel(tmp_path):
+    """Full-bucket jpeg outputs (watermark on a 300x400 upload -> bucket
+    384x512) take the fused Pallas ENCODE sweep: the engine widens the
+    crop to a 128 multiple and caches kernel args under 'pjenc'; the
+    emitted JPEG decodes to the XLA path's output within the suite's
+    PSNR convention (the Pallas DECODE feeding it is <=1 LSB, not
+    bit-exact, so quantized coefficients can differ by one step)."""
+    import io
+    import uuid
+
+    from PIL import Image as PILImage
+
+    from imageprocessor_tpu.domain import (
+        ImageStatus,
+        OperationParams,
+        OperationType,
+        ProcessingTask,
+    )
+    from imageprocessor_tpu.runtime import nativecodec as nc
+    from imageprocessor_tpu.runtime.engine import ProcessingEngine
+    from imageprocessor_tpu.storage import LocalFSObjectStore
+
+    if not nc.available():
+        pytest.skip("native codec unavailable")
+    # smooth natural-statistics fixture: pure noise at q85 sits every
+    # coefficient on a quantization boundary, where the decode kernel's
+    # legitimate <=1 LSB wiggle flips coefs broadly and PSNR measures
+    # the fixture, not the code
+    yy, xx = np.mgrid[0:300, 0:400].astype(np.float64)
+    arr = np.stack([
+        128 + 90 * np.sin(xx / 23.0) * np.cos(yy / 17.0),
+        128 + 80 * np.cos(xx / 31.0 + 1.0),
+        128 + 70 * np.sin((xx + yy) / 41.0),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
+    blob = bio.getvalue()
+
+    def task():
+        iid = str(uuid.uuid4())
+        return ProcessingTask(
+            id=iid, image_id=iid, original_path="o", bucket="b",
+            operations=[OperationParams(OperationType.WATERMARK,
+                                        {"text": "t"})],
+            format="jpeg")
+
+    outs = {}
+    for name, use_pallas in (("a", True), ("b", False)):
+        store = LocalFSObjectStore(str(tmp_path / name))
+        eng = ProcessingEngine(store, device_jpeg=True,
+                               use_pallas=use_pallas,
+                               pallas_interpret=True)
+        try:
+            r = eng.process_tasks([(task(), blob)])[0]
+            assert r.result.status is ImageStatus.COMPLETED, r.result.error
+            routed = any(isinstance(k, tuple) and k and k[0] == "pjenc"
+                         for k in eng.model._args_cache)
+            assert routed == use_pallas
+            path = r.result.processed_paths["watermark"]
+            outs[name] = np.asarray(PILImage.open(
+                io.BytesIO(store.get_object(path))))
+        finally:
+            eng.close()
+    assert outs["a"].shape == outs["b"].shape
+    err = (outs["a"].astype(np.float64) - outs["b"].astype(np.float64))
+    mse = float(np.mean(err * err))
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr
