@@ -291,14 +291,33 @@ def bench_device_jpeg_step(batch: int, src_hw_px=(3000, 4000),
     crc_dev = jax.device_put(crc, dev)
     qt_dev = jax.device_put(qt, dev)
     cv_dev = jax.device_put(cv, dev)
-    eqt = jax.device_put(np.asarray(quality_qtables(85), dtype=np.float32),
-                         dev)
+    eqt_np = np.asarray(quality_qtables(85), dtype=np.float32)
+    eqt = jax.device_put(eqt_np, dev)
+
+    # mirror the engine dispatch: eligible geometry takes the fused
+    # Pallas codec kernels (the production default), else the XLA
+    # programs (engine.py _decode_coefs/_encode_coefs)
+    use_pjk = (model.use_pallas and bucket_h % 16 == 0
+               and bucket_w % 128 == 0 and bucket_w >= 256)
+    if use_pjk:
+        from imageprocessor_tpu.ops import pallas_jpeg as pjk
+        dplan = pjk.make_plan(batch, bucket_h, bucket_w)
+        dargs = pjk.make_args(dplan, qt, cv)
+        eplan = pjk.make_encode_plan(batch, bucket_h, bucket_w)
+        eargs = pjk.make_encode_args(eplan, eqt_np,
+                                     src_hw_np.astype(np.int32))
 
     def body(_i, ycoef):
-        pix = batched_decode_ycbcr(ycoef, cbc_dev, crc_dev, qt_dev, cv_dev,
-                                   fh=2, fw=2)
+        if use_pjk:
+            pix = pjk.decode_420(ycoef, cbc_dev, crc_dev, dplan, dargs)
+        else:
+            pix = batched_decode_ycbcr(ycoef, cbc_dev, crc_dev, qt_dev,
+                                       cv_dev, fh=2, fw=2)
         outs = raw_step(pix, src_hw_dev, hws, wm_args, pallas_args)
-        ey, _ecb, _ecr = batched_encode_420(outs[2], src_hw_dev, eqt)
+        if use_pjk:
+            ey, _ecb, _ecr = pjk.encode_420(outs[2], eplan, eargs)
+        else:
+            ey, _ecb, _ecr = batched_encode_420(outs[2], src_hw_dev, eqt)
         dep = (outs[0].reshape(-1)[0].astype(jnp.int16)
                ^ outs[1].reshape(-1)[0].astype(jnp.int16)
                ^ ey.reshape(-1)[0].astype(jnp.int16))

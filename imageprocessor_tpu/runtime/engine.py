@@ -96,11 +96,13 @@ TRANSIENT = "transient"
 # codec cap (see the policy comment in ProcessingEngine.__init__). The
 # ratio is scale-invariant in image size (both sides are linear in
 # pixels). Measured on v5e (BENCH r3): the composed on-chip
-# decode->pipeline->encode step runs ~90 12MP img/s and a host core
-# ~10 img/s, so the crossover is ~9 cores (stage-isolated probes
-# suggest up to ~150/s with better scheduling — see PERF.md).
+# decode->pipeline->encode step runs ~494 12MP img/s PER CHIP with the
+# fused Pallas codec kernels (ops/pallas_jpeg; was ~90 with the XLA
+# codec halves) and a host core ~10 img/s, so the single-chip crossover
+# is ~48 cores — and the codec kernels shard over the engine mesh
+# (_codec_sharded), so a v5e-8 host's crossover is ~8x that.
 DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
-    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "9"))
+    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "48"))
 
 
 def usable_cores() -> int:
@@ -180,19 +182,19 @@ class ProcessingEngine:
         self.batch_size = max(1, min(batch_size, MAX_BATCH))
         # TPU-side JPEG decode: host keeps only the streaming entropy
         # scan; IDCT + chroma upsample + color convert run batched on
-        # device (ops/jpeg_decode.batched_decode_ycbcr), and full-size
-        # JPEG outputs run the encode front half on device too.
-        # The codec halves trade CHIP time for HOST CPU: they cost ~8-10
-        # extra HBM passes over the frame (~26 ms decode + ~26 ms encode
-        # per 8x12MP batch vs the 0.7 ms fused pipeline step — PERF.md
-        # round-3 probe), capping the chip's JPEG-path throughput at
-        # ~90 12MP img/s measured composed (BENCH r3; ~150 by stage
-        # sums). That wins only when the host cannot feed the chip: per
-        # core the host codec manages ~10 12MP img/s, so below the
-        # measured ~9-core crossover the device path serves more total
-        # throughput, above it the host pool does. Auto policy = native
-        # scanner present AND TPU backend AND a core-starved host;
-        # IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces either way.
+        # device, and full-size JPEG outputs run the encode front half
+        # on device too. Eligible geometry takes the fused Pallas codec
+        # kernels (ops/pallas_jpeg: decode 5.0 ms, encode 10.4 ms per
+        # 8x12MP batch vs 38.5/108 ms XLA), putting the composed
+        # decode->pipeline->encode step at ~494 12MP img/s per chip
+        # (BENCH r3; was ~90 with the XLA halves). The codec still
+        # trades CHIP time for HOST CPU (the fused pipeline step alone
+        # is 0.7 ms/batch), so it wins when the host cannot feed the
+        # chip: per core the host codec manages ~10 12MP img/s, so
+        # below the ~48-core-per-chip crossover the device path serves
+        # more total throughput, above it the host pool does. Auto
+        # policy = native scanner present AND TPU backend AND a
+        # core-starved host; IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces.
         if device_jpeg is None:
             env_flag = os.environ.get("IMAGEPROCESSOR_DEVICE_JPEG", "")
             if env_flag in ("1", "true", "yes"):
@@ -502,9 +504,14 @@ class ProcessingEngine:
                         self.model._args_cache.pop(
                             self.model._args_order.pop(0), None)
             plan, dargs = cached
+            (ws, vr0, vr1, hc0, hc1, qy, qcb, qcr) = dargs
+            fn = self._codec_sharded(pj, plan, "decode")
+            if fn is not None:
+                return fn(ws, jnp.asarray(yc), jnp.asarray(cbc),
+                          jnp.asarray(crc), qy, qcb, qcr, vr0, vr1,
+                          hc0, hc1)
             call = pj._build_call(plan, self.model._pallas_interpret)
             v8, v8c, h8, h8t = pj._bases(plan.band_rows, plan.win_rows)
-            (ws, vr0, vr1, hc0, hc1, qy, qcb, qcr) = dargs
             return call(ws, jnp.asarray(yc), jnp.asarray(cbc),
                         jnp.asarray(crc), v8, v8c, h8, h8t, qy, qcb, qcr,
                         vr0, vr1, hc0, hc1)
@@ -543,6 +550,9 @@ class ProcessingEngine:
                         self.model._args_cache.pop(
                             self.model._args_order.pop(0), None)
             plan, (rrows, rcols, qy, qc) = cached
+            fn = self._codec_sharded(pj, plan, "encode")
+            if fn is not None:
+                return fn(jnp.asarray(rgb), qy, qc, rrows, rcols)
             call = pj._build_encode_call(plan, self.model._pallas_interpret)
             vy, vc, hy, hcm = pj._encode_bases(plan.band_rows)
             return call(jnp.asarray(rgb), vy, vc, hy, hcm, qy, qc,
@@ -550,6 +560,68 @@ class ProcessingEngine:
         from imageprocessor_tpu.ops.jpeg_encode import batched_encode_420
         return batched_encode_420(rgb, jnp.asarray(vh),
                                   jnp.asarray(qt, dtype=jnp.float32))
+
+    def _codec_sharded(self, pj, plan, kind: str):
+        """Jitted shard_map wrapper running a Pallas codec kernel
+        data-parallel over the engine mesh, so the codec halves scale
+        across local chips exactly like the pixel pipeline
+        (PipelineModel.run_sharded). Returns None on single-chip
+        engines, spatial meshes (use_pallas is off there anyway), or
+        when the batch doesn't divide the data axis (device_group pads
+        to a multiple, so that's only defensive). Every per-image index
+        arg is batch-major, so uniform P('data') sharding lines the
+        local kernels up by construction; decode quant patterns are
+        per-image (sharded), encode quant patterns are shared
+        (replicated); the local kernel is the same pallas_call built
+        for batch // n_data."""
+        mesh = self._mesh
+        if mesh is None or self._mesh_spatial:
+            return None
+        n = int(mesh.shape["data"])
+        if n <= 1 or plan.batch % n:
+            return None
+        key = ("pjsh", kind, plan)
+        with self.model._lock:
+            fn = self.model._cache.get(key)
+        if fn is not None:
+            return fn
+        from dataclasses import replace
+
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        lplan = replace(plan, batch=plan.batch // n)
+        interpret = self.model._pallas_interpret
+        sh, rp = P("data"), P()
+        if kind == "decode":
+            call = pj._build_call(lplan, interpret)
+            bases = pj._bases(plan.band_rows, plan.win_rows)
+
+            def local(ws, yc, cbc, crc, qy, qcb, qcr, v0, v1, h0, h1):
+                return call(ws, yc, cbc, crc, *bases, qy, qcb, qcr,
+                            v0, v1, h0, h1)
+
+            kw = {"mesh": mesh, "in_specs": (sh,) * 11, "out_specs": sh}
+        else:
+            call = pj._build_encode_call(lplan, interpret)
+            bases = pj._encode_bases(plan.band_rows)
+
+            def local(rgb, qy, qc, rrows, rcols):
+                return tuple(call(rgb, *bases, qy, qc, rrows, rcols))
+
+            kw = {"mesh": mesh, "in_specs": (sh, rp, rp, sh, sh),
+                  "out_specs": (sh, sh, sh)}
+        try:
+            wrapped = shard_map(local, check_vma=False, **kw)
+        except TypeError:  # older jax: the kwarg was check_rep
+            wrapped = shard_map(local, check_rep=False, **kw)
+        fn = jax.jit(wrapped)
+        with self.model._lock:
+            self.model._cache[key] = fn
+        return fn
 
     def device_group(self, group):
         """Stage 2: run one packed group's fused program; returns the

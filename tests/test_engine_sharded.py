@@ -151,6 +151,46 @@ def test_engine_sharded_device_jpeg_coef_path():
             assert st_s.blobs[a_s.path] == st_1.blobs[a_1.path]
 
 
+def test_engine_sharded_pallas_codec_kernels():
+    """Kernel-eligible bucket geometry (250x400 -> 256x512, W%128==0)
+    on a 4-way data mesh: BOTH fused Pallas codec kernels must run
+    under shard_map (engine._codec_sharded), scaling the codec halves
+    across local chips like the pixel pipeline — and match the
+    single-device engine byte-for-byte."""
+    from imageprocessor_tpu.runtime import nativecodec as nc
+
+    if not nc.available() or not hasattr(nc._load(), "ip_jpeg_scan_dims"):
+        pytest.skip("native scanner unavailable")
+    blobs = [_blob(250, 400, "JPEG"), _blob(240, 390, "JPEG"),
+             _blob(230, 395, "JPEG"), _blob(245, 400, "JPEG")]
+    tasks = [(_task(DEFAULT_OPS, "jpeg"), b) for b in blobs]
+    st_s, st_1 = CaptureStore(), CaptureStore()
+    eng_s = ProcessingEngine(st_s, data_axis=4, device_jpeg=True,
+                             use_pallas=True, pallas_interpret=True)
+    eng_1 = ProcessingEngine(st_1, device_jpeg=True,
+                             use_pallas=True, pallas_interpret=True)
+    try:
+        res_s = eng_s.process_tasks(tasks)
+        res_1 = eng_1.process_tasks(
+            [(_task(DEFAULT_OPS, "jpeg"), b) for b in blobs])
+        cache_keys = list(eng_s.model._cache)
+        assert any(k[:2] == ("pjsh", "decode") for k in cache_keys
+                   if isinstance(k, tuple)), cache_keys
+        assert any(k[:2] == ("pjsh", "encode") for k in cache_keys
+                   if isinstance(k, tuple)), cache_keys
+        single_keys = list(eng_1.model._cache)
+        assert not any(isinstance(k, tuple) and k and k[0] == "pjsh"
+                       for k in single_keys)
+    finally:
+        eng_s.close()
+        eng_1.close()
+    for rs, r1 in zip(res_s, res_1):
+        assert rs.result.status is ImageStatus.COMPLETED, rs.result.error
+        assert r1.result.status is ImageStatus.COMPLETED, r1.result.error
+        for a_s, a_1 in zip(rs.artifacts, r1.artifacts):
+            assert st_s.blobs[a_s.path] == st_1.blobs[a_1.path]
+
+
 def test_engine_spatial_mesh_matches_single():
     """DEVICE_SPACE_AXIS honored: a (2 data x 2 space) mesh routes the
     GSPMD jit path (XLA auto-partitions the width axis; Pallas off)."""
