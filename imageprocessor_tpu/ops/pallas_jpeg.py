@@ -1,5 +1,6 @@
-"""Pallas fused 4:2:0 JPEG coefficient decode — coefficients to pixels
-in ONE kernel sweep.
+"""Pallas fused JPEG coefficient decode — coefficients to pixels in ONE
+kernel sweep, covering the four common subsampling modes (4:2:0, 4:2:2,
+4:4:0, 4:4:4).
 
 The XLA decode path (ops/jpeg_decode.batched_decode_ycbcr) is
 HBM-pass-bound: dequant, two IDCT contractions, chroma clamp/upsample and
@@ -23,7 +24,12 @@ kernel reads each coefficient band once into VMEM and writes pixels once:
   DMA'd chroma window, horizontal taps select columns of a static
   128-wide window per output chunk. Per-image valid-extent clamping
   (MCU-padded canvases) is folded into the indices, so batches of
-  mixed-size images decode exactly like the single-image path;
+  mixed-size images decode exactly like the single-image path. Each
+  upsample stage is generated only for the axes the plan's (fh, fw)
+  subsampling factors call for — 4:2:2 skips the vertical matmul
+  (chroma rows map 1:1 onto luma band rows, halo-free windows), 4:4:0
+  skips the horizontal one (direct 128-column slices), 4:4:4 skips
+  both — matching ops/jpeg_decode.batched_decode_ycbcr per axis;
 * BT.601 color convert + round + u8 store finish in-register (u8 via
   i32 — Mosaic has no direct f32->u8 cast).
 
@@ -54,14 +60,16 @@ class DecodePlan:
     h: int              # luma canvas rows (multiple of 16)
     w: int              # luma canvas cols (multiple of 16, of 128 too)
     band_rows: int      # luma rows per grid step (multiple of 16)
+    fh: int = 2         # vertical chroma subsample factor (1 or 2)
+    fw: int = 2         # horizontal chroma subsample factor (1 or 2)
 
     @property
     def hc(self) -> int:
-        return self.h // 2
+        return self.h // self.fh
 
     @property
     def wc(self) -> int:
-        return self.w // 2
+        return self.w // self.fw
 
     @property
     def n_bands(self) -> int:
@@ -69,10 +77,13 @@ class DecodePlan:
 
     @property
     def win_rows(self) -> int:
-        # chroma coefficient window: band/2 plus one 8-row block of halo
-        # on each side (the fancy-upsample taps reach +-1 pixel row, and
-        # IDCT needs whole blocks); capped at the whole chroma canvas
-        # for small frames
+        # chroma coefficient window. fh == 2: band/2 plus one 8-row
+        # block of halo on each side (the fancy-upsample taps reach
+        # +-1 pixel row, and IDCT needs whole blocks), capped at the
+        # whole chroma canvas for small frames. fh == 1: chroma rows
+        # map 1:1 onto the luma band — exact window, no halo.
+        if self.fh == 1:
+            return self.band_rows
         return min(self.band_rows // 2 + 16, self.hc)
 
     @property
@@ -94,14 +105,21 @@ class DecodeArgs:
     qtcr: np.ndarray         # (B, 8, Wc) f32
 
 
-def make_plan(batch: int, h: int, w: int) -> DecodePlan:
+def make_plan(batch: int, h: int, w: int, fh: int = 2,
+              fw: int = 2) -> DecodePlan:
     if h % 16 or w % 16 or w % 128 or w < 256:
         raise ValueError(f"canvas {h}x{w} must be multiples of 16, width "
                          "a multiple of 128 and >= 256 (chroma chunks)")
+    if fh not in (1, 2) or fw not in (1, 2):
+        raise ValueError(f"subsampling factors {fh}x{fw} not supported")
     band = 128 if w <= 4096 else 64
+    if (fh, fw) != (2, 2):
+        # chroma windows are 2-4x larger in these modes; halve the band
+        # to stay inside the VMEM budget
+        band //= 2
     while h % band:
         band //= 2
-    return DecodePlan(batch=batch, h=h, w=w, band_rows=band)
+    return DecodePlan(batch=batch, h=h, w=w, band_rows=band, fh=fh, fw=fw)
 
 
 def make_args(plan: DecodePlan, qtabs: np.ndarray,
@@ -124,6 +142,10 @@ def make_args(plan: DecodePlan, qtabs: np.ndarray,
     vrows1 = np.zeros((b, t, r), dtype=np.int32)
     y_abs = np.arange(r, dtype=np.int64)
     for j in range(t):
+        if plan.fh == 1:
+            # 1:1 rows: exact window at the band start, taps unused
+            win_starts[:, j] = j * r
+            continue
         ws = min(max(j * r // 2 - 8, 0), hc - rc)
         win_starts[:, j] = ws
         yy = j * r + y_abs                      # absolute luma rows
@@ -139,6 +161,8 @@ def make_args(plan: DecodePlan, qtabs: np.ndarray,
     hcols1 = np.zeros((b, k, 128), dtype=np.int32)
     x_rel = np.arange(128, dtype=np.int64)
     for c in range(k):
+        if plan.fw == 1:
+            continue                            # direct slices, taps unused
         ws = min(max(c * 64 - 32, 0), wc - 128)
         xx = c * 128 + x_rel
         j = xx // 2
@@ -164,8 +188,10 @@ def _kernel(plan: DecodePlan, interpret: bool):
     w, wc = plan.w, plan.wc
     t = plan.n_bands
     k = plan.n_col_chunks
-    # static horizontal-upsample window starts per output chunk
-    hws = [min(max(c * 64 - 32, 0), wc - 128) for c in range(k)]
+    fh, fw = plan.fh, plan.fw
+    # static horizontal-upsample window starts per output chunk (fw == 2)
+    hws = [min(max(c * 64 - 32, 0), wc - 128) for c in range(k)] \
+        if fw == 2 else [c * 128 for c in range(k)]
     aligned = (lambda v, m: v) if interpret else pl.multiple_of
 
     def kernel(starts_ref,                       # scalar prefetch (B*T,)
@@ -238,34 +264,41 @@ def _kernel(plan: DecodePlan, interpret: bool):
         cbp = idct_win(cbw_ref, qb)
         crp = idct_win(crw_ref, qr)
 
-        # ---- vertical fancy upsample: (R, RC) one-hot @ (RC, Wc)
-        r0 = vrows0_ref[b * t + tt]             # (1, R)
-        r1 = vrows1_ref[b * t + tt]
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rc, r), 0)
-        wv = (jnp.where(iota_r == r0, 0.75, 0.0)
-              + jnp.where(iota_r == r1, 0.25, 0.0))              # (RC, R)
-        cbv = jax.lax.dot_general(
-            wv, cbp, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)                  # (R, Wc)
-        crv = jax.lax.dot_general(
-            wv, crp, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        if fh == 2:
+            # ---- vertical fancy upsample: (R, RC) one-hot @ (RC, Wc)
+            r0 = vrows0_ref[b * t + tt]         # (1, R)
+            r1 = vrows1_ref[b * t + tt]
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (rc, r), 0)
+            wv = (jnp.where(iota_r == r0, 0.75, 0.0)
+                  + jnp.where(iota_r == r1, 0.25, 0.0))          # (RC, R)
+            cbv = jax.lax.dot_general(
+                wv, cbp, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)             # (R, Wc)
+            crv = jax.lax.dot_general(
+                wv, crp, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
+        else:
+            cbv, crv = cbp, crp                 # rows already 1:1 (R, Wc)
 
         # ---- horizontal upsample + color convert per 128-col out chunk
         for c in range(k):
-            i0 = hcols0_ref[b * k + c]          # (1, 128)
-            i1 = hcols1_ref[b * k + c]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-            wh = (jnp.where(iota == i0, 0.75, 0.0)
-                  + jnp.where(iota == i1, 0.25, 0.0))            # (128, 128)
-            cbh = jnp.dot(cbv[:, hws[c]:hws[c] + 128], wh,
-                          preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)    # (R, 128)
-            crh = jnp.dot(crv[:, hws[c]:hws[c] + 128], wh,
-                          preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            if fw == 2:
+                i0 = hcols0_ref[b * k + c]      # (1, 128)
+                i1 = hcols1_ref[b * k + c]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                wh = (jnp.where(iota == i0, 0.75, 0.0)
+                      + jnp.where(iota == i1, 0.25, 0.0))        # (128, 128)
+                cbh = jnp.dot(cbv[:, hws[c]:hws[c] + 128], wh,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                crh = jnp.dot(crv[:, hws[c]:hws[c] + 128], wh,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            else:
+                cbh = cbv[:, hws[c]:hws[c] + 128]   # direct (R, 128)
+                crh = crv[:, hws[c]:hws[c] + 128]
             yc = yf[:, c * 128:(c + 1) * 128]
             rr = yc + 1.402 * crh
             gg = yc - 0.344136 * cbh - 0.714136 * crh
@@ -313,8 +346,10 @@ def _build_call(plan: DecodePlan, interpret: bool):
                     + r * w * 128                   # luma horizontal
                     + 2 * plan.win_rows * plan.win_rows * plan.wc
                     + 2 * plan.win_rows * plan.wc * 128
-                    + 2 * r * plan.win_rows * plan.wc
-                    + 2 * r * w * 128))
+                    + (2 * r * plan.win_rows * plan.wc
+                       if plan.fh == 2 else 0)      # vertical upsample
+                    + (2 * r * w * 128
+                       if plan.fw == 2 else 0)))    # horizontal upsample
     return pl.pallas_call(
         _kernel(plan, interpret),
         grid_spec=grid_spec,
@@ -344,7 +379,9 @@ def _bases(band_rows: int, win_rows: int):
 def decode_420(yc, cbc, crc, plan: DecodePlan, args: DecodeArgs,
                *, interpret: bool = False):
     """(B, H, W) + 2x(B, Hc, Wc) int16 coefficient canvases ->
-    (B, 3, H, W) uint8 planar RGB."""
+    (B, 3, H, W) uint8 planar RGB. Despite the historical name this
+    covers all four plan subsampling modes: (fh, fw) = (2, 2) 4:2:0,
+    (1, 2) 4:2:2, (2, 1) 4:4:0, (1, 1) 4:4:4."""
     call = _build_call(plan, interpret)
     v8, v8c, h8, h8t = _bases(plan.band_rows, plan.win_rows)
     return call(

@@ -474,24 +474,27 @@ class ProcessingEngine:
                       bucket: tuple[int, int]):
         """Coefficient canvases -> planar pixel canvas on device.
 
-        4:2:0 canvases whose geometry fits the fused Pallas decode
-        (ops/pallas_jpeg: 5.0 ms vs 38.5 ms XLA per 8x12MP batch on
-        v5e, <=1 LSB apart) run the single-sweep kernel; everything
-        else uses the XLA program. Kernel index args are host-built per
-        (geometry, quant, valid-extent) and device-cached, so steady
-        batches of same-quality uploads transfer nothing."""
+        Canvases in any of the four common subsampling modes (4:2:0 /
+        4:2:2 / 4:4:0 / 4:4:4) whose geometry fits the fused Pallas
+        decode (ops/pallas_jpeg: 5.0 ms vs 38.5 ms XLA per 8x12MP
+        4:2:0 batch on v5e, <=1 LSB apart) run the single-sweep
+        kernel; everything else uses the XLA program. Kernel index args
+        are host-built per (geometry, subsampling, quant, valid-extent)
+        and device-cached, so steady batches of same-quality uploads
+        transfer nothing."""
         b, ch, cw = yc.shape
-        if ((fh, fw) == (2, 2) and self.model.use_pallas
+        if (fh in (1, 2) and fw in (1, 2) and self.model.use_pallas
                 and ch % 16 == 0 and cw % 128 == 0 and cw >= 256
                 and (ch, cw) == (bucket[0], bucket[1])):
             from imageprocessor_tpu.ops import pallas_jpeg as pj
             qt_np = np.asarray(qt, dtype=np.float32)
             cv_np = np.asarray(cv, dtype=np.int32)
-            key = ("pjdec", b, ch, cw, qt_np.tobytes(), cv_np.tobytes())
+            key = ("pjdec", b, ch, cw, fh, fw, qt_np.tobytes(),
+                   cv_np.tobytes())
             with self.model._lock:
                 cached = self.model._args_cache.get(key)
             if cached is None:
-                plan = pj.make_plan(b, ch, cw)
+                plan = pj.make_plan(b, ch, cw, fh, fw)
                 args = pj.make_args(plan, qt_np, cv_np)
                 cached = (plan, tuple(jnp.asarray(v) for v in (
                     args.win_starts, args.vrows0, args.vrows1,

@@ -13,44 +13,46 @@ from imageprocessor_tpu.ops.jpeg_decode import batched_decode_ycbcr
 RNG = np.random.default_rng(23)
 
 
-def _case(dims, H, W, seed=1):
+def _case(dims, H, W, seed=1, fh=2, fw=2):
     rng = np.random.default_rng(seed)
     B = len(dims)
-    Hc, Wc = H // 2, W // 2
+    Hc, Wc = H // fh, W // fw
+    mh, mw = 8 * fh, 8 * fw
     yc = rng.integers(-512, 512, (B, H, W)).astype(np.int16)
     cbc = rng.integers(-256, 256, (B, Hc, Wc)).astype(np.int16)
     crc = rng.integers(-256, 256, (B, Hc, Wc)).astype(np.int16)
     qt = (np.abs(rng.normal(6, 2, (B, 3, 8, 8))) + 1).astype(np.float32)
-    cv = np.array([[-(-h // 16) * 16 // 2, -(-w // 16) * 16 // 2]
+    cv = np.array([[-(-h // mh) * 8, -(-w // mw) * 8]
                    for h, w in dims], np.int32)
     for i, (h, w) in enumerate(dims):
-        gh, gw = -(-h // 16) * 16, -(-w // 16) * 16
+        gh, gw = -(-h // mh) * mh, -(-w // mw) * mw
         yc[i, gh:, :] = 0
         yc[i, :, gw:] = 0
-        cbc[i, gh // 2:, :] = 0
-        cbc[i, :, gw // 2:] = 0
-        crc[i, gh // 2:, :] = 0
-        crc[i, :, gw // 2:] = 0
+        cbc[i, gh // fh:, :] = 0
+        cbc[i, :, gw // fw:] = 0
+        crc[i, gh // fh:, :] = 0
+        crc[i, :, gw // fw:] = 0
     return yc, cbc, crc, qt, cv
 
 
+@pytest.mark.parametrize("fh,fw", [(2, 2), (1, 2), (2, 1), (1, 1)])
 @pytest.mark.parametrize("H,W,dims", [
     (64, 256, [(60, 250), (64, 256), (40, 130)]),
     (384, 512, [(380, 500), (384, 512), (200, 260)]),  # multi-band
     (128, 384, [(128, 384), (100, 300)]),
 ])
-def test_matches_xla_decode_within_1lsb(H, W, dims):
-    yc, cbc, crc, qt, cv = _case(dims, H, W)
+def test_matches_xla_decode_within_1lsb(H, W, dims, fh, fw):
+    yc, cbc, crc, qt, cv = _case(dims, H, W, fh=fh, fw=fw)
     ref = np.asarray(batched_decode_ycbcr(yc, cbc, crc, qt, cv,
-                                          fh=2, fw=2))
-    plan = pj.make_plan(len(dims), H, W)
+                                          fh=fh, fw=fw))
+    plan = pj.make_plan(len(dims), H, W, fh, fw)
     args = pj.make_args(plan, qt, cv)
     out = np.asarray(pj.decode_420(yc, cbc, crc, plan, args,
                                    interpret=True))
     for i, (h, w) in enumerate(dims):
         d = np.abs(ref[i, :, :h, :w].astype(int)
                    - out[i, :, :h, :w].astype(int))
-        assert d.max() <= 1, (i, h, w, d.max())
+        assert d.max() <= 1, (fh, fw, i, h, w, d.max())
 
 
 def test_plan_constraints():
@@ -60,8 +62,20 @@ def test_plan_constraints():
         pj.make_plan(1, 64, 208)        # W not multiple of 128
     with pytest.raises(ValueError):
         pj.make_plan(1, 64, 128)        # W below chroma-chunk minimum
+    with pytest.raises(ValueError):
+        pj.make_plan(1, 64, 256, 3, 1)  # unsupported factor
     p = pj.make_plan(2, 3072, 4096)
     assert p.band_rows == 128 and p.n_bands == 24
+    # non-4:2:0 modes halve the band (larger chroma windows in VMEM)
+    p444 = pj.make_plan(2, 3072, 4096, 1, 1)
+    assert p444.band_rows == 64 and p444.win_rows == 64
+    assert p444.hc == 3072 and p444.wc == 4096
+    p422 = pj.make_plan(2, 3072, 4096, 1, 2)
+    assert p422.band_rows == 64 and p422.win_rows == 64
+    assert p422.hc == 3072 and p422.wc == 2048
+    p440 = pj.make_plan(2, 3072, 4096, 2, 1)
+    assert p440.band_rows == 64 and p440.win_rows == 48  # halo'd window
+    assert p440.hc == 1536 and p440.wc == 4096
 
 
 @pytest.mark.parametrize("H,W,dims", [
@@ -108,10 +122,17 @@ def test_encode_plan_constraints():
     assert p.band_rows == 32 and p.n_bands == 96   # VMEM-bounded band
 
 
-def test_engine_routes_eligible_coefs_through_kernel(tmp_path):
-    """The engine's coefficient decode dispatch: eligible 4:2:0
-    geometry takes the Pallas kernel (interpret on CPU) and the result
-    feeds the pipeline identically to the XLA program."""
+@pytest.mark.parametrize("subsampling,fh,fw", [
+    (2, 2, 2),   # 4:2:0
+    (1, 1, 2),   # 4:2:2
+    (0, 1, 1),   # 4:4:4
+])
+def test_engine_routes_eligible_coefs_through_kernel(tmp_path, subsampling,
+                                                     fh, fw):
+    """The engine's coefficient decode dispatch: eligible geometry in
+    each common subsampling mode takes the Pallas kernel (interpret on
+    CPU) and the result feeds the pipeline identically to the XLA
+    program."""
     import io
     import uuid
 
@@ -131,7 +152,8 @@ def test_engine_routes_eligible_coefs_through_kernel(tmp_path):
         pytest.skip("native scanner unavailable")
     arr = RNG.integers(0, 256, (300, 400, 3), dtype=np.uint8)
     bio = io.BytesIO()
-    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
+                                 subsampling=subsampling)
     blob = bio.getvalue()
 
     def task():
@@ -152,9 +174,11 @@ def test_engine_routes_eligible_coefs_through_kernel(tmp_path):
         r2 = e2.process_tasks([(task(), blob)])[0]
         assert r1.result.status is ImageStatus.COMPLETED, r1.result.error
         assert r2.result.status is ImageStatus.COMPLETED, r2.result.error
-        # kernel args were cached under the engine's dispatch key
-        assert any(isinstance(k, tuple) and k and k[0] == "pjdec"
-                   for k in e1.model._args_cache)
+        # kernel args were cached under the engine's dispatch key, with
+        # the scanned subsampling factors in it
+        keys = [k for k in e1.model._args_cache
+                if isinstance(k, tuple) and k and k[0] == "pjdec"]
+        assert keys and keys[0][4:6] == (fh, fw), keys
         assert not any(isinstance(k, tuple) and k and k[0] == "pjdec"
                        for k in e2.model._args_cache)
     finally:
