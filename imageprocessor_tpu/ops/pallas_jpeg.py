@@ -93,13 +93,20 @@ class DecodePlan:
 
 @dataclass
 class DecodeArgs:
-    """Per-batch runtime inputs (host-computed, no recompiles)."""
+    """Per-batch runtime inputs (host-computed, no recompiles).
+
+    Every per-image array is batch-leading and consumed through a
+    blocked BlockSpec (one image's slice in VMEM per grid step), so the
+    kernel's VMEM footprint is independent of the batch size — a
+    B=32 4:4:4 group carries ~12 MB of quant patterns in HBM but only
+    ~400 KB of them in VMEM at a time. Tap arrays for an elided
+    upsample axis (fh==1 / fw==1) shrink to minimal dummies."""
 
     win_starts: np.ndarray   # (B * T,) i32 chroma window row starts
-    vrows0: np.ndarray       # (B * T, 1, R) i32 main vertical taps
-    vrows1: np.ndarray       # (B * T, 1, R) i32 other vertical taps
-    hcols0: np.ndarray       # (B * K, 1, 128) i32 main horizontal taps
-    hcols1: np.ndarray       # (B * K, 1, 128) i32
+    vrows0: np.ndarray       # (B, T, 1, R) i32 main vertical taps
+    vrows1: np.ndarray       # (B, T, 1, R) i32 other vertical taps
+    hcols0: np.ndarray       # (B, K, 128) i32 main horizontal taps
+    hcols1: np.ndarray       # (B, K, 128) i32
     qty: np.ndarray          # (B, 8, W) f32 tiled luma quant pattern
     qtcb: np.ndarray         # (B, 8, Wc) f32
     qtcr: np.ndarray         # (B, 8, Wc) f32
@@ -138,8 +145,13 @@ def make_args(plan: DecodePlan, qtabs: np.ndarray,
     cv_w = np.maximum(chroma_valid[:, 1].astype(np.int64), 1)
 
     win_starts = np.zeros((b, t), dtype=np.int32)
-    vrows0 = np.zeros((b, t, r), dtype=np.int32)
-    vrows1 = np.zeros((b, t, r), dtype=np.int32)
+    # elided axes get minimal dummy tap arrays (never read by the
+    # kernel); vrows carry a unit axis so their (1, R) block keeps the
+    # last two dims equal to the array dims (a Mosaic block rule)
+    vshape = (b, t, 1, r) if plan.fh == 2 else (b, 1, 1, 8)
+    hshape = (b, k, 128) if plan.fw == 2 else (b, 1, 128)
+    vrows0 = np.zeros(vshape, dtype=np.int32)
+    vrows1 = np.zeros(vshape, dtype=np.int32)
     y_abs = np.arange(r, dtype=np.int64)
     for j in range(t):
         if plan.fh == 1:
@@ -154,11 +166,11 @@ def make_args(plan: DecodePlan, qtabs: np.ndarray,
         for im in range(b):
             m = np.clip(i, 0, cv_h[im] - 1) - ws
             o = np.clip(other, 0, cv_h[im] - 1) - ws
-            vrows0[im, j] = np.clip(m, 0, rc - 1)
-            vrows1[im, j] = np.clip(o, 0, rc - 1)
+            vrows0[im, j, 0] = np.clip(m, 0, rc - 1)
+            vrows1[im, j, 0] = np.clip(o, 0, rc - 1)
 
-    hcols0 = np.zeros((b, k, 128), dtype=np.int32)
-    hcols1 = np.zeros((b, k, 128), dtype=np.int32)
+    hcols0 = np.zeros(hshape, dtype=np.int32)
+    hcols1 = np.zeros(hshape, dtype=np.int32)
     x_rel = np.arange(128, dtype=np.int64)
     for c in range(k):
         if plan.fw == 1:
@@ -175,10 +187,8 @@ def make_args(plan: DecodePlan, qtabs: np.ndarray,
 
     return DecodeArgs(
         win_starts=win_starts.reshape(-1),
-        vrows0=vrows0.reshape(b * t, 1, r),
-        vrows1=vrows1.reshape(b * t, 1, r),
-        hcols0=hcols0.reshape(b * k, 1, 128),
-        hcols1=hcols1.reshape(b * k, 1, 128),
+        vrows0=vrows0, vrows1=vrows1,
+        hcols0=hcols0, hcols1=hcols1,
         qty=qty, qtcb=qtcb, qtcr=qtcr)
 
 
@@ -198,9 +208,9 @@ def _kernel(plan: DecodePlan, interpret: bool):
                y_ref,                            # VMEM (1, R, W) i16 block
                cb_ref, cr_ref,                   # ANY (B, Hc, Wc) i16
                v8_ref, v8c_ref, h8_ref, h8t_ref,  # VMEM static IDCT bases
-               qty_ref, qtcb_ref, qtcr_ref,      # VMEM (B, 8, W/Wc) f32
-               vrows0_ref, vrows1_ref,           # VMEM (B*T, 1, R)
-               hcols0_ref, hcols1_ref,           # VMEM (B*K, 1, 128)
+               qty_ref, qtcb_ref, qtcr_ref,      # VMEM (1, 8, W/Wc) blocks
+               vrows0_ref, vrows1_ref,           # VMEM (1, 1, 1, R) blocks
+               hcols0_ref, hcols1_ref,           # VMEM (1, K, 128) blocks
                out_ref,                          # VMEM (1, 3, R, W)
                cbw_ref, crw_ref, sem0, sem1):
 
@@ -237,7 +247,7 @@ def _kernel(plan: DecodePlan, interpret: bool):
         cp1.start()
 
         # ---- luma: dequant + vertical + horizontal IDCT (+128 shift)
-        qy = jnp.concatenate([qty_ref[b]] * (r // 8), axis=0)   # (R, W)
+        qy = jnp.concatenate([qty_ref[0]] * (r // 8), axis=0)   # (R, W)
         yf = y_ref[0].astype(jnp.int32).astype(jnp.float32) * qy
         yf = jax.lax.dot_general(
             v8_ref[:], yf, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -250,8 +260,8 @@ def _kernel(plan: DecodePlan, interpret: bool):
 
         # ---- chroma windows: dequant + IDCT (no 128 shift: upsample
         # weights sum to 1, so the shift cancels out of the color math)
-        qb = jnp.concatenate([qtcb_ref[b]] * (rc // 8), axis=0)  # (RC, Wc)
-        qr = jnp.concatenate([qtcr_ref[b]] * (rc // 8), axis=0)
+        qb = jnp.concatenate([qtcb_ref[0]] * (rc // 8), axis=0)  # (RC, Wc)
+        qr = jnp.concatenate([qtcr_ref[0]] * (rc // 8), axis=0)
 
         def idct_win(win_ref, q):
             x = win_ref[:].astype(jnp.int32).astype(jnp.float32) * q
@@ -266,8 +276,8 @@ def _kernel(plan: DecodePlan, interpret: bool):
 
         if fh == 2:
             # ---- vertical fancy upsample: (R, RC) one-hot @ (RC, Wc)
-            r0 = vrows0_ref[b * t + tt]         # (1, R)
-            r1 = vrows1_ref[b * t + tt]
+            r0 = vrows0_ref[0, 0]               # (1, R)
+            r1 = vrows1_ref[0, 0]
             iota_r = jax.lax.broadcasted_iota(jnp.int32, (rc, r), 0)
             wv = (jnp.where(iota_r == r0, 0.75, 0.0)
                   + jnp.where(iota_r == r1, 0.25, 0.0))          # (RC, R)
@@ -285,8 +295,8 @@ def _kernel(plan: DecodePlan, interpret: bool):
         # ---- horizontal upsample + color convert per 128-col out chunk
         for c in range(k):
             if fw == 2:
-                i0 = hcols0_ref[b * k + c]      # (1, 128)
-                i1 = hcols1_ref[b * k + c]
+                i0 = hcols0_ref[0, c:c + 1]     # (1, 128)
+                i1 = hcols1_ref[0, c:c + 1]
                 iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
                 wh = (jnp.where(iota == i0, 0.75, 0.0)
                       + jnp.where(iota == i1, 0.25, 0.0))        # (128, 128)
@@ -314,6 +324,14 @@ def _kernel(plan: DecodePlan, interpret: bool):
 @functools.lru_cache(maxsize=16)
 def _build_call(plan: DecodePlan, interpret: bool):
     r, w = plan.band_rows, plan.w
+    # per-image args are blocked so kernel VMEM stays independent of the
+    # batch size (a B=32 4:4:4 group would otherwise pin ~14 MB of
+    # whole-batch quant patterns + taps in VMEM and fail Mosaic's
+    # budget); elided-axis tap arrays are minimal dummies (make_args)
+    vr = r if plan.fh == 2 else 8
+    vt = (lambda b, tt, s: (b, tt, 0, 0)) if plan.fh == 2 \
+        else (lambda b, tt, s: (b, 0, 0, 0))
+    hk = plan.n_col_chunks if plan.fw == 2 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(plan.batch, plan.n_bands),
@@ -325,13 +343,15 @@ def _build_call(plan: DecodePlan, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # v8c
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # h8
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # h8t
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qty
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qtcb
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # qtcr
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # vrows0
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # vrows1
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # hcols0
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # hcols1
+            pl.BlockSpec((1, 8, w), lambda b, tt, s: (b, 0, 0)),   # qty
+            pl.BlockSpec((1, 8, plan.wc),
+                         lambda b, tt, s: (b, 0, 0)),              # qtcb
+            pl.BlockSpec((1, 8, plan.wc),
+                         lambda b, tt, s: (b, 0, 0)),              # qtcr
+            pl.BlockSpec((1, 1, 1, vr), vt),                       # vrows0
+            pl.BlockSpec((1, 1, 1, vr), vt),                       # vrows1
+            pl.BlockSpec((1, hk, 128), lambda b, tt, s: (b, 0, 0)),  # hcols0
+            pl.BlockSpec((1, hk, 128), lambda b, tt, s: (b, 0, 0)),  # hcols1
         ],
         out_specs=pl.BlockSpec((1, 3, r, w), lambda b, tt, s: (b, 0, tt, 0)),
         scratch_shapes=[

@@ -10,6 +10,7 @@ reduced on chip — full canvases never cross the dev tunnel).
 """
 
 import argparse
+import functools
 import sys
 import time
 
@@ -95,32 +96,39 @@ def main() -> int:
 
         yc_d, cbc_d, crc_d = yc, cbc, crc   # already device-resident
 
-        @jax.jit
-        def maxdiff(yc_, cbc_, crc_, _plan=plan, _a=dargs, _fh=fh, _fw=fw):
-            out = pj.decode_420(yc_, cbc_, crc_, _plan, _a,
-                                interpret=interp)
-            ref = batched_decode_ycbcr(yc_, cbc_, crc_, jnp.asarray(qt),
-                                       jnp.asarray(cv), fh=_fh, fw=_fw)
-            d = (out[:, :, :h, :w].astype(jnp.int32)
-                 - ref[:, :, :h, :w].astype(jnp.int32))
-            return jnp.max(jnp.abs(d))
-
-        t0 = time.monotonic()
-        md = int(np.asarray(maxdiff(yc_d, cbc_d, crc_d)))
-        print(f"  compile+check: {time.monotonic() - t0:.1f}s "
-              f"max|kernel-xla|={md} {'OK' if md <= 1 else 'FAIL'}")
-        if md > 1:
-            return 1
-
-        # arg arrays must be jit PARAMETERS, not closure constants — as
-        # closed-over numpy they get baked into the HLO as literals and
-        # the serialized module can exceed the dev tunnel's
-        # remote-compile upload limit (HTTP 413 at 4:4:4 geometry)
+        # every non-trivial array is a jit PARAMETER, not a closure
+        # constant: closed-over numpy gets baked into the HLO as
+        # literals, and the serialized module can exceed the dev
+        # tunnel's remote-compile upload limit (HTTP 413 at 4:4:4
+        # geometry). Only the small static bases stay closures.
         call = pj._build_call(plan, interp)
         bases = pj._bases(plan.band_rows, plan.win_rows)
         argv = tuple(jax.device_put(jnp.asarray(v), dev) for v in (
             dargs.win_starts, dargs.qty, dargs.qtcb, dargs.qtcr,
             dargs.vrows0, dargs.vrows1, dargs.hcols0, dargs.hcols1))
+        qt_d = jax.device_put(jnp.asarray(qt), dev)
+        cv_d = jax.device_put(jnp.asarray(cv), dev)
+
+        @functools.partial(jax.jit, static_argnums=(10, 11))
+        def maxdiff(yc_, cbc_, crc_, ws, qy, qcb, qcr, v0, v1, hx,
+                    _fh, _fw, qt_, cv_):
+            h0, h1 = hx
+            out = call(ws, yc_, cbc_, crc_, *bases, qy, qcb, qcr,
+                       v0, v1, h0, h1)
+            ref = batched_decode_ycbcr(yc_, cbc_, crc_, qt_, cv_,
+                                       fh=_fh, fw=_fw)
+            d = (out[:, :, :h, :w].astype(jnp.int32)
+                 - ref[:, :, :h, :w].astype(jnp.int32))
+            return jnp.max(jnp.abs(d))
+
+        t0 = time.monotonic()
+        md = int(np.asarray(maxdiff(
+            yc_d, cbc_d, crc_d, argv[0], argv[1], argv[2], argv[3],
+            argv[4], argv[5], (argv[6], argv[7]), fh, fw, qt_d, cv_d)))
+        print(f"  compile+check: {time.monotonic() - t0:.1f}s "
+              f"max|kernel-xla|={md} {'OK' if md <= 1 else 'FAIL'}")
+        if md > 1:
+            return 1
 
         def looped(y, cb, cr, ws, qy, qcb, qcr, v0, v1, h0, h1, k):
             def body(i, s):
@@ -141,7 +149,8 @@ def main() -> int:
                        .reshape(-1)[0])
             return time.monotonic() - t0
 
-        k1, k2 = max(args.k // 8, 2), args.k
+        k1 = max(args.k // 8, 2)
+        k2 = max(args.k, k1 + 2)
         t1, t2 = timed(k1), timed(k2)
         per = (t2 - t1) / (k2 - k1) * 1000.0
         print(f"  {per:.2f} ms/batch  ({b / per * 1000.0:.0f} img/s)")
