@@ -72,6 +72,16 @@ class DecodePlan:
         return self.w // self.fw
 
     @property
+    def wcp(self) -> int:
+        # chroma canvas width padded to the 128-lane tile: Mosaic
+        # rejects memref slices (the manual chroma-window DMA) whose
+        # minor dim is not tile-aligned — w=640/384 buckets at fw=2
+        # give wc=320/192. Callers zero-pad the coefficient canvases to
+        # this width; zero coefficients decode to pixels the upsample
+        # taps never select (they clamp to the per-image valid extent).
+        return -(-self.wc // 128) * 128
+
+    @property
     def n_bands(self) -> int:
         return self.h // self.band_rows
 
@@ -138,8 +148,8 @@ def make_args(plan: DecodePlan, qtabs: np.ndarray,
     hc, wc, rc = plan.hc, plan.wc, plan.win_rows
 
     qty = np.tile(qtabs[:, 0], (1, 1, plan.w // 8)).astype(np.float32)
-    qtcb = np.tile(qtabs[:, 1], (1, 1, wc // 8)).astype(np.float32)
-    qtcr = np.tile(qtabs[:, 2], (1, 1, wc // 8)).astype(np.float32)
+    qtcb = np.tile(qtabs[:, 1], (1, 1, plan.wcp // 8)).astype(np.float32)
+    qtcr = np.tile(qtabs[:, 2], (1, 1, plan.wcp // 8)).astype(np.float32)
 
     cv_h = np.maximum(chroma_valid[:, 0].astype(np.int64), 1)
     cv_w = np.maximum(chroma_valid[:, 1].astype(np.int64), 1)
@@ -344,9 +354,9 @@ def _build_call(plan: DecodePlan, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # h8
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # h8t
             pl.BlockSpec((1, 8, w), lambda b, tt, s: (b, 0, 0)),   # qty
-            pl.BlockSpec((1, 8, plan.wc),
+            pl.BlockSpec((1, 8, plan.wcp),
                          lambda b, tt, s: (b, 0, 0)),              # qtcb
-            pl.BlockSpec((1, 8, plan.wc),
+            pl.BlockSpec((1, 8, plan.wcp),
                          lambda b, tt, s: (b, 0, 0)),              # qtcr
             pl.BlockSpec((1, 1, 1, vr), vt),                       # vrows0
             pl.BlockSpec((1, 1, 1, vr), vt),                       # vrows1
@@ -355,8 +365,8 @@ def _build_call(plan: DecodePlan, interpret: bool):
         ],
         out_specs=pl.BlockSpec((1, 3, r, w), lambda b, tt, s: (b, 0, tt, 0)),
         scratch_shapes=[
-            pltpu.VMEM((plan.win_rows, plan.wc), jnp.int16),
-            pltpu.VMEM((plan.win_rows, plan.wc), jnp.int16),
+            pltpu.VMEM((plan.win_rows, plan.wcp), jnp.int16),
+            pltpu.VMEM((plan.win_rows, plan.wcp), jnp.int16),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -396,14 +406,30 @@ def _bases(band_rows: int, win_rows: int):
             jnp.asarray(h8t))
 
 
+def pad_chroma(plan: DecodePlan, cbc, crc):
+    """Zero-pad chroma coefficient canvases from plan.wc to plan.wcp
+    columns (no-op when already tile-aligned). Zero coefficients in the
+    pad region dequantize/IDCT to pixels the upsample taps never select
+    (taps clamp to each image's valid chroma extent)."""
+    pad = plan.wcp - int(cbc.shape[-1])
+    if pad <= 0:
+        return cbc, crc
+    cfg = ((0, 0), (0, 0), (0, pad))
+    if isinstance(cbc, np.ndarray):
+        return np.pad(cbc, cfg), np.pad(crc, cfg)
+    return jnp.pad(cbc, cfg), jnp.pad(crc, cfg)
+
+
 def decode_420(yc, cbc, crc, plan: DecodePlan, args: DecodeArgs,
                *, interpret: bool = False):
     """(B, H, W) + 2x(B, Hc, Wc) int16 coefficient canvases ->
     (B, 3, H, W) uint8 planar RGB. Despite the historical name this
     covers all four plan subsampling modes: (fh, fw) = (2, 2) 4:2:0,
-    (1, 2) 4:2:2, (2, 1) 4:4:0, (1, 1) 4:4:4."""
+    (1, 2) 4:2:2, (2, 1) 4:4:0, (1, 1) 4:4:4. Chroma canvases narrower
+    than plan.wcp are zero-padded to the 128-lane tile here."""
     call = _build_call(plan, interpret)
     v8, v8c, h8, h8t = _bases(plan.band_rows, plan.win_rows)
+    cbc, crc = pad_chroma(plan, cbc, crc)
     return call(
         jnp.asarray(args.win_starts),
         yc, cbc, crc,
@@ -437,6 +463,14 @@ class EncodePlan:
     @property
     def n_col_chunks(self) -> int:
         return self.w // 128
+
+    @property
+    def wcp(self) -> int:
+        # chroma output canvas width padded to the 128-lane tile (w/2
+        # is a 64-multiple only for w=384/640-class buckets); the pad
+        # columns are zero coefficients the entropy emitter never reads
+        # (it slices each image's MCU grid).
+        return -(-(self.w // 2) // 128) * 128
 
 
 @dataclass
@@ -587,8 +621,12 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
                     precision=jax.lax.Precision.HIGHEST)[:, :64]
                 coefs.append(blk)
             pq = jnp.concatenate(coefs, axis=1) / qc
-            out_ref[0] = jnp.clip(jnp.round(pq), -1023,
-                                  1023).astype(jnp.int16)
+            q16 = jnp.clip(jnp.round(pq), -1023, 1023).astype(jnp.int16)
+            if wc < plan.wcp:   # tile-pad the chroma output canvas
+                q16 = jnp.concatenate(
+                    [q16, jnp.zeros((rc, plan.wcp - wc), jnp.int16)],
+                    axis=1)
+            out_ref[0] = q16
 
     return kernel
 
@@ -636,8 +674,8 @@ def _build_encode_call(plan: EncodePlan, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((1, r, w), lambda b, tt: (b, tt, 0)),
-            pl.BlockSpec((1, r // 2, w // 2), lambda b, tt: (b, tt, 0)),
-            pl.BlockSpec((1, r // 2, w // 2), lambda b, tt: (b, tt, 0)),
+            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt: (b, tt, 0)),
+            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt: (b, tt, 0)),
         ],
     )
     flops = (plan.batch * plan.n_bands * 2 * r * w
@@ -647,9 +685,9 @@ def _build_encode_call(plan: EncodePlan, interpret: bool):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((plan.batch, plan.h, plan.w), jnp.int16),
-            jax.ShapeDtypeStruct((plan.batch, plan.h // 2, plan.w // 2),
+            jax.ShapeDtypeStruct((plan.batch, plan.h // 2, plan.wcp),
                                  jnp.int16),
-            jax.ShapeDtypeStruct((plan.batch, plan.h // 2, plan.w // 2),
+            jax.ShapeDtypeStruct((plan.batch, plan.h // 2, plan.wcp),
                                  jnp.int16),
         ],
         interpret=interpret,

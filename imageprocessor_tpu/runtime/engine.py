@@ -483,44 +483,65 @@ class ProcessingEngine:
         and device-cached, so steady batches of same-quality uploads
         transfer nothing."""
         b, ch, cw = yc.shape
-        if (fh in (1, 2) and fw in (1, 2) and self.model.use_pallas
+        bad_key = ("pjdec-bad", b, ch, cw, fh, fw)
+        with self.model._lock:
+            blacklisted = bad_key in self.model._args_cache
+        if (not blacklisted
+                and fh in (1, 2) and fw in (1, 2) and self.model.use_pallas
                 and ch % 16 == 0 and cw % 128 == 0 and cw >= 256
                 and (ch, cw) == (bucket[0], bucket[1])):
-            from imageprocessor_tpu.ops import pallas_jpeg as pj
-            qt_np = np.asarray(qt, dtype=np.float32)
-            cv_np = np.asarray(cv, dtype=np.int32)
-            key = ("pjdec", b, ch, cw, fh, fw, qt_np.tobytes(),
-                   cv_np.tobytes())
-            with self.model._lock:
-                cached = self.model._args_cache.get(key)
-            if cached is None:
-                plan = pj.make_plan(b, ch, cw, fh, fw)
-                args = pj.make_args(plan, qt_np, cv_np)
-                cached = (plan, tuple(jnp.asarray(v) for v in (
-                    args.win_starts, args.vrows0, args.vrows1,
-                    args.hcols0, args.hcols1,
-                    args.qty, args.qtcb, args.qtcr)))
+            # A geometry the gate admits but Mosaic rejects (or any
+            # other kernel failure) must NOT fail the images: blacklist
+            # the geometry and fall through to the XLA decode program.
+            try:
+                return self._decode_coefs_pallas(yc, cbc, crc, qt, cv,
+                                                 fh, fw)
+            except Exception as exc:  # noqa: BLE001 — fallback barrier
+                log.warning("Pallas decode unavailable for geometry; "
+                            "using XLA decode", batch=b, h=ch, w=cw,
+                            fh=fh, fw=fw, error=str(exc))
                 with self.model._lock:
-                    self.model._args_cache[key] = cached
-                    self.model._args_order.append(key)
-                    while len(self.model._args_order) > 256:
-                        self.model._args_cache.pop(
-                            self.model._args_order.pop(0), None)
-            plan, dargs = cached
-            (ws, vr0, vr1, hc0, hc1, qy, qcb, qcr) = dargs
-            fn = self._codec_sharded(pj, plan, "decode")
-            if fn is not None:
-                return fn(ws, jnp.asarray(yc), jnp.asarray(cbc),
-                          jnp.asarray(crc), qy, qcb, qcr, vr0, vr1,
-                          hc0, hc1)
-            call = pj._build_call(plan, self.model._pallas_interpret)
-            v8, v8c, h8, h8t = pj._bases(plan.band_rows, plan.win_rows)
-            return call(ws, jnp.asarray(yc), jnp.asarray(cbc),
-                        jnp.asarray(crc), v8, v8c, h8, h8t, qy, qcb, qcr,
-                        vr0, vr1, hc0, hc1)
+                    self.model._args_cache[bad_key] = True
         from imageprocessor_tpu.ops.jpeg_decode import batched_decode_ycbcr
         return batched_decode_ycbcr(yc, cbc, crc, qt, cv, fh=fh, fw=fw,
                                     out_h=bucket[0], out_w=bucket[1])
+
+    def _decode_coefs_pallas(self, yc, cbc, crc, qt, cv, fh: int, fw: int):
+        from imageprocessor_tpu.ops import pallas_jpeg as pj
+        b, ch, cw = yc.shape
+        qt_np = np.asarray(qt, dtype=np.float32)
+        cv_np = np.asarray(cv, dtype=np.int32)
+        key = ("pjdec", b, ch, cw, fh, fw, qt_np.tobytes(),
+               cv_np.tobytes())
+        with self.model._lock:
+            cached = self.model._args_cache.get(key)
+        if cached is None:
+            plan = pj.make_plan(b, ch, cw, fh, fw)
+            args = pj.make_args(plan, qt_np, cv_np)
+            cached = (plan, tuple(jnp.asarray(v) for v in (
+                args.win_starts, args.vrows0, args.vrows1,
+                args.hcols0, args.hcols1,
+                args.qty, args.qtcb, args.qtcr)))
+            with self.model._lock:
+                self.model._args_cache[key] = cached
+                self.model._args_order.append(key)
+                while len(self.model._args_order) > 256:
+                    self.model._args_cache.pop(
+                        self.model._args_order.pop(0), None)
+        plan, dargs = cached
+        (ws, vr0, vr1, hc0, hc1, qy, qcb, qcr) = dargs
+        # tile-pad chroma canvases (w=640/384-class buckets at fw=2)
+        cbc, crc = pj.pad_chroma(plan, cbc, crc)
+        fn = self._codec_sharded(pj, plan, "decode")
+        if fn is not None:
+            return fn(ws, jnp.asarray(yc), jnp.asarray(cbc),
+                      jnp.asarray(crc), qy, qcb, qcr, vr0, vr1,
+                      hc0, hc1)
+        call = pj._build_call(plan, self.model._pallas_interpret)
+        v8, v8c, h8, h8t = pj._bases(plan.band_rows, plan.win_rows)
+        return call(ws, jnp.asarray(yc), jnp.asarray(cbc),
+                    jnp.asarray(crc), v8, v8c, h8, h8t, qy, qcb, qcr,
+                    vr0, vr1, hc0, hc1)
 
     def _encode_coefs(self, rgb, vh: np.ndarray, qt: np.ndarray):
         """Planar pixel canvas -> quantized 4:2:0 coefficient canvases
@@ -533,36 +554,50 @@ class ProcessingEngine:
         (geometry, quality, valid-extents) and device-cached, like the
         decode dispatch above."""
         b, _c, mh, mw = rgb.shape
-        if (self.model.use_pallas and mh % 16 == 0 and mw % 128 == 0
-                and mw >= 256):
-            from imageprocessor_tpu.ops import pallas_jpeg as pj
-            qt_np = np.asarray(qt, dtype=np.float32)
-            vh_np = np.asarray(vh, dtype=np.int32)
-            key = ("pjenc", b, mh, mw, qt_np.tobytes(), vh_np.tobytes())
-            with self.model._lock:
-                cached = self.model._args_cache.get(key)
-            if cached is None:
-                plan = pj.make_encode_plan(b, mh, mw)
-                args = pj.make_encode_args(plan, qt_np, vh_np)
-                cached = (plan, tuple(jnp.asarray(v) for v in (
-                    args.rrows, args.rcols, args.qy, args.qc)))
+        bad_key = ("pjenc-bad", b, mh, mw)
+        with self.model._lock:
+            blacklisted = bad_key in self.model._args_cache
+        if (not blacklisted and self.model.use_pallas
+                and mh % 16 == 0 and mw % 128 == 0 and mw >= 256):
+            try:
+                return self._encode_coefs_pallas(rgb, vh, qt)
+            except Exception as exc:  # noqa: BLE001 — fallback barrier
+                log.warning("Pallas encode unavailable for geometry; "
+                            "using XLA encode", batch=b, h=mh, w=mw,
+                            error=str(exc))
                 with self.model._lock:
-                    self.model._args_cache[key] = cached
-                    self.model._args_order.append(key)
-                    while len(self.model._args_order) > 256:
-                        self.model._args_cache.pop(
-                            self.model._args_order.pop(0), None)
-            plan, (rrows, rcols, qy, qc) = cached
-            fn = self._codec_sharded(pj, plan, "encode")
-            if fn is not None:
-                return fn(jnp.asarray(rgb), qy, qc, rrows, rcols)
-            call = pj._build_encode_call(plan, self.model._pallas_interpret)
-            vy, vc, hy, hcm = pj._encode_bases(plan.band_rows)
-            return call(jnp.asarray(rgb), vy, vc, hy, hcm, qy, qc,
-                        rrows, rcols)
+                    self.model._args_cache[bad_key] = True
         from imageprocessor_tpu.ops.jpeg_encode import batched_encode_420
         return batched_encode_420(rgb, jnp.asarray(vh),
                                   jnp.asarray(qt, dtype=jnp.float32))
+
+    def _encode_coefs_pallas(self, rgb, vh: np.ndarray, qt: np.ndarray):
+        from imageprocessor_tpu.ops import pallas_jpeg as pj
+        b, _c, mh, mw = rgb.shape
+        qt_np = np.asarray(qt, dtype=np.float32)
+        vh_np = np.asarray(vh, dtype=np.int32)
+        key = ("pjenc", b, mh, mw, qt_np.tobytes(), vh_np.tobytes())
+        with self.model._lock:
+            cached = self.model._args_cache.get(key)
+        if cached is None:
+            plan = pj.make_encode_plan(b, mh, mw)
+            args = pj.make_encode_args(plan, qt_np, vh_np)
+            cached = (plan, tuple(jnp.asarray(v) for v in (
+                args.rrows, args.rcols, args.qy, args.qc)))
+            with self.model._lock:
+                self.model._args_cache[key] = cached
+                self.model._args_order.append(key)
+                while len(self.model._args_order) > 256:
+                    self.model._args_cache.pop(
+                        self.model._args_order.pop(0), None)
+        plan, (rrows, rcols, qy, qc) = cached
+        fn = self._codec_sharded(pj, plan, "encode")
+        if fn is not None:
+            return fn(jnp.asarray(rgb), qy, qc, rrows, rcols)
+        call = pj._build_encode_call(plan, self.model._pallas_interpret)
+        vy, vc, hy, hcm = pj._encode_bases(plan.band_rows)
+        return call(jnp.asarray(rgb), vy, vc, hy, hcm, qy, qc,
+                    rrows, rcols)
 
     def _codec_sharded(self, pj, plan, kind: str):
         """Jitted shard_map wrapper running a Pallas codec kernel

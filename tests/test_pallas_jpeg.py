@@ -39,7 +39,8 @@ def _case(dims, H, W, seed=1, fh=2, fw=2):
 @pytest.mark.parametrize("H,W,dims", [
     (64, 256, [(60, 250), (64, 256), (40, 130)]),
     (384, 512, [(380, 500), (384, 512), (200, 260)]),  # multi-band
-    (128, 384, [(128, 384), (100, 300)]),
+    (128, 384, [(128, 384), (100, 300)]),   # wc=192 at fw=2: tile-padded
+    (128, 640, [(120, 633), (128, 640)]),   # wc=320 at fw=2: tile-padded
 ])
 def test_matches_xla_decode_within_1lsb(H, W, dims, fh, fw):
     yc, cbc, crc, qt, cv = _case(dims, H, W, fh=fh, fw=fw)
@@ -53,6 +54,95 @@ def test_matches_xla_decode_within_1lsb(H, W, dims, fh, fw):
         d = np.abs(ref[i, :, :h, :w].astype(int)
                    - out[i, :, :h, :w].astype(int))
         assert d.max() <= 1, (fh, fw, i, h, w, d.max())
+
+
+def test_chroma_tile_padding():
+    """w=640/384-class buckets at fw=2 give chroma canvases whose width
+    is not a 128-lane multiple — Mosaic rejects the chroma-window DMA
+    slice on such memrefs (found by an end-to-end 640x480 upload on real
+    TPU). The plan pads them to wcp and pad_chroma widens the arrays."""
+    p = pj.make_plan(2, 128, 640)             # 4:2:0 -> wc=320
+    assert (p.wc, p.wcp) == (320, 384)
+    p2 = pj.make_plan(2, 128, 384, 1, 2)      # 4:2:2 -> wc=192
+    assert (p2.wc, p2.wcp) == (192, 256)
+    p3 = pj.make_plan(2, 128, 512)            # aligned: no-op
+    assert (p3.wc, p3.wcp) == (256, 256)
+    cb = np.ones((2, 64, 320), np.int16)
+    cr = np.full((2, 64, 320), 2, np.int16)
+    cbp, crp = pj.pad_chroma(p, cb, cr)
+    assert cbp.shape == crp.shape == (2, 64, 384)
+    assert (cbp[:, :, :320] == 1).all() and (cbp[:, :, 320:] == 0).all()
+    assert (crp[:, :, :320] == 2).all() and (crp[:, :, 320:] == 0).all()
+    same = pj.pad_chroma(p3, cb[:, :, :256], cr[:, :, :256])
+    assert same[0].shape[-1] == 256
+    # encode plans pad their chroma OUTPUT canvases the same way
+    ep = pj.make_encode_plan(2, 128, 640)
+    assert ep.wcp == 384
+    assert pj.make_encode_plan(2, 128, 512).wcp == 256
+
+
+def test_engine_falls_back_to_xla_when_pallas_codec_fails(tmp_path,
+                                                          monkeypatch):
+    """A geometry the eligibility gate admits but the kernel cannot
+    compile (or any other Pallas codec failure) must fall back to the
+    XLA codec path and blacklist the geometry — never fail the image."""
+    import io
+    import uuid
+
+    from PIL import Image as PILImage
+
+    from imageprocessor_tpu.domain import (
+        ImageStatus,
+        OperationParams,
+        OperationType,
+        ProcessingTask,
+    )
+    from imageprocessor_tpu.runtime import nativecodec as nc
+    from imageprocessor_tpu.runtime.engine import ProcessingEngine
+    from imageprocessor_tpu.storage import LocalFSObjectStore
+
+    if not nc.available() or not hasattr(nc._load(), "ip_jpeg_scan_dims"):
+        pytest.skip("native scanner unavailable")
+    arr = RNG.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
+    blob = bio.getvalue()
+
+    def task():
+        iid = str(uuid.uuid4())
+        return ProcessingTask(
+            id=iid, image_id=iid, original_path="o", bucket="b",
+            operations=[OperationParams(OperationType.WATERMARK,
+                                        {"text": "t"})],
+            format="jpeg")
+
+    eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)),
+                           device_jpeg=True, use_pallas=True,
+                           pallas_interpret=True)
+    calls = {"dec": 0, "enc": 0}
+
+    def boom_dec(*a, **k):
+        calls["dec"] += 1
+        raise RuntimeError("Mosaic failed to compile TPU kernel")
+
+    def boom_enc(*a, **k):
+        calls["enc"] += 1
+        raise RuntimeError("Mosaic failed to compile TPU kernel")
+
+    monkeypatch.setattr(eng, "_decode_coefs_pallas", boom_dec)
+    monkeypatch.setattr(eng, "_encode_coefs_pallas", boom_enc)
+    try:
+        r = eng.process_tasks([(task(), blob)])[0]
+        assert r.result.status is ImageStatus.COMPLETED, r.result.error
+        assert calls["dec"] == 1 and calls["enc"] == 1
+        # second batch: geometry blacklisted, no retry of the kernel
+        r2 = eng.process_tasks([(task(), blob)])[0]
+        assert r2.result.status is ImageStatus.COMPLETED, r2.result.error
+        assert calls["dec"] == 1 and calls["enc"] == 1
+        assert any(isinstance(k, tuple) and k and k[0] == "pjdec-bad"
+                   for k in eng.model._args_cache)
+    finally:
+        eng.close()
 
 
 def test_plan_constraints():

@@ -95,6 +95,10 @@ def main() -> int:
         pj._bases(plan.band_rows, plan.win_rows)
 
         yc_d, cbc_d, crc_d = yc, cbc, crc   # already device-resident
+        # the kernel consumes tile-padded chroma canvases (wc -> wcp);
+        # pad once on device, keep the unpadded ones for the XLA ref
+        cbp_d, crp_d = jax.jit(
+            lambda a, c: pj.pad_chroma(plan, a, c))(cbc_d, crc_d)
 
         # every non-trivial array is a jit PARAMETER, not a closure
         # constant: closed-over numpy gets baked into the HLO as
@@ -109,11 +113,11 @@ def main() -> int:
         qt_d = jax.device_put(jnp.asarray(qt), dev)
         cv_d = jax.device_put(jnp.asarray(cv), dev)
 
-        @functools.partial(jax.jit, static_argnums=(10, 11))
-        def maxdiff(yc_, cbc_, crc_, ws, qy, qcb, qcr, v0, v1, hx,
-                    _fh, _fw, qt_, cv_):
+        @functools.partial(jax.jit, static_argnums=(12, 13))
+        def maxdiff(yc_, cbc_, crc_, cbp_, crp_, ws, qy, qcb, qcr,
+                    v0, v1, hx, _fh, _fw, qt_, cv_):
             h0, h1 = hx
-            out = call(ws, yc_, cbc_, crc_, *bases, qy, qcb, qcr,
+            out = call(ws, yc_, cbp_, crp_, *bases, qy, qcb, qcr,
                        v0, v1, h0, h1)
             ref = batched_decode_ycbcr(yc_, cbc_, crc_, qt_, cv_,
                                        fh=_fh, fw=_fw)
@@ -123,8 +127,9 @@ def main() -> int:
 
         t0 = time.monotonic()
         md = int(np.asarray(maxdiff(
-            yc_d, cbc_d, crc_d, argv[0], argv[1], argv[2], argv[3],
-            argv[4], argv[5], (argv[6], argv[7]), fh, fw, qt_d, cv_d)))
+            yc_d, cbc_d, crc_d, cbp_d, crp_d, argv[0], argv[1], argv[2],
+            argv[3], argv[4], argv[5], (argv[6], argv[7]), fh, fw,
+            qt_d, cv_d)))
         print(f"  compile+check: {time.monotonic() - t0:.1f}s "
               f"max|kernel-xla|={md} {'OK' if md <= 1 else 'FAIL'}")
         if md > 1:
@@ -140,12 +145,12 @@ def main() -> int:
             return jax.lax.fori_loop(0, k, body, y)
 
         loop_j = jax.jit(looped, static_argnums=(11,))
-        np.asarray(loop_j(yc_d, cbc_d, crc_d, *argv, 2)
+        np.asarray(loop_j(yc_d, cbp_d, crp_d, *argv, 2)
                    .reshape(-1)[0])                   # warm
 
         def timed(k):
             t0 = time.monotonic()
-            np.asarray(loop_j(yc_d, cbc_d, crc_d, *argv, k)
+            np.asarray(loop_j(yc_d, cbp_d, crp_d, *argv, k)
                        .reshape(-1)[0])
             return time.monotonic() - t0
 
