@@ -130,9 +130,12 @@ def make_plan(batch: int, h: int, w: int, fh: int = 2,
     if fh not in (1, 2) or fw not in (1, 2):
         raise ValueError(f"subsampling factors {fh}x{fw} not supported")
     band = 128 if w <= 4096 else 64
-    if (fh, fw) != (2, 2):
-        # chroma windows are 2-4x larger in these modes; halve the band
-        # to stay inside the VMEM budget
+    if (fh, fw) == (1, 1) and w > 4096:
+        # 4:4:4 carries full-size chroma windows (2 x band x w i16);
+        # halve the band on wide canvases to stay inside the VMEM
+        # budget. (Since the per-image index/quant args became blocked
+        # BlockSpecs, the other modes fit at the full band — measured
+        # faster on v5e: 4:2:2 at 12 MP 10.3 -> see PERF.md.)
         band //= 2
     while h % band:
         band //= 2

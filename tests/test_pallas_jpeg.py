@@ -156,16 +156,20 @@ def test_plan_constraints():
         pj.make_plan(1, 64, 256, 3, 1)  # unsupported factor
     p = pj.make_plan(2, 3072, 4096)
     assert p.band_rows == 128 and p.n_bands == 24
-    # non-4:2:0 modes halve the band (larger chroma windows in VMEM)
+    # all modes run the full band at <=4096 wide since the per-image
+    # args became blocked BlockSpecs (measured faster on v5e, PERF.md)
     p444 = pj.make_plan(2, 3072, 4096, 1, 1)
-    assert p444.band_rows == 64 and p444.win_rows == 64
+    assert p444.band_rows == 128 and p444.win_rows == 128
     assert p444.hc == 3072 and p444.wc == 4096
     p422 = pj.make_plan(2, 3072, 4096, 1, 2)
-    assert p422.band_rows == 64 and p422.win_rows == 64
+    assert p422.band_rows == 128 and p422.win_rows == 128
     assert p422.hc == 3072 and p422.wc == 2048
     p440 = pj.make_plan(2, 3072, 4096, 2, 1)
-    assert p440.band_rows == 64 and p440.win_rows == 48  # halo'd window
+    assert p440.band_rows == 128 and p440.win_rows == 80  # halo'd window
     assert p440.hc == 1536 and p440.wc == 4096
+    # 4:4:4 beyond 4096 wide halves the band (full-size chroma windows)
+    p444w = pj.make_plan(2, 1024, 6144, 1, 1)
+    assert p444w.band_rows == 32
 
 
 @pytest.mark.parametrize("H,W,dims", [
