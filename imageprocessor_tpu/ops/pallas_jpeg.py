@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from imageprocessor_tpu.ops.jpeg_decode import _idct_basis
+from imageprocessor_tpu.ops.pallas_resample import _round_up
 
 
 @dataclass(frozen=True)
@@ -79,7 +80,7 @@ class DecodePlan:
         # give wc=320/192. Callers zero-pad the coefficient canvases to
         # this width; zero coefficients decode to pixels the upsample
         # taps never select (they clamp to the per-image valid extent).
-        return -(-self.wc // 128) * 128
+        return _round_up(self.wc, 128)
 
     @property
     def n_bands(self) -> int:
@@ -145,7 +146,9 @@ def make_plan(batch: int, h: int, w: int, fh: int = 2,
 def make_args(plan: DecodePlan, qtabs: np.ndarray,
               chroma_valid: np.ndarray) -> DecodeArgs:
     """qtabs: (B, 3, 8, 8) f32; chroma_valid: (B, 2) valid chroma dims
-    per image (its MCU grid / 2) — the upsample tap clamp boundary."""
+    per image (its MCU grid divided by fh/fw per axis — the batcher
+    passes the scanned chroma plane's shape) — the upsample tap clamp
+    boundary."""
     b, t, r = plan.batch, plan.n_bands, plan.band_rows
     k = plan.n_col_chunks
     hc, wc, rc = plan.hc, plan.wc, plan.win_rows
@@ -473,7 +476,7 @@ class EncodePlan:
         # is a 64-multiple only for w=384/640-class buckets); the pad
         # columns are zero coefficients the entropy emitter never reads
         # (it slices each image's MCU grid).
-        return -(-(self.w // 2) // 128) * 128
+        return _round_up(self.w // 2, 128)
 
 
 @dataclass

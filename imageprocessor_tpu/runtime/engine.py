@@ -471,7 +471,7 @@ class ProcessingEngine:
         return out
 
     def _decode_coefs(self, yc, cbc, crc, qt, cv, fh: int, fw: int,
-                      bucket: tuple[int, int]):
+                      bucket: tuple[int, int], force_xla: bool = False):
         """Coefficient canvases -> planar pixel canvas on device.
 
         Canvases in any of the four common subsampling modes (4:2:0 /
@@ -483,10 +483,13 @@ class ProcessingEngine:
         and device-cached, so steady batches of same-quality uploads
         transfer nothing."""
         b, ch, cw = yc.shape
-        bad_key = ("pjdec-bad", b, ch, cw, fh, fw)
+        # blacklist is geometry-keyed (no batch size): Mosaic rejections
+        # are geometry-driven, and quantize_batch would otherwise pay
+        # one doomed multi-second compile per distinct batch size
+        bad_key = ("pjdec-bad", ch, cw, fh, fw)
         with self.model._lock:
             blacklisted = bad_key in self.model._args_cache
-        if (not blacklisted
+        if (not blacklisted and not force_xla
                 and fh in (1, 2) and fw in (1, 2) and self.model.use_pallas
                 and ch % 16 == 0 and cw % 128 == 0 and cw >= 256
                 and (ch, cw) == (bucket[0], bucket[1])):
@@ -506,6 +509,17 @@ class ProcessingEngine:
         return batched_decode_ycbcr(yc, cbc, crc, qt, cv, fh=fh, fw=fw,
                                     out_h=bucket[0], out_w=bucket[1])
 
+    def _cache_args(self, key, value) -> None:
+        """Insert into the model's bounded device-arg cache (LRU by
+        insertion; blacklist keys are stored directly and never join
+        the eviction order, so they are permanent for the process)."""
+        with self.model._lock:
+            self.model._args_cache[key] = value
+            self.model._args_order.append(key)
+            while len(self.model._args_order) > 256:
+                self.model._args_cache.pop(
+                    self.model._args_order.pop(0), None)
+
     def _decode_coefs_pallas(self, yc, cbc, crc, qt, cv, fh: int, fw: int):
         from imageprocessor_tpu.ops import pallas_jpeg as pj
         b, ch, cw = yc.shape
@@ -522,12 +536,7 @@ class ProcessingEngine:
                 args.win_starts, args.vrows0, args.vrows1,
                 args.hcols0, args.hcols1,
                 args.qty, args.qtcb, args.qtcr)))
-            with self.model._lock:
-                self.model._args_cache[key] = cached
-                self.model._args_order.append(key)
-                while len(self.model._args_order) > 256:
-                    self.model._args_cache.pop(
-                        self.model._args_order.pop(0), None)
+            self._cache_args(key, cached)
         plan, dargs = cached
         (ws, vr0, vr1, hc0, hc1, qy, qcb, qcr) = dargs
         # tile-pad chroma canvases (w=640/384-class buckets at fw=2)
@@ -543,7 +552,8 @@ class ProcessingEngine:
                     jnp.asarray(crc), v8, v8c, h8, h8t, qy, qcb, qcr,
                     vr0, vr1, hc0, hc1)
 
-    def _encode_coefs(self, rgb, vh: np.ndarray, qt: np.ndarray):
+    def _encode_coefs(self, rgb, vh: np.ndarray, qt: np.ndarray,
+                      force_xla: bool = False):
         """Planar pixel canvas -> quantized 4:2:0 coefficient canvases
         on device (the encode front half; host keeps only entropy emit).
 
@@ -554,10 +564,10 @@ class ProcessingEngine:
         (geometry, quality, valid-extents) and device-cached, like the
         decode dispatch above."""
         b, _c, mh, mw = rgb.shape
-        bad_key = ("pjenc-bad", b, mh, mw)
+        bad_key = ("pjenc-bad", mh, mw)   # geometry-keyed, like decode
         with self.model._lock:
             blacklisted = bad_key in self.model._args_cache
-        if (not blacklisted and self.model.use_pallas
+        if (not blacklisted and not force_xla and self.model.use_pallas
                 and mh % 16 == 0 and mw % 128 == 0 and mw >= 256):
             try:
                 return self._encode_coefs_pallas(rgb, vh, qt)
@@ -584,12 +594,7 @@ class ProcessingEngine:
             args = pj.make_encode_args(plan, qt_np, vh_np)
             cached = (plan, tuple(jnp.asarray(v) for v in (
                 args.rrows, args.rcols, args.qy, args.qc)))
-            with self.model._lock:
-                self.model._args_cache[key] = cached
-                self.model._args_order.append(key)
-                while len(self.model._args_order) > 256:
-                    self.model._args_cache.pop(
-                        self.model._args_order.pop(0), None)
+            self._cache_args(key, cached)
         plan, (rrows, rcols, qy, qc) = cached
         fn = self._codec_sharded(pj, plan, "encode")
         if fn is not None:
@@ -664,7 +669,28 @@ class ProcessingEngine:
     def device_group(self, group):
         """Stage 2: run one packed group's fused program; returns the
         host-side outputs + geometry needed to finish each image.
-        Reusable by both the batch worker and the pipelined worker."""
+        Reusable by both the batch worker and the pipelined worker.
+
+        Device-JPEG groups get ONE retry with the XLA codec programs
+        forced: the Pallas dispatchers' own fallback barrier only sees
+        synchronous (compile-time) failures — a kernel that compiles
+        but faults at execution (async dispatch surfaces it at the
+        np.asarray consumption) lands here instead, and must degrade
+        to the XLA codec rather than fail the batch."""
+        uses_device_codec = (group.layout.startswith("coef")
+                             or self.device_jpeg)
+        try:
+            return self._device_group_impl(group)
+        except Exception as exc:  # noqa: BLE001 — one-shot degrade
+            if not uses_device_codec:
+                raise
+            log.warning("Device group failed on the device-JPEG path; "
+                        "retrying once via the XLA codec programs",
+                        bucket=list(group.bucket), layout=group.layout,
+                        size=len(group.items), error=str(exc))
+            return self._device_group_impl(group, force_xla_codec=True)
+
+    def _device_group_impl(self, group, force_xla_codec: bool = False):
         plan: OperationPlan = group.items[0].payload[3]
         b = quantize_batch(len(group.items))
         if self._mesh is not None:
@@ -734,7 +760,8 @@ class ProcessingEngine:
             fh, fw = coef_factors(layout)
             yc, cbc, crc, qt, cv = imgs
             imgs = self._decode_coefs(yc, cbc, crc, qt, cv, fh, fw,
-                                      group.bucket)
+                                      group.bucket,
+                                      force_xla=force_xla_codec)
             layout = "chw"
         if layout == "chw" and not self.model.supports_planar(plan,
                                                               group.bucket):
@@ -817,7 +844,8 @@ class ProcessingEngine:
                             and -(-mw // 128) * 128 <= cv_w):
                         mw = -(-mw // 128) * 128
                     yc, cbc, crc = self._encode_coefs(
-                        o[:, :, :mh, :mw], vh, qt)
+                        o[:, :, :mh, :mw], vh, qt,
+                        force_xla=force_xla_codec)
                     cropped.append(("coef420", yc, cbc, crc, qt))
                     continue
             if layout == "chw":

@@ -145,6 +145,60 @@ def test_engine_falls_back_to_xla_when_pallas_codec_fails(tmp_path,
         eng.close()
 
 
+def test_device_group_retries_deferred_codec_failure(tmp_path, monkeypatch):
+    """A Pallas codec kernel that compiles but faults at EXECUTION
+    surfaces at the np.asarray consumption, outside the dispatchers'
+    synchronous barrier. device_group must degrade that batch to the
+    XLA codec programs once instead of failing every image."""
+    import io
+    import uuid
+
+    from PIL import Image as PILImage
+
+    from imageprocessor_tpu.domain import (
+        ImageStatus,
+        OperationParams,
+        OperationType,
+        ProcessingTask,
+    )
+    from imageprocessor_tpu.runtime import nativecodec as nc
+    from imageprocessor_tpu.runtime.engine import ProcessingEngine
+    from imageprocessor_tpu.storage import LocalFSObjectStore
+
+    if not nc.available() or not hasattr(nc._load(), "ip_jpeg_scan_dims"):
+        pytest.skip("native scanner unavailable")
+    arr = RNG.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
+    blob = bio.getvalue()
+    iid = str(uuid.uuid4())
+    task = ProcessingTask(
+        id=iid, image_id=iid, original_path="o", bucket="b",
+        operations=[OperationParams(OperationType.THUMBNAIL,
+                                    {"size": 100, "crop_to_fit": True})],
+        format="jpeg")
+
+    eng = ProcessingEngine(LocalFSObjectStore(str(tmp_path)),
+                           device_jpeg=True, use_pallas=True,
+                           pallas_interpret=True)
+    orig = eng._device_group_impl
+    calls = []
+
+    def flaky(group, force_xla_codec=False):
+        calls.append(force_xla_codec)
+        if not force_xla_codec:
+            raise RuntimeError("deferred device execution fault")
+        return orig(group, force_xla_codec=True)
+
+    monkeypatch.setattr(eng, "_device_group_impl", flaky)
+    try:
+        r = eng.process_tasks([(task, blob)])[0]
+        assert r.result.status is ImageStatus.COMPLETED, r.result.error
+        assert calls == [False, True]
+    finally:
+        eng.close()
+
+
 def test_plan_constraints():
     with pytest.raises(ValueError):
         pj.make_plan(1, 100, 256)       # H not multiple of 16

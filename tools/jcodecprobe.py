@@ -144,18 +144,24 @@ def main() -> int:
                     s, s[:, :1, :1] ^ dep[:, 0], (0, 0, 0))
             return jax.lax.fori_loop(0, k, body, y)
 
-        loop_j = jax.jit(looped, static_argnums=(11,))
-        np.asarray(loop_j(yc_d, cbp_d, crp_d, *argv, 2)
+        # k is TRACED (fori_loop lowers to while_loop): one compiled
+        # program serves every chain length, so the slope subtraction
+        # cancels dispatch/RPC only — a static k would put the
+        # difference of two multi-second remote compiles into the
+        # reported ms/batch
+        loop_j = jax.jit(looped)
+        np.asarray(loop_j(yc_d, cbp_d, crp_d, *argv, jnp.int32(2))
                    .reshape(-1)[0])                   # warm
 
         def timed(k):
             t0 = time.monotonic()
-            np.asarray(loop_j(yc_d, cbp_d, crp_d, *argv, k)
+            np.asarray(loop_j(yc_d, cbp_d, crp_d, *argv, jnp.int32(k))
                        .reshape(-1)[0])
             return time.monotonic() - t0
 
         k1 = max(args.k // 8, 2)
         k2 = max(args.k, k1 + 2)
+        timed(k1)                                     # throwaway
         t1, t2 = timed(k1), timed(k2)
         per = (t2 - t1) / (k2 - k1) * 1000.0
         print(f"  {per:.2f} ms/batch  ({b / per * 1000.0:.0f} img/s)")
