@@ -483,8 +483,7 @@ class EncodePlan:
 class EncodeArgs:
     """Per-batch runtime inputs (host-computed)."""
 
-    rrows: np.ndarray       # (B * T, 1, R) i32 band-relative replicated rows
-    rcols: np.ndarray       # (B * K, 1, 128) i32 chunk-relative repl. cols
+    valid: np.ndarray       # (B * 2,) i32 per-image valid (h, w) pairs
     qy: np.ndarray          # (8, W) f32 tiled luma quant pattern
     qc: np.ndarray          # (8, W // 2) f32 tiled chroma quant pattern
 
@@ -508,32 +507,15 @@ def make_encode_args(plan: EncodePlan, qt: np.ndarray,
     """qt: (2, 8, 8) luma/chroma quant tables; valid_hw: (B, 2) per-image
     valid pixel dims — edge MCU blocks replicate from there (libjpeg
     pads the same way; blocks fully outside ceil16(valid) are emitted by
-    nobody, so their don't-care clamping is band/chunk-local)."""
-    b, t, r = plan.batch, plan.n_bands, plan.band_rows
-    k = plan.n_col_chunks
-    vh = np.maximum(valid_hw[:, 0].astype(np.int64), 1)
-    vw = np.maximum(valid_hw[:, 1].astype(np.int64), 1)
-
-    rrows = np.zeros((b, t, r), dtype=np.int32)
-    rel = np.arange(r, dtype=np.int64)
-    for j in range(t):
-        rows = j * r + rel
-        for im in range(b):
-            rrows[im, j] = np.clip(np.minimum(rows, vh[im] - 1) - j * r,
-                                   0, r - 1)
-    rcols = np.zeros((b, k, 128), dtype=np.int32)
-    relc = np.arange(128, dtype=np.int64)
-    for c in range(k):
-        cols = c * 128 + relc
-        for im in range(b):
-            rcols[im, c] = np.clip(np.minimum(cols, vw[im] - 1) - c * 128,
-                                   0, 127)
-
+    nobody, so their don't-care clamping is band/chunk-local). The
+    kernel consumes the dims as scalar-prefetch values and builds the
+    clamped row/column replication in-register (rank-1 boundary
+    extraction + select — no per-image one-hot matmuls)."""
+    valid = np.maximum(np.asarray(valid_hw, np.int64), 1) \
+        .astype(np.int32).reshape(-1)
     qy = np.tile(np.asarray(qt[0], np.float32), (1, plan.w // 8))
     qc = np.tile(np.asarray(qt[1], np.float32), (1, plan.w // 16))
-    return EncodeArgs(rrows=rrows.reshape(b * t, 1, r),
-                      rcols=rcols.reshape(b * k, 1, 128),
-                      qy=qy, qc=qc)
+    return EncodeArgs(valid=valid, qy=qy, qc=qc)
 
 
 def _encode_kernel(plan: EncodePlan, interpret: bool):
@@ -544,35 +526,53 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
     t = plan.n_bands
     k = plan.n_col_chunks
 
-    def kernel(rgb_ref,                          # VMEM (1, 3, R, W) u8
+    def kernel(valid_ref,                        # scalar prefetch (B*2,)
+               rgb_ref,                          # VMEM (1, 3, R, W) u8
                vy_ref, vc_ref, hy_ref, hc_ref,   # VMEM static FDCT bases
                qy_ref, qc_ref,                   # VMEM quant patterns
-               rrows_ref, rcols_ref,             # VMEM replication indices
                yc_ref, cbc_ref, crc_ref):        # outputs (1, ., .) i16
         b = pl.program_id(0)
         tt = pl.program_id(1)
+        vh = valid_ref[b * 2]
+        vw = valid_ref[b * 2 + 1]
 
-        # per-image edge replication as one-hot matmuls: rows once per
-        # band, cols once per 128-chunk (straddling blocks stay within
-        # one band/chunk because blocks are 16-aligned)
-        rr = rrows_ref[b * t + tt]               # (1, R)
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
-        wrep = jnp.where(iota_r == rr, 1.0, 0.0)  # (R, R) select rows
+        # Per-image edge replication is a MONOTONE clamp (out pixel
+        # (i, j) reads (min(i, vh-1), min(j, vw-1))), so it needs no
+        # one-hot matmuls (2 x 128 MAC/pixel x 3 channels — 70% of the
+        # kernel's FLOPs in the first version): extract the boundary
+        # row/column with a rank-1 one-hot (~1 MAC/pixel, exact at any
+        # matmul precision — selecting one exactly-representable u8
+        # value) and select past the boundary. Bands/chunks fully past
+        # the valid extent clamp to their head (don't-care: nobody
+        # emits blocks outside ceil16(valid); same contract as the
+        # index-array version).
+        bi = jnp.clip(vh - 1 - tt * r, 0, r - 1)          # boundary row
+        sel_row = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) == bi,
+            1.0, 0.0)                                     # (1, R)
+        row_abs = (jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+                   + tt * r)
+        row_ok = row_abs < vh                             # (R, 1)
+        iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
 
         def load_chan(ch):
             x = rgb_ref[0, ch].astype(jnp.int32).astype(jnp.float32)
-            x = jax.lax.dot_general(
-                wrep, x, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)     # row replicate
+            brow = jax.lax.dot_general(
+                sel_row, x, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (1, W)
+            x = jnp.where(row_ok, x, brow)                # (R, W)
             cols = []
             for c in range(k):
-                ic = rcols_ref[b * k + c]        # (1, 128)
-                iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-                wc_rep = jnp.where(iota == ic, 1.0, 0.0)
-                cols.append(jnp.dot(x[:, c * 128:(c + 1) * 128], wc_rep,
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST))
+                xc = x[:, c * 128:(c + 1) * 128]
+                ci = jnp.clip(vw - 1 - c * 128, 0, 127)   # boundary col
+                sel_col = jnp.where(iota_sub == ci, 1.0, 0.0)  # (128, 1)
+                bcol = jax.lax.dot_general(
+                    xc, sel_col,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (R, 1)
+                col_ok = (iota_lane + c * 128) < vw       # (1, 128)
+                cols.append(jnp.where(col_ok, xc, bcol))
             return jnp.concatenate(cols, axis=1)          # (R, W)
 
         rr_ = load_chan(0)
@@ -665,27 +665,27 @@ def _encode_bases(band_rows: int):
 def _build_encode_call(plan: EncodePlan, interpret: bool):
     r, w = plan.band_rows, plan.w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(plan.batch, plan.n_bands),
         in_specs=[
-            pl.BlockSpec((1, 3, r, w), lambda b, tt: (b, 0, tt, 0)),
+            pl.BlockSpec((1, 3, r, w), lambda b, tt, s: (b, 0, tt, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # vy
             pl.BlockSpec(memory_space=pltpu.VMEM),   # vc
             pl.BlockSpec(memory_space=pltpu.VMEM),   # hy
             pl.BlockSpec(memory_space=pltpu.VMEM),   # hc
             pl.BlockSpec(memory_space=pltpu.VMEM),   # qy
             pl.BlockSpec(memory_space=pltpu.VMEM),   # qc
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rrows
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rcols
         ],
         out_specs=[
-            pl.BlockSpec((1, r, w), lambda b, tt: (b, tt, 0)),
-            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt: (b, tt, 0)),
-            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt: (b, tt, 0)),
+            pl.BlockSpec((1, r, w), lambda b, tt, s: (b, tt, 0)),
+            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt, s: (b, tt, 0)),
+            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt, s: (b, tt, 0)),
         ],
     )
+    # edge replication is now rank-1 extract + select (~6 vs the index
+    # version's 3*r + 3*128 MAC terms)
     flops = (plan.batch * plan.n_bands * 2 * r * w
-             * (3 * r + 3 * 128 + r + 128 + 128))
+             * (6 + r + 128 + 128))
     return pl.pallas_call(
         _encode_kernel(plan, interpret),
         grid_spec=grid_spec,
@@ -713,6 +713,5 @@ def encode_420(rgb_u8, plan: EncodePlan, args: EncodeArgs,
     exact rounding tie; measured <=1 coef per megapixel)."""
     call = _build_encode_call(plan, interpret)
     vy, vc, hy, hcm = _encode_bases(plan.band_rows)
-    return call(rgb_u8, vy, vc, hy, hcm,
-                jnp.asarray(args.qy), jnp.asarray(args.qc),
-                jnp.asarray(args.rrows), jnp.asarray(args.rcols))
+    return call(jnp.asarray(args.valid), rgb_u8, vy, vc, hy, hcm,
+                jnp.asarray(args.qy), jnp.asarray(args.qc))

@@ -96,13 +96,15 @@ TRANSIENT = "transient"
 # codec cap (see the policy comment in ProcessingEngine.__init__). The
 # ratio is scale-invariant in image size (both sides are linear in
 # pixels). Measured on v5e (BENCH r3): the composed on-chip
-# decode->pipeline->encode step runs ~494 12MP img/s PER CHIP with the
+# decode->pipeline->encode step runs ~720 12MP img/s PER CHIP with the
 # fused Pallas codec kernels (ops/pallas_jpeg; was ~90 with the XLA
-# codec halves) and a host core ~10 img/s, so the single-chip crossover
-# is ~48 cores — and the codec kernels shard over the engine mesh
-# (_codec_sharded), so a v5e-8 host's crossover is ~8x that.
+# codec halves, ~494 before the encode kernel's scalar-prefetch clamp
+# replaced its one-hot replication matmuls) and a host core ~10 img/s,
+# so the single-chip crossover is ~72 cores — and the codec kernels
+# shard over the engine mesh (_codec_sharded), so a v5e-8 host's
+# crossover is ~8x that.
 DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
-    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "48"))
+    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "72"))
 
 
 def usable_cores() -> int:
@@ -184,14 +186,14 @@ class ProcessingEngine:
         # scan; IDCT + chroma upsample + color convert run batched on
         # device, and full-size JPEG outputs run the encode front half
         # on device too. Eligible geometry takes the fused Pallas codec
-        # kernels (ops/pallas_jpeg: decode 5.0 ms, encode 10.4 ms per
+        # kernels (ops/pallas_jpeg: decode 5.0 ms, encode 5.2 ms per
         # 8x12MP batch vs 38.5/108 ms XLA), putting the composed
-        # decode->pipeline->encode step at ~494 12MP img/s per chip
+        # decode->pipeline->encode step at ~720 12MP img/s per chip
         # (BENCH r3; was ~90 with the XLA halves). The codec still
         # trades CHIP time for HOST CPU (the fused pipeline step alone
         # is 0.7 ms/batch), so it wins when the host cannot feed the
         # chip: per core the host codec manages ~10 12MP img/s, so
-        # below the ~48-core-per-chip crossover the device path serves
+        # below the ~72-core-per-chip crossover the device path serves
         # more total throughput, above it the host pool does. Auto
         # policy = native scanner present AND TPU backend AND a
         # core-starved host; IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces.
@@ -593,16 +595,15 @@ class ProcessingEngine:
             plan = pj.make_encode_plan(b, mh, mw)
             args = pj.make_encode_args(plan, qt_np, vh_np)
             cached = (plan, tuple(jnp.asarray(v) for v in (
-                args.rrows, args.rcols, args.qy, args.qc)))
+                args.valid, args.qy, args.qc)))
             self._cache_args(key, cached)
-        plan, (rrows, rcols, qy, qc) = cached
+        plan, (valid, qy, qc) = cached
         fn = self._codec_sharded(pj, plan, "encode")
         if fn is not None:
-            return fn(jnp.asarray(rgb), qy, qc, rrows, rcols)
+            return fn(valid, jnp.asarray(rgb), qy, qc)
         call = pj._build_encode_call(plan, self.model._pallas_interpret)
         vy, vc, hy, hcm = pj._encode_bases(plan.band_rows)
-        return call(jnp.asarray(rgb), vy, vc, hy, hcm, qy, qc,
-                    rrows, rcols)
+        return call(valid, jnp.asarray(rgb), vy, vc, hy, hcm, qy, qc)
 
     def _codec_sharded(self, pj, plan, kind: str):
         """Jitted shard_map wrapper running a Pallas codec kernel
@@ -652,10 +653,12 @@ class ProcessingEngine:
             call = pj._build_encode_call(lplan, interpret)
             bases = pj._encode_bases(plan.band_rows)
 
-            def local(rgb, qy, qc, rrows, rcols):
-                return tuple(call(rgb, *bases, qy, qc, rrows, rcols))
+            def local(valid, rgb, qy, qc):
+                return tuple(call(valid, rgb, *bases, qy, qc))
 
-            kw = {"mesh": mesh, "in_specs": (sh, rp, rp, sh, sh),
+            # valid is (B*2,) batch-major, so P('data') splits it in
+            # lockstep with the pixel canvas
+            kw = {"mesh": mesh, "in_specs": (sh, sh, rp, rp),
                   "out_specs": (sh, sh, sh)}
         try:
             wrapped = shard_map(local, check_vma=False, **kw)
