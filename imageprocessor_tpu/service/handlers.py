@@ -152,6 +152,14 @@ class ImageHandlers:
         if file_bytes is None:
             return _json_error(400, "File is required")
 
+        # Go's ParseMultipartForm merges URL query values into r.Form
+        # (net/http ParseForm semantics), so the reference accepts
+        # operation flags in the query string too; body parts win on
+        # conflict, matching FormValue's first-value rule
+        # (reference: internal/http-server/handler/image/image.go:46,68).
+        for key, value in request.query.items():
+            form.setdefault(key, value)
+
         # validateFile (image.go:194-220)
         ext = posixpath.splitext(filename)[1].lower()
         if ext not in _ALLOWED_EXT:

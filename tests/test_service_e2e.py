@@ -167,6 +167,37 @@ def test_watermark_upload_flow(server):
         assert out.size == (400, 300)
 
 
+def test_query_string_operation_flags(server):
+    """Go's ParseMultipartForm merges URL query values into r.Form, so
+    flags in the query string select operations too (image.go:46,68);
+    body parts win on conflict (FormValue first-value rule)."""
+    with httpx.Client(timeout=30) as c:
+        r = c.post(
+            f"{server}/api/images/upload"
+            "?watermark=true&watermark_text=QUERYTEXT",
+            files=png_upload())
+        assert r.status_code == 202
+        image_id = r.json()["id"]
+        wait_status(c, server, image_id)
+        r = c.get(f"{server}/api/images/{image_id}",
+                  params={"operation": "watermark"})
+        assert r.status_code == 200
+        # defaults were NOT applied (flags present → explicit ops only)
+        r = c.get(f"{server}/api/images/{image_id}",
+                  params={"operation": "resize"})
+        assert r.status_code == 404
+        # body value beats the query value for the same key
+        r = c.post(f"{server}/api/images/upload?thumbnail=false",
+                   files=png_upload(),
+                   data={"thumbnail": "true"})
+        assert r.status_code == 202
+        image_id = r.json()["id"]
+        wait_status(c, server, image_id)
+        r = c.get(f"{server}/api/images/{image_id}",
+                  params={"operation": "thumbnail"})
+        assert r.status_code == 200
+
+
 def test_processed_not_found_while_pending(server):
     with httpx.Client(timeout=30) as c:
         r = c.post(f"{server}/api/images/upload", files=png_upload())
