@@ -523,7 +523,6 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
     w = plan.w
     wc = w // 2
     rc = r // 2
-    t = plan.n_bands
     k = plan.n_col_chunks
 
     def kernel(valid_ref,                        # scalar prefetch (B*2,)

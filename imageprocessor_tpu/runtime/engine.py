@@ -560,7 +560,7 @@ class ProcessingEngine:
         on device (the encode front half; host keeps only entropy emit).
 
         Eligible geometry (H%16==0, W%128==0, W>=256) takes the fused
-        Pallas encode sweep (ops/pallas_jpeg.encode_420: 10.4 ms vs
+        Pallas encode sweep (ops/pallas_jpeg.encode_420: 5.2 ms vs
         108 ms XLA per 8x12MP batch on v5e, bit-exact); everything else
         runs the XLA program. Kernel index args are host-built per
         (geometry, quality, valid-extents) and device-cached, like the

@@ -147,18 +147,24 @@ class ImageHandlers:
                     if total > _MAX_FORM_PART_SIZE:
                         return _json_error(400, "Form field too large")
                     chunks.append(chunk)
-                form[part.name] = b"".join(chunks).decode("utf-8", "replace")
+                # first duplicate part wins, like url.Values.Get over
+                # the multipart values appended to r.Form
+                form.setdefault(
+                    part.name,
+                    b"".join(chunks).decode("utf-8", "replace"))
 
         if file_bytes is None:
             return _json_error(400, "File is required")
 
-        # Go's ParseMultipartForm merges URL query values into r.Form
-        # (net/http ParseForm semantics), so the reference accepts
-        # operation flags in the query string too; body parts win on
-        # conflict, matching FormValue's first-value rule
-        # (reference: internal/http-server/handler/image/image.go:46,68).
-        for key, value in request.query.items():
-            form.setdefault(key, value)
+        # Go's ParseMultipartForm merges the multipart values into
+        # r.Form AFTER the URL query values ParseForm already put
+        # there, and form.Get returns the first value — so for
+        # multipart uploads the reference reads operation flags from
+        # the query string too, and the QUERY value wins on conflict
+        # (reference: internal/http-server/handler/image/image.go:46,68,
+        # net/http ParseMultipartForm "r.Form[k] = append" ordering).
+        for key in request.query:
+            form[key] = request.query[key]   # first query value wins
 
         # validateFile (image.go:194-220)
         ext = posixpath.splitext(filename)[1].lower()

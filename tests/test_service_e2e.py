@@ -168,9 +168,10 @@ def test_watermark_upload_flow(server):
 
 
 def test_query_string_operation_flags(server):
-    """Go's ParseMultipartForm merges URL query values into r.Form, so
-    flags in the query string select operations too (image.go:46,68);
-    body parts win on conflict (FormValue first-value rule)."""
+    """Go's ParseMultipartForm appends the multipart values to r.Form
+    AFTER the query values ParseForm already stored, and form.Get
+    returns the first value — so query flags select operations too and
+    the QUERY value wins on conflict (image.go:46,68)."""
     with httpx.Client(timeout=30) as c:
         r = c.post(
             f"{server}/api/images/upload"
@@ -186,16 +187,18 @@ def test_query_string_operation_flags(server):
         r = c.get(f"{server}/api/images/{image_id}",
                   params={"operation": "resize"})
         assert r.status_code == 404
-        # body value beats the query value for the same key
+        # query value beats the body value for the same key: thumbnail
+        # suppressed -> no explicit ops -> BOTH defaults apply
         r = c.post(f"{server}/api/images/upload?thumbnail=false",
                    files=png_upload(),
                    data={"thumbnail": "true"})
         assert r.status_code == 202
         image_id = r.json()["id"]
         wait_status(c, server, image_id)
-        r = c.get(f"{server}/api/images/{image_id}",
-                  params={"operation": "thumbnail"})
-        assert r.status_code == 200
+        for op in ("thumbnail", "resize"):
+            r = c.get(f"{server}/api/images/{image_id}",
+                      params={"operation": op})
+            assert r.status_code == 200, op
 
 
 def test_processed_not_found_while_pending(server):
