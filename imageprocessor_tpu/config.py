@@ -125,6 +125,11 @@ class WorkerConfig:
     # Optional completion push: POST each ProcessingResult JSON here
     # (retry-wrapped; failures are logged, never fatal).
     webhook_url: str = ""
+    # Hung-device-step watchdog: a device RPC that blocks longer than
+    # this aborts the process (exit 70) so the supervisor restarts it
+    # and leased messages redeliver. Generous default: a cold 12 MP
+    # fused-program compile can take minutes. 0 disables.
+    device_step_timeout_s: float = 900.0
 
 
 @dataclass
@@ -236,6 +241,9 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
                                       cfg.worker.max_queue_depth, errors)
     cfg.worker.lease_s = _get(env, "WORKER_LEASE_S", float,
                               cfg.worker.lease_s, errors)
+    cfg.worker.device_step_timeout_s = _get(
+        env, "DEVICE_STEP_TIMEOUT", parse_duration,
+        cfg.worker.device_step_timeout_s, errors)
 
     cfg.device.platform = env.get("DEVICE_PLATFORM", cfg.device.platform)
     cfg.device.data_axis = _get(env, "DEVICE_DATA_AXIS", int, cfg.device.data_axis, errors)
@@ -275,6 +283,8 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
         errors.append(f"BROKER_BACKEND must be memory|sqlite|kafka, got {cfg.broker.backend!r}")
     if cfg.worker.batch_size < 1:
         errors.append("WORKER_BATCH_SIZE must be >= 1")
+    if cfg.worker.device_step_timeout_s < 0:
+        errors.append("DEVICE_STEP_TIMEOUT must be >= 0 (0 disables)")
 
     if errors:
         raise ConfigError("config validation failed: " + "; ".join(errors))

@@ -208,7 +208,9 @@ class PipelinedWorker(Worker):
                 self._finish_q.put(_SENTINEL)
                 return
             try:
-                with span("device"):
+                # The watchdog bounds a wedged device RPC (no exception
+                # ever fires from a hung transport; see utils/watchdog.py).
+                with span("device"), self._watchdog.armed("device_group"):
                     plan, outs_np, out_hws, layout = \
                         self.engine.device_group(group)
                 self._finish_q.put((group, plan, outs_np, out_hws, layout))

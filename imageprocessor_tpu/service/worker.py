@@ -42,6 +42,7 @@ from imageprocessor_tpu.storage.object_store import (
 )
 from imageprocessor_tpu.utils import get_logger, retry_sync
 from imageprocessor_tpu.utils.metrics import METRICS
+from imageprocessor_tpu.utils.watchdog import Watchdog
 
 log = get_logger("worker")
 
@@ -112,6 +113,10 @@ class Worker:
             space_axis=cfg.device.space_axis)
         self._stop = threading.Event()
         self._idle_sleep = max(cfg.worker.batch_deadline_ms / 1000.0, 0.005)
+        # Hung-device-RPC watchdog (utils/watchdog.py): a wedged device
+        # transport blocks process_tasks forever with no exception;
+        # abort-and-restart is the only recovery, leases redeliver.
+        self._watchdog = Watchdog(cfg.worker.device_step_timeout_s)
         # Background webhook delivery (never in the batch hot loop).
         self._webhook_q: queue.Queue = queue.Queue(maxsize=1024)
         self._webhook_t: threading.Thread | None = None
@@ -179,8 +184,9 @@ class Worker:
         if not parsed:
             return len(msgs)
 
-        results = self.engine.process_tasks(
-            [(task, blob) for (_m, task, blob) in parsed])
+        with self._watchdog.armed("process_tasks"):
+            results = self.engine.process_tasks(
+                [(task, blob) for (_m, task, blob) in parsed])
 
         for (msg, task, _blob), eng_res in zip(parsed, results):
             self._finish_message(msg, task, eng_res)
@@ -361,6 +367,7 @@ class Worker:
             except queue.Full:
                 pass
             self._webhook_t.join(timeout=10)
+        self._watchdog.close()
         self.engine.close()
         for closer in (self.meta, self.store, self.broker):
             try:

@@ -1,0 +1,155 @@
+"""Hung-device-step watchdog (utils/watchdog.py).
+
+A wedged device RPC blocks forever without raising; the watchdog is the
+only recovery (abort -> supervisor restart -> lease redelivery). The
+reference has no analog (pure in-process CPU processing cannot hang on
+a remote device, image_processor.go:29-182).
+"""
+
+import threading
+import time
+
+import pytest
+
+from imageprocessor_tpu.config import ConfigError, load
+from imageprocessor_tpu.utils.watchdog import Watchdog
+
+
+def _collector():
+    fired = []
+    done = threading.Event()
+
+    def action(name, elapsed):
+        fired.append((name, elapsed))
+        done.set()
+
+    return fired, done, action
+
+
+def test_fires_on_overrun():
+    fired, done, action = _collector()
+    wd = Watchdog(timeout_s=0.15, action=action, poll_s=0.02)
+    try:
+        with wd.armed("stuck_step"):
+            assert done.wait(3.0), "watchdog never fired"
+    finally:
+        wd.close()
+    assert fired and fired[0][0] == "stuck_step"
+    assert fired[0][1] > 0.15
+
+
+def test_completed_section_never_fires():
+    fired, _done, action = _collector()
+    wd = Watchdog(timeout_s=0.2, action=action, poll_s=0.02)
+    try:
+        for _ in range(3):
+            with wd.armed("fast"):
+                time.sleep(0.01)
+        time.sleep(0.4)  # past the deadline had the sections stayed armed
+    finally:
+        wd.close()
+    assert fired == []
+
+
+def test_fires_at_most_once():
+    fired, done, action = _collector()
+    wd = Watchdog(timeout_s=0.05, action=action, poll_s=0.01)
+    try:
+        with wd.armed("a"), wd.armed("b"):
+            assert done.wait(3.0)
+            time.sleep(0.2)  # both remain expired; action must not repeat
+    finally:
+        wd.close()
+    assert len(fired) == 1
+
+
+def test_concurrent_sections_slow_one_fires():
+    fired, done, action = _collector()
+    wd = Watchdog(timeout_s=0.15, action=action, poll_s=0.02)
+
+    def fast():
+        for _ in range(10):
+            with wd.armed("fast"):
+                time.sleep(0.005)
+
+    t = threading.Thread(target=fast)
+    t.start()
+    try:
+        with wd.armed("slow"):
+            assert done.wait(3.0)
+    finally:
+        t.join()
+        wd.close()
+    assert fired[0][0] == "slow"
+
+
+def test_zero_timeout_disables():
+    fired, _done, action = _collector()
+    wd = Watchdog(timeout_s=0, action=action)
+    assert not wd.enabled
+    with wd.armed("anything"):
+        time.sleep(0.05)
+    assert wd._thread is None  # monitor never started
+    assert fired == []
+
+
+def test_config_parses_go_duration():
+    cfg = load({"DEVICE_STEP_TIMEOUT": "5m"})
+    assert cfg.worker.device_step_timeout_s == 300.0
+    cfg = load({"DEVICE_STEP_TIMEOUT": "0"})
+    assert cfg.worker.device_step_timeout_s == 0.0
+    cfg = load({})
+    assert cfg.worker.device_step_timeout_s == 900.0
+    with pytest.raises(ConfigError):
+        load({"DEVICE_STEP_TIMEOUT": "soon"})
+
+
+def test_worker_arms_watchdog_around_device_step(tmp_path):
+    """The batch worker wraps engine.process_tasks in an armed section:
+    a stuck engine triggers the action; the test injects a collector
+    action instead of the default process abort."""
+    import io
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from imageprocessor_tpu.broker.memory import MemoryBroker
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.service.usecase import ImageUsecase
+    from imageprocessor_tpu.service.worker import Worker
+    from imageprocessor_tpu.storage import (
+        LocalFSObjectStore,
+        SQLiteMetadataStore,
+    )
+
+    meta = SQLiteMetadataStore(":memory:")
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    broker = MemoryBroker()
+    cfg = load({})
+    cfg.worker.batch_size = 4
+    worker = Worker(cfg, meta=meta, store=store, broker=broker)
+    uc = ImageUsecase(meta, store, broker)
+
+    fired, done, action = _collector()
+    worker._watchdog.close()
+    worker._watchdog = Watchdog(timeout_s=0.2, action=action, poll_s=0.02)
+
+    real = worker.engine.process_tasks
+
+    def stuck(tasks):
+        done.wait(3.0)  # wait until the watchdog sees the overrun
+        return real(tasks)
+
+    worker.engine.process_tasks = stuck
+    try:
+        arr = np.zeros((32, 48, 3), dtype=np.uint8)
+        bio = io.BytesIO()
+        PILImage.fromarray(arr).save(bio, format="PNG")
+        uc.upload_image(bio.getvalue(), "w.png", "image/png",
+                        [OperationParams(OperationType.THUMBNAIL,
+                                         {"size": 16})])
+        worker.run_once()
+        assert fired and fired[0][0] == "process_tasks"
+    finally:
+        worker.engine.process_tasks = real
+        worker.close()
