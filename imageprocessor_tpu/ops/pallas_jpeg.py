@@ -41,6 +41,7 @@ windows clamp to valid extents), matching the XLA path's contract.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -51,6 +52,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from imageprocessor_tpu.ops.jpeg_decode import _idct_basis
 from imageprocessor_tpu.ops.pallas_resample import _round_up
+
+# Matmul precision for the codec transform/upsample contractions. On
+# TPU, f32 matmuls decompose into bf16 MXU passes: HIGHEST ~ 6 passes
+# (full f32), HIGH ~ 3 (error ~2^-16 relative — an order of magnitude
+# under the 0.5-LSB pixel budget at JPEG coefficient magnitudes, probed
+# max|kernel-xla| <= 1 across all four subsampling modes at 12 MP,
+# tools/jcodecprobe.py --precision). Exact-select one-hot matmuls (the
+# encode boundary extraction) stay at DEFAULT independently of this.
+_PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
+               "high": jax.lax.Precision.HIGH,
+               "highest": jax.lax.Precision.HIGHEST}
+PRECISION = _PRECISIONS[os.environ.get(
+    "IMAGEPROCESSOR_CODEC_PRECISION", "highest").strip().lower()]
 
 
 @dataclass(frozen=True)
@@ -241,14 +255,14 @@ def _kernel(plan: DecodePlan, interpret: bool):
                     x[:, c * 128:(c + 1) * 128], h8_ref[:],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST))
+                precision=PRECISION))
             if width % 128:
                 assert width % 128 == 64, width
                 cols.append(jax.lax.dot_general(
                     x[:, width - 64:], h8t_ref[:],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST))
+                precision=PRECISION))
             return jnp.concatenate(cols, axis=1)
 
         b = pl.program_id(0)
@@ -268,7 +282,7 @@ def _kernel(plan: DecodePlan, interpret: bool):
         yf = jax.lax.dot_general(
             v8_ref[:], yf, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=PRECISION)
         yf = idct_h(yf) + 128.0                                  # (R, W)
 
         cp0.wait()
@@ -284,7 +298,7 @@ def _kernel(plan: DecodePlan, interpret: bool):
             x = jax.lax.dot_general(
                 v8c_ref[:], x, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=PRECISION)
             return idct_h(x)                                     # (RC, Wc)
 
         cbp = idct_win(cbw_ref, qb)
@@ -300,11 +314,11 @@ def _kernel(plan: DecodePlan, interpret: bool):
             cbv = jax.lax.dot_general(
                 wv, cbp, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)             # (R, Wc)
+                precision=PRECISION)             # (R, Wc)
             crv = jax.lax.dot_general(
                 wv, crp, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=PRECISION)
         else:
             cbv, crv = cbp, crp                 # rows already 1:1 (R, Wc)
 
@@ -318,10 +332,10 @@ def _kernel(plan: DecodePlan, interpret: bool):
                       + jnp.where(iota == i1, 0.25, 0.0))        # (128, 128)
                 cbh = jnp.dot(cbv[:, hws[c]:hws[c] + 128], wh,
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=PRECISION)
                 crh = jnp.dot(crv[:, hws[c]:hws[c] + 128], wh,
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=PRECISION)
             else:
                 cbh = cbv[:, hws[c]:hws[c] + 128]   # direct (R, 128)
                 crh = crv[:, hws[c]:hws[c] + 128]
@@ -587,7 +601,7 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
         yv = jax.lax.dot_general(
             vy_ref[:], y, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=PRECISION)
         qy = jnp.concatenate([qy_ref[:]] * (r // 8), axis=0)   # (R, W)
         ycoef = []
         for c in range(k):
@@ -595,7 +609,7 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
                 yv[:, c * 128:(c + 1) * 128], hy_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=PRECISION)
             ycoef.append(blk)
         yq = jnp.concatenate(ycoef, axis=1) / qy
         yc_ref[0] = jnp.clip(jnp.round(yq), -1023, 1023).astype(jnp.int16)
@@ -608,14 +622,14 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
             pv = jax.lax.dot_general(
                 vc_ref[:], plane, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)       # (R/2, W)
+                precision=PRECISION)       # (R/2, W)
             coefs = []
             for c in range(wc // 128):
                 blk = jax.lax.dot_general(
                     pv[:, c * 256:(c + 1) * 256], hc_ref[:],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)   # (R/2, 128)
+                    precision=PRECISION)   # (R/2, 128)
                 coefs.append(blk)
             if wc % 128:
                 assert wc % 128 == 64, wc
@@ -623,7 +637,7 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
                     pv[:, w - 128:], hc_ref[:, :128][:128],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)[:, :64]
+                    precision=PRECISION)[:, :64]
                 coefs.append(blk)
             pq = jnp.concatenate(coefs, axis=1) / qc
             q16 = jnp.clip(jnp.round(pq), -1023, 1023).astype(jnp.int16)
