@@ -62,10 +62,18 @@ PLANAR_OPS = {OperationType.RESIZE, OperationType.THUMBNAIL,
 # exceeds the VMEM budget; fall back to the XLA gather path.
 _PALLAS_MAX_W = 6144
 
+# Steepest downscale the quantized Pallas band geometry covers. Beyond
+# it the per-tile source band no longer spans every sampled row, and
+# make_args would silently clamp indices into the band (corrupt
+# pixels) — so ops past the cap must take the XLA gather path instead:
+# _pallas_setup skips them, and the engine routes such groups to the
+# HWC layout (max_resample_scale) where that fallback exists.
+_MAX_QUANT_SCALE = 32.0
+
 
 def _quant_scale(s: float) -> float:
     q = 1.0
-    while q < s and q < 32.0:
+    while q < s and q < _MAX_QUANT_SCALE:
         q *= 2.0
     return q
 
@@ -197,7 +205,7 @@ class PipelineModel:
                     elif i in pallas_plans:
                         rp = pallas_plans[i]
                         call = pallas_resample._build_call(rp, interpret)
-                        a = presample_args[i]
+                        a = presample_args[str(i)]
                         out_p = call(a[0], imgs_chw, *a[1:])
                         outputs.append(
                             out_p[:, :, :spec.canvas[0], :spec.canvas[1]])
@@ -227,7 +235,7 @@ class PipelineModel:
                 if i in pallas_plans:
                     rp = pallas_plans[i]
                     call = pallas_resample._build_call(rp, interpret)
-                    a = presample_args[i]
+                    a = presample_args[str(i)]
                     out_p = call(a[0], planar, *a[1:])
                     out = jnp.transpose(out_p, (0, 2, 3, 1))
                     # Kernel canvas is 128-padded; crop to the spec canvas
@@ -366,6 +374,34 @@ class PipelineModel:
             self._args_order.append(("wm", key))
         return out
 
+    # -- bounded device-arg / program caches (shared with the engine) --------
+
+    def arg_cache_get(self, key):
+        """Fetch from the bounded device-arg cache (None on miss)."""
+        with self._lock:
+            return self._args_cache.get(key)
+
+    def arg_cache_put(self, key, value, pin: bool = False) -> None:
+        """Insert into the device-arg cache. Evicts FIFO past 256 entries;
+        pin=True keeps the entry out of the eviction order (geometry
+        blacklists must be permanent for the process)."""
+        with self._lock:
+            self._args_cache[key] = value
+            if pin:
+                return
+            self._args_order.append(key)
+            while len(self._args_order) > 256:
+                self._args_cache.pop(self._args_order.pop(0), None)
+
+    def prog_cache_get(self, key):
+        """Fetch a compiled program by key (None on miss)."""
+        with self._lock:
+            return self._cache.get(key)
+
+    def prog_cache_put(self, key, prog) -> None:
+        with self._lock:
+            self._cache[key] = prog
+
     def _fused_setup(self, plan: OperationPlan, bucket: tuple[int, int],
                      batch: int, src_hw: np.ndarray,
                      out_hws: dict[int, np.ndarray]):
@@ -421,48 +457,94 @@ class PipelineModel:
             fargs.t_colbs, fargs.t_cols0, fargs.t_cols1, fargs.t_colf))
         return (i_t, i_r, fplan), arrays
 
+    @staticmethod
+    def _resample_geometry(op: NormalizedOp, i: int, batch: int,
+                           src_hw: np.ndarray,
+                           out_hws: dict[int, np.ndarray]):
+        """Per-op source/output geometry shared by the Pallas arg builder
+        and the scale-eligibility check: (eff_hw, out_hw, crop_yx,
+        crop_hw), or None when the op has no per-image output dims yet."""
+        if op.type is OperationType.THUMBNAIL and op.crop_to_fit:
+            side = np.minimum(src_hw[:, 0], src_hw[:, 1]).astype(np.int64)
+            crop_yx = np.stack([
+                np.where(src_hw[:, 0] > src_hw[:, 1],
+                         (src_hw[:, 0] - src_hw[:, 1]) // 2, 0),
+                np.where(src_hw[:, 1] > src_hw[:, 0],
+                         (src_hw[:, 1] - src_hw[:, 0]) // 2, 0),
+            ], axis=1).astype(np.int64)
+            crop_hw = np.stack([side, side], axis=1)
+            out_hw = np.tile(np.asarray([[op.size, op.size]], np.int32),
+                             (batch, 1))
+            return crop_hw, out_hw, crop_yx, crop_hw
+        if i not in out_hws:
+            return None
+        out_hw = np.asarray(out_hws[i], dtype=np.int32)
+        return src_hw, out_hw, None, None
+
+    @classmethod
+    def max_resample_scale(cls, plan: OperationPlan, src_hw: np.ndarray,
+                           out_hws: dict[int, np.ndarray]) -> float:
+        """Steepest per-axis downscale any resample op in the plan needs
+        for this group (crop-thumbnail windows included). The engine
+        keeps groups above _MAX_QUANT_SCALE out of the planar layout:
+        the Pallas band geometry cannot cover them, and the XLA fallback
+        only exists on the HWC path."""
+        src_hw = np.asarray(src_hw, dtype=np.int64)
+        batch = src_hw.shape[0]
+        worst = 1.0
+        for i, op in enumerate(plan.ops):
+            if op.type not in (OperationType.RESIZE,
+                               OperationType.THUMBNAIL):
+                continue
+            geo = cls._resample_geometry(op, i, batch, src_hw, out_hws)
+            if geo is None:
+                continue
+            eff, out_hw, _, _ = geo
+            worst = max(worst,
+                        float(np.max(eff[:, 0]
+                                     / np.maximum(out_hw[:, 0], 1))),
+                        float(np.max(eff[:, 1]
+                                     / np.maximum(out_hw[:, 1], 1))))
+        return worst
+
     def _pallas_setup(self, plan: OperationPlan, bucket: tuple[int, int],
                       batch: int, src_hw: np.ndarray,
                       out_hws: dict[int, np.ndarray],
                       specs: tuple[OpOutputSpec, ...],
                       skip: tuple = ()):
-        """Host-side: eligibility, static plans, per-batch index arrays."""
+        """Host-side: eligibility, static plans, per-batch index arrays.
+
+        The returned args dict is str-keyed (the op index as a string):
+        it rides through jax.jit as a pytree alongside the "fused" entry,
+        and mixed int/str dict keys break pytree key sorting."""
         pallas_plans: dict[int, pallas_resample.ResamplePlan] = {}
-        pallas_args: dict[int, tuple] = {}
+        pallas_args: dict[str, tuple] = {}
         for i, op in enumerate(plan.ops):
             if i in skip:
                 continue
             if not self._pallas_eligible(op, bucket):
                 continue
             spec = specs[i]
-            if op.type is OperationType.THUMBNAIL and op.crop_to_fit:
-                side = np.minimum(src_hw[:, 0], src_hw[:, 1]).astype(np.int64)
-                crop_yx = np.stack([
-                    np.where(src_hw[:, 0] > src_hw[:, 1],
-                             (src_hw[:, 0] - src_hw[:, 1]) // 2, 0),
-                    np.where(src_hw[:, 1] > src_hw[:, 0],
-                             (src_hw[:, 1] - src_hw[:, 0]) // 2, 0),
-                ], axis=1).astype(np.int64)
-                crop_hw = np.stack([side, side], axis=1)
-                out_hw = np.tile(np.asarray([[op.size, op.size]], np.int32),
-                                 (batch, 1))
-                eff = crop_hw
-            else:
-                crop_yx = crop_hw = None
-                out_hw = np.asarray(out_hws[i], dtype=np.int32)
-                eff = src_hw
-            qs_h = _quant_scale(float(np.max(
-                eff[:, 0] / np.maximum(out_hw[:, 0], 1))))
-            qs_w = _quant_scale(float(np.max(
-                eff[:, 1] / np.maximum(out_hw[:, 1], 1))))
+            geo = self._resample_geometry(op, i, batch, src_hw, out_hws)
+            if geo is None:
+                continue
+            eff, out_hw, crop_yx, crop_hw = geo
+            s_h = float(np.max(eff[:, 0] / np.maximum(out_hw[:, 0], 1)))
+            s_w = float(np.max(eff[:, 1] / np.maximum(out_hw[:, 1], 1)))
+            if s_h > _MAX_QUANT_SCALE or s_w > _MAX_QUANT_SCALE:
+                # Steeper than the band geometry covers: leave the op to
+                # the XLA gather path (HWC layout) rather than clamp
+                # indices into a too-small band (silent corruption).
+                continue
             rp = pallas_resample.make_plan(
                 batch, 3, bucket[0], bucket[1],
-                spec.canvas[0], spec.canvas[1], qs_h, qs_w,
+                spec.canvas[0], spec.canvas[1],
+                _quant_scale(s_h), _quant_scale(s_w),
                 compute_dtype=self.resample_dtype)
             args = pallas_resample.make_args(rp, src_hw, out_hw,
                                              crop_yx=crop_yx, crop_hw=crop_hw)
             pallas_plans[i] = rp
-            pallas_args[i] = tuple(jnp.asarray(v) for v in (
+            pallas_args[str(i)] = tuple(jnp.asarray(v) for v in (
                 args.band_starts, args.rows0, args.rows1, args.rowf,
                 args.col_starts, args.cols0, args.cols1, args.colf))
         return pallas_plans, pallas_args
@@ -489,8 +571,7 @@ class PipelineModel:
                    src_hw.tobytes(),
                    tuple(sorted((k, np.asarray(v, np.int32).tobytes())
                                 for k, v in out_hws.items())))
-        with self._lock:
-            cached = self._args_cache.get(geo_key)
+        cached = self.arg_cache_get(geo_key)
         if cached is not None:
             fused_meta, pallas_plans, pallas_args, hws, src_hw_j = cached
         else:
@@ -508,12 +589,8 @@ class PipelineModel:
                                                dtype=np.int32))
                         for i in range(len(plan.ops)))
             src_hw_j = jnp.asarray(src_hw)
-            with self._lock:
-                self._args_cache[geo_key] = (fused_meta, pallas_plans,
-                                             pallas_args, hws, src_hw_j)
-                self._args_order.append(geo_key)
-                while len(self._args_order) > 256:
-                    self._args_cache.pop(self._args_order.pop(0), None)
+            self.arg_cache_put(geo_key, (fused_meta, pallas_plans,
+                                         pallas_args, hws, src_hw_j))
         prog = self.get_program(plan, (hb, wb), b, specs, pallas_plans,
                                 layout, fused_meta)
         wm_args = self.prepare_wm_args(plan)
@@ -554,8 +631,7 @@ class PipelineModel:
                    src_hw.tobytes(),
                    tuple(sorted((k, np.asarray(v, np.int32).tobytes())
                                 for k, v in out_hws.items())))
-        with self._lock:
-            cached = self._args_cache.get(geo_key)
+        cached = self.arg_cache_get(geo_key)
         if cached is not None:
             fused_meta, local_plans, global_args, hws, src_hw_j = cached
         else:
@@ -563,32 +639,16 @@ class PipelineModel:
             # mins/maxes over every image, not just shard 0's slice); the
             # local kernels reuse that geometry with only the batch size
             # swapped, so the P("data")-sharded global index arrays line
-            # up by construction.
+            # up by construction. The index arrays themselves are exactly
+            # what _fused_setup built for the global plan — reuse them.
             fused_meta, fused_arrays = (None, None)
             if layout == "chw":
-                fused_meta_g, _ = self._fused_setup(plan, (hb, wb), b,
-                                                    src_hw, out_hws)
+                fused_meta_g, fused_arrays = self._fused_setup(
+                    plan, (hb, wb), b, src_hw, out_hws)
                 if fused_meta_g is not None:
                     i_t, i_r, fplan_g = fused_meta_g
                     fused_meta = (i_t, i_r, pallas_fused.FusedPlan(
                         **{**fplan_g.__dict__, "batch": b_local}))
-                    t_hw = (np.asarray(out_hws[i_t], dtype=np.int32)
-                            if (not plan.ops[i_t].crop_to_fit
-                                and i_t in out_hws) else None)
-                    fargs = pallas_fused.make_fused_args(
-                        fplan_g,
-                        src_hw, np.asarray(out_hws[i_r], dtype=np.int32),
-                        t_hw)
-                    if not fargs.ok:
-                        fused_meta, fused_arrays = None, None
-                    else:
-                        fused_arrays = tuple(jnp.asarray(v) for v in (
-                            fargs.band_starts, fargs.r_lo, fargs.t_lo,
-                            fargs.r_frac, fargs.t_frac,
-                            fargs.rows0, fargs.rows1, fargs.rowf,
-                            fargs.r_colbs, fargs.r_cols0, fargs.r_cols1,
-                            fargs.r_colf, fargs.t_colbs, fargs.t_cols0,
-                            fargs.t_cols1, fargs.t_colf))
             skip = fused_meta[:2] if fused_meta else ()
             # Per-op pallas plans: geometry (quantized scales -> tile/band
             # rows) is a MAX over the batch, so the local kernels must be
@@ -613,12 +673,8 @@ class PipelineModel:
                                                dtype=np.int32))
                         for i in range(len(plan.ops)))
             src_hw_j = jnp.asarray(src_hw)
-            with self._lock:
-                self._args_cache[geo_key] = (fused_meta, local_plans,
-                                             global_args, hws, src_hw_j)
-                self._args_order.append(geo_key)
-                while len(self._args_order) > 256:
-                    self._args_cache.pop(self._args_order.pop(0), None)
+            self.arg_cache_put(geo_key, (fused_meta, local_plans,
+                                         global_args, hws, src_hw_j))
 
         prog = self._get_sharded_program(mesh, plan, specs, local_plans,
                                          layout, fused_meta)

@@ -36,7 +36,12 @@ from imageprocessor_tpu.domain import (
     ProcessingTask,
 )
 from imageprocessor_tpu.errors import DecodeError, UnsupportedOperationError
-from imageprocessor_tpu.models.pipeline import PipelineModel, plan_output_specs
+from imageprocessor_tpu.models.pipeline import (
+    _MAX_QUANT_SCALE,
+    _PALLAS_MAX_W,
+    PipelineModel,
+    plan_output_specs,
+)
 from imageprocessor_tpu.models.plan import (
     InvalidParamsError,
     NormalizedOp,
@@ -336,6 +341,34 @@ class ProcessingEngine:
 
     # ------------------------------------------------------------ batched path
 
+    @staticmethod
+    def _plan_scale_ok(plan: OperationPlan, h: int, w: int) -> bool:
+        """True when no resample op needs a downscale steeper than the
+        Pallas band geometry covers for an (h, w) image — the gate that
+        keeps extreme downscales (e.g. 12 MP -> 32x32) off the planar
+        layout, whose kernels would otherwise clamp band indices and
+        corrupt pixels; the XLA fallback lives on the HWC path."""
+        for op in plan.ops:
+            if op.type is OperationType.RESIZE:
+                if op.keep_aspect:
+                    tw, th = keep_aspect_dims(w, h, op.width, op.height)
+                else:
+                    tw, th = op.width, op.height
+            elif op.type is OperationType.THUMBNAIL:
+                if op.crop_to_fit:
+                    tw = th = op.size
+                    side = min(h, w)
+                    if side / max(tw, 1) > _MAX_QUANT_SCALE:
+                        return False
+                    continue
+                tw, th = thumbnail_dims(w, h, op.size)
+            else:
+                continue
+            if (h / max(th, 1) > _MAX_QUANT_SCALE
+                    or w / max(tw, 1) > _MAX_QUANT_SCALE):
+                return False
+        return True
+
     def decode_for_plan(self, data: bytes, plan: OperationPlan | None
                         ) -> tuple[np.ndarray, str, str, tuple | None]:
         """Decode one blob, choosing the layout the device path wants.
@@ -353,7 +386,8 @@ class ProcessingEngine:
                 planes, qt, (w, h), samp = \
                     nativecodec.scan_jpeg_coefficients(data)
                 bucket = bucket_for(h, w)
-                if len(planes) == 3 and bucket[1] <= 6144:
+                if (len(planes) == 3 and bucket[1] <= _PALLAS_MAX_W
+                        and self._plan_scale_ok(plan, h, w)):
                     (hy, vy), (hc, vc), (hr, vr) = (tuple(s) for s in samp)
                     fh, fw = vy, hy
                     ch, cw = coef_canvas(bucket, fh, fw)
@@ -380,7 +414,8 @@ class ProcessingEngine:
             try:
                 w, h, _c = nativecodec.probe_jpeg(data)
                 bucket = bucket_for(h, w)
-                if bucket[1] <= 6144:  # pallas width budget
+                if (bucket[1] <= _PALLAS_MAX_W   # pallas width budget
+                        and self._plan_scale_ok(plan, h, w)):
                     arr = nativecodec.decode_jpeg_planar(data, pad_hw=bucket)
                     return arr, "jpeg", "chw", (h, w)
             except nativecodec.NativeCodecError:
@@ -411,15 +446,14 @@ class ProcessingEngine:
         def _dec(i):
             return self.decode_for_plan(tasks_with_data[i][1], plans.get(i))
 
+        pending = [i for i in range(n) if results[i] is None]
         t_dec = _time.monotonic()
-        decoded = list(self._pool.map(
-            _dec_safe(_dec), [i for i in range(n) if results[i] is None]))
+        decoded = list(self._pool.map(_dec_safe(_dec), pending))
         METRICS.observe("engine_decode_ms",
                         (_time.monotonic() - t_dec) * 1000.0)
-        METRICS.inc("engine_decoded_images", n)
+        METRICS.inc("engine_decoded_images", len(pending))
 
         items: list[BatchItem] = []
-        pending = [i for i in range(n) if results[i] is None]
         for i, dec in zip(pending, decoded):
             task = tasks_with_data[i][0]
             if isinstance(dec, Exception):
@@ -489,8 +523,7 @@ class ProcessingEngine:
         # are geometry-driven, and quantize_batch would otherwise pay
         # one doomed multi-second compile per distinct batch size
         bad_key = ("pjdec-bad", ch, cw, fh, fw)
-        with self.model._lock:
-            blacklisted = bad_key in self.model._args_cache
+        blacklisted = self.model.arg_cache_get(bad_key) is not None
         if (not blacklisted and not force_xla
                 and fh in (1, 2) and fw in (1, 2) and self.model.use_pallas
                 and ch % 16 == 0 and cw % 128 == 0 and cw >= 256
@@ -505,22 +538,10 @@ class ProcessingEngine:
                 log.warning("Pallas decode unavailable for geometry; "
                             "using XLA decode", batch=b, h=ch, w=cw,
                             fh=fh, fw=fw, error=str(exc))
-                with self.model._lock:
-                    self.model._args_cache[bad_key] = True
+                self.model.arg_cache_put(bad_key, True, pin=True)
         from imageprocessor_tpu.ops.jpeg_decode import batched_decode_ycbcr
         return batched_decode_ycbcr(yc, cbc, crc, qt, cv, fh=fh, fw=fw,
                                     out_h=bucket[0], out_w=bucket[1])
-
-    def _cache_args(self, key, value) -> None:
-        """Insert into the model's bounded device-arg cache (LRU by
-        insertion; blacklist keys are stored directly and never join
-        the eviction order, so they are permanent for the process)."""
-        with self.model._lock:
-            self.model._args_cache[key] = value
-            self.model._args_order.append(key)
-            while len(self.model._args_order) > 256:
-                self.model._args_cache.pop(
-                    self.model._args_order.pop(0), None)
 
     def _decode_coefs_pallas(self, yc, cbc, crc, qt, cv, fh: int, fw: int):
         from imageprocessor_tpu.ops import pallas_jpeg as pj
@@ -529,8 +550,7 @@ class ProcessingEngine:
         cv_np = np.asarray(cv, dtype=np.int32)
         key = ("pjdec", b, ch, cw, fh, fw, qt_np.tobytes(),
                cv_np.tobytes())
-        with self.model._lock:
-            cached = self.model._args_cache.get(key)
+        cached = self.model.arg_cache_get(key)
         if cached is None:
             plan = pj.make_plan(b, ch, cw, fh, fw)
             args = pj.make_args(plan, qt_np, cv_np)
@@ -538,7 +558,7 @@ class ProcessingEngine:
                 args.win_starts, args.vrows0, args.vrows1,
                 args.hcols0, args.hcols1,
                 args.qty, args.qtcb, args.qtcr)))
-            self._cache_args(key, cached)
+            self.model.arg_cache_put(key, cached)
         plan, dargs = cached
         (ws, vr0, vr1, hc0, hc1, qy, qcb, qcr) = dargs
         # tile-pad chroma canvases (w=640/384-class buckets at fw=2)
@@ -567,8 +587,7 @@ class ProcessingEngine:
         decode dispatch above."""
         b, _c, mh, mw = rgb.shape
         bad_key = ("pjenc-bad", mh, mw)   # geometry-keyed, like decode
-        with self.model._lock:
-            blacklisted = bad_key in self.model._args_cache
+        blacklisted = self.model.arg_cache_get(bad_key) is not None
         if (not blacklisted and not force_xla and self.model.use_pallas
                 and mh % 16 == 0 and mw % 128 == 0 and mw >= 256):
             try:
@@ -577,8 +596,7 @@ class ProcessingEngine:
                 log.warning("Pallas encode unavailable for geometry; "
                             "using XLA encode", batch=b, h=mh, w=mw,
                             error=str(exc))
-                with self.model._lock:
-                    self.model._args_cache[bad_key] = True
+                self.model.arg_cache_put(bad_key, True, pin=True)
         from imageprocessor_tpu.ops.jpeg_encode import batched_encode_420
         return batched_encode_420(rgb, jnp.asarray(vh),
                                   jnp.asarray(qt, dtype=jnp.float32))
@@ -589,14 +607,13 @@ class ProcessingEngine:
         qt_np = np.asarray(qt, dtype=np.float32)
         vh_np = np.asarray(vh, dtype=np.int32)
         key = ("pjenc", b, mh, mw, qt_np.tobytes(), vh_np.tobytes())
-        with self.model._lock:
-            cached = self.model._args_cache.get(key)
+        cached = self.model.arg_cache_get(key)
         if cached is None:
             plan = pj.make_encode_plan(b, mh, mw)
             args = pj.make_encode_args(plan, qt_np, vh_np)
             cached = (plan, tuple(jnp.asarray(v) for v in (
                 args.valid, args.qy, args.qc)))
-            self._cache_args(key, cached)
+            self.model.arg_cache_put(key, cached)
         plan, (valid, qy, qc) = cached
         fn = self._codec_sharded(pj, plan, "encode")
         if fn is not None:
@@ -625,8 +642,7 @@ class ProcessingEngine:
         if n <= 1 or plan.batch % n:
             return None
         key = ("pjsh", kind, plan)
-        with self.model._lock:
-            fn = self.model._cache.get(key)
+        fn = self.model.prog_cache_get(key)
         if fn is not None:
             return fn
         from dataclasses import replace
@@ -665,8 +681,7 @@ class ProcessingEngine:
         except TypeError:  # older jax: the kwarg was check_rep
             wrapped = shard_map(local, check_rep=False, **kw)
         fn = jax.jit(wrapped)
-        with self.model._lock:
-            self.model._cache[key] = fn
+        self.model.prog_cache_put(key, fn)
         return fn
 
     def device_group(self, group):
@@ -681,7 +696,8 @@ class ProcessingEngine:
         np.asarray consumption) lands here instead, and must degrade
         to the XLA codec rather than fail the batch."""
         uses_device_codec = (group.layout.startswith("coef")
-                             or self.device_jpeg)
+                             or (self.device_jpeg
+                                 and group.layout == "chw"))
         try:
             return self._device_group_impl(group)
         except Exception as exc:  # noqa: BLE001 — one-shot degrade
@@ -766,10 +782,16 @@ class ProcessingEngine:
                                       group.bucket,
                                       force_xla=force_xla_codec)
             layout = "chw"
-        if layout == "chw" and not self.model.supports_planar(plan,
-                                                              group.bucket):
+        if layout == "chw" and (
+                not self.model.supports_planar(plan, group.bucket)
+                or self.model.max_resample_scale(plan, src_hw, out_hws)
+                > _MAX_QUANT_SCALE):
             # Planar decode happened but the bucket/plan fell out of the
-            # planar budget: repack as HWC (rare; wide panoramas).
+            # planar budget (rare; wide panoramas), or a resample is
+            # steeper than the Pallas band geometry covers (>32x
+            # downscale — decode_for_plan gates this per image, so this
+            # is the group-level backstop): repack as HWC, where the
+            # XLA gather fallback exists for every op.
             imgs = np.ascontiguousarray(np.transpose(imgs, (0, 2, 3, 1)))
             layout = "hwc"
         t_dev = _time.monotonic()

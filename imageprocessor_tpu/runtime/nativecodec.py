@@ -91,43 +91,18 @@ def _load() -> ctypes.CDLL | None:
         except OSError:
             _load_failed = True
             return None
-        lib.ip_jpeg_probe.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        lib.ip_jpeg_probe.restype = ctypes.c_int
-        lib.ip_jpeg_scaled_dims.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        lib.ip_jpeg_scaled_dims.restype = ctypes.c_int
-        lib.ip_jpeg_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int]
-        lib.ip_jpeg_decode.restype = ctypes.c_int
-        lib.ip_jpeg_encode.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
-            ctypes.POINTER(ctypes.c_size_t)]
-        lib.ip_jpeg_encode.restype = ctypes.c_int
-        lib.ip_jpeg_decode_planar.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
-        lib.ip_jpeg_decode_planar.restype = ctypes.c_int
-        lib.ip_jpeg_encode_planar.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
-            ctypes.POINTER(ctypes.c_size_t)]
-        lib.ip_jpeg_encode_planar.restype = ctypes.c_int
-        lib.ip_jpeg_coef_dims.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        lib.ip_jpeg_coef_dims.restype = ctypes.c_int
-        lib.ip_jpeg_read_coefs.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p]
-        lib.ip_jpeg_read_coefs.restype = ctypes.c_int
+        try:
+            _set_core_argtypes(lib)
+        except AttributeError:
+            # Stale .so missing a core entry point (built before the
+            # planar/coef API) and the rebuild above failed: treat the
+            # library as unavailable so available() returns False and
+            # callers degrade to the generic codec path, instead of the
+            # AttributeError escaping _load and crashing engine
+            # construction. (The scan/emit/crc extras below keep their
+            # own per-symbol guards — they are optional.)
+            _load_failed = True
+            return None
         try:
             lib.ip_jpeg_scan_dims.argtypes = lib.ip_jpeg_coef_dims.argtypes
             lib.ip_jpeg_scan_dims.restype = ctypes.c_int
@@ -167,6 +142,50 @@ def _load() -> ctypes.CDLL | None:
         lib.ip_free.restype = None
         _lib = lib
         return _lib
+
+
+def _set_core_argtypes(lib: ctypes.CDLL) -> None:
+    """Signatures every usable libipcodec.so must expose; raises
+    AttributeError on a pre-planar-API stale build."""
+    lib.ip_jpeg_probe.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.ip_jpeg_probe.restype = ctypes.c_int
+    lib.ip_jpeg_scaled_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.ip_jpeg_scaled_dims.restype = ctypes.c_int
+    lib.ip_jpeg_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int]
+    lib.ip_jpeg_decode.restype = ctypes.c_int
+    lib.ip_jpeg_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t)]
+    lib.ip_jpeg_encode.restype = ctypes.c_int
+    lib.ip_jpeg_decode_planar.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.ip_jpeg_decode_planar.restype = ctypes.c_int
+    lib.ip_jpeg_encode_planar.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t)]
+    lib.ip_jpeg_encode_planar.restype = ctypes.c_int
+    lib.ip_jpeg_coef_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.ip_jpeg_coef_dims.restype = ctypes.c_int
+    lib.ip_jpeg_read_coefs.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.ip_jpeg_read_coefs.restype = ctypes.c_int
+    lib.ip_free.argtypes = [ctypes.c_void_p]
+    lib.ip_free.restype = None
 
 
 def available() -> bool:

@@ -96,3 +96,48 @@ def test_planar_mixed_with_png_falls_back(planar_engine):
     results = eng.process_tasks([(t_jpeg, d_jpeg), (t_png, bio.getvalue())])
     for r in results:
         assert r.result.status is ImageStatus.COMPLETED, r.result.error
+
+
+def test_steep_downscale_routed_off_planar_path(planar_engine):
+    """A >32x downscale (1400px -> 40px) exceeds the Pallas band
+    geometry: decode_for_plan must keep the task off the planar layout
+    (the HWC/XLA path has the gather fallback) and the output must
+    still match the reference engine — before the gate, the kernel
+    clamped band indices and produced corrupt pixels with status
+    COMPLETED."""
+    eng, store = planar_engine
+    ops = [
+        OperationParams(OperationType.RESIZE,
+                        {"width": 40, "height": 40, "keep_aspect": False}),
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": 40, "crop_to_fit": True}),
+    ]
+    task, data, _src = jpeg_task(1400, 1344, ops)
+
+    plan = __import__("imageprocessor_tpu.models.plan",
+                      fromlist=["normalize_operations"]
+                      ).normalize_operations(ops)
+    assert not eng._plan_scale_ok(plan, 1400, 1344)
+    assert eng._plan_scale_ok(plan, 1200, 1200)    # 30x: still planar
+    _arr, _fmt, layout, _hw = eng.decode_for_plan(data, plan)
+    assert layout == "hwc"
+
+    res = eng.process_tasks([(task, data)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+
+    ref_eng = ProcessingEngine(store, codec_threads=1)
+    ref_eng.model = PipelineModel(use_pallas=False)
+    task2 = ProcessingTask(id=task.id, image_id=str(uuid.uuid4()),
+                           original_path="x", bucket="images",
+                           operations=ops, format="jpeg")
+    ref = ref_eng.process_tasks([(task2, data)])[0]
+    assert ref.result.status is ImageStatus.COMPLETED
+
+    for op_name in ("resize", "thumbnail"):
+        got, _ = decode_image(store.get_object(
+            res.result.processed_paths[op_name]))
+        want, _ = decode_image(store.get_object(
+            ref.result.processed_paths[op_name]))
+        assert got.shape == want.shape
+        assert psnr(got, want) > 45.0
+    ref_eng.close()

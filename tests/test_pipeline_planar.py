@@ -225,3 +225,103 @@ def test_wm_args_cache_keyed_by_op_index():
     specs = plan_output_specs(plan_b, (64, 128))
     outs = model.run(plan_b, imgs, src_hw, {}, specs)
     assert len(outs) == 2
+
+
+def test_fused_plus_extra_pallas_op_mixed_keys():
+    """A planar plan with the fused resize+thumbnail pair PLUS a second
+    resize: the extra op's Pallas args share one dict with the "fused"
+    entry, and that dict rides through jax.jit as a pytree — mixed
+    int/str keys broke pytree key sorting (ValueError) before the args
+    switched to string keys."""
+    plan = normalize_operations([
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": 48, "crop_to_fit": True}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": 128, "height": 96, "keep_aspect": True}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": 80, "height": 60, "keep_aspect": True}),
+    ])
+    shapes = [(200, 256), (160, 220)]
+    bucket = (200, 256)
+    b = len(shapes)
+    imgs = np.zeros((b, *bucket, 3), dtype=np.uint8)
+    src_hw = np.zeros((b, 2), dtype=np.int32)
+    for i, (h, w) in enumerate(shapes):
+        imgs[i, :h, :w] = RNG.integers(0, 256, size=(h, w, 3),
+                                       dtype=np.uint8)
+        src_hw[i] = (h, w)
+    out_hws = {}
+    for oi, (tw_t, th_t) in ((1, (128, 96)), (2, (80, 60))):
+        hw = np.zeros((b, 2), dtype=np.int32)
+        for i, (h, w) in enumerate(shapes):
+            tw, th = keep_aspect_dims(w, h, tw_t, th_t)
+            hw[i] = (th, tw)
+        out_hws[oi] = hw
+    specs = plan_output_specs(plan, bucket)
+
+    ref = [np.asarray(o) for o in
+           PipelineModel(use_pallas=False).run(plan, imgs, src_hw,
+                                               out_hws, specs)]
+
+    chw_model = PipelineModel(use_pallas=True, pallas_interpret=True)
+    planar_in = np.transpose(imgs, (0, 3, 1, 2)).copy()
+    outs = [np.transpose(np.asarray(o), (0, 2, 3, 1)) for o in
+            chw_model.run(plan, planar_in, src_hw, out_hws, specs,
+                          layout="chw")]
+    for i in range(b):
+        assert psnr(outs[0][i], ref[0][i]) > 50.0
+        for oi in (1, 2):
+            th, tw = out_hws[oi][i]
+            assert psnr(outs[oi][i, :th, :tw], ref[oi][i, :th, :tw]) > 50.0
+
+
+def test_max_resample_scale_gates_steep_downscales():
+    """max_resample_scale reports the steepest per-axis downscale in a
+    group (crop-thumbnail windows included) — the engine keeps groups
+    past _MAX_QUANT_SCALE off the planar layout, because the Pallas
+    band geometry would clamp source indices (corrupt pixels)."""
+    plan = normalize_operations([
+        OperationParams(OperationType.RESIZE,
+                        {"width": 40, "height": 40, "keep_aspect": False}),
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": 40, "crop_to_fit": True}),
+    ])
+    src_hw = np.asarray([[1400, 1200], [300, 280]], np.int32)
+    out_hws = {0: np.asarray([[40, 40], [40, 40]], np.int32)}
+    s = PipelineModel.max_resample_scale(plan, src_hw, out_hws)
+    assert s == pytest.approx(35.0)     # 1400 / 40
+    from imageprocessor_tpu.models.pipeline import _MAX_QUANT_SCALE
+    assert s > _MAX_QUANT_SCALE
+
+    mild = PipelineModel.max_resample_scale(
+        plan, np.asarray([[300, 280]], np.int32),
+        {0: np.asarray([[40, 40]], np.int32)})
+    assert mild <= _MAX_QUANT_SCALE
+
+
+def test_hwc_pallas_skips_steep_downscale_ops():
+    """On the HWC path, an op steeper than the band-geometry cap must
+    fall back to the XLA gather resample instead of running a Pallas
+    kernel whose clamped indices would silently corrupt the output."""
+    from tests.oracle import resize_go
+
+    plan = normalize_operations([
+        OperationParams(OperationType.RESIZE,
+                        {"width": 40, "height": 40, "keep_aspect": False}),
+    ])
+    h, w = 1400, 1344
+    bucket = (1400, 1344)
+    img = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    imgs = img[None]
+    src_hw = np.asarray([[h, w]], np.int32)
+    out_hws = {0: np.asarray([[40, 40]], np.int32)}
+    specs = plan_output_specs(plan, bucket)
+
+    model = PipelineModel(use_pallas=True, pallas_interpret=True)
+    plans, _args = model._pallas_setup(plan, bucket, 1, src_hw, out_hws,
+                                       specs)
+    assert plans == {}   # skipped: scale 35 exceeds the 32x band cap
+
+    out = np.asarray(model.run(plan, imgs, src_hw, out_hws, specs)[0])
+    assert psnr(out[0, :40, :40], resize_go(img, 40, 40,
+                                            keep_aspect=False)) > 45.0
