@@ -56,15 +56,31 @@ from imageprocessor_tpu.ops.pallas_resample import _round_up
 # Matmul precision for the codec transform/upsample contractions. On
 # TPU, f32 matmuls decompose into bf16 MXU passes: HIGHEST ~ 6 passes
 # (full f32), HIGH ~ 3 (error ~2^-16 relative — an order of magnitude
-# under the 0.5-LSB pixel budget at JPEG coefficient magnitudes, probed
-# max|kernel-xla| <= 1 across all four subsampling modes at 12 MP,
-# tools/jcodecprobe.py --precision). Exact-select one-hot matmuls (the
-# encode boundary extraction) stay at DEFAULT independently of this.
+# under the 0.5-LSB pixel budget at JPEG coefficient magnitudes;
+# encode-side probe: IMAGEPROCESSOR_CODEC_PRECISION=high
+# tools/jencodeprobe.py, which also prints the resolved policy).
+# Exact-select one-hot matmuls (the encode boundary extraction) stay
+# at DEFAULT independently of this.
 _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
                "high": jax.lax.Precision.HIGH,
                "highest": jax.lax.Precision.HIGHEST}
-PRECISION = _PRECISIONS[os.environ.get(
-    "IMAGEPROCESSOR_CODEC_PRECISION", "highest").strip().lower()]
+
+
+def _resolve_precision() -> jax.lax.Precision:
+    raw = os.environ.get("IMAGEPROCESSOR_CODEC_PRECISION",
+                         "highest").strip().lower()
+    prec = _PRECISIONS.get(raw)
+    if prec is None:
+        import warnings
+
+        warnings.warn(
+            f"IMAGEPROCESSOR_CODEC_PRECISION={raw!r} is not one of "
+            f"{sorted(_PRECISIONS)}; using 'highest'", stacklevel=2)
+        return jax.lax.Precision.HIGHEST
+    return prec
+
+
+PRECISION = _resolve_precision()
 
 
 @dataclass(frozen=True)

@@ -423,10 +423,17 @@ class ProcessingEngine:
         arr, detected = decode_image(data)
         return arr, detected, "hwc", None
 
-    def process_tasks(self, tasks_with_data: list[tuple[ProcessingTask, bytes]]
-                      ) -> list[EngineResult]:
+    def process_tasks(self, tasks_with_data: list[tuple[ProcessingTask, bytes]],
+                      device_section=None) -> list[EngineResult]:
         """Process many tasks: decode pool -> bucket groups -> fused programs
-        -> encode pool. Returns results in input order."""
+        -> encode pool. Returns results in input order.
+
+        device_section: optional context-manager factory (e.g.
+        Watchdog.armed) wrapped around EACH group's device dispatch —
+        per group, not around the whole call, so a mixed-bucket batch
+        paying several cold compiles gets one deadline per compiled
+        program instead of one for the sum (a legitimate first batch
+        would otherwise exceed the deadline and crash-loop)."""
         n = len(tasks_with_data)
         results: list[EngineResult | None] = [None] * n
 
@@ -475,7 +482,8 @@ class ProcessingEngine:
         # propagating out of process_tasks).
         for group in group_items(items, max_batch=self.batch_size):
             try:
-                self._run_group(group, results)
+                self._run_group(group, results,
+                                device_section=device_section)
             except Exception as exc:
                 kind = (TRANSIENT if self._is_infra_failure(exc)
                         else PERMANENT)
@@ -922,10 +930,14 @@ class ProcessingEngine:
             out.result.processed_paths[op.type.value] = artifact.path
         return out
 
-    def _run_group(self, group, results: list) -> None:
+    def _run_group(self, group, results: list, device_section=None) -> None:
         import time as _time
 
-        plan, outs_np, out_hws, layout = self.device_group(group)
+        if device_section is not None:
+            with device_section("device_group"):
+                plan, outs_np, out_hws, layout = self.device_group(group)
+        else:
+            plan, outs_np, out_hws, layout = self.device_group(group)
 
         def _finish(i):
             task_idx = group.items[i].payload[0]

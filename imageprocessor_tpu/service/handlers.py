@@ -119,6 +119,13 @@ class ImageHandlers:
             if n_parts > _MAX_FORM_PARTS:
                 return _json_error(400, "Too many multipart fields")
             if part.name == "file":
+                if file_bytes is not None:
+                    # First duplicate wins, like the non-file fields —
+                    # the reference's r.FormFile("file") returns the
+                    # FIRST part (reference: internal/http-server/
+                    # handler/image/image.go:51); later ones are skipped
+                    # (the reader drains unconsumed parts on advance).
+                    continue
                 filename = part.filename or ""
                 file_ct = part.headers.get("Content-Type", "")
                 chunks = []

@@ -184,9 +184,13 @@ class Worker:
         if not parsed:
             return len(msgs)
 
-        with self._watchdog.armed("process_tasks"):
-            results = self.engine.process_tasks(
-                [(task, blob) for (_m, task, blob) in parsed])
+        # The watchdog arms around each device-group dispatch inside the
+        # engine (one deadline per compiled program), not around the
+        # whole batch — a mixed-bucket first batch pays one cold compile
+        # per bucket, and their SUM can legitimately exceed the deadline.
+        results = self.engine.process_tasks(
+            [(task, blob) for (_m, task, blob) in parsed],
+            device_section=self._watchdog.armed)
 
         for (msg, task, _blob), eng_res in zip(parsed, results):
             self._finish_message(msg, task, eng_res)

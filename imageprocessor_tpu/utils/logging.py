@@ -72,6 +72,9 @@ class StructuredLogger:
     def error(self, message: str, exc_info: bool = False, **fields: Any) -> None:
         self._emit(logging.ERROR, message, exc_info=exc_info, **fields)
 
+    def critical(self, message: str, **fields: Any) -> None:
+        self._emit(logging.CRITICAL, message, **fields)
+
     def is_enabled_for(self, level_name: str) -> bool:
         return self._log.isEnabledFor(_LEVELS.get(level_name, logging.INFO))
 

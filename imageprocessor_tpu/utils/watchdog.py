@@ -44,11 +44,17 @@ WATCHDOG_EXIT_CODE = 70
 
 
 def _default_action(name: str, elapsed_s: float) -> None:
-    log.critical(
-        "Watchdog fired: section exceeded its deadline; aborting so the "
-        "supervisor can restart (leased messages redeliver after "
-        "WORKER_LEASE_S)", section=name, elapsed_s=round(elapsed_s, 1),
-        exit_code=WATCHDOG_EXIT_CODE)
+    # Every step before os._exit is best-effort: a broken logger or a
+    # wedged/closed stderr must not stop the abort (the whole point of
+    # the watchdog is that the process is already unrecoverable).
+    try:
+        log.critical(
+            "Watchdog fired: section exceeded its deadline; aborting so "
+            "the supervisor can restart (leased messages redeliver after "
+            "WORKER_LEASE_S)", section=name, elapsed_s=round(elapsed_s, 1),
+            exit_code=WATCHDOG_EXIT_CODE)
+    except Exception:
+        pass
     try:
         faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
         sys.stderr.flush()
@@ -115,6 +121,14 @@ class Watchdog:
                         self._fired = True
                         break
             if expired is not None:
-                METRICS.inc("watchdog_fired")
-                self._action(*expired)
+                try:
+                    METRICS.inc("watchdog_fired")
+                    self._action(*expired)
+                except Exception:
+                    # The watchdog only fires when a section is genuinely
+                    # wedged; an action that raises (custom action bug,
+                    # broken logging) must not leave the process a zombie
+                    # with the once-per-instance latch already set —
+                    # abort anyway, the guaranteed-abort contract wins.
+                    os._exit(WATCHDOG_EXIT_CODE)
                 return

@@ -261,3 +261,23 @@ def test_list_pagination_rules(server):
         assert len(r.json()) >= 3
         r = c.get(f"{server}/api/images", params={"limit": "abc", "offset": "-5"})
         assert len(r.json()) >= 3
+
+
+def test_duplicate_file_parts_first_wins(server):
+    """Two multipart parts named 'file': the FIRST is stored — matching
+    the reference's r.FormFile (reference: internal/http-server/handler/
+    image/image.go:51), which returns the first match. Last-wins here
+    would store different bytes than the reference for the same body."""
+    first = png_upload(h=40, w=52, name="first.png")["file"]
+    second = png_upload(h=40, w=52, name="second.png")["file"]
+    with httpx.Client(timeout=30) as c:
+        r = c.post(f"{server}/api/images/upload?thumbnail=false",
+                   files=[("file", first), ("file", second)])
+        assert r.status_code == 202, r.text
+        body = r.json()
+        assert body["filename"] == "first.png"
+        image_id = body["id"]
+        wait_status(c, server, image_id)
+        got = c.get(f"{server}/api/images/{image_id}")
+        assert got.status_code == 200
+        assert got.content == first[1]   # first part's bytes, untouched

@@ -222,7 +222,7 @@ def test_ack_policy_is_typed_not_string_matched(worker_stack):
     group = worker.cfg.broker.group_id
 
     def fake_engine(kind):
-        def process_tasks(tasks_with_data):
+        def process_tasks(tasks_with_data, device_section=None):
             return [EngineResult(result=ProcessingResult(
                 id=t.id, image_id=t.image_id, status=ImageStatus.FAILED,
                 error="an entirely reworded diagnostic with no known text"),

@@ -105,9 +105,11 @@ def test_config_parses_go_duration():
 
 
 def test_worker_arms_watchdog_around_device_step(tmp_path):
-    """The batch worker wraps engine.process_tasks in an armed section:
-    a stuck engine triggers the action; the test injects a collector
-    action instead of the default process abort."""
+    """The batch worker hands its watchdog to the engine, which arms a
+    section around EACH device-group dispatch (per compiled program —
+    one deadline for the whole batch would crash-loop on legitimate
+    multi-bucket cold compiles): a stuck device group triggers the
+    action; the test injects a collector instead of the process abort."""
     import io
 
     import numpy as np
@@ -134,13 +136,13 @@ def test_worker_arms_watchdog_around_device_step(tmp_path):
     worker._watchdog.close()
     worker._watchdog = Watchdog(timeout_s=0.2, action=action, poll_s=0.02)
 
-    real = worker.engine.process_tasks
+    real = worker.engine.device_group
 
-    def stuck(tasks):
+    def stuck(group):
         done.wait(3.0)  # wait until the watchdog sees the overrun
-        return real(tasks)
+        return real(group)
 
-    worker.engine.process_tasks = stuck
+    worker.engine.device_group = stuck
     try:
         arr = np.zeros((32, 48, 3), dtype=np.uint8)
         bio = io.BytesIO()
@@ -149,7 +151,48 @@ def test_worker_arms_watchdog_around_device_step(tmp_path):
                         [OperationParams(OperationType.THUMBNAIL,
                                          {"size": 16})])
         worker.run_once()
-        assert fired and fired[0][0] == "process_tasks"
+        assert fired and fired[0][0] == "device_group"
     finally:
-        worker.engine.process_tasks = real
+        worker.engine.device_group = real
         worker.close()
+
+
+def test_default_action_aborts_with_exit_code(monkeypatch, capsys):
+    """The PRODUCTION path: the default action must reach os._exit(70)
+    even though it logs at CRITICAL first — a logger without that level
+    (or a broken stderr) once made the abort unreachable and left the
+    wedged worker a zombie."""
+    import os as _os
+
+    from imageprocessor_tpu.utils import watchdog as wdmod
+
+    codes = []
+    monkeypatch.setattr(_os, "_exit", lambda code: codes.append(code))
+    wdmod._default_action("stuck_step", 12.3)
+    assert codes == [wdmod.WATCHDOG_EXIT_CODE]
+
+
+def test_monitor_aborts_even_when_action_raises(monkeypatch):
+    """An action that raises must not leave the once-per-instance latch
+    set with no abort: the monitor falls back to os._exit(70)."""
+    import os as _os
+
+    codes = []
+    done = threading.Event()
+
+    def fake_exit(code):
+        codes.append(code)
+        done.set()
+
+    monkeypatch.setattr(_os, "_exit", fake_exit)
+
+    def broken_action(name, elapsed):
+        raise AttributeError("boom")
+
+    wd = Watchdog(timeout_s=0.1, action=broken_action, poll_s=0.02)
+    try:
+        with wd.armed("stuck_step"):
+            assert done.wait(3.0), "watchdog never reached the abort"
+    finally:
+        wd.close()
+    assert codes == [70]
