@@ -124,9 +124,20 @@ class _Conn:
 
     def pick(self, api_key: int, preferred: int) -> int:
         """Highest usable version <= preferred; -1 if the broker's range
-        excludes everything we can speak (vmin > preferred)."""
+        excludes everything we can speak.
+
+        Empty vers = legacy broker with no ApiVersions at all -> v0
+        fallback by design. A broker that DOES advertise versions but
+        omits this API has removed it (the KIP-896 pattern): sending v0
+        would just get the connection dropped as an opaque WireError, so
+        report no-common-version instead."""
         vers = self.negotiate()
-        vmin, vmax = vers.get(api_key, (0, 0))
+        if not vers:
+            return min(0, preferred)
+        vrange = vers.get(api_key)
+        if vrange is None:
+            return -1
+        vmin, vmax = vrange
         if vmin > preferred:
             return -1
         return min(vmax, preferred)
@@ -215,14 +226,33 @@ class KafkaBroker(Broker):
                 last = exc
         raise MessageQueueError(f"no kafka broker reachable: {last}")
 
-    def _req(self, addr: tuple[str, int], api: int, ver: int, body: bytes
-             ) -> kw.Reader:
+    def _req(self, addr: tuple[str, int], api: int, ver: int, body: bytes,
+             timeout: float | None = None) -> kw.Reader:
+        """timeout: per-request socket deadline override. JoinGroup (and
+        a follower's SyncGroup) are legitimately PARKED by the
+        coordinator for up to the rebalance timeout (30 s) while it
+        waits for the rest of the group — the default 15 s socket
+        timeout would kill every such join, and each failed retry
+        rejoins with member_id="" minting a ghost member that the round
+        then also waits on."""
+        def go() -> kw.Reader:
+            conn = self._conn(addr)
+            if timeout is not None:
+                conn.sock.settimeout(timeout)
+            try:
+                return conn.request(api, ver, body)
+            finally:
+                if timeout is not None:
+                    try:
+                        conn.sock.settimeout(15.0)
+                    except OSError:
+                        pass
         try:
-            return self._conn(addr).request(api, ver, body)
+            return go()
         except (OSError, kw.WireError):
             # one reconnect attempt per call (broker restarts, idle drops)
             self._drop_conn(addr)
-            return self._conn(addr).request(api, ver, body)
+            return go()
 
     def _pick_version(self, addr: tuple[str, int], api: int,
                       preferred: int) -> int:
@@ -310,9 +340,14 @@ class KafkaBroker(Broker):
     # --------------------------------------------------------------- produce
 
     def create_topic(self, topic: str, partitions: int = 3) -> None:
+        """Best-effort (startup ordering: the worker may come up before
+        the broker accepts connections, and compose restarts it anyway —
+        crashing out of __init__ here would just crash-loop). Every
+        failure, including no-broker-reachable and a leader election
+        still in progress on the fresh topic, is logged, never raised."""
         with self._lock:
-            conn = self._any_conn()
             try:
+                conn = self._any_conn()
                 ver = conn.pick(kw.CREATE_TOPICS, 2)
                 if ver < 0:
                     # best-effort call: no common version is only logged
@@ -338,10 +373,17 @@ class KafkaBroker(Broker):
                         r.string()  # error_message
                     if err not in (kw.NONE, kw.TOPIC_ALREADY_EXISTS):
                         log.info("create_topic error", topic=topic, code=err)
-            except (OSError, kw.WireError) as exc:
+            except (OSError, kw.WireError, MessageQueueError) as exc:
                 log.info("create_topic failed (topic may auto-create)",
                          topic=topic, error=str(exc))
-            self._metadata(topic, force=True)
+                return
+            try:
+                self._metadata(topic, force=True)
+            except (OSError, kw.WireError, MessageQueueError) as exc:
+                # e.g. LEADER_NOT_AVAILABLE while the fresh topic's
+                # election finishes; the next produce/poll re-resolves.
+                log.info("create_topic metadata refresh failed",
+                         topic=topic, error=str(exc))
 
     def produce(self, topic: str, key: bytes, value: bytes) -> BrokerMessage:
         with self._lock:
@@ -457,7 +499,10 @@ class KafkaBroker(Broker):
                            lambda w, pr: w.string(pr[0]).bytes_(pr[1]))
                     ).done()
             try:
-                r = self._req(coord, kw.JOIN_GROUP, jver, body)
+                # The coordinator parks joins up to the rebalance
+                # timeout; give the socket that long plus margin.
+                r = self._req(coord, kw.JOIN_GROUP, jver, body,
+                              timeout=_SESSION_TIMEOUT_MS / 1000.0 + 10.0)
             except (OSError, kw.WireError):
                 self._drop_coordinator(c.group)
                 time.sleep(0.05)
@@ -512,7 +557,10 @@ class KafkaBroker(Broker):
                            lambda w, a: w.string(a[0]).bytes_(a[1]))).done()
             try:
                 sver = self._pick_version(coord, kw.SYNC_GROUP, 1)
-                r = self._req(coord, kw.SYNC_GROUP, sver, body)
+                # A follower's SyncGroup is parked until the leader
+                # syncs — same extended deadline as JoinGroup.
+                r = self._req(coord, kw.SYNC_GROUP, sver, body,
+                              timeout=_SESSION_TIMEOUT_MS / 1000.0 + 10.0)
             except MessageQueueError:
                 time.sleep(0.05)
                 continue
@@ -681,7 +729,13 @@ class KafkaBroker(Broker):
         parts = dict(self._metadata(c.topic))
         leader = parts.get(pid)
         if leader is None:
-            return [], None
+            # Leaderless in the cached view (mid-election, or the cache
+            # predates a leader change): force one refresh now so the
+            # partition doesn't stall for the life of the cache.
+            parts = dict(self._metadata(c.topic, force=True))
+            leader = parts.get(pid)
+            if leader is None:
+                return [], None
         ver = self._pick_version(leader, kw.FETCH, 4)
         w = kw.Writer().i32(-1).i32(0).i32(0)
         if ver >= 3:
@@ -713,11 +767,27 @@ class KafkaBroker(Broker):
                     # forever), and move the commit floor past the
                     # now-nonexistent offsets.
                     start = self._list_offset(c.topic, pid, -2)
+                    end = self._list_offset(c.topic, pid, -1)
                     c.positions[pid] = max(start, 0)
                     if c.committed.get(pid, 0) < start:
                         c.committed[pid] = start
+                    if c.committed.get(pid, 0) > end:
+                        # The log was truncated below our commit floor
+                        # (e.g. an in-memory dev broker restarted). A
+                        # stale high floor is poison: ack()'s watermark
+                        # clamps up to it and then deletes LIVE inflight
+                        # leases below it, silently dropping their
+                        # redelivery — clamp the floor to the new start.
+                        c.committed[pid] = max(start, 0)
                     continue
                 if err != kw.NONE:
+                    # Leader moved (NOT_LEADER) or topic state changed:
+                    # drop the cached metadata so the next fetch
+                    # re-resolves the leader instead of stalling the
+                    # partition against the old one forever.
+                    self._meta.pop(c.topic, None)
+                    log.warn("fetch partition error; metadata invalidated",
+                             topic=c.topic, partition=pid, code=err)
                     continue
                 msgs.extend(kw.decode_records(mset))
                 cand = kw.records_next_offset(mset)

@@ -16,8 +16,11 @@ JoinGroup parks members until the round completes (all known members
 re-joined, or the round times out and drops stragglers), generations
 bump once per round, SyncGroup distributes the leader's assignments,
 Heartbeat answers REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION so clients
-know to re-join (reference topology: consumer group over 3 partitions,
-internal/broker/kafka/consumer.go:21-56, Makefile:24-25).
+know to re-join, and members whose advertised session timeout elapses
+with no heartbeat/commit/join are EVICTED (lazily, on the next group
+request) so a kill -9'd worker's partitions reassign instead of staying
+bound to a corpse (reference topology: consumer group over 3
+partitions, internal/broker/kafka/consumer.go:21-56, Makefile:24-25).
 """
 
 from __future__ import annotations
@@ -42,6 +45,10 @@ class _Group:
         self.round_deadline = 0.0
         self.member_seq = 0
         self.offsets: dict[tuple[str, int], int] = {}  # (topic, pid) -> off
+        # Session-timeout liveness (a SIGKILLed worker sends no
+        # LeaveGroup; without eviction its partitions never reassign):
+        self.last_seen: dict[str, float] = {}    # member_id -> monotonic
+        self.session_s: dict[str, float] = {}    # member_id -> timeout
 
 
 class KafkaServer:
@@ -367,14 +374,17 @@ class KafkaServer:
 
     def _h_offset_commit(self, r: kw.Reader, ver: int) -> bytes:
         group = r.string()
+        member_id = ""
         if ver >= 1:
             r.i32()     # generation_id
-            r.string()  # member_id
+            member_id = r.string()
         if ver >= 2:
             r.i64()     # retention_time_ms
         w = kw.Writer()
         with self._lock:
             g = self._groups.setdefault(group, _Group())
+            if member_id in g.members:  # commits count as liveness
+                g.last_seen[member_id] = time.monotonic()
             n_topics = r.i32()
             w.i32(n_topics)
             for _ in range(n_topics):
@@ -409,9 +419,37 @@ class KafkaServer:
 
     # ----------------------------------------------------- group coordination
 
+    def _evict_expired(self, g: _Group) -> None:
+        """Drop STABLE-state members whose session timed out (no
+        heartbeat/commit/join): a kill -9'd worker never leaves, and
+        without eviction its partitions stay assigned to a corpse
+        forever. Survivors get REBALANCE_IN_PROGRESS on their next
+        heartbeat and rejoin. Caller holds the lock. Members parked in a
+        rebalance round are exempt — they cannot heartbeat while parked;
+        the round's own deadline drops stragglers."""
+        if g.state != "Stable":
+            return
+        now = time.monotonic()
+        dead = [m for m in g.members
+                if now - g.last_seen.get(m, now)
+                > g.session_s.get(m, 30.0)]
+        if not dead:
+            return
+        for m in dead:
+            g.members.pop(m, None)
+            g.last_seen.pop(m, None)
+            g.session_s.pop(m, None)
+        if g.members:
+            g.state = "Rebalancing"
+            g.pending = {}
+            g.round_deadline = time.monotonic() + self._rebalance_timeout_s
+        else:
+            g.state = "Empty"
+        self._cond.notify_all()
+
     def _h_join_group(self, r: kw.Reader, ver: int) -> bytes:
         group = r.string()
-        r.i32()  # session timeout
+        session_ms = r.i32()
         if ver >= 1:
             r.i32()  # rebalance timeout
         member_id = r.string() or ""
@@ -427,9 +465,12 @@ class KafkaServer:
 
         with self._cond:
             g = self._groups.setdefault(group, _Group())
+            self._evict_expired(g)
             if not member_id:
                 g.member_seq += 1
                 member_id = f"member-{g.member_seq}"
+            g.session_s[member_id] = max(0.1, session_ms / 1000.0)
+            g.last_seen[member_id] = time.monotonic()
             if g.state != "Rebalancing":
                 g.state = "Rebalancing"
                 g.pending = {}
@@ -483,6 +524,7 @@ class KafkaServer:
             g = self._groups.setdefault(group, _Group())
             if generation != g.generation or member_id not in g.members:
                 return _resp().i16(kw.ILLEGAL_GENERATION).bytes_(b"").done()
+            g.last_seen[member_id] = time.monotonic()
             if assignments:  # leader
                 g.assignments = dict(assignments)
                 g.assign_generation = generation
@@ -508,6 +550,9 @@ class KafkaServer:
         member_id = r.string()
         with self._lock:
             g = self._groups.setdefault(group, _Group())
+            self._evict_expired(g)
+            if member_id in g.members:
+                g.last_seen[member_id] = time.monotonic()
             if g.state == "Rebalancing":
                 err = kw.REBALANCE_IN_PROGRESS
             elif member_id not in g.members:
@@ -528,6 +573,8 @@ class KafkaServer:
             g = self._groups.setdefault(group, _Group())
             g.members.pop(member_id, None)
             g.pending.pop(member_id, None)
+            g.last_seen.pop(member_id, None)
+            g.session_s.pop(member_id, None)
             if g.members:
                 g.state = "Rebalancing"
                 g.pending = {}

@@ -38,8 +38,7 @@ from imageprocessor_tpu.runtime.engine import (
     EngineResult,
 )
 from imageprocessor_tpu.service.worker import Worker
-from imageprocessor_tpu.storage.object_store import ObjectNotFound
-from imageprocessor_tpu.utils import get_logger, retry_sync
+from imageprocessor_tpu.utils import get_logger
 from imageprocessor_tpu.utils.metrics import METRICS
 from imageprocessor_tpu.utils.tracing import span
 
@@ -125,40 +124,14 @@ class PipelinedWorker(Worker):
         self._group_q.put(group)
 
     def _handle_message(self, msg: BrokerMessage) -> None:
-        try:
-            task = ProcessingTask.from_json(msg.value)
-            if not task.image_id:
-                raise ValueError("missing ImageID")
-        except Exception as exc:
-            log.error("Failed to unmarshal task", offset=msg.offset,
-                      error=str(exc))
-            self._safe_ack(msg)
-            self._inflight.release()
-            METRICS.inc("worker_malformed_tasks")
+        # Stage-1 policy (unmarshal + blob fetch) is shared with the
+        # batch worker (Worker._parse_and_fetch); only the permit
+        # bookkeeping is pipelined-specific.
+        got = self._parse_and_fetch(msg)
+        if got is None:
+            self._inflight.release()  # message already acked/nacked
             return
-        try:
-            blob = retry_sync(
-                self.cfg.retry_strategy(),
-                lambda path=task.original_path: self.store.get_object(path),
-                retryable=lambda e: not isinstance(e, ObjectNotFound))
-        except ObjectNotFound:
-            # Blob gone (image deleted while queued): PERMANENT — a nack
-            # would redeliver a message that can never succeed, forever.
-            log.error("Original blob missing; failing permanently",
-                      image_id=task.image_id, path=task.original_path)
-            self._mark_failed(task.image_id)
-            self._safe_ack(msg)
-            self._inflight.release()
-            METRICS.inc("worker_fetch_missing")
-            return
-        except Exception as exc:
-            log.error("Failed to get original image", image_id=task.image_id,
-                      error=str(exc))
-            self._mark_failed(task.image_id)
-            self._safe_nack(msg)
-            self._inflight.release()
-            METRICS.inc("worker_fetch_failures")
-            return
+        task, blob = got
         try:
             plan = normalize_operations(task.operations)
             with span("decode"):
@@ -183,13 +156,25 @@ class PipelinedWorker(Worker):
             self._complete(msg, task, res)
             return
 
-        fmt = (task.format or detected or "jpeg").lower()
-        item = BatchItem(item_id=task.id, image=arr,
-                         plan_key=plan.compile_key(),
-                         payload=(msg, task, fmt, plan),
-                         layout=layout, valid_hw=valid_hw)
-        with self._batcher_lock:
-            group = self._batcher.add(item)
+        try:
+            fmt = (task.format or detected or "jpeg").lower()
+            item = BatchItem(item_id=task.id, image=arr,
+                             plan_key=plan.compile_key(),
+                             payload=(msg, task, fmt, plan),
+                             layout=layout, valid_hw=valid_hw)
+            with self._batcher_lock:
+                group = self._batcher.add(item)
+        except Exception as exc:
+            # e.g. a non-string Format in the wire payload: an
+            # unhandled exception here would leak the caller's
+            # _inflight permit (each redelivery leaks another until the
+            # cap is exhausted and the pipeline wedges) — classify as
+            # permanent and complete, like the decode catch-all above.
+            log.error("Failed to stage decoded task",
+                      image_id=task.image_id, error=str(exc), exc_info=True)
+            res = self.engine._failed(task, f"Operation failed: {exc}")
+            self._complete(msg, task, res)
+            return
         if group is not None:
             self._dispatch(group)
 

@@ -127,6 +127,50 @@ class Worker:
 
     # ---------------------------------------------------------------- one poll
 
+    def _parse_and_fetch(self, msg) -> tuple[ProcessingTask, bytes] | None:
+        """Stage-1 policy shared by the batch and pipelined workers:
+        unmarshal the task and fetch the original blob. On failure the
+        message is already acked (malformed payload / missing blob:
+        permanent) or nacked (transient storage error: redeliver) and
+        None is returned — ONE copy of the classification so the two
+        workers cannot drift."""
+        try:
+            task = ProcessingTask.from_json(msg.value)
+            if not task.image_id:
+                raise ValueError("missing ImageID")
+        except Exception as exc:
+            log.error("Failed to unmarshal task", offset=msg.offset,
+                      error=str(exc))
+            self._safe_ack(msg)  # malformed payload: permanent
+            METRICS.inc("worker_malformed_tasks")
+            return None
+        try:
+            # Retry transient storage errors (reference wraps every
+            # MinIO call in retry.Strategy); a missing blob is final.
+            blob = retry_sync(
+                self.cfg.retry_strategy(),
+                lambda path=task.original_path: self.store.get_object(path),
+                retryable=lambda e: not isinstance(e, ObjectNotFound))
+        except ObjectNotFound:
+            # The blob is gone (e.g. the image was deleted while its
+            # task sat in the queue): PERMANENT — nacking would
+            # redeliver a message that can never succeed, forever.
+            log.error("Original blob missing; failing permanently",
+                      image_id=task.image_id, path=task.original_path)
+            self._mark_failed(task.image_id)
+            self._safe_ack(msg)
+            METRICS.inc("worker_fetch_missing")
+            return None
+        except Exception as exc:
+            log.error("Failed to get original image",
+                      image_id=task.image_id, path=task.original_path,
+                      error=str(exc))
+            self._mark_failed(task.image_id)
+            self._safe_nack(msg)  # transient: redeliver
+            METRICS.inc("worker_fetch_failures")
+            return None
+        return task, blob
+
     def run_once(self, max_n: int | None = None) -> int:
         """Poll one micro-batch, process it, ack/nack. Returns #messages."""
         topic = self.cfg.broker.processing_topic
@@ -144,42 +188,9 @@ class Worker:
                                 max(0.0, (now_wall - m.enqueued_at) * 1000.0))
         parsed: list[tuple[BrokerMessage, ProcessingTask | None, bytes | None]] = []
         for msg in msgs:
-            try:
-                task = ProcessingTask.from_json(msg.value)
-                if not task.image_id:
-                    raise ValueError("missing ImageID")
-            except Exception as exc:
-                log.error("Failed to unmarshal task", offset=msg.offset,
-                          error=str(exc))
-                self._safe_ack(msg)  # malformed payload: permanent
-                METRICS.inc("worker_malformed_tasks")
-                continue
-            try:
-                # Retry transient storage errors (reference wraps every
-                # MinIO call in retry.Strategy); a missing blob is final.
-                blob = retry_sync(
-                    self.cfg.retry_strategy(),
-                    lambda path=task.original_path: self.store.get_object(path),
-                    retryable=lambda e: not isinstance(e, ObjectNotFound))
-            except ObjectNotFound:
-                # The blob is gone (e.g. the image was deleted while its
-                # task sat in the queue): PERMANENT — nacking would
-                # redeliver a message that can never succeed, forever.
-                log.error("Original blob missing; failing permanently",
-                          image_id=task.image_id, path=task.original_path)
-                self._mark_failed(task.image_id)
-                self._safe_ack(msg)
-                METRICS.inc("worker_fetch_missing")
-                continue
-            except Exception as exc:
-                log.error("Failed to get original image",
-                          image_id=task.image_id, path=task.original_path,
-                          error=str(exc))
-                self._mark_failed(task.image_id)
-                self._safe_nack(msg)  # transient: redeliver
-                METRICS.inc("worker_fetch_failures")
-                continue
-            parsed.append((msg, task, blob))
+            got = self._parse_and_fetch(msg)
+            if got is not None:
+                parsed.append((msg, got[0], got[1]))
 
         if not parsed:
             return len(msgs)

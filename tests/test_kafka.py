@@ -587,3 +587,99 @@ def test_no_common_version_raises_clear_error():
     finally:
         c.close()
         s.close()
+
+
+def test_absent_api_raises_clear_error_not_v0():
+    """A broker that advertises ApiVersions but OMITS an API entirely
+    has removed it (KIP-896 taken one step further): the client must
+    raise the clear no-common-version error, not silently send v0 (a
+    modern broker would drop the connection -> opaque WireError loop)."""
+    from imageprocessor_tpu.errors import MessageQueueError
+
+    s = KafkaServer(default_partitions=1, api_versions_override={
+        kw.METADATA: (0, 4), kw.API_VERSIONS: (0, 0),
+        kw.CREATE_TOPICS: (0, 2),   # PRODUCE deliberately absent
+    })
+    c = KafkaBroker(brokers=[s.address])
+    try:
+        c.create_topic("nt2", 1)
+        with pytest.raises(MessageQueueError, match="no common version"):
+            c.produce("nt2", b"k", b"v")
+    finally:
+        c.close()
+        s.close()
+
+
+def test_dead_member_evicted_after_session_timeout(monkeypatch):
+    """A SIGKILLed worker never sends LeaveGroup: the server must evict
+    it once its session times out so its partitions reassign — without
+    eviction the survivor heartbeats NONE forever and 2-of-3 partitions'
+    messages sit unconsumed indefinitely."""
+    from imageprocessor_tpu.broker import kafka as kafka_mod
+
+    monkeypatch.setattr(kafka_mod, "_SESSION_TIMEOUT_MS", 1500)
+    s = KafkaServer(default_partitions=3, rebalance_timeout_s=1.0)
+    topic, group = "image-processing", "image-processor-group"
+    a = KafkaBroker(brokers=[s.address])
+    b = KafkaBroker(brokers=[s.address])
+    got: list[bytes] = []
+    stop = threading.Event()
+
+    def pump_a():
+        while not stop.is_set():
+            try:
+                for m in a.poll(topic, group, max_n=10):
+                    got.append(m.value)
+                    a.ack(m)
+            except Exception:
+                pass
+            time.sleep(0.02)
+
+    t = threading.Thread(target=pump_a, daemon=True)
+    try:
+        a.create_topic(topic, 3)
+        a.poll(topic, group, max_n=10)          # a joins alone
+        t.start()
+
+        # b joins; wait until a proper 2-member split forms
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            b.poll(topic, group, max_n=10)
+            ca = a._consumers[(topic, group)]
+            cb = b._consumers[(topic, group)]
+            if (ca.joined and cb.joined
+                    and sorted(ca.partitions + cb.partitions) == [0, 1, 2]
+                    and ca.generation == cb.generation
+                    and ca.partitions and cb.partitions):
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("two-member split never formed")
+
+        # b dies silently (no LeaveGroup, no more heartbeats)
+        b.close()
+
+        # a keeps polling; the server evicts b at session timeout and a
+        # rebalances to own all 3 partitions
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            ca = a._consumers[(topic, group)]
+            if ca.joined and len(ca.partitions) == 3:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("dead member never evicted")
+
+        # every partition consumable again: keyed messages all reach a
+        for i in range(9):
+            a.produce(topic, f"k{i}".encode(), f"v{i}".encode())
+        deadline = time.monotonic() + 20
+        while len(got) < 9 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert sorted(got) == sorted(f"v{i}".encode() for i in range(9))
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        a.close()
+        b.close()
+        s.close()

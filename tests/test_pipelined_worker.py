@@ -251,3 +251,40 @@ def test_permit_exhaustion_by_distinct_buckets_does_not_deadlock(tmp_path):
         worker.stop()
         thread.join(timeout=20)
         worker.engine.close()
+
+
+def test_bad_format_field_fails_without_permit_leak(harness):
+    """A wire payload with a non-string Format (from_json passes it
+    through) used to raise AttributeError AFTER the decode try-block:
+    the message was neither acked nor nacked and the caller's _inflight
+    permit leaked — each lease-expiry redelivery leaked another until
+    the pipeline wedged. It must classify as a permanent failure."""
+    import json
+
+    uc, meta, broker, worker = harness
+    img = uc.upload_image(png_bytes(), "bad.png", "image/png", OPS)
+    # Doctor the queued task: replay it with Format as an int.
+    raw = {
+        "ID": "t-badfmt", "ImageID": img.id,
+        "OriginalPath": img.original_path, "Bucket": "images",
+        "Operations": [{"Type": "thumbnail", "Parameters": {"size": 32}}],
+        "Format": 5,
+    }
+    broker.produce(worker.cfg.broker.processing_topic,
+                   img.id.encode(), json.dumps(raw).encode())
+
+    assert wait_for(lambda: meta.get_image(img.id).status
+                    in (ImageStatus.FAILED, ImageStatus.COMPLETED))
+    # The doctored replay must not wedge the pipeline: all permits come
+    # back once the queue drains (the good original task may also run).
+    depth = max(worker.cfg.worker.max_queue_depth, 8)
+
+    def permits_restored():
+        n = 0
+        while worker._inflight.acquire(blocking=False):
+            n += 1
+        for _ in range(n):
+            worker._inflight.release()
+        return n == depth
+
+    assert wait_for(permits_restored, timeout=60)
