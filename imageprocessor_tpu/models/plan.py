@@ -13,6 +13,7 @@ hashable plan entries. Two jobs:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any
 
@@ -22,6 +23,7 @@ from imageprocessor_tpu.domain import (
     DEFAULT_WATERMARK_TEXT,
     OperationParams,
     OperationType,
+    WatermarkPosition,
 )
 from imageprocessor_tpu.errors import UnsupportedOperationError
 
@@ -31,12 +33,18 @@ class InvalidParamsError(ValueError):
 
 
 def _as_int(params: dict[str, Any], key: str) -> int | None:
-    """Go-style numeric coercion: float64/int accepted, nothing else."""
+    """Go-style numeric coercion: float64/int accepted, nothing else.
+    Non-finite floats are rejected loudly: Python's json parses 1e400 to
+    inf (Go's rejects it at unmarshal), and int(inf) raises
+    OverflowError — which is NOT in the callers' catch tuples, so it
+    would abort the whole worker batch and crash-loop on redelivery."""
     v = params.get(key)
     if v is None:
         return None
     if isinstance(v, bool):  # bool is int in Python; Go would not accept it
         return None
+    if isinstance(v, float) and not math.isfinite(v):
+        raise InvalidParamsError(f"{key} must be a finite number")
     if isinstance(v, (int, float)):
         return int(v)
     return None
@@ -46,6 +54,8 @@ def _as_float(params: dict[str, Any], key: str) -> float | None:
     v = params.get(key)
     if v is None or isinstance(v, bool) or not isinstance(v, (int, float)):
         return None
+    if isinstance(v, float) and not math.isfinite(v):
+        raise InvalidParamsError(f"{key} must be a finite number")
     return float(v)
 
 
@@ -120,6 +130,20 @@ def normalize_op(op: OperationParams) -> NormalizedOp:
             opacity = DEFAULT_WATERMARK_OPACITY     # watermark.go:46-48
         position = p.get("position") if isinstance(p.get("position"), str) \
             else "bottom-right"                     # watermark.go:50-52
+        # Unknown position strings all BEHAVE as bottom-right (anchor
+        # default case, watermark.go:146-148) — normalize them here so
+        # "", "foo", "bottomright" don't each mint a distinct
+        # compile_key and a multi-second throwaway XLA compile.
+        if position not in set(x.value for x in WatermarkPosition):
+            position = "bottom-right"
+        # Cap the text length: the tile rasterizer allocates
+        # text-width-proportional buffers (the Go reference draws
+        # clipped into the image and never does), so the 64 KiB
+        # form-field cap would otherwise admit a single upload that
+        # rasterizes a multi-GB tile. 1024 chars is far wider than any
+        # bucket can show.
+        if len(text) > 1024:
+            text = text[:1024]
         font_size = _as_float(p, "font_size")
         if font_size is None or font_size <= 0:
             font_size = 36.0                        # watermark.go:54-56
@@ -165,6 +189,18 @@ class OperationPlan:
 
     def compile_key(self) -> tuple:
         return tuple(op.compile_key() for op in self.ops)
+
+    def group_key(self) -> tuple:
+        """Batch-grouping key: compile_key PLUS each op's runtime
+        identity (watermark TEXT). A Group is processed with the FIRST
+        item's plan verbatim (engine._device_group_impl,
+        prepare_wm_args), so anything that differs between tasks must
+        split groups — compile_key alone once let two uploads with
+        different watermark texts share a group, stamping the second
+        user's image with the first user's text. The compiled-program
+        cache keeps using compile_key, so same-shape texts still share
+        one XLA program."""
+        return tuple((op.compile_key(), op.text) for op in self.ops)
 
     def __iter__(self):
         return iter(self.ops)

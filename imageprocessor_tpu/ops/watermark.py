@@ -52,8 +52,21 @@ class WatermarkTile:
 
 
 _FONT_LOCK = threading.Lock()
+# Bounded like PipelineModel's arg caches: the key is user-controlled
+# (watermark_text form field), so an unbounded dict is a slow memory
+# leak on a long-lived worker. FIFO eviction via dict insertion order.
 _TILE_CACHE: dict[tuple, WatermarkTile] = {}
+_TILE_CACHE_MAX = 128
 _DEFAULT_FONT_PATH: str | None = None
+
+# Widest tile the rasterizer will allocate. The blend window clips to
+# the image and no bucket exceeds 6144 px, so glyphs past this are
+# never visible; without the cap a 64 KiB watermark_text rasterizes a
+# multi-GB coverage buffer (the Go reference draws clipped into the
+# image and never allocates text-proportional memory,
+# watermark.go:96-151). Anchor math uses the CLIPPED width for
+# right/center positions — a documented divergence for absurd texts.
+_MAX_TILE_W = 8192
 
 
 def _default_font_path() -> str:
@@ -108,7 +121,7 @@ def rasterize_text(text: str, font_size: float = 36.0,
         font = ImageFont.truetype(font_path, int(round(font_size)))
         ascent, descent = font.getmetrics()
         # Reference width = ceil(sum of glyph advances) (watermark.go:109-115)
-        width_px = int(np.ceil(font.getlength(text)))
+        width_px = min(int(np.ceil(font.getlength(text))), _MAX_TILE_W - 8)
         height_px = int(np.ceil(font_size * 1.2))  # watermark.go:116
         th = ascent + descent
         tw = max(width_px + 8, 1)  # small slack for right-side overhang
@@ -119,6 +132,8 @@ def rasterize_text(text: str, font_size: float = 36.0,
         tile = WatermarkTile(coverage=coverage, width_px=width_px,
                              height_px=height_px, ascent=ascent,
                              descent=descent)
+        while len(_TILE_CACHE) >= _TILE_CACHE_MAX:
+            _TILE_CACHE.pop(next(iter(_TILE_CACHE)))
         _TILE_CACHE[key] = tile
         return tile
 
@@ -128,24 +143,12 @@ def anchor_baseline(position: str, img_w, img_h, tile: WatermarkTile):
 
     Works with Python ints (static path) or traced int32 scalars/arrays
     (batched path). Unknown positions fall through to bottom-right, like
-    the reference's default case.
-    """
-    w_px, h_px = tile.width_px, tile.height_px
-    pos = WatermarkPosition(position) if position in set(
-        p.value for p in WatermarkPosition) else WatermarkPosition.BOTTOM_RIGHT
-    if pos is WatermarkPosition.TOP_LEFT:
-        return _MARGIN + img_w * 0, _MARGIN + h_px + img_h * 0
-    if pos is WatermarkPosition.TOP_RIGHT:
-        return img_w - w_px - _MARGIN, _MARGIN + h_px + img_h * 0
-    if pos is WatermarkPosition.TOP_CENTER:
-        return (img_w - w_px) // 2, _MARGIN + h_px + img_h * 0
-    if pos is WatermarkPosition.BOTTOM_LEFT:
-        return _MARGIN + img_w * 0, img_h - _MARGIN
-    if pos is WatermarkPosition.BOTTOM_CENTER:
-        return (img_w - w_px) // 2, img_h - _MARGIN
-    if pos is WatermarkPosition.CENTER:
-        return (img_w - w_px) // 2, (img_h + h_px) // 2
-    return img_w - w_px - _MARGIN, img_h - _MARGIN  # bottom-right/default
+    the reference's default case. One implementation for both entry
+    points: delegates to _anchor_traced (same arithmetic, runtime
+    width/height inputs) so the single-image and batched paths cannot
+    drift."""
+    return _anchor_traced(position, img_w, img_h,
+                          tile.width_px, tile.height_px)
 
 
 def parse_color(color_str: str, opacity: float) -> tuple[int, int, int, int]:

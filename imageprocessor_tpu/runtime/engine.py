@@ -471,7 +471,7 @@ class ProcessingEngine:
             plan = plans[i]
             fmt = (task.format or detected or "jpeg").lower()
             items.append(BatchItem(item_id=str(i), image=arr,
-                                   plan_key=plan.compile_key(),
+                                   plan_key=plan.group_key(),
                                    payload=(i, task, fmt, plan),
                                    layout=layout, valid_hw=valid_hw))
 

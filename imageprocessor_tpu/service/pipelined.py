@@ -159,7 +159,7 @@ class PipelinedWorker(Worker):
         try:
             fmt = (task.format or detected or "jpeg").lower()
             item = BatchItem(item_id=task.id, image=arr,
-                             plan_key=plan.compile_key(),
+                             plan_key=plan.group_key(),
                              payload=(msg, task, fmt, plan),
                              layout=layout, valid_hw=valid_hw)
             with self._batcher_lock:

@@ -95,7 +95,15 @@ class Watchdog:
         token = next(self._tokens)
         with self._lock:
             self._sections[token] = (name, time.monotonic())
-            if self._thread is None:
+            # (Re)start the monitor whenever it is not running: after
+            # close() (e.g. the pipelined worker still drains device
+            # groups during shutdown — a wedge there must still abort)
+            # or after a non-exiting custom action ran on a PREVIOUS
+            # instance's thread death. The once-per-instance _fired
+            # latch is the only permanent stop.
+            if ((self._thread is None or not self._thread.is_alive())
+                    and not self._fired):
+                self._stop = threading.Event()   # fresh run
                 self._thread = threading.Thread(
                     target=self._monitor, name="watchdog", daemon=True)
                 self._thread.start()
@@ -106,7 +114,11 @@ class Watchdog:
                 self._sections.pop(token, None)
 
     def close(self) -> None:
-        self._stop.set()
+        with self._lock:
+            self._stop.set()
+            # Drop the handle so a later armed() restarts immediately
+            # instead of racing the old thread's (stopped) poll loop.
+            self._thread = None
 
     def _monitor(self) -> None:
         while not self._stop.wait(self._poll_s):

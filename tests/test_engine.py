@@ -218,3 +218,57 @@ def test_infra_failures_classified_transient():
     assert not is_infra(ValueError("width must be positive"))
     assert not is_infra(RuntimeError("plain runtime error"))
     assert not is_infra(KeyError("param"))
+
+
+def test_different_watermark_texts_not_mixed_in_batch(engine):
+    """Two same-shape uploads with DIFFERENT watermark texts: grouping by
+    compile_key (text excluded) used to batch them together and stamp
+    BOTH with the first item's text. group_key must split them; each
+    output matches its own single-image render."""
+    eng, store = engine
+    data, _arr = png_bytes(96, 128)
+    tasks = []
+    for text in ("ALPHA-ONE", "beta-two"):
+        tasks.append((ProcessingTask(
+            id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+            original_path="x", bucket="images",
+            operations=[OperationParams(OperationType.WATERMARK,
+                                        {"text": text})],
+            format="png"), data))
+    results = eng.process_tasks(tasks)
+    singles = [eng.process_single(t, d) for t, d in tasks]
+    for res, single, (task, _d) in zip(results, singles, tasks):
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        got, _ = decode_image(store.get_object(
+            res.result.processed_paths["watermark"]))
+        want, _ = decode_image(store.get_object(
+            single.result.processed_paths["watermark"]))
+        assert psnr(got, want) > 45.0
+    # and the two outputs genuinely differ (different glyphs blended)
+    a, _ = decode_image(store.get_object(
+        results[0].result.processed_paths["watermark"]))
+    b, _ = decode_image(store.get_object(
+        results[1].result.processed_paths["watermark"]))
+    assert (np.abs(a.astype(int) - b.astype(int)) > 8).any()
+
+
+def test_nonfinite_params_fail_task_not_batch(engine):
+    """JSON 1e400 parses to float inf in Python (Go's json rejects it):
+    int(inf) used to raise OverflowError OUT of process_tasks, aborting
+    the whole batch and crash-looping on redelivery. It must fail just
+    that task."""
+    import json as _json
+
+    eng, store = engine
+    data, _arr = png_bytes(48, 64)
+    raw = _json.loads('{"width": 1e400, "height": 100}')
+    bad = ProcessingTask(
+        id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+        original_path="x", bucket="images",
+        operations=[OperationParams(OperationType.RESIZE, raw)],
+        format="png")
+    good = default_task()
+    results = eng.process_tasks([(bad, data), (good, data)])
+    assert results[0].result.status is ImageStatus.FAILED
+    assert "finite" in results[0].result.error
+    assert results[1].result.status is ImageStatus.COMPLETED

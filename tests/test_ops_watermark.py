@@ -158,3 +158,48 @@ def test_font_resolution_order(tmp_path, monkeypatch):
     finally:
         os.remove(target)
         wm._DEFAULT_FONT_PATH = None
+
+
+def test_rasterize_text_width_capped():
+    """User-controlled watermark_text must not rasterize unbounded
+    buffers: a very long text's tile clips at _MAX_TILE_W (nothing past
+    it is visible in any bucket anyway; the Go reference draws clipped
+    into the image and never allocates text-proportional memory)."""
+    from imageprocessor_tpu.ops.watermark import _MAX_TILE_W, rasterize_text
+
+    tile = rasterize_text("W" * 20000, 36.0)
+    assert tile.coverage.shape[1] <= _MAX_TILE_W
+    assert tile.width_px <= _MAX_TILE_W
+
+
+def test_tile_cache_bounded():
+    from imageprocessor_tpu.ops import watermark as wm
+
+    for i in range(wm._TILE_CACHE_MAX + 20):
+        wm.rasterize_text(f"cache-bound-{i}", 12.0)
+    assert len(wm._TILE_CACHE) <= wm._TILE_CACHE_MAX
+
+
+def test_unknown_position_normalized_to_bottom_right():
+    """All unknown position strings behave as bottom-right; normalizing
+    them in the plan keeps "", "foo", "bottomright" from each minting a
+    distinct compile_key (one throwaway XLA compile per string)."""
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.models.plan import normalize_op
+
+    keys = set()
+    for pos in ("foo", "", "bottomright", "bottom-right"):
+        op = normalize_op(OperationParams(
+            OperationType.WATERMARK, {"text": "t", "position": pos}))
+        assert op.position == "bottom-right"
+        keys.add(op.compile_key())
+    assert len(keys) == 1
+
+
+def test_watermark_text_length_capped_in_plan():
+    from imageprocessor_tpu.domain import OperationParams, OperationType
+    from imageprocessor_tpu.models.plan import normalize_op
+
+    op = normalize_op(OperationParams(
+        OperationType.WATERMARK, {"text": "x" * 70000}))
+    assert len(op.text) == 1024

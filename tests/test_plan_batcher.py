@@ -141,3 +141,17 @@ def test_deadline_batcher_separates_buckets():
     assert b.add(_item(1000, 1000)) is None  # different bucket, no flush
     assert b.pending_count() == 2
     assert len(b.flush_all()) == 2
+
+
+def test_group_key_includes_watermark_text():
+    """compile_key shares programs across texts; group_key must NOT —
+    a Group runs with its first item's plan verbatim, so batching two
+    texts together stamps both images with the first one's text."""
+    from imageprocessor_tpu.models.plan import normalize_operations as _n
+
+    a = _n([OperationParams(OperationType.WATERMARK, {"text": "one"})])
+    b = _n([OperationParams(OperationType.WATERMARK, {"text": "two"})])
+    assert a.compile_key() == b.compile_key()
+    assert a.group_key() != b.group_key()
+    assert a.group_key() == _n([OperationParams(
+        OperationType.WATERMARK, {"text": "one"})]).group_key()

@@ -196,3 +196,21 @@ def test_monitor_aborts_even_when_action_raises(monkeypatch):
     finally:
         wd.close()
     assert codes == [70]
+
+
+def test_monitor_restarts_after_close():
+    """close() stops the monitor, but sections armed AFTERWARD (the
+    pipelined worker still drains device groups during shutdown) must
+    be monitored again — a wedge during drain is the same zombie the
+    watchdog exists to kill."""
+    fired, done, action = _collector()
+    wd = Watchdog(timeout_s=0.15, action=action, poll_s=0.02)
+    with wd.armed("before-close"):
+        pass
+    wd.close()
+    try:
+        with wd.armed("drain-section"):
+            assert done.wait(3.0), "watchdog never fired after close()"
+    finally:
+        wd.close()
+    assert fired and fired[0][0] == "drain-section"
