@@ -76,10 +76,13 @@ class ImageProcessorClient:
             if watermark_text:
                 data["watermark_text"] = watermark_text
         ext = p.suffix.lower().lstrip(".")
+        # Deliberate duplication of runtime/codecs.mime_from_path: the
+        # SDK stays import-light (codecs pulls numpy/PIL). Keep the key
+        # set in sync with the server's allowed extensions.
         ctype = content_type or {
             "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
             "gif": "image/gif", "webp": "image/webp", "bmp": "image/bmp",
-            "tiff": "image/tiff"}.get(ext, "image/jpeg")
+            "tif": "image/tiff", "tiff": "image/tiff"}.get(ext, "image/jpeg")
         with open(p, "rb") as fh:
             r = self._http.post(
                 f"{self.base_url}/api/images/upload",

@@ -73,9 +73,21 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
     """Construct the API application; injectable backends for tests
     (the reference's contract.go DI seams)."""
     init_logging(cfg.log_level)
-    meta = meta or build_metadata_store(cfg.db)
-    store = store or build_object_store(cfg.storage)
-    broker = broker or build_broker(cfg.broker)
+    # Ownership: close on cleanup ONLY what this app constructed.
+    # Injected backends (standalone mode shares them with a worker
+    # thread that outlives aiohttp's cleanup; tests reuse them across
+    # apps) belong to the caller — closing them here crashed in-flight
+    # worker jobs on closed connections during standalone shutdown.
+    owned = []
+    if meta is None:
+        meta = build_metadata_store(cfg.db)
+        owned.append(meta)
+    if store is None:
+        store = build_object_store(cfg.storage)
+        owned.append(store)
+    if broker is None:
+        broker = build_broker(cfg.broker)
+        owned.append(broker)
     broker.create_topic(cfg.broker.processing_topic, cfg.broker.partitions)
     broker.create_topic(cfg.broker.results_topic, cfg.broker.partitions)
 
@@ -113,7 +125,7 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
 
     async def on_cleanup(_app):
         pool.shutdown(wait=False)
-        for closer in (meta, store, broker):
+        for closer in owned:
             try:
                 closer.close()
             except Exception:

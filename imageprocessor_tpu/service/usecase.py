@@ -71,6 +71,10 @@ class ImageUsecase:
 
     def upload_image(self, data: bytes, filename: str, content_type: str,
                      operations: list[OperationParams]) -> Image:
+        # content_type (the client-declared header) is intentionally
+        # ignored: like the reference, stored type/format come from the
+        # 512-byte magic sniff (image/image.go:44-54) — the declared
+        # value is untrusted. The parameter stays for handler-API parity.
         if len(data) > DEFAULT_MAX_UPLOAD_SIZE:
             raise FileTooLargeError(
                 f"file too large: max size is {DEFAULT_MAX_UPLOAD_SIZE} bytes")
@@ -221,6 +225,11 @@ class ImageUsecase:
         try:
             self._retry(lambda: self.meta.update_status(
                 image_id, ImageStatus.DELETED))
+        except NotFound:
+            # A concurrent delete (client retry race) soft-deleted it
+            # between our get_image and this update: propagate as
+            # not-found so the handler answers 404, not a 500.
+            raise ImageNotFoundError(image_id)
         except Exception as exc:
             raise DatabaseError(str(exc)) from exc
         log.info("Image deleted", image_id=image_id)

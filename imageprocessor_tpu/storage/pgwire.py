@@ -280,8 +280,15 @@ class Connection:
                           "reconnect required")
         try:
             return self._query_inner(sql)
-        except (OSError, struct.error) as exc:
-            # A timeout or partial read mid-protocol leaves the stream
+        except PgError:
+            # Server-reported errors arrive in-protocol: the reader
+            # already consumed through ReadyForQuery, the stream is
+            # clean, the connection stays usable.
+            raise
+        except Exception as exc:
+            # A timeout, partial read, or mid-message parse failure
+            # (e.g. UnicodeDecodeError from non-UTF-8 bytes in a
+            # SQL_ASCII database's text column) leaves the stream
             # desynchronized: the next reader would consume THIS query's
             # buffered response as its own. Poison the connection so
             # every later use fails loudly instead of returning
@@ -390,5 +397,5 @@ def connect(dsn: str, timeout: float = 15.0) -> Connection:
     return Connection(host=u.hostname or "localhost", port=u.port or 5432,
                       user=unquote(u.username or "postgres"),
                       password=unquote(u.password or ""),
-                      dbname=(u.path or "/postgres").lstrip("/"),
+                      dbname=(u.path.lstrip("/") or "postgres"),
                       timeout=timeout)

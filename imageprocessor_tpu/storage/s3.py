@@ -139,7 +139,18 @@ class S3ObjectStore(ObjectStore):
         """Bucket ensure-on-init (minio.go:50-63)."""
         r = self._request("HEAD", f"/{self.bucket}")
         if r.status_code == 404:
-            r = self._request("PUT", f"/{self.bucket}")
+            # Real AWS S3 rejects a body-less CreateBucket outside
+            # us-east-1 (IllegalLocationConstraintException); MinIO
+            # accepts the constraint body too, so always send it when
+            # the region needs one.
+            body = b""
+            if self.region and self.region != "us-east-1":
+                body = (
+                    '<CreateBucketConfiguration xmlns="http://s3.amazonaws'
+                    '.com/doc/2006-03-01/"><LocationConstraint>'
+                    f"{self.region}</LocationConstraint>"
+                    "</CreateBucketConfiguration>").encode()
+            r = self._request("PUT", f"/{self.bucket}", body=body)
             if r.status_code not in (200, 409):
                 raise ObjectStoreError(
                     f"failed to create bucket {self.bucket}: {r.status_code}")
@@ -160,10 +171,14 @@ class S3ObjectStore(ObjectStore):
         # non-ASCII / control bytes and collapse whitespace, keeping
         # plain ASCII names readable (reference stores the raw name,
         # minio.go:84 — the SDK RFC-2047-encodes it the same way).
-        safe_name = urllib.parse.quote(" ".join(filename.split()),
+        # Truncate the RAW name before quoting: slicing the encoded
+        # string could cut mid-%XX escape and store a malformed tail.
+        # 150 chars x <=12 encoded bytes (4-byte UTF-8 worst case) stays
+        # under S3's 2 KB user-metadata cap.
+        safe_name = urllib.parse.quote(" ".join(filename.split())[:150],
                                        safe=" -._~()[]{}!@#$&+=,")
         headers = {"Content-Type": content_type or "application/octet-stream",
-                   "x-amz-meta-original-filename": safe_name[:256]}
+                   "x-amz-meta-original-filename": safe_name}
         r = self._request("PUT", self._key_path(path), body=data, headers=headers)
         if r.status_code != 200:
             raise ObjectStoreError(f"save original failed: {r.status_code}")

@@ -378,3 +378,98 @@ def test_localfs_dir_prefix_never_matches_sibling(tmp_path):
     # real directory prefixes still sweep
     store.save_processed("processed/resize/abc/1024x768.jpeg", b"gone")
     assert store.delete_objects_with_prefix("processed/resize/abc/") == 1
+
+
+def test_s3_create_bucket_sends_location_constraint(stub_s3):
+    """Real AWS S3 rejects a body-less CreateBucket outside us-east-1
+    (IllegalLocationConstraintException): the region must travel in a
+    CreateBucketConfiguration body."""
+    bodies = {}
+    orig_head, orig_put = _StubS3.do_HEAD, _StubS3.do_PUT
+
+    def head_404(self):
+        if self._key() == "newbkt" and "newbkt" not in bodies:
+            self.send_response(404)
+            self.end_headers()
+        else:
+            orig_head(self)
+
+    def put_capture(self):
+        if self._key() == "newbkt":
+            length = int(self.headers.get("Content-Length", 0))
+            bodies["newbkt"] = self.rfile.read(length)
+            self.send_response(200)
+            self.end_headers()
+        else:
+            orig_put(self)
+
+    _StubS3.do_HEAD, _StubS3.do_PUT = head_404, put_capture
+    try:
+        S3ObjectStore(endpoint=stub_s3, region="eu-west-1",
+                      access_key="k", secret_key="s",
+                      bucket="newbkt", use_ssl=False)
+    finally:
+        _StubS3.do_HEAD, _StubS3.do_PUT = orig_head, orig_put
+    assert b"<LocationConstraint>eu-west-1</LocationConstraint>" \
+        in bodies["newbkt"]
+
+
+def test_s3_metadata_filename_truncates_before_quoting(stub_s3):
+    """A long non-ASCII filename must truncate BEFORE percent-encoding —
+    slicing the encoded string could cut mid-%XX escape and store a
+    malformed metadata tail."""
+    import urllib.parse
+
+    store = S3ObjectStore(endpoint=stub_s3, region="us-east-1",
+                          access_key="k", secret_key="s",
+                          bucket="images", use_ssl=False)
+    name = "ф" * 300 + ".png"   # Cyrillic: 6 encoded chars each
+    store.save_original(name, b"data", "image/png")
+    # reconstruct what was sent: must round-trip through unquote cleanly
+    safe = urllib.parse.quote(" ".join(name.split())[:150],
+                              safe=" -._~()[]{}!@#$&+=,")
+    assert "%" not in urllib.parse.unquote(safe)
+    assert urllib.parse.unquote(safe) == name[:150]
+
+
+def test_pgwire_parse_error_poisons_connection(monkeypatch):
+    """Mid-message parse failures (UnicodeDecodeError from a SQL_ASCII
+    database's non-UTF-8 text) must poison the connection like I/O
+    errors: the stream is desynchronized, and a retry on the same
+    connection would read the aborted query's leftover rows."""
+    from imageprocessor_tpu.storage import pgwire
+
+    conn = pgwire.Connection.__new__(pgwire.Connection)
+    conn._broken = False
+
+    class _Sock:
+        def close(self):
+            pass
+
+    conn._sock = _Sock()
+    monkeypatch.setattr(
+        pgwire.Connection, "_query_inner",
+        lambda self, sql: (_ for _ in ()).throw(
+            UnicodeDecodeError("utf-8", b"\xff", 0, 1, "invalid")))
+    with pytest.raises(pgwire.PgError, match="broken mid-query"):
+        conn._query("SELECT 1")
+    assert conn._broken
+    with pytest.raises(pgwire.PgError, match="broken"):
+        conn._query("SELECT 1")
+
+
+def test_pg_dsn_bare_slash_defaults_dbname():
+    from imageprocessor_tpu.storage import pgwire
+
+    class _NoConnect(pgwire.Connection):
+        def __init__(self, **kw):
+            self.kw = kw
+
+    import unittest.mock as mock
+    with mock.patch.object(pgwire, "Connection", _NoConnect):
+        c = pgwire.connect("postgres://u:p@h/")
+        assert c.kw["dbname"] == "postgres"
+        c = pgwire.connect("postgres://u:p@h")
+        assert c.kw["dbname"] == "postgres"
+        c = pgwire.connect("postgres://u:p@h/mydb")
+        assert c.kw["dbname"] == "mydb"

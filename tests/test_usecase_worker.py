@@ -310,3 +310,27 @@ def test_delete_removes_artifacts(worker_stack):
         store.get_object(path)
     with pytest.raises(ImageNotFoundError):
         uc.get_status(img.id)
+
+
+def test_concurrent_delete_maps_to_not_found(worker_stack):
+    """Two DELETE requests racing (client retry after timeout): the
+    loser's update_status(DELETED) hits a NotFound — it must surface as
+    ImageNotFoundError (HTTP 404), not DatabaseError (500)."""
+    from imageprocessor_tpu.errors import ImageNotFoundError
+    from imageprocessor_tpu.storage.metadata import NotFound
+
+    uc, _worker, meta, _store, _broker = worker_stack
+    img = uc.upload_image(png_bytes(), "d.png", "image/png", DEFAULT_OPS)
+
+    real = meta.update_status
+
+    def racing(image_id, status):
+        # simulate the other request winning between get and update
+        raise NotFound(image_id)
+
+    meta.update_status = racing
+    try:
+        with pytest.raises(ImageNotFoundError):
+            uc.delete_image(img.id)
+    finally:
+        meta.update_status = real
