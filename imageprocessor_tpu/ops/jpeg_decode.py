@@ -234,6 +234,18 @@ def decode_jpeg_device(data: bytes, pad_hw: tuple[int, int] | None = None):
         y = jnp.clip(jnp.round(y[:img_h, :img_w]), 0, 255).astype(jnp.uint8)
         out = jnp.broadcast_to(y[None], (3, img_h, img_w))
     else:
+        # The YCbCr device math assumes luma carries the max sampling
+        # factors and chroma divides them evenly (4:4:4/4:2:2/4:4:0/
+        # 4:2:0). Spec-legal oddities (Y 1x1 + Cb 2x2, 3:2 ratios — the
+        # scanner accepts h,v in 1..4) would integer-divide to factor 0
+        # and crash with a shape error; reject them as NativeCodecError
+        # so callers fall back to the generic decoder.
+        (hy, vy), (hc, vc), (hr, vr) = (tuple(s) for s in sampling)
+        if not ((hc, vc) == (hr, vr) and hc and vc
+                and hy % hc == 0 and vy % vc == 0
+                and hy // hc in (1, 2) and vy // vc in (1, 2)):
+            raise nativecodec.NativeCodecError(
+                f"unsupported sampling layout {sampling}")
         shapes = tuple((p.shape[0] // 8, p.shape[1] // 8) for p in planes)
         out = _decode_ycbcr(
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),

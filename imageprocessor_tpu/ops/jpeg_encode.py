@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from imageprocessor_tpu.ops.jpeg_decode import _idct_basis
+from imageprocessor_tpu.ops.jpeg_decode import _clamp_extent, _idct_basis
 
 # Annex K (K.1/K.2) base quantization tables, natural (row-major) order.
 _BASE_QT_LUMA = np.array([
@@ -152,19 +152,11 @@ def _fdct_quantize_batched(planes_f32, qtab_f32):
     return c.reshape(b, hh, ww)
 
 
-def _replicate_edges(plane, valid_hw):
-    """Replicate each image's last valid row/col across the batch canvas
-    (libjpeg pads to the MCU grid the same way, so edge blocks encode
-    identically and zero-padding never rings into the image)."""
-    bsz, h, w = plane.shape
-    iy = jnp.minimum(jnp.arange(h, dtype=jnp.int32)[None],
-                     valid_hw[:, :1] - 1)
-    plane = jnp.take_along_axis(plane, iy[:, :, None], axis=1,
-                                mode="promise_in_bounds")
-    ix = jnp.minimum(jnp.arange(w, dtype=jnp.int32)[None],
-                     valid_hw[:, 1:2] - 1)
-    return jnp.take_along_axis(plane, ix[:, None, :], axis=2,
-                               mode="promise_in_bounds")
+# Replicate each image's last valid row/col across the batch canvas
+# (libjpeg pads to the MCU grid the same way, so edge blocks encode
+# identically and zero-padding never rings into the image). Same clamp
+# the decode side uses — one implementation, not two drifting copies.
+_replicate_edges = _clamp_extent
 
 
 @jax.jit

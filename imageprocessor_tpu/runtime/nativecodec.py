@@ -265,6 +265,22 @@ def decode_jpeg_planar(data: bytes, scale_num: int = 8,
     return out
 
 
+
+# Decompression-bomb gate for the coefficient paths: plane allocation is
+# sized from HEADER-claimed dims, so a few-hundred-byte crafted JPEG
+# claiming 65500x65500 would demand ~25 GB before any bucket/size check
+# runs. 100 MP comfortably covers every real upload (the generic
+# decoder's own PIL bomb guard sits at a similar scale); beyond it the
+# caller falls back to the generic path, which raises safely.
+_MAX_COEF_PIXELS = 100_000_000
+
+
+def _check_coef_dims(iw: int, ih: int) -> None:
+    if iw * ih > _MAX_COEF_PIXELS:
+        raise NativeCodecError(
+            f"header claims {iw}x{ih} ({iw * ih / 1e6:.0f} MP) — over the "
+            f"{_MAX_COEF_PIXELS / 1e6:.0f} MP coefficient-path cap")
+
 def read_jpeg_coefficients(data: bytes):
     """Entropy-decode ONLY: quantized DCT coefficient planes + quant tables.
 
@@ -290,6 +306,7 @@ def read_jpeg_coefficients(data: bytes):
                                cbw, cbh, hs, vs)
     if rc != 0:
         raise NativeCodecError(f"coef dims failed (rc={rc})")
+    _check_coef_dims(iw.value, ih.value)
     n = ncomp.value
     if n not in (1, 3):
         raise NativeCodecError(f"unsupported component count {n}")
@@ -336,6 +353,7 @@ def scan_jpeg_coefficients(data: bytes, threads: int = 0):
                                cbw, cbh, hs, vs)
     if rc != 0:
         raise NativeCodecError(f"scan dims failed (rc={rc})")
+    _check_coef_dims(iw.value, ih.value)
     n = ncomp.value
     planes = [np.zeros((cbh[c] * 8, cbw[c] * 8), dtype=np.int16)
               for c in range(n)]

@@ -40,6 +40,10 @@ void silence_output(j_common_ptr, int) {}
 
 }  // namespace
 
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>  // SSE4.2 CRC-32C intrinsics (ip_crc32c below)
+#endif
+
 extern "C" {
 
 // Returns 0 on success. Fills w/h/components from the JPEG header only.
@@ -172,7 +176,11 @@ int ip_jpeg_encode_planar(const uint8_t* planes, int w, int h,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = silence_output;
-  unsigned char* buf = nullptr;
+  // volatile: libjpeg's jpeg_mem_dest reassigns buf between setjmp and
+  // longjmp; reading a non-volatile copy after the longjmp is
+  // indeterminate (C11 7.13.2.1) — same fix as `row` in
+  // ip_jpeg_decode_planar.
+  unsigned char* volatile buf = nullptr;
   unsigned long buflen = 0;
   uint8_t* row = static_cast<uint8_t*>(malloc(static_cast<size_t>(w) * 3));
   if (row == nullptr) return 3;
@@ -183,7 +191,7 @@ int ip_jpeg_encode_planar(const uint8_t* planes, int w, int h,
     return 1;
   }
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &buf, &buflen);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&buf), &buflen);
   cinfo.image_width = static_cast<JDIMENSION>(w);
   cinfo.image_height = static_cast<JDIMENSION>(h);
   cinfo.input_components = 3;
@@ -251,7 +259,9 @@ int ip_jpeg_encode(const uint8_t* rgb, int w, int h, int stride, int quality,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = silence_output;
-  unsigned char* buf = nullptr;
+  // volatile: see ip_jpeg_encode_planar — buf is reassigned by
+  // jpeg_mem_dest between setjmp and longjmp.
+  unsigned char* volatile buf = nullptr;
   unsigned long buflen = 0;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_compress(&cinfo);
@@ -259,7 +269,7 @@ int ip_jpeg_encode(const uint8_t* rgb, int w, int h, int stride, int quality,
     return 1;
   }
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &buf, &buflen);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&buf), &buflen);
   cinfo.image_width = static_cast<JDIMENSION>(w);
   cinfo.image_height = static_cast<JDIMENSION>(h);
   cinfo.input_components = 3;
@@ -400,10 +410,6 @@ int ip_jpeg_read_coefs(const uint8_t* data, size_t len,
 // x86-64-v2 both do), byte-table fallback otherwise. Exposed so the
 // pure-Python Kafka client can validate megabyte fetch payloads at
 // native speed instead of ~5 MB/s Python-loop speed.
-#if defined(__SSE4_2__)
-#include <nmmintrin.h>
-#endif
-
 uint32_t ip_crc32c(const uint8_t* data, size_t len, uint32_t crc) {
   crc ^= 0xFFFFFFFFu;
 #if defined(__SSE4_2__)

@@ -196,8 +196,16 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
 #if defined(__SSE2__)
   const __m128i zero = _mm_setzero_si128();
   for (int r = 0; r < 8; ++r) {
-    const __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(
+    __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(
         blk + static_cast<size_t>(r) * stride));
+    // Clamp to the baseline-representable range: an out-of-range
+    // coefficient (|v| > 1023; possible only from invalid caller
+    // input) would index Huffman categories the tables don't
+    // populate, emitting orphan bits and a silently corrupt stream.
+    // Post-clamp, AC magnitudes stay <= 1023 (category <= 10) and DC
+    // diffs <= 2046 (category <= 11) — always encodable.
+    v = _mm_max_epi16(_mm_min_epi16(v, _mm_set1_epi16(1023)),
+                      _mm_set1_epi16(-1023));
     _mm_storeu_si128(reinterpret_cast<__m128i*>(nat + r * 8), v);
     // movemask gives 2 bits per int16 lane (set where the lane is 0);
     // invert and compact the even bits into a per-row non-zero byte.
@@ -214,8 +222,13 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
     memcpy(nat + r * 8, blk + static_cast<size_t>(r) * stride,
            8 * sizeof(int16_t));
     uint32_t mm = 0;
-    for (int i = 0; i < 8; ++i)
-      mm |= static_cast<uint32_t>(nat[r * 8 + i] != 0) << i;
+    for (int i = 0; i < 8; ++i) {
+      int16_t& c = nat[r * 8 + i];
+      // see the SSE path: clamp keeps every symbol table-encodable
+      if (c > 1023) c = 1023;
+      if (c < -1023) c = -1023;
+      mm |= static_cast<uint32_t>(c != 0) << i;
+    }
     nzmask |= kRowZig.t[r][mm];
   }
 #endif

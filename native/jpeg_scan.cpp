@@ -41,7 +41,12 @@ struct HuffTable {
   int16_t fast[256];  // (len << 8) | value, or -1
   bool present = false;
 
-  void build(const uint8_t* bits, const uint8_t* vals, int nvals) {
+  // Returns false for a non-canonical table: a DHT claiming more codes
+  // at some length than fit (code >= 1 << l, the same validation
+  // libjpeg's jdhuff performs). Without this check the fast-table fill
+  // below computes base = code << (8 - l) past fast[256] — a crafted
+  // ~300-byte upload could overwrite the stack-resident Decoder.
+  bool build(const uint8_t* bits, const uint8_t* vals, int nvals) {
     memcpy(values, vals, static_cast<size_t>(nvals));
     int code = 0, k = 0;
     for (int l = 1; l <= 16; ++l) {
@@ -49,6 +54,7 @@ struct HuffTable {
       mincode[l] = code;
       code += bits[l - 1];
       k += bits[l - 1];
+      if (code > (1 << l)) return false;  // over-subscribed length
       maxcode[l] = code - 1;
       code <<= 1;
     }
@@ -66,6 +72,7 @@ struct HuffTable {
       code <<= 1;
     }
     present = true;
+    return true;
   }
 };
 
@@ -231,6 +238,10 @@ struct Decoder {
     while (pos + 4 <= len) {
       if (data[pos] != 0xFF) return 11;
       uint8_t m = data[pos + 1];
+      if (m == 0xFF) {  // fill byte before a marker (T.81 B.1.1.2)
+        ++pos;
+        continue;
+      }
       pos += 2;
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) continue;
       if (m == 0x01) continue;
@@ -313,7 +324,8 @@ struct Decoder {
       for (int i = 0; i < 16; ++i) nv += bits[i];
       if (q + 17 + static_cast<size_t>(nv) > seg_end || nv > 256)
         return 18;
-      (tc == 0 ? dc[th] : ac[th]).build(bits, data + q + 17, nv);
+      if (!(tc == 0 ? dc[th] : ac[th]).build(bits, data + q + 17, nv))
+        return 18;  // non-canonical code counts
       q += 17 + static_cast<size_t>(nv);
     }
     return 0;

@@ -241,3 +241,77 @@ def test_malicious_huffman_category_rejected(table_class, value):
     evil = _patch_dht_symbols(make_jpeg(64, 64), table_class, value)
     with pytest.raises(nc.NativeCodecError):
         nc.scan_jpeg_coefficients(evil)
+
+
+def _patch_dht_bits(jpeg: bytes, bits_index: int, count: int) -> bytes:
+    """Overwrite the first DHT table's code-count at `bits_index`
+    (0-based, length = index+1 bits) with `count`, padding/truncating
+    the symbol list to match so segment framing stays valid."""
+    buf = bytearray(jpeg)
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            break
+        marker = buf[i + 1]
+        seg_len = (buf[i + 2] << 8) | buf[i + 3]
+        if marker == 0xC4:
+            q = i + 4
+            old_n = sum(buf[q + 1:q + 17])
+            new_bits = bytearray(16)
+            new_bits[bits_index] = count
+            syms = bytes(range(min(count, 256)))[:count]
+            table = bytes([buf[q]]) + bytes(new_bits) + syms
+            # splice: replace this one table, drop any siblings
+            new_seg = table
+            buf[i + 2:i + 4] = ((len(new_seg) + 2) >> 8,
+                                (len(new_seg) + 2) & 0xFF)
+            buf[q:i + 2 + seg_len] = new_seg
+            return bytes(buf)
+        i = i + 2 + seg_len
+    raise AssertionError("no DHT found")
+
+
+def test_oversubscribed_huffman_lengths_rejected():
+    """A DHT claiming more codes at a length than canonically fit
+    (e.g. 255 one-bit codes) made HuffTable::build write ~64 KB past
+    its 256-entry fast table — stack memory corruption from a crafted
+    ~300-byte upload (ASAN-confirmed). Must reject with a clean error."""
+    evil = _patch_dht_bits(make_jpeg(32, 32), 0, 255)   # 255 1-bit codes
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_coefficients(evil)
+    evil2 = _patch_dht_bits(make_jpeg(32, 32), 1, 200)  # 200 2-bit codes
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_coefficients(evil2)
+
+
+def test_header_claimed_dims_bomb_gated():
+    """A tiny JPEG whose SOF claims enormous dims must not allocate
+    header-sized coefficient planes (65500x65500 would be ~25 GB)."""
+    jpeg = bytearray(make_jpeg(32, 32))
+    i = 2
+    while i + 4 <= len(jpeg):
+        if jpeg[i] != 0xFF:
+            break
+        marker = jpeg[i + 1]
+        seg_len = (jpeg[i + 2] << 8) | jpeg[i + 3]
+        if marker in (0xC0, 0xC1, 0xC2):
+            # SOF payload: precision(1) height(2) width(2)
+            jpeg[i + 5:i + 7] = (65500).to_bytes(2, "big")
+            jpeg[i + 7:i + 9] = (65500).to_bytes(2, "big")
+            break
+        i = i + 2 + seg_len
+    with pytest.raises(nc.NativeCodecError, match="MP"):
+        nc.scan_jpeg_coefficients(bytes(jpeg))
+    with pytest.raises(nc.NativeCodecError, match="MP"):
+        nc.read_jpeg_coefficients(bytes(jpeg))
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; some
+    encoders emit them. The fast scanner must skip them in the header
+    section (it already did mid-scan) instead of failing the stream to
+    the slow path."""
+    jpeg = make_jpeg(48, 56)
+    # insert two fill bytes before the first marker after SOI
+    padded = jpeg[:2] + b"\xff\xff" + jpeg[2:]
+    assert_scan_matches_libjpeg(padded)
