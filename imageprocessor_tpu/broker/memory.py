@@ -30,6 +30,8 @@ class MemoryBroker(Broker):
         self._messages: dict[tuple[str, int], dict[int, _Stored]] = \
             defaultdict(dict)
         self._next: dict[tuple[str, int], int] = defaultdict(int)
+        # groups that have EVER polled a topic — the purge veto set
+        self._topic_groups: dict[str, set] = defaultdict(set)
         self._lock = threading.Condition()
 
     def create_topic(self, topic: str, partitions: int = 3) -> None:
@@ -56,6 +58,7 @@ class MemoryBroker(Broker):
         now = time.monotonic()
         out: list[BrokerMessage] = []
         with self._lock:
+            self._topic_groups[topic].add(group)
             # Oldest-first across partitions (offset interleave) so no
             # partition starves while another drains — Kafka's consumer
             # fairness analog.
@@ -124,16 +127,19 @@ class MemoryBroker(Broker):
         now = time.time()
         removed = 0
         with self._lock:
-            for q in self._messages.values():
+            for (topic, _p), q in self._messages.items():
+                # Veto is TOPIC-WIDE like SQLiteBroker's DISTINCT-grp
+                # subquery: every group that has EVER consumed on this
+                # topic must have acked the message — a lagging group
+                # that simply hasn't reached this offset yet (so it is
+                # in neither seen nor done) must still block the purge,
+                # or it silently loses the message.
+                consumers = self._topic_groups.get(topic, set())
                 for offset in [
                     o for o, s in q.items()
-                    # Acked tier mirrors SQLiteBroker's non-done-delivery
-                    # check: a group that has SEEN the message (leased it,
-                    # then nacked — awaiting redelivery) vetoes the purge
-                    # until it acks, even though nack() pops its lease
-                    # token.
                     if ((s.msg.enqueued_at < now - older_than_s
                          and s.done and s.seen.issubset(s.done)
+                         and consumers.issubset(s.done)
                          and not s.lease_token)
                         or s.msg.enqueued_at < now - unconsumed_ttl_s)
                 ]:
@@ -141,13 +147,40 @@ class MemoryBroker(Broker):
                     removed += 1
         return removed
 
+    def _deliverable(self, topic: str, group: str, now: float
+                     ) -> tuple[int, float | None]:
+        """(count deliverable NOW, soonest future lease expiry or None).
+        Deliverable = not acked by the group and not under an active
+        lease held by it — `depth` alone counts in-flight messages, and
+        waking on those busy-spins a full core until the lease expires."""
+        n = 0
+        next_expiry: float | None = None
+        for p in range(self._partitions(topic)):
+            for s in self._messages.get((topic, p), {}).values():
+                if group in s.done:
+                    continue
+                until = s.lease_until.get(group, 0.0)
+                if until > now:  # same gate poll applies
+                    if next_expiry is None or until < next_expiry:
+                        next_expiry = until
+                    continue
+                n += 1
+        return n, next_expiry
+
     def wait_for_messages(self, topic: str, group: str, timeout: float) -> bool:
         """Block until something may be deliverable (poll-free idle wait)."""
         deadline = time.monotonic() + timeout
         with self._lock:
-            while self.depth(topic, group) == 0:
-                remaining = deadline - time.monotonic()
+            while True:
+                now = time.monotonic()
+                n, next_expiry = self._deliverable(topic, group, now)
+                if n:
+                    return True
+                remaining = deadline - now
                 if remaining <= 0:
                     return False
+                # No notify fires when a lease merely EXPIRES — bound
+                # the wait so expiry-driven redelivery wakes on time.
+                if next_expiry is not None:
+                    remaining = min(remaining, max(next_expiry - now, 0.01))
                 self._lock.wait(remaining)
-            return True

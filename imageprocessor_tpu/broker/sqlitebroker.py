@@ -113,13 +113,15 @@ class SQLiteBroker(Broker):
                 " WHERE topic = ? AND partition = ?"
                 " RETURNING next_off - 1", (topic, p)).fetchone()
             offset = row[0]
+            created_at = time.time()
             self._conn.execute(
                 "INSERT INTO messages (topic, partition, offset, key, value,"
                 " created_at) VALUES (?,?,?,?,?,?)",
-                (topic, p, offset, key, value, time.time()))
+                (topic, p, offset, key, value, created_at))
             self._conn.commit()
         return BrokerMessage(topic=topic, partition=p, offset=offset,
-                             key=key, value=value)
+                             key=key, value=value,
+                             enqueued_at=created_at)
 
     def poll(self, topic: str, group: str, max_n: int = 1,
              lease_s: float = 60.0) -> list[BrokerMessage]:
@@ -135,10 +137,19 @@ class SQLiteBroker(Broker):
                  AND d.offset = m.offset AND d.grp = ?
                 WHERE m.topic = ?
                   AND (d.state IS NULL
-                       OR (d.state = 'leased' AND d.lease_until < ?))
+                       OR (d.state = 'leased' AND (d.lease_until < ?
+                       -- wall-clock leases must survive restarts (the
+                       -- DB outlives the process and CLOCK_MONOTONIC
+                       -- resets at boot), but a backwards NTP step then
+                       -- over-extends every lease by the step size; a
+                       -- lease further in the future than any poll
+                       -- could have granted (+5 min tolerance) is a
+                       -- clock anomaly -> treat as expired (premature
+                       -- redelivery is safe under at-least-once).
+                           OR d.lease_until > ? + ? + 300)))
                 ORDER BY m.created_at, m.partition, m.offset
                 LIMIT ?
-                """, (group, topic, now, max_n)).fetchall()
+                """, (group, topic, now, now, lease_s, max_n)).fetchall()
             for p, offset, key, value, created_at in rows:
                 token = uuid.uuid4().hex
                 self._conn.execute(

@@ -13,7 +13,7 @@ redelivery story depends on it (SURVEY.md §5 checkpoint/resume).
 
 from __future__ import annotations
 
-from imageprocessor_tpu.domain import OperationType
+from imageprocessor_tpu.domain import DEFAULT_THUMBNAIL_SIZE, OperationType
 from imageprocessor_tpu.models.plan import NormalizedOp
 
 
@@ -31,7 +31,11 @@ def generate_path(image_id: str, op: NormalizedOp, fmt: str) -> str:
     if op.type is OperationType.RESIZE:
         return f"processed/resize/{image_id}/{op.width}x{op.height}.{fmt}"
     if op.type is OperationType.THUMBNAIL:
-        size = op.size or 200
+        # normalize_op guarantees size > 0 (default applied there); the
+        # fallback only guards hand-built NormalizedOps, and must track
+        # the shared constant or deterministic paths fork on a default
+        # change.
+        size = op.size or DEFAULT_THUMBNAIL_SIZE
         return f"processed/thumbnails/{image_id}/{size}.{fmt}"
     if op.type is OperationType.WATERMARK:
         return f"processed/watermarked/{image_id}/watermarked.{fmt}"

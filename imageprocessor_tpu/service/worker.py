@@ -34,7 +34,11 @@ from imageprocessor_tpu.runtime.engine import (
     EngineResult,
     ProcessingEngine,
 )
-from imageprocessor_tpu.storage.metadata import MetadataStore, build_metadata_store
+from imageprocessor_tpu.storage.metadata import (
+    MetadataStore,
+    NotFound,
+    build_metadata_store,
+)
 from imageprocessor_tpu.storage.object_store import (
     ObjectNotFound,
     ObjectStore,
@@ -284,6 +288,27 @@ class Worker:
                   else ImageStatus.FAILED)
         try:
             self.meta.update_status(task.image_id, status)
+        except NotFound:
+            # The image was DELETED while its task processed: the
+            # delete's sweep ran before this run's writes, so the blobs
+            # and rows just (re)created are orphans nothing will ever
+            # clean. Deletion wins — undo this run's artifacts and
+            # report success so the message is ACKED (a replay can
+            # never complete and would just re-leak).
+            log.info("Image deleted mid-processing; dropping results",
+                     image_id=task.image_id)
+            for artifact in eng_res.artifacts:
+                try:
+                    self.store.delete_object(artifact.path)
+                except Exception:
+                    log.error("Failed to drop orphaned blob",
+                              path=artifact.path)
+            try:
+                self.meta.delete_processed_images(task.image_id)
+            except Exception:
+                log.error("Failed to drop orphaned processed rows",
+                          image_id=task.image_id)
+            return ok
         except Exception:
             ok = False
             log.error("Failed to update final status",

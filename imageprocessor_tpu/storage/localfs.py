@@ -38,6 +38,12 @@ class LocalFSObjectStore(ObjectStore):
         try:
             with os.fdopen(fd, "wb") as fh:
                 fh.write(data)
+                # fsync before the rename: a crash after os.replace but
+                # before the page cache flushes would otherwise leave a
+                # zero-length/partial file at the FINAL path — the name
+                # must never outlive the bytes it promises.
+                fh.flush()
+                os.fsync(fh.fileno())
             os.replace(tmp, full)
         except BaseException:
             try:

@@ -14,6 +14,32 @@ import abc
 from imageprocessor_tpu.domain import Image, ImageStatus, ProcessedImage
 
 
+# Canonical SELECT column order both backends use — ONE row-to-entity
+# mapping each, so a schema/field change cannot silently shift fields
+# in one backend only. `ts` is the backend's timestamp parser.
+IMAGE_COLUMNS = ("id, original_filename, original_size, mime_type,"
+                 " status, original_path, bucket, created_at, updated_at")
+PROCESSED_COLUMNS = ("id, image_id, operation, parameters, path, size,"
+                     " mime_type, format, status, created_at")
+
+
+def row_to_image(row, ts) -> "Image":
+    return Image(id=row[0], original_filename=row[1], original_size=row[2],
+                 mime_type=row[3], status=ImageStatus(row[4]),
+                 original_path=row[5], bucket=row[6],
+                 created_at=ts(row[7]), updated_at=ts(row[8]))
+
+
+def row_to_processed(row, ts) -> "ProcessedImage":
+    from imageprocessor_tpu.domain import OperationType
+
+    return ProcessedImage(id=row[0], image_id=row[1],
+                          operation=OperationType(row[2]),
+                          parameters=row[3] or "", path=row[4], size=row[5],
+                          mime_type=row[6], format=row[7], status=row[8],
+                          created_at=ts(row[9]))
+
+
 class MetadataError(Exception):
     pass
 

@@ -18,7 +18,12 @@ import uuid
 
 from imageprocessor_tpu.domain import Image, ImageStatus, OperationType, ProcessedImage
 from imageprocessor_tpu.storage import pgwire
-from imageprocessor_tpu.storage.metadata import MetadataStore, NotFound
+from imageprocessor_tpu.storage.metadata import (
+    MetadataStore,
+    NotFound,
+    row_to_image,
+    row_to_processed,
+)
 
 MIGRATION_SQL = """
 CREATE TABLE IF NOT EXISTS images (
@@ -133,10 +138,7 @@ class PostgresMetadataStore(MetadataStore):
             row = cur.fetchone()
         if row is None:
             raise NotFound(image_id)
-        return Image(id=row[0], original_filename=row[1], original_size=row[2],
-                     mime_type=row[3], status=ImageStatus(row[4]),
-                     original_path=row[5], bucket=row[6],
-                     created_at=_ts(row[7]), updated_at=_ts(row[8]))
+        return row_to_image(row, _ts)
 
     def update_status(self, image_id: str, status: ImageStatus) -> None:
         # Soft delete is FINAL (see sqlite_meta): late worker callbacks
@@ -181,11 +183,7 @@ class PostgresMetadataStore(MetadataStore):
             row = cur.fetchone()
         if row is None:
             return None
-        return ProcessedImage(id=row[0], image_id=row[1],
-                              operation=OperationType(row[2]),
-                              parameters=row[3] or "", path=row[4],
-                              size=row[5], mime_type=row[6], format=row[7],
-                              status=row[8], created_at=_ts(row[9]))
+        return row_to_processed(row, _ts)
 
     def list_processed(self, image_id: str) -> list[ProcessedImage]:
         with self._cursor() as cur:
@@ -194,11 +192,7 @@ class PostgresMetadataStore(MetadataStore):
                 " mime_type, format, status, created_at FROM processed_images"
                 " WHERE image_id = %s ORDER BY created_at", (image_id,))
             rows = cur.fetchall()
-        return [ProcessedImage(id=r[0], image_id=r[1],
-                               operation=OperationType(r[2]),
-                               parameters=r[3] or "", path=r[4], size=r[5],
-                               mime_type=r[6], format=r[7], status=r[8],
-                               created_at=_ts(r[9])) for r in rows]
+        return [row_to_processed(r, _ts) for r in rows]
 
     def delete_processed_images(self, image_id: str) -> None:
         with self._cursor() as cur:
@@ -214,10 +208,11 @@ class PostgresMetadataStore(MetadataStore):
                 " ORDER BY created_at DESC LIMIT %s OFFSET %s",
                 (limit, offset))
             rows = cur.fetchall()
-        return [Image(id=r[0], original_filename=r[1], original_size=r[2],
-                      mime_type=r[3], status=ImageStatus(r[4]),
-                      original_path=r[5], bucket=r[6], created_at=_ts(r[7]),
-                      updated_at=_ts(r[8])) for r in rows]
+        return [row_to_image(r, _ts) for r in rows]
 
     def close(self) -> None:
-        self._conn.close()
+        # Serialize against in-flight queries like every other method:
+        # an unlocked Terminate mid-response desyncs the single pgwire
+        # socket and loses the other thread's write.
+        with self._lock:
+            self._conn.close()

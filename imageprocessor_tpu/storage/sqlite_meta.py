@@ -15,7 +15,12 @@ import threading
 import uuid
 
 from imageprocessor_tpu.domain import Image, ImageStatus, OperationType, ProcessedImage
-from imageprocessor_tpu.storage.metadata import MetadataStore, NotFound
+from imageprocessor_tpu.storage.metadata import (
+    MetadataStore,
+    NotFound,
+    row_to_image,
+    row_to_processed,
+)
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS images (
@@ -111,11 +116,7 @@ class SQLiteMetadataStore(MetadataStore):
                 (image_id,)).fetchone()
         if row is None:
             raise NotFound(image_id)
-        return Image(
-            id=row[0], original_filename=row[1], original_size=row[2],
-            mime_type=row[3], status=ImageStatus(row[4]), original_path=row[5],
-            bucket=row[6], created_at=_parse_ts(row[7]),
-            updated_at=_parse_ts(row[8]))
+        return row_to_image(row, _parse_ts)
 
     def update_status(self, image_id: str, status: ImageStatus) -> None:
         # Soft delete is FINAL: a worker callback landing after the user
@@ -193,11 +194,7 @@ class SQLiteMetadataStore(MetadataStore):
 
     @staticmethod
     def _row_to_processed(row) -> ProcessedImage:
-        return ProcessedImage(
-            id=row[0], image_id=row[1], operation=OperationType(row[2]),
-            parameters=row[3] or "", path=row[4], size=row[5],
-            mime_type=row[6], format=row[7], status=row[8],
-            created_at=_parse_ts(row[9]))
+        return row_to_processed(row, _parse_ts)
 
     def close(self) -> None:
         with self._lock:

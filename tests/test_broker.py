@@ -324,3 +324,47 @@ def test_memory_broker_purge_vetoed_by_nacked_group():
     [db2] = b.poll("t", "gb", max_n=1)
     b.ack(db2)
     assert b.purge_done(older_than_s=0.0) == 1
+
+
+def test_memory_purge_vetoed_by_lagging_topic_group():
+    """A group active on the topic that has NOT yet leased a message
+    must veto its purge (SQLiteBroker's topic-wide DISTINCT-grp check):
+    per-message seen-sets alone silently lose the message for laggards."""
+    b = MemoryBroker(default_partitions=1)
+    # both groups are known consumers of the topic
+    b.poll("t", "fast", max_n=1)
+    b.poll("t", "slow", max_n=1)
+    b.produce("t", b"k", b"v")
+    m = b.poll("t", "fast", max_n=1)[0]
+    b.ack(m)
+    # backdate the message past the acked-tier threshold
+    for q in b._messages.values():
+        for s in q.values():
+            s.msg.enqueued_at -= 7200
+    assert b.purge_done(older_than_s=3600) == 0   # slow still owed it
+    got = b.poll("t", "slow", max_n=1)
+    assert got and got[0].value == b"v"
+    b.ack(got[0])
+    assert b.purge_done(older_than_s=3600) == 1   # now everyone acked
+
+
+def test_memory_wait_not_woken_by_inflight_leases():
+    """wait_for_messages must not treat LEASED messages as deliverable:
+    waking on them busy-spins a core until the lease expires."""
+    import time
+
+    b = MemoryBroker(default_partitions=1)
+    b.produce("t", b"k", b"v")
+    msgs = b.poll("t", "g", max_n=1, lease_s=30.0)
+    assert msgs
+    t0 = time.monotonic()
+    assert b.wait_for_messages("t", "g", timeout=0.3) is False
+    assert time.monotonic() - t0 >= 0.28   # actually waited, no spin
+
+    # and a lease EXPIRY wakes it without any notify
+    b2 = MemoryBroker(default_partitions=1)
+    b2.produce("t", b"k", b"v")
+    assert b2.poll("t", "g", max_n=1, lease_s=0.2)
+    t0 = time.monotonic()
+    assert b2.wait_for_messages("t", "g", timeout=5.0) is True
+    assert time.monotonic() - t0 < 2.0     # woke at expiry, not timeout

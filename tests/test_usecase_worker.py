@@ -334,3 +334,38 @@ def test_concurrent_delete_maps_to_not_found(worker_stack):
             uc.delete_image(img.id)
     finally:
         meta.update_status = real
+
+
+def test_delete_mid_processing_drops_orphaned_artifacts(worker_stack):
+    """Image deleted while its task processes: the delete's sweep ran
+    BEFORE the worker's writes, so the worker must undo its own
+    artifacts (blobs + rows) and ack — they were orphaned forever, and
+    the nack-replay path just re-leaked them."""
+    uc, worker, meta, store, broker = worker_stack
+    img = uc.upload_image(png_bytes(), "m.png", "image/png", DEFAULT_OPS)
+
+    real_update = meta.update_status
+    state = {"deleted": False}
+
+    def deleting_update(image_id, status):
+        if not state["deleted"]:
+            # simulate the user's DELETE landing mid-processing: the
+            # sweep + soft delete happen before the worker's final write
+            state["deleted"] = True
+            meta.update_status = real_update
+            uc.delete_image(image_id)
+        return real_update(image_id, status)
+
+    meta.update_status = deleting_update
+    assert worker.run_once() == 1
+
+    # acked (not redelivered), no processed rows, no processed blobs
+    assert broker.poll("image-processing", worker.cfg.broker.group_id,
+                       max_n=4) == []
+    assert meta.list_processed(img.id) == []
+    import os
+    proc_root = os.path.join(store.root, "processed")
+    leftovers = []
+    for dp, _dn, fn in os.walk(proc_root):
+        leftovers.extend(fn)
+    assert leftovers == []
