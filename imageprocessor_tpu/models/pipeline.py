@@ -165,7 +165,12 @@ class PipelineModel:
         self.resample_dtype = resample_dtype
 
     def _pallas_eligible(self, op: NormalizedOp, bucket: tuple[int, int]) -> bool:
-        if not self.use_pallas or bucket[1] > _PALLAS_MAX_W:
+        # bucket[0] % 8: the kernels' DMA band starts floor-8-align after
+        # clamping to src_h - band_rows; a non-multiple-of-8 height (the
+        # ladder goes exact-size past 12288) leaves the bottom band up
+        # to 7 rows short and make_args would clip onto wrong rows.
+        if (not self.use_pallas or bucket[1] > _PALLAS_MAX_W
+                or bucket[0] % 8):
             return False
         return op.type in (OperationType.RESIZE, OperationType.THUMBNAIL)
 
@@ -299,8 +304,12 @@ class PipelineModel:
 
     def supports_planar(self, plan: OperationPlan,
                         bucket: tuple[int, int]) -> bool:
-        """True when the whole plan can run in the CHW end-to-end layout."""
-        if not self.use_pallas or bucket[1] > _PALLAS_MAX_W:
+        """True when the whole plan can run in the CHW end-to-end layout.
+        bucket=(1, 1) is the plan-only probe (geometry checked later)."""
+        if not self.use_pallas:
+            return False
+        if bucket != (1, 1) and (bucket[1] > _PALLAS_MAX_W
+                                 or bucket[0] % 8):  # see _pallas_eligible
             return False
         return all(op.type in PLANAR_OPS for op in plan.ops)
 

@@ -39,9 +39,12 @@ def _rotate_arbitrary(img_u8, angle_deg: float):
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
     xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
-    # Inverse map: destination -> source
-    src_x = cos_t * xx + sin_t * yy + cx
-    src_y = -sin_t * xx + cos_t * yy + cy
+    # Inverse map: destination -> source, for a visually COUNTER-
+    # clockwise forward rotation (screen y points down) — matching the
+    # rot90 branches; the previous sign convention rotated arbitrary
+    # angles clockwise, a ~180 degree discontinuity against rotate(90).
+    src_x = cos_t * xx - sin_t * yy + cx
+    src_y = sin_t * xx + cos_t * yy + cy
     x0 = jnp.floor(src_x).astype(jnp.int32)
     y0 = jnp.floor(src_y).astype(jnp.int32)
     fx = src_x - x0
@@ -154,12 +157,21 @@ def batched_crop(imgs_u8, src_hw, x: int, y: int, width: int, height: int):
     w_i = src_hw[:, 1]
     cx = jnp.clip(jnp.int32(x), 0, jnp.maximum(w_i - 1, 0))
     cy = jnp.clip(jnp.int32(y), 0, jnp.maximum(h_i - 1, 0))
-
-    def one(img, sy, sx):
-        return jax.lax.dynamic_slice(
-            img, (sy, sx, 0), (height, width, img.shape[2]))
-
-    return jax.vmap(one)(imgs_u8, cy, cx)
+    # Clamped index gather, NOT dynamic_slice: dynamic_slice clamps the
+    # START to bucket_dim - slice_size, silently shifting the crop
+    # origin whenever the rect extends past the bucket edge (e.g.
+    # y=200 h=900 in a 1024 bucket slid up by 76 rows). Per-row clamped
+    # indices keep the origin exact; rows/cols past the image's valid
+    # extent clamp to the edge and are cropped off by finish_item.
+    bh, bw = imgs_u8.shape[1], imgs_u8.shape[2]
+    ry = jnp.clip(cy[:, None] + jnp.arange(height, dtype=jnp.int32)[None],
+                  0, bh - 1)
+    rx = jnp.clip(cx[:, None] + jnp.arange(width, dtype=jnp.int32)[None],
+                  0, bw - 1)
+    out = jnp.take_along_axis(imgs_u8, ry[:, :, None, None], axis=1,
+                              mode="promise_in_bounds")
+    return jnp.take_along_axis(out, rx[:, None, :, None], axis=2,
+                               mode="promise_in_bounds")
 
 
 def batched_rotate(imgs_u8, src_hw, angle: float):
@@ -199,8 +211,9 @@ def _batched_rotate_arbitrary(imgs_u8, src_hw, angle_deg: float):
         cy, cx = (h - 1.0) / 2.0, (w - 1.0) / 2.0
         dy = yy - cy
         dx = xx - cx
-        src_x = cos_t * dx + sin_t * dy + cx
-        src_y = -sin_t * dx + cos_t * dy + cy
+        # CCW inverse map — keep in sign-lockstep with _rotate_arbitrary
+        src_x = cos_t * dx - sin_t * dy + cx
+        src_y = sin_t * dx + cos_t * dy + cy
         x0 = jnp.floor(src_x).astype(jnp.int32)
         y0 = jnp.floor(src_y).astype(jnp.int32)
         fx = src_x - x0

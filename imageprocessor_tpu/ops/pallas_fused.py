@@ -45,7 +45,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from imageprocessor_tpu.ops.pallas_resample import _axis_coords, _round_up
+from imageprocessor_tpu.ops.pallas_resample import (
+    _axis_coords,
+    _round_up,
+    make_col_args,
+)
 
 
 @dataclass(frozen=True)
@@ -136,6 +140,15 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
                   src_w)
     cband_t = min(_round_up(int(np.ceil(128 * max_scale_w_t)) + 132, 128),
                   src_w)
+    if src_w % 128:
+        # Non-128-multiple source width with a dynamic col band: the
+        # rightmost chunk's start clamps to src_w - cband, which is then
+        # not 128-aligned — a false pl.multiple_of promise (undefined
+        # behavior on real TPU; interpret mode can't catch it). Take the
+        # full-width static-slice path instead. Unreachable from the
+        # bucket ladder today (its non-128 widths always have
+        # cband == src_w already); this guards exact-size callers.
+        cband_r = cband_t = src_w
     # 240 wins empirically with slack=16 masked stores (v5e, 12 MP,
     # batch 8, tools/kprobe.py sweep: 208:12.0k, 224:11.4k, 240:12.0k
     # x2 runs, 256:9.6k, 272:9.9k, 320:10.3k img/s): smaller per-step
@@ -154,8 +167,10 @@ def make_fused_plan(batch: int, src_h: int, src_w: int,
         vmem = (nbuf * band * src_w             # pipelined u8 bands
                 + 3 * (_round_up(r_out_h, 8) + m_r) * src_w * dt  # vband r
                 + 3 * (_round_up(t_out, 8) + m_t) * src_w * dt    # vband t
-                + (r_out_h + m_r) * _round_up(r_out_w, 128)
-                + (t_out + m_t) * _round_up(t_out, 128)
+                # output blocks are (1, 3, alloc_h, out_w) u8 — the
+                # channel factor belongs on these terms too
+                + 3 * (r_out_h + m_r) * _round_up(r_out_w, 128)
+                + 3 * (t_out + m_t) * _round_up(t_out, 128)
                 + (_round_up(r_out_w, 128) // 128) * cband_r * 128 * dt
                 + (_round_up(t_out, 128) // 128) * cband_t * 128 * dt)
         if vmem <= vmem_budget:
@@ -242,27 +257,9 @@ def _band_rows_args(plan: FusedPlan, out_len_pad: int, alloc_h: int,
             rowf.reshape(b * nb, 1, m_rows))
 
 
-def _col_args(plan_src_w: int, col_band: int, out_w_pad: int,
-              c0, c1, cf):
-    b = c0.shape[0]
-    ck = 128
-    k = out_w_pad // ck
-    colbs = np.zeros((b, k), dtype=np.int32)
-    cols0 = np.zeros((b, k * ck), dtype=np.int32)
-    cols1 = np.zeros((b, k * ck), dtype=np.int32)
-    for i in range(b):
-        for j in range(k):
-            lo_c, hi_c = j * ck, (j + 1) * ck
-            start = (int(c0[i, lo_c]) // 128) * 128
-            start = max(0, min(start, plan_src_w - col_band))
-            colbs[i, j] = start
-            cols0[i, lo_c:hi_c] = np.clip(c0[i, lo_c:hi_c] - start, 0,
-                                          col_band - 1)
-            cols1[i, lo_c:hi_c] = np.clip(c1[i, lo_c:hi_c] - start, 0,
-                                          col_band - 1)
-    return (colbs, cols0.reshape(b * k, 1, ck),
-            cols1.reshape(b * k, 1, ck),
-            cf.astype(np.float32).reshape(b * k, 1, ck))
+# One shared implementation with the standalone resample kernel —
+# the loops were identical copies and drifted bug-for-bug.
+_col_args = make_col_args
 
 
 def make_fused_args(plan: FusedPlan, src_hw: np.ndarray,

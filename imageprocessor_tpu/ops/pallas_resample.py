@@ -121,6 +121,12 @@ def make_plan(batch: int, channels: int, src_h: int, src_w: int,
     # Cap at the true width: when the cap wins the kernel slices the full
     # vband statically (narrow buckets are often not 128-multiples).
     col_band = min(_round_up(cband, 128), src_w)
+    if src_w % 128 and col_band < src_w:
+        # A dynamic col band over a non-128-multiple width would clamp
+        # the rightmost start to src_w - col_band (not 128-aligned),
+        # breaking the kernel's pl.multiple_of promise — force the
+        # full-width static path (see pallas_fused.make_fused_plan).
+        col_band = src_w
     return ResamplePlan(batch=batch, channels=channels, src_h=src_h,
                         src_w=src_w, out_h=out_h_pad, out_w=out_w_pad,
                         tile_rows=tile_rows, band_rows=band_rows,
@@ -193,19 +199,8 @@ def make_args(plan: ResamplePlan, src_hw: np.ndarray, out_hw: np.ndarray,
                                       plan.band_rows - 1)
 
     # Col bands: 128-aligned absolute starts; indices band-relative.
-    col_starts = np.zeros((b, k), dtype=np.int32)
-    cols0 = np.zeros((b, k * ck), dtype=np.int32)
-    cols1 = np.zeros((b, k * ck), dtype=np.int32)
-    for i in range(b):
-        for j in range(k):
-            lo, hi = j * ck, (j + 1) * ck
-            start = (int(c0[i, lo]) // 128) * 128
-            start = max(0, min(start, plan.src_w - plan.col_band))
-            col_starts[i, j] = start
-            cols0[i, lo:hi] = np.clip(c0[i, lo:hi] - start, 0,
-                                      plan.col_band - 1)
-            cols1[i, lo:hi] = np.clip(c1[i, lo:hi] - start, 0,
-                                      plan.col_band - 1)
+    col_starts, cols0, cols1, colf = make_col_args(
+        plan.src_w, plan.col_band, plan.out_w, c0, c1, cf)
 
     # Vector inputs are laid out (tiles, 1, lane) — the leading axis is
     # untiled in VMEM, so the kernel can index it with arbitrary dynamic
@@ -216,9 +211,37 @@ def make_args(plan: ResamplePlan, src_hw: np.ndarray, out_hw: np.ndarray,
         rows1=rows1.reshape(b * t, 1, th),
         rowf=rf.astype(np.float32).reshape(b * t, 1, th),
         col_starts=col_starts,
-        cols0=cols0.reshape(b * k, 1, ck),
-        cols1=cols1.reshape(b * k, 1, ck),
-        colf=cf.astype(np.float32).reshape(b * k, 1, ck))
+        cols0=cols0,
+        cols1=cols1,
+        colf=colf)
+
+
+def make_col_args(src_w: int, col_band: int, out_w_pad: int, c0, c1, cf):
+    """Column-band starts + band-relative indices for one horizontal
+    pass — the ONE implementation both this kernel and the fused kernel
+    use (the loops were identical copies and drifted bug-for-bug).
+    Starts stay 128-aligned by construction: make_plan forces
+    col_band == src_w whenever src_w is not a 128 multiple, so the
+    min-clamp below can only land on aligned values."""
+    b = c0.shape[0]
+    ck = 128
+    k = out_w_pad // ck
+    colbs = np.zeros((b, k), dtype=np.int32)
+    cols0 = np.zeros((b, k * ck), dtype=np.int32)
+    cols1 = np.zeros((b, k * ck), dtype=np.int32)
+    for i in range(b):
+        for j in range(k):
+            lo, hi = j * ck, (j + 1) * ck
+            start = (int(c0[i, lo]) // 128) * 128
+            start = max(0, min(start, src_w - col_band))
+            colbs[i, j] = start
+            cols0[i, lo:hi] = np.clip(c0[i, lo:hi] - start, 0,
+                                      col_band - 1)
+            cols1[i, lo:hi] = np.clip(c1[i, lo:hi] - start, 0,
+                                      col_band - 1)
+    return (colbs, cols0.reshape(b * k, 1, ck),
+            cols1.reshape(b * k, 1, ck),
+            cf.astype(np.float32).reshape(b * k, 1, ck))
 
 
 def _kernel(plan: ResamplePlan, interpret: bool):

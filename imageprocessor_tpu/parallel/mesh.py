@@ -16,7 +16,12 @@ def make_mesh(n_devices: int | None = None, space: int = 1) -> Mesh:
     frames approach HBM limits (e.g. 8K x 8K buckets on small-HBM parts).
     """
     devices = jax.devices()
-    n = n_devices or len(devices)
+    if n_devices is None:
+        n = len(devices)
+    else:
+        n = int(n_devices)
+        if n <= 0:
+            raise ValueError(f"n_devices must be positive, got {n}")
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")
     if n % space != 0:

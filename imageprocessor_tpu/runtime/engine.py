@@ -38,7 +38,6 @@ from imageprocessor_tpu.domain import (
 from imageprocessor_tpu.errors import DecodeError, UnsupportedOperationError
 from imageprocessor_tpu.models.pipeline import (
     _MAX_QUANT_SCALE,
-    _PALLAS_MAX_W,
     PipelineModel,
     plan_output_specs,
 )
@@ -386,7 +385,8 @@ class ProcessingEngine:
                 planes, qt, (w, h), samp = \
                     nativecodec.scan_jpeg_coefficients(data)
                 bucket = bucket_for(h, w)
-                if (len(planes) == 3 and bucket[1] <= _PALLAS_MAX_W
+                if (len(planes) == 3
+                        and self.model.supports_planar(plan, bucket)
                         and self._plan_scale_ok(plan, h, w)):
                     (hy, vy), (hc, vc), (hr, vr) = (tuple(s) for s in samp)
                     fh, fw = vy, hy
@@ -414,7 +414,9 @@ class ProcessingEngine:
             try:
                 w, h, _c = nativecodec.probe_jpeg(data)
                 bucket = bucket_for(h, w)
-                if (bucket[1] <= _PALLAS_MAX_W   # pallas width budget
+                # full geometry gate (width budget + band-alignable
+                # height) + downscale cap
+                if (self.model.supports_planar(plan, bucket)
                         and self._plan_scale_ok(plan, h, w)):
                     arr = nativecodec.decode_jpeg_planar(data, pad_hw=bucket)
                     return arr, "jpeg", "chw", (h, w)
