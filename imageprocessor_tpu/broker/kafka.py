@@ -731,8 +731,16 @@ class KafkaBroker(Broker):
         if leader is None:
             # Leaderless in the cached view (mid-election, or the cache
             # predates a leader change): force one refresh now so the
-            # partition doesn't stall for the life of the cache.
-            parts = dict(self._metadata(c.topic, force=True))
+            # partition doesn't stall for the life of the cache. Guarded:
+            # poll() has already re-leased redeliveries by this point —
+            # an exception escaping here would strand them for a full
+            # lease; a failed refresh just skips the partition one round.
+            try:
+                parts = dict(self._metadata(c.topic, force=True))
+            except (OSError, kw.WireError, MessageQueueError) as exc:
+                log.warn("metadata refresh failed; skipping partition",
+                         topic=c.topic, partition=pid, error=str(exc))
+                return [], None
             leader = parts.get(pid)
             if leader is None:
                 return [], None

@@ -49,6 +49,7 @@ CREATE TABLE IF NOT EXISTS deliveries (
     state TEXT NOT NULL DEFAULT 'leased',   -- leased | done
     token TEXT NOT NULL,
     lease_until REAL NOT NULL,
+    lease_len REAL NOT NULL DEFAULT 0,      -- granted duration (clock guard)
     PRIMARY KEY (topic, partition, offset, grp)
 );
 CREATE INDEX IF NOT EXISTS idx_deliveries_grp
@@ -74,6 +75,13 @@ class SQLiteBroker(Broker):
             self._conn.execute("PRAGMA journal_mode=WAL")
             self._conn.execute("PRAGMA synchronous=NORMAL")
             self._conn.executescript(_SCHEMA)
+            try:
+                # legacy databases created before the clock-guard column
+                self._conn.execute("ALTER TABLE deliveries"
+                                   " ADD COLUMN lease_len REAL"
+                                   " NOT NULL DEFAULT 0")
+            except sqlite3.OperationalError:
+                pass  # column already exists
             self._conn.commit()
 
     def create_topic(self, topic: str, partitions: int = 3) -> None:
@@ -141,12 +149,14 @@ class SQLiteBroker(Broker):
                        -- wall-clock leases must survive restarts (the
                        -- DB outlives the process and CLOCK_MONOTONIC
                        -- resets at boot), but a backwards NTP step then
-                       -- over-extends every lease by the step size; a
-                       -- lease further in the future than any poll
-                       -- could have granted (+5 min tolerance) is a
-                       -- clock anomaly -> treat as expired (premature
-                       -- redelivery is safe under at-least-once).
-                           OR d.lease_until > ? + ? + 300)))
+                       -- over-extends every lease by the step size: a
+                       -- lease further in the future than ITS OWN
+                       -- granted duration (+5 min tolerance; the
+                       -- current poll's lease_s covers legacy rows with
+                       -- no recorded duration) is a clock anomaly ->
+                       -- treat as expired (premature redelivery is safe
+                       -- under at-least-once).
+                           OR d.lease_until > ? + MAX(d.lease_len, ?) + 300)))
                 ORDER BY m.created_at, m.partition, m.offset
                 LIMIT ?
                 """, (group, topic, now, now, lease_s, max_n)).fetchall()
@@ -154,12 +164,14 @@ class SQLiteBroker(Broker):
                 token = uuid.uuid4().hex
                 self._conn.execute(
                     "INSERT INTO deliveries (topic, partition, offset, grp,"
-                    " state, token, lease_until) VALUES (?,?,?,?,'leased',?,?)"
+                    " state, token, lease_until, lease_len)"
+                    " VALUES (?,?,?,?,'leased',?,?,?)"
                     " ON CONFLICT (topic, partition, offset, grp) DO UPDATE"
                     " SET token = excluded.token,"
                     "     lease_until = excluded.lease_until,"
+                    "     lease_len = excluded.lease_len,"
                     "     state = 'leased'",
-                    (topic, p, offset, group, token, now + lease_s))
+                    (topic, p, offset, group, token, now + lease_s, lease_s))
                 out.append(BrokerMessage(topic=topic, partition=p,
                                          offset=offset, key=key or b"",
                                          value=value, token=token,

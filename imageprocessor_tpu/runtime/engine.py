@@ -471,11 +471,19 @@ class ProcessingEngine:
                 continue
             arr, detected, layout, valid_hw = dec
             plan = plans[i]
-            fmt = (task.format or detected or "jpeg").lower()
-            items.append(BatchItem(item_id=str(i), image=arr,
-                                   plan_key=plan.group_key(),
-                                   payload=(i, task, fmt, plan),
-                                   layout=layout, valid_hw=valid_hw))
+            try:
+                # e.g. a non-string Format in the wire payload: fail
+                # THIS task, not the whole batch (the same guard the
+                # pipelined worker's staging has — an escape here would
+                # abort healthy batchmates and crash-loop on
+                # redelivery).
+                fmt = (task.format or detected or "jpeg").lower()
+                items.append(BatchItem(item_id=str(i), image=arr,
+                                       plan_key=plan.group_key(),
+                                       payload=(i, task, fmt, plan),
+                                       layout=layout, valid_hw=valid_hw))
+            except Exception as exc:
+                results[i] = self._failed(task, f"Operation failed: {exc}")
 
         # 2. group + run fused programs — with PER-GROUP isolation: one
         # group's device failure must not abort batchmates in other
@@ -744,7 +752,11 @@ class ProcessingEngine:
                         hw[i] = (max(th, 1), max(tw, 1))
                     else:
                         hw[i] = (op.height, op.width)
-                hw[len(group.items):] = (1, 1)
+                # Pad rows mirror the LAST REAL image (pack duplicates
+                # its pixels into pad rows too): out=(1,1) pads made the
+                # pad rows look like a bogus >32x downscale, kicking
+                # every non-power-of-two group off the Pallas path.
+                hw[len(group.items):] = hw[max(len(group.items) - 1, 0)]
                 out_hws[oi] = hw
             elif op.type is OperationType.THUMBNAIL and not op.crop_to_fit:
                 hw = np.zeros((b, 2), dtype=np.int32)
@@ -754,7 +766,9 @@ class ProcessingEngine:
                     tw, th = thumbnail_dims(w, h, op.size)
                     hw[i] = (th, tw)
                     long_side = max(long_side, th, tw)
-                hw[len(group.items):] = (1, 1)
+                # see the resize branch: pad rows mirror the last real
+                # image so padding never distorts the scale gates
+                hw[len(group.items):] = hw[max(len(group.items) - 1, 0)]
                 out_hws[oi] = hw
                 aspect_long[oi] = long_side
             elif op.type is OperationType.CROP:

@@ -111,15 +111,11 @@ def main(argv: list[str] | None = None) -> int:
                 shutdown_timeout=cfg.server.shutdown_timeout_s, print=None)
     worker.stop()
     thread.join(timeout=5)
-    # Backends are owned HERE (injected into build_app, which therefore
-    # does not close them): close only after the worker thread is done,
-    # so a mid-image job never writes to a closed connection.
+    # Backends are owned by the worker side (build_app does not close
+    # injected ones); worker.close() closes meta/store/broker — only
+    # after the thread joined, so a mid-image job never writes to a
+    # closed connection.
     worker.close()
-    for closer in (meta, store, broker):
-        try:
-            closer.close()
-        except Exception:
-            pass
     return 0
 
 

@@ -272,3 +272,20 @@ def test_nonfinite_params_fail_task_not_batch(engine):
     assert results[0].result.status is ImageStatus.FAILED
     assert "finite" in results[0].result.error
     assert results[1].result.status is ImageStatus.COMPLETED
+
+
+def test_bad_format_field_fails_task_not_batch(engine):
+    """A non-string Format must fail only its own task in the BATCH
+    worker path too (the pipelined worker's guard was added first; the
+    same poison used to abort the whole process_tasks batch)."""
+    eng, store = engine
+    data, _arr = png_bytes(48, 64)
+    bad = ProcessingTask(
+        id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+        original_path="x", bucket="images",
+        operations=[OperationParams(OperationType.THUMBNAIL, {"size": 24})],
+        format=5)   # non-string, as from a doctored wire payload
+    good = default_task()
+    results = eng.process_tasks([(bad, data), (good, data)])
+    assert results[0].result.status is ImageStatus.FAILED
+    assert results[1].result.status is ImageStatus.COMPLETED

@@ -141,3 +141,34 @@ def test_steep_downscale_routed_off_planar_path(planar_engine):
         assert got.shape == want.shape
         assert psnr(got, want) > 45.0
     ref_eng.close()
+
+
+def test_padded_batch_keeps_planar_path(planar_engine):
+    """A non-power-of-two group is batch-padded; pad rows mirror the
+    last real image in src_hw but their out dims were (1,1) — which
+    looked like a bogus >32x downscale and silently kicked EVERY padded
+    group off the planar/Pallas path (host transpose + XLA fallback)."""
+    from imageprocessor_tpu.runtime.batcher import BatchItem, group_items
+
+    eng, store = planar_engine
+    ops = [
+        OperationParams(OperationType.THUMBNAIL,
+                        {"size": 64, "crop_to_fit": True}),
+        OperationParams(OperationType.RESIZE,
+                        {"width": 128, "height": 96, "keep_aspect": True}),
+    ]
+    from imageprocessor_tpu.models.plan import normalize_operations
+    plan = normalize_operations(ops)
+    items = []
+    for i in range(3):   # 3 pads to 4 in quantize_batch
+        task, data, _src = jpeg_task(200, 256, ops)
+        arr, detected, layout, valid_hw = eng.decode_for_plan(data, plan)
+        assert layout == "chw"
+        items.append(BatchItem(item_id=str(i), image=arr,
+                               plan_key=plan.group_key(),
+                               payload=(i, task, "jpeg", plan),
+                               layout=layout, valid_hw=valid_hw))
+    groups = list(group_items(items, max_batch=8))
+    assert len(groups) == 1
+    _plan, _outs, _out_hws, layout = eng.device_group(groups[0])
+    assert layout == "chw"   # stayed planar despite batch padding
