@@ -27,8 +27,9 @@ class ConfigError(ValueError):
     pass
 
 
-_DURATION_RE = re.compile(r"(\d+(?:\.\d+)?)(ms|s|m|h)")
-_DURATION_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+_DURATION_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|\u00b5s|ms|s|m|h)")
+_DURATION_UNITS = {"ns": 1e-9, "us": 1e-6, "\u00b5s": 1e-6,
+                   "ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
 
 
 def parse_duration(value: str) -> float:
@@ -50,7 +51,15 @@ def parse_duration(value: str) -> float:
 
 
 def _parse_bool(value: str) -> bool:
-    return value.strip().lower() in ("1", "true", "yes", "on")
+    """Strict: unknown values raise instead of silently meaning False —
+    MINIO_USE_SSL=enabled quietly parsing to False would send
+    credentials over plaintext with no warning."""
+    v = value.strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"expected a boolean (true/false/1/0/yes/no/on/off), got {value!r}")
 
 
 @dataclass
@@ -285,6 +294,15 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
         errors.append("WORKER_BATCH_SIZE must be >= 1")
     if cfg.worker.device_step_timeout_s < 0:
         errors.append("DEVICE_STEP_TIMEOUT must be >= 0 (0 disables)")
+    try:
+        port = cfg.server.port
+        if not (0 < port < 65536):
+            errors.append(f"SERVER_PORT must be 1..65535, got {port}")
+    except ValueError:
+        errors.append(f"SERVER_PORT must be a port number, got {cfg.server.addr!r}")
+    if cfg.device.compute_dtype not in ("bfloat16", "float32"):
+        errors.append("DEVICE_COMPUTE_DTYPE must be bfloat16|float32, "
+                      f"got {cfg.device.compute_dtype!r}")
 
     if errors:
         raise ConfigError("config validation failed: " + "; ".join(errors))

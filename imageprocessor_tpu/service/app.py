@@ -96,7 +96,32 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
                            retries=cfg.retry_strategy())
     handlers = ImageHandlers(usecase)
 
-    app = web.Application(middlewares=[recovery_middleware, logging_middleware],
+    # SERVER_READ_TIMEOUT/SERVER_WRITE_TIMEOUT map onto one whole-
+    # request deadline (reference: http.Server Read/WriteTimeout,
+    # app.go:79-89): aiohttp has no per-phase knobs, and an unbounded
+    # handler lets a slow-loris upload hold a connection forever while
+    # the operator believes the configured bound is enforced.
+    request_deadline_s = max(
+        0.0, float(cfg.server.read_timeout_s + cfg.server.write_timeout_s))
+
+    @web.middleware
+    async def timeout_middleware(request: web.Request, handler):
+        if request_deadline_s <= 0:
+            return await handler(request)
+        try:
+            async with asyncio.timeout(request_deadline_s):
+                return await handler(request)
+        except TimeoutError:
+            log.warn("Request deadline exceeded", path=request.path,
+                     deadline_s=request_deadline_s)
+            return web.json_response(
+                {"error": "Request Timeout",
+                 "message": "request exceeded the server deadline"},
+                status=408)
+
+    app = web.Application(middlewares=[recovery_middleware,
+                                       timeout_middleware,
+                                       logging_middleware],
                           client_max_size=DEFAULT_UPLOAD_LIMIT)
     pool = ThreadPoolExecutor(max_workers=8, thread_name_prefix="io")
 

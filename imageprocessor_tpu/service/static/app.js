@@ -121,8 +121,22 @@ class ImageBoard {
     try {
       const r = await fetch("/api/images?limit=100");
       if (!r.ok) return;
-      for (const item of await r.json()) this.items.set(item.id, item);
-      this.render();
+      const fresh = await r.json();
+      const present = new Set(fresh.map((it) => it.id));
+      let changed = false;
+      // prune rows deleted elsewhere (another tab) or pushed past the
+      // list window -- pollPending only notices pending-status 404s
+      for (const id of [...this.items.keys()]) {
+        if (!present.has(id)) { this.items.delete(id); changed = true; }
+      }
+      for (const item of fresh) {
+        const prev = this.items.get(item.id);
+        if (!prev || prev.status !== item.status) changed = true;
+        this.items.set(item.id, item);
+      }
+      // re-render only on actual change: an unconditional rebuild every
+      // 5 s wipes selection/focus and drops clicks mid-rebuild
+      if (changed) this.render();
     } catch { /* server unreachable; retry on next poll */ }
   }
 
@@ -151,8 +165,15 @@ class ImageBoard {
 
   async remove(id) {
     if (!confirm("Delete this image and all processed versions?")) return;
-    const r = await fetch(`/api/images/${id}`, { method: "DELETE" });
-    if (r.status === 204) {
+    let r;
+    try {
+      r = await fetch(`/api/images/${id}`, { method: "DELETE" });
+    } catch {
+      alert("Delete failed: server unreachable");
+      return;
+    }
+    if (r.status === 204 || r.status === 404) {
+      // 404 = already deleted elsewhere; drop the row either way and
       // free the dedup slot so the same file can be re-uploaded
       const item = this.items.get(id);
       if (item && this.uploaded) {
@@ -160,6 +181,8 @@ class ImageBoard {
       }
       this.items.delete(id);
       this.render();
+    } else {
+      alert(`Delete failed (HTTP ${r.status})`);
     }
   }
 
@@ -200,7 +223,13 @@ class ImageBoard {
 
   async view(id, op) {
     const url = op ? `/api/images/${id}?operation=${op}` : `/api/images/${id}`;
-    const r = await fetch(url);
+    let r;
+    try {
+      r = await fetch(url);
+    } catch {
+      alert("Server unreachable");
+      return;
+    }
     if (!r.ok) {
       alert(op ? "Processed version not found (still processing?)"
                : "Image not found");

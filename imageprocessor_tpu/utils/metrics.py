@@ -38,21 +38,27 @@ class Metrics:
                     samples[j] = value
 
     def snapshot(self) -> dict:
+        # Copy under the lock, sort OUTSIDE it: sorting ~10 reservoirs
+        # of 2048 samples under the one global mutex stalls every
+        # hot-path observe()/inc() for the whole scrape on the 1-core
+        # host.
         with self._lock:
-            out: dict = {"counters": dict(self._counters), "timings": {}}
-            for name, samples in self._samples.items():
-                if not samples:
-                    continue
-                s = sorted(samples)
-                n = len(s)
-                out["timings"][name] = {
-                    "count": self._counts[name],
-                    "p50": s[n // 2],
-                    "p90": s[min(int(n * 0.9), n - 1)],
-                    "p99": s[min(int(n * 0.99), n - 1)],
-                    "max": s[-1],
-                }
-            return out
+            counters = dict(self._counters)
+            counts = dict(self._counts)
+            sampled = {name: list(s) for name, s in self._samples.items()
+                       if s}
+        out: dict = {"counters": counters, "timings": {}}
+        for name, samples in sampled.items():
+            s = sorted(samples)
+            n = len(s)
+            out["timings"][name] = {
+                "count": counts.get(name, n),
+                "p50": s[n // 2],
+                "p90": s[min(int(n * 0.9), n - 1)],
+                "p99": s[min(int(n * 0.99), n - 1)],
+                "max": s[-1],
+            }
+        return out
 
     def prometheus_text(self) -> str:
         """Prometheus text exposition (0.0.4) of the same snapshot the
