@@ -171,6 +171,10 @@ class _Consumer:
         self.partitions: list[int] = []
         self.positions: dict[int, int] = {}
         self.committed: dict[int, int] = {}
+        self.dirty: dict[int, int] = {}   # pid -> uncommitted watermark
+        # window starts at consumer creation (0.0 would make the first
+        # ack flush immediately — monotonic() is far past any interval)
+        self.last_commit = time.monotonic()
         # (partition, offset) -> _InFlight, insertion-ordered per partition
         self.inflight: dict[tuple[int, int], _InFlight] = {}
         self.joined = False
@@ -181,13 +185,27 @@ class _Consumer:
 class KafkaBroker(Broker):
     def __init__(self, cfg=None, *, brokers: list[str] | None = None,
                  client_id: str = "imageprocessor-tpu",
-                 default_partitions: int = 3):
+                 default_partitions: int = 3,
+                 commit_interval_ms: int = 0):
         if brokers is None:
             if cfg is None or not getattr(cfg, "brokers", None):
                 raise MessageQueueError("KAFKA_BROKERS not configured")
             brokers = list(cfg.brokers)
             default_partitions = getattr(cfg, "partitions",
                                          default_partitions)
+            commit_interval_ms = getattr(cfg, "commit_interval_ms",
+                                         commit_interval_ms)
+        # Commit coalescing (KAFKA_COMMIT_INTERVAL): 0 = every ack
+        # commits synchronously (strongest restart semantics, right for
+        # the in-process/dev brokers where the RTT is ~0). >0 = batch
+        # watermark commits, flushing at most every interval (plus on
+        # rebalance and close): against a remote broker each ack's
+        # OffsetCommit RTT under the client-wide lock otherwise caps
+        # pipelined completions at ~1/RTT and serializes stage 3 against
+        # stage 1's polls. At-least-once is unaffected — a crash before
+        # a flush only REDELIVERS already-acked messages, never loses
+        # one (processing is idempotent; deterministic output paths).
+        self._commit_interval_s = max(0.0, commit_interval_ms / 1000.0)
         self._bootstrap = [self._parse_addr(b) for b in brokers]
         self._client_id = client_id
         self._default_partitions = default_partitions
@@ -814,7 +832,13 @@ class KafkaBroker(Broker):
             if c.joined and not self._heartbeat_ok(c):
                 c.joined = False
             if not c.joined:
+                # flush BEFORE rejoining: a generation bump fences the
+                # old member id, and uncommitted watermarks would
+                # redeliver already-acked work to the new assignment
+                self._maybe_flush_commits(c, force=True)
                 self._join(c)
+            elif self._commit_interval_s > 0:
+                self._maybe_flush_commits(c)
 
             now = time.monotonic()
             out: list[BrokerMessage] = []
@@ -915,11 +939,34 @@ class KafkaBroker(Broker):
                 del c.inflight[key2]
             if wm != c.committed.get(pid, 0):
                 c.committed[pid] = wm
-                try:
-                    self._offset_commit(c, pid, wm)
-                except (OSError, kw.WireError, MessageQueueError) as exc:
-                    log.error("offset commit failed", error=str(exc))
+                if self._commit_interval_s <= 0:
+                    try:
+                        self._offset_commit(c, pid, wm)
+                    except (OSError, kw.WireError,
+                            MessageQueueError) as exc:
+                        log.error("offset commit failed", error=str(exc))
+                else:
+                    c.dirty[pid] = wm
+                    self._maybe_flush_commits(c)
             return True
+
+    def _maybe_flush_commits(self, c: _Consumer,
+                             force: bool = False) -> None:
+        """Coalesced-commit flush (caller holds the lock): push dirty
+        watermarks when the interval elapsed, a rebalance is about to
+        change the generation, or the client is closing."""
+        if not c.dirty:
+            return
+        now = time.monotonic()
+        if not force and now - c.last_commit < self._commit_interval_s:
+            return
+        for pid, wm in list(c.dirty.items()):
+            try:
+                self._offset_commit(c, pid, wm)
+                del c.dirty[pid]
+            except (OSError, kw.WireError, MessageQueueError) as exc:
+                log.error("offset commit failed", error=str(exc))
+        c.last_commit = now
 
     def nack(self, msg: BrokerMessage) -> None:
         with self._lock:
@@ -951,6 +998,7 @@ class KafkaBroker(Broker):
     def close(self) -> None:
         with self._lock:
             for (topic, group), c in self._consumers.items():
+                self._maybe_flush_commits(c, force=True)
                 if c.joined:
                     try:
                         coord = self._coordinator(group)

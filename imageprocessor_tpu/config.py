@@ -116,6 +116,13 @@ class BrokerConfig:
     results_topic: str = "image-processed"
     group_id: str = "image-processor-group"
     partitions: int = 3  # reference creates 3-partition topics (Makefile:24-25)
+    # 0 = commit on every ack (dev/in-process brokers; RTT ~0).
+    # >0 = coalesce watermark commits to at most one per interval per
+    # partition (remote brokers: each ack's commit RTT otherwise caps
+    # completions at ~1/RTT); flushed on rebalance/close. A crash
+    # before a flush only REDELIVERS acked work (idempotent), never
+    # loses it.
+    commit_interval_ms: int = 0
 
 
 @dataclass
@@ -240,6 +247,10 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
     cfg.broker.results_topic = env.get("KAFKA_RESULTS_TOPIC", cfg.broker.results_topic)
     cfg.broker.group_id = env.get("KAFKA_GROUP_ID", cfg.broker.group_id)
     cfg.broker.partitions = _get(env, "BROKER_PARTITIONS", int, cfg.broker.partitions, errors)
+    cfg.broker.commit_interval_ms = _get(
+        env, "KAFKA_COMMIT_INTERVAL",
+        lambda v: int(parse_duration(v) * 1000),
+        cfg.broker.commit_interval_ms, errors)
 
     cfg.worker.concurrency = _get(env, "WORKER_CONCURRENCY", int, cfg.worker.concurrency, errors)
     cfg.worker.batch_size = _get(env, "WORKER_BATCH_SIZE", int, cfg.worker.batch_size, errors)

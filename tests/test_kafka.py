@@ -683,3 +683,59 @@ def test_dead_member_evicted_after_session_timeout(monkeypatch):
         a.close()
         b.close()
         s.close()
+
+
+def test_commit_coalescing_defers_and_flushes():
+    """KAFKA_COMMIT_INTERVAL > 0: acks advance the local watermark but
+    OffsetCommit is deferred (each ack's RTT under the client lock
+    otherwise caps pipelined completions at ~1/RTT on remote brokers);
+    close() flushes, so a clean restart resumes past the acked work.
+    A crash before the flush only redelivers — verified by the second
+    client seeing the pre-flush committed offset."""
+    s = KafkaServer(default_partitions=1)
+    topic, group = "coal", "g"
+    a = KafkaBroker(brokers=[s.address], commit_interval_ms=3_600_000)
+    probe = KafkaBroker(brokers=[s.address])
+    try:
+        a.create_topic(topic, 1)
+        for i in range(3):
+            a.produce(topic, b"k", f"v{i}".encode())
+        got = []
+        deadline = time.monotonic() + 10
+        while len(got) < 3 and time.monotonic() < deadline:
+            for m in a.poll(topic, group, max_n=5):
+                got.append(m)
+                a.ack(m)
+        assert len(got) == 3
+        # deferred: the broker still has no committed offset
+        assert probe._offset_fetch(group, topic, [0]).get(0, 0) == 0
+        a.close()   # flush
+        assert probe._offset_fetch(group, topic, [0]).get(0, 0) == 3
+    finally:
+        a.close()
+        probe.close()
+        s.close()
+
+
+def test_commit_default_stays_synchronous():
+    """Default (interval 0) keeps the strongest semantics: every ack's
+    watermark is committed before ack() returns."""
+    s = KafkaServer(default_partitions=1)
+    topic, group = "sync", "g"
+    a = KafkaBroker(brokers=[s.address])
+    probe = KafkaBroker(brokers=[s.address])
+    try:
+        a.create_topic(topic, 1)
+        a.produce(topic, b"k", b"v0")
+        deadline = time.monotonic() + 10
+        acked = False
+        while not acked and time.monotonic() < deadline:
+            for m in a.poll(topic, group, max_n=1):
+                a.ack(m)
+                acked = True
+        assert acked
+        assert probe._offset_fetch(group, topic, [0]).get(0, 0) == 1
+    finally:
+        a.close()
+        probe.close()
+        s.close()
