@@ -105,6 +105,11 @@ class StorageConfig:
     secret_key: str = ""
     bucket: str = "images"
     use_ssl: bool = False
+    # fsync each object before the atomic rename (default): a crash
+    # can otherwise commit a name whose bytes never reached disk.
+    # LOCALFS_FSYNC=0 trades that durability for ~10-15 ms lower
+    # per-image latency on slow disks (dev/throwaway deployments).
+    localfs_fsync: bool = True
 
 
 @dataclass
@@ -238,6 +243,8 @@ def load(env: Mapping[str, str] | None = None, *, require: bool = False) -> Conf
     cfg.storage.secret_key = env.get("MINIO_SECRET_KEY", cfg.storage.secret_key)
     cfg.storage.bucket = env.get("MINIO_BUCKET", cfg.storage.bucket)
     cfg.storage.use_ssl = _get(env, "MINIO_USE_SSL", _parse_bool, cfg.storage.use_ssl, errors)
+    cfg.storage.localfs_fsync = _get(env, "LOCALFS_FSYNC", _parse_bool,
+                                     cfg.storage.localfs_fsync, errors)
 
     cfg.broker.backend = env.get("BROKER_BACKEND", cfg.broker.backend).lower()
     cfg.broker.sqlite_path = env.get("BROKER_SQLITE_PATH", cfg.broker.sqlite_path)

@@ -24,8 +24,9 @@ from imageprocessor_tpu.storage.object_store import (
 
 
 class LocalFSObjectStore(ObjectStore):
-    def __init__(self, root: str):
+    def __init__(self, root: str, fsync: bool = True):
         self.root = os.path.abspath(root)
+        self.fsync = fsync
         os.makedirs(self.root, exist_ok=True)
         self._lock = threading.Lock()
 
@@ -38,12 +39,15 @@ class LocalFSObjectStore(ObjectStore):
         try:
             with os.fdopen(fd, "wb") as fh:
                 fh.write(data)
-                # fsync before the rename: a crash after os.replace but
-                # before the page cache flushes would otherwise leave a
-                # zero-length/partial file at the FINAL path — the name
-                # must never outlive the bytes it promises.
-                fh.flush()
-                os.fsync(fh.fileno())
+                if self.fsync:
+                    # fsync before the rename: a crash after os.replace
+                    # but before the page cache flushes would otherwise
+                    # leave a zero-length/partial file at the FINAL path
+                    # — the name must never outlive the bytes it
+                    # promises. LOCALFS_FSYNC=0 opts out (~10-15 ms per
+                    # image on slow disks).
+                    fh.flush()
+                    os.fsync(fh.fileno())
             os.replace(tmp, full)
         except BaseException:
             try:

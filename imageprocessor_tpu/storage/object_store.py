@@ -113,7 +113,8 @@ def build_object_store(cfg) -> ObjectStore:
     """Factory from a StorageConfig (imageprocessor_tpu.config)."""
     if cfg.backend == "localfs":
         from imageprocessor_tpu.storage.localfs import LocalFSObjectStore
-        return LocalFSObjectStore(cfg.localfs_root)
+        return LocalFSObjectStore(cfg.localfs_root,
+                                  fsync=getattr(cfg, 'localfs_fsync', True))
     if cfg.backend == "s3":
         from imageprocessor_tpu.storage.s3 import S3ObjectStore
         return S3ObjectStore(
