@@ -8,8 +8,8 @@ PY ?= python
 # shipped .so can SIGILL on older CPUs.
 NATIVE_ARCH ?= native
 
-.PHONY: test test-fast lint bench bench-smoke standalone api worker \
-        dryrun shardcheck native clean
+.PHONY: test test-fast bench bench-smoke standalone api worker \
+        dryrun shardcheck native clean docker-up docker-down
 
 native:
 	g++ -O3 -march=$(NATIVE_ARCH) -shared -fPIC -pthread \
@@ -20,7 +20,7 @@ test:
 	$(PY) -m pytest tests/ -q
 
 test-fast:
-	$(PY) -m pytest tests/ -q -x --ignore=tests/test_service_e2e.py
+	$(PY) -m pytest tests/ -q -x --ignore=tests/test_service_e2e.py --ignore=tests/test_client.py
 
 bench:
 	$(PY) bench.py

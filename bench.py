@@ -52,6 +52,28 @@ def make_inputs(batch: int, src_h: int, src_w: int, bucket_h: int,
     return imgs, src_hw
 
 
+
+def _slope_per_batch_s(timed) -> tuple[float, int]:
+    """Chained-dependency slope timing shared by both device benches:
+    calibrate the chain so device work dwarfs RPC jitter (~0.1 s), then
+    average two (big - small) / (k_big - k_small) slopes. `timed(k)`
+    runs a k-iteration chain and returns wall seconds. Returns
+    (seconds per iteration, k_big used)."""
+    k_small = 4
+    timed(k_small)
+    k_big = 16
+    tb = timed(k_big)
+    while tb < 1.5 and k_big < 1024:
+        k_big *= 4
+        tb = timed(k_big)
+    slopes = []
+    for _ in range(2):
+        ts = timed(k_small)
+        tb = timed(k_big)
+        slopes.append(max((tb - ts) / (k_big - k_small), 1e-9))
+    return sum(slopes) / len(slopes), k_big
+
+
 def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
                           resize_to=(768, 1024), thumb=200):
     """Time the PRODUCTION fused step (PipelineModel: Pallas resample +
@@ -154,22 +176,8 @@ def bench_device_pipeline(batch: int, iters: int, src_hw_px=(3000, 4000),
         return time.monotonic() - t0
 
     _progress("calibrating chain length")
-    # Calibrate the chain so device work dwarfs RPC jitter (~0.1 s).
-    k_small = 4
-    _timed(k_small)
-    k_big = 16
-    tb = _timed(k_big)
-    while tb < 1.5 and k_big < 1024:
-        k_big *= 4
-        tb = _timed(k_big)
-
-    _progress(f"measuring (k_small={k_small}, k_big={k_big})")
-    slopes = []
-    for _ in range(2):
-        ts = _timed(k_small)
-        tb = _timed(k_big)
-        slopes.append(max((tb - ts) / (k_big - k_small), 1e-9))
-    per_batch_s = sum(slopes) / len(slopes)
+    per_batch_s, k_big = _slope_per_batch_s(_timed)
+    _progress(f"measured (k_big={k_big})")
     device_rate = batch / per_batch_s
     slope_rate = device_rate
 
@@ -336,19 +344,8 @@ def bench_device_jpeg_step(batch: int, src_hw_px=(3000, 4000),
         np.asarray(loop_j(yc_dev, k).reshape(-1)[0])
         return time.monotonic() - t0
 
-    k_small, k_big = 4, 16
-    _timed(k_small)
-    tb = _timed(k_big)
-    while tb < 1.5 and k_big < 1024:
-        k_big *= 4
-        tb = _timed(k_big)
-    _progress(f"device-jpeg step: measuring (k_big={k_big})")
-    slopes = []
-    for _ in range(2):
-        ts = _timed(k_small)
-        tb = _timed(k_big)
-        slopes.append(max((tb - ts) / (k_big - k_small), 1e-9))
-    per_batch_s = sum(slopes) / len(slopes)
+    per_batch_s, k_big = _slope_per_batch_s(_timed)
+    _progress(f"device-jpeg step: measured (k_big={k_big})")
     return {"device_jpeg_step_images_per_sec": batch / per_batch_s,
             "batch": batch}
 
@@ -475,12 +472,20 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
     t_done: dict[str, float] = {}
     stop = threading.Event()
 
+    def timed_done() -> int:
+        return sum(1 for k in t_done if k in t_start)
+
     def consume_results():
-        while not stop.is_set() and len(t_done) < n_images:
+        # Record EVERY result's first completion time (setdefault): the
+        # worker can finish an upload before the main thread's
+        # t_start insert runs, and the old `in t_start` filter acked
+        # such results away — that sample then never completed and the
+        # run stalled to the full deadline. Scoring filters to timed
+        # ids, so stray warmup redeliveries are harmless.
+        while not stop.is_set() and timed_done() < n_images:
             for msg in broker.poll("image-processed", "bench", max_n=32):
                 res = ProcessingResult.from_json(msg.value)
-                if res.image_id in t_start:
-                    t_done[res.image_id] = time.monotonic()
+                t_done.setdefault(res.image_id, time.monotonic())
                 broker.ack(msg)
             time.sleep(0.001)
 
@@ -499,14 +504,14 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
         time.sleep(1.0 / arrival_per_sec)
 
     deadline = time.monotonic() + 300
-    while len(t_done) < n_images and time.monotonic() < deadline:
+    while timed_done() < n_images and time.monotonic() < deadline:
         time.sleep(0.01)
     worker.stop()
     stop.set()
 
-    lat = sorted((t_done[k] - t_start[k]) * 1000.0
+    lat = sorted(max(0.0, (t_done[k] - t_start[k]) * 1000.0)
                  for k in t_done if k in t_start)
-    small_lat = sorted((t_done[k] - t_start[k]) * 1000.0
+    small_lat = sorted(max(0.0, (t_done[k] - t_start[k]) * 1000.0)
                        for k in t_done if k in t_start and not is_big[k])
     if not lat:
         raise RuntimeError("no latencies measured")
@@ -545,7 +550,8 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
 
 def quick_psnr_check():
     """Fidelity gate: batched device output vs float64 oracle."""
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
     from oracle import psnr, resize_go  # noqa: PLC0415
 
     from imageprocessor_tpu.ops.resize import batched_resize_bilinear
