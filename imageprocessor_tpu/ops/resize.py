@@ -103,7 +103,6 @@ def batched_resize_bilinear(imgs_u8, src_hw, out_hw, out_h: int, out_w: int):
     Returns (B, out_h, out_w, C) uint8; pixels beyond each image's valid
     output extent are unspecified (the host crops to out_hw before encode).
     """
-    b = imgs_u8.shape[0]
     src_h_cap, src_w_cap = imgs_u8.shape[1], imgs_u8.shape[2]
 
     # Gather rows while still uint8 — 4x less HBM traffic than casting the
@@ -121,5 +120,4 @@ def batched_resize_bilinear(imgs_u8, src_hw, out_hw, out_h: int, out_w: int):
     right = jnp.take_along_axis(x, ci1[:, None, :, None], axis=2, mode='promise_in_bounds')
     x = left + (right - left) * cf[:, None, :, None]                 # (B, out_h, out_w, C)
 
-    del b
     return quantize_go_xdraw(x)

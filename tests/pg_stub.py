@@ -183,14 +183,31 @@ class PgStubServer:
 
     @staticmethod
     def _translate(sql: str) -> str:
-        """Postgres -> SQLite dialect for the SQL this framework issues."""
-        out = re.sub(r"\bNOW\(\)", "CURRENT_TIMESTAMP", sql,
-                     flags=re.IGNORECASE)
-        # E'...' strings: unescape backslash pairs, drop the E prefix
-        out = re.sub(r"\bE'((?:[^']|'')*)'",
-                     lambda m: "'" + m.group(1).replace("\\\\", "\\") + "'",
-                     out)
-        return out
+        """Postgres -> SQLite dialect for the SQL this framework issues.
+
+        Dialect rewrites apply only OUTSIDE single-quoted literals: a
+        filename value containing "now()" must round-trip unchanged
+        (the naive regex silently corrupted stored data), and an E that
+        merely ends an ordinary literal must not start an E-string.
+        """
+        # Tokenize into literal / non-literal spans ('' is an escaped
+        # quote inside a literal).
+        spans = re.split(r"('(?:[^']|'')*')", sql)
+        for i in range(0, len(spans), 2):  # even indexes: outside literals
+            spans[i] = re.sub(r"\bNOW\(\)", "CURRENT_TIMESTAMP", spans[i],
+                              flags=re.IGNORECASE)
+        # E'...' = an E immediately before a literal span: unescape the
+        # literal, drop the E.
+        for i in range(1, len(spans), 2):
+            if spans[i - 1].rstrip().endswith(("E", "e")) and \
+                    re.search(r"\bE$", spans[i - 1].rstrip(),
+                              flags=re.IGNORECASE):
+                spans[i - 1] = re.sub(r"\bE$", "",
+                                      spans[i - 1].rstrip(),
+                                      flags=re.IGNORECASE)
+                spans[i] = ("'"
+                            + spans[i][1:-1].replace("\\\\", "\\") + "'")
+        return "".join(spans)
 
     @staticmethod
     def _split_statements(sql: str) -> list[str]:

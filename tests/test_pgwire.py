@@ -142,3 +142,18 @@ def test_broken_connection_poisons_not_desyncs():
             conn._query("SELECT 3")      # still poisoned, fails loudly
     finally:
         stub.close()
+
+
+def test_stub_translate_literal_safe():
+    """Dialect rewrites must not touch string literals: a stored
+    filename containing "now()" used to come back as
+    "CURRENT_TIMESTAMP" (silent data corruption in round-trip tests),
+    and an E ending an ordinary literal merged two literals."""
+    from tests.pg_stub import PgStubServer
+
+    t = PgStubServer._translate
+    assert t("INSERT INTO x VALUES ('shot now().png')") == \
+        "INSERT INTO x VALUES ('shot now().png')"
+    assert t("SELECT NOW()") == "SELECT CURRENT_TIMESTAMP"
+    assert t("VALUES (E'a\\\\b')") == "VALUES ('a\\\\b')".replace("\\\\", "\\")
+    assert t("VALUES ('x @E', E'a')") == "VALUES ('x @E', 'a')"
