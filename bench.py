@@ -473,7 +473,10 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
     stop = threading.Event()
 
     def timed_done() -> int:
-        return sum(1 for k in t_done if k in t_start)
+        # list() snapshots atomically under the GIL: the results thread
+        # inserts concurrently, and iterating the live dict raises
+        # "dictionary changed size during iteration".
+        return sum(1 for k in list(t_done) if k in t_start)
 
     def consume_results():
         # Record EVERY result's first completion time (setdefault): the
@@ -508,6 +511,7 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
         time.sleep(0.01)
     worker.stop()
     stop.set()
+    results_t.join(timeout=5)   # quiesce before scoring iterates t_done
 
     lat = sorted(max(0.0, (t_done[k] - t_start[k]) * 1000.0)
                  for k in t_done if k in t_start)

@@ -644,7 +644,8 @@ class KafkaBroker(Broker):
                     out[pid] = off
         return out
 
-    def _offset_commit(self, c: _Consumer, pid: int, offset: int) -> None:
+    def _offset_commit(self, c: _Consumer, pid: int, offset: int) -> bool:
+        """True only when the broker acknowledged the commit."""
         for attempt in (0, 1):  # second attempt after a coordinator move
             coord = self._coordinator(c.group)
             # v2 commits carry the member's generation (fencing) and a
@@ -666,6 +667,7 @@ class KafkaBroker(Broker):
                         w2.i32(p).i64(offset).string(""))))).done())
             r = self._req(coord, kw.OFFSET_COMMIT, ver, body)
             moved = False
+            ok = True
             for _ in range(r.i32()):
                 r.string()
                 for _ in range(r.i32()):
@@ -674,13 +676,19 @@ class KafkaBroker(Broker):
                     if err == kw.NOT_COORDINATOR:
                         moved = True
                     elif err != kw.NONE:
+                        # e.g. ILLEGAL_GENERATION when fenced mid-
+                        # rebalance: the commit did NOT land — callers
+                        # coalescing watermarks must keep them dirty
+                        # and retry under the new generation.
+                        ok = False
                         log.error("offset_commit error", code=err,
                                   topic=c.topic, partition=pid)
             if not moved:
-                return
+                return ok
             self._drop_coordinator(c.group)
         log.error("offset_commit failed: coordinator unstable",
                   topic=c.topic, partition=pid)
+        return False
 
     def _heartbeat_ok(self, c: _Consumer) -> bool:
         """Heartbeat at most every _HEARTBEAT_INTERVAL_MS (a rebalance is
@@ -837,6 +845,9 @@ class KafkaBroker(Broker):
                 # redeliver already-acked work to the new assignment
                 self._maybe_flush_commits(c, force=True)
                 self._join(c)
+                # the pre-rejoin flush is rejected when we were FENCED
+                # (stale generation); retry immediately with the new one
+                self._maybe_flush_commits(c, force=True)
             elif self._commit_interval_s > 0:
                 self._maybe_flush_commits(c)
 
@@ -962,8 +973,11 @@ class KafkaBroker(Broker):
             return
         for pid, wm in list(c.dirty.items()):
             try:
-                self._offset_commit(c, pid, wm)
-                del c.dirty[pid]
+                if self._offset_commit(c, pid, wm):
+                    del c.dirty[pid]
+                # else: broker rejected (e.g. fenced generation) — keep
+                # the watermark dirty; the post-rejoin flush retries it
+                # under the new generation.
             except (OSError, kw.WireError, MessageQueueError) as exc:
                 log.error("offset commit failed", error=str(exc))
         c.last_commit = now

@@ -96,11 +96,14 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
                            retries=cfg.retry_strategy())
     handlers = ImageHandlers(usecase)
 
-    # SERVER_READ_TIMEOUT/SERVER_WRITE_TIMEOUT map onto one whole-
-    # request deadline (reference: http.Server Read/WriteTimeout,
-    # app.go:79-89): aiohttp has no per-phase knobs, and an unbounded
-    # handler lets a slow-loris upload hold a connection forever while
-    # the operator believes the configured bound is enforced.
+    # SERVER_READ_TIMEOUT/SERVER_WRITE_TIMEOUT map onto one request
+    # deadline covering body read + handler execution (reference:
+    # http.Server Read/WriteTimeout, app.go:79-89): aiohttp has no
+    # per-phase knobs, and an unbounded handler lets a slow-loris
+    # upload hold a connection forever. NOT covered: the final
+    # response-drain to a slow-reading client (aiohttp writes the body
+    # after the middleware returns); that phase is bounded only by TCP
+    # keepalive — an honest gap, not a claim.
     request_deadline_s = max(
         0.0, float(cfg.server.read_timeout_s + cfg.server.write_timeout_s))
 
@@ -108,10 +111,16 @@ def build_app(cfg: Config, *, meta=None, store=None, broker=None) -> web.Applica
     async def timeout_middleware(request: web.Request, handler):
         if request_deadline_s <= 0:
             return await handler(request)
+        cm = None
         try:
-            async with asyncio.timeout(request_deadline_s):
+            async with asyncio.timeout(request_deadline_s) as cm:
                 return await handler(request)
         except TimeoutError:
+            # socket.timeout IS TimeoutError since 3.10: a backend
+            # socket timing out inside the handler must surface as a
+            # 500 (recovery middleware), not a 408 blaming the client.
+            if cm is None or not cm.expired():
+                raise
             log.warn("Request deadline exceeded", path=request.path,
                      deadline_s=request_deadline_s)
             return web.json_response(

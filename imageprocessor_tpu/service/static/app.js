@@ -108,6 +108,7 @@ class ImageBoard {
       msg.textContent = `Queued ${body.filename} — processing…`;
       (this.uploaded ||= new Set()).add(dupKey);
       this.items.set(body.id, body);
+      this.touch(body.id);
       this.render();
     } catch (err) {
       msg.textContent = `Upload failed: ${err.message}`;
@@ -119,17 +120,27 @@ class ImageBoard {
 
   async refresh() {
     try {
+      const fetchStart = Date.now();
       const r = await fetch("/api/images?limit=100");
       if (!r.ok) return;
       const fresh = await r.json();
       const present = new Set(fresh.map((it) => it.id));
       let changed = false;
       // prune rows deleted elsewhere (another tab) or pushed past the
-      // list window -- pollPending only notices pending-status 404s
+      // list window -- but NOT rows touched locally after the fetch
+      // started (an upload resolving mid-fetch is absent from the
+      // server's stale snapshot and would flicker away for 5 s)
       for (const id of [...this.items.keys()]) {
-        if (!present.has(id)) { this.items.delete(id); changed = true; }
+        if (!present.has(id)
+            && (this.touched?.get(id) ?? 0) < fetchStart) {
+          this.items.delete(id);
+          changed = true;
+        }
       }
       for (const item of fresh) {
+        // a status pollPending advanced after the fetch started is
+        // fresher than this snapshot; keep it
+        if ((this.touched?.get(item.id) ?? 0) >= fetchStart) continue;
         const prev = this.items.get(item.id);
         if (!prev || prev.status !== item.status) changed = true;
         this.items.set(item.id, item);
@@ -138,6 +149,10 @@ class ImageBoard {
       // 5 s wipes selection/focus and drops clicks mid-rebuild
       if (changed) this.render();
     } catch { /* server unreachable; retry on next poll */ }
+  }
+
+  touch(id) {
+    (this.touched ||= new Map()).set(id, Date.now());
   }
 
   pollPending() {
@@ -155,6 +170,7 @@ class ImageBoard {
           .then((s) => {
             if (s && s.status !== item.status) {
               item.status = s.status;
+              this.touch(item.id);
               this.render();
             }
           })

@@ -199,11 +199,13 @@ class PgStubServer:
         # E'...' = an E immediately before a literal span: unescape the
         # literal, drop the E.
         for i in range(1, len(spans), 2):
-            if spans[i - 1].rstrip().endswith(("E", "e")) and \
-                    re.search(r"\bE$", spans[i - 1].rstrip(),
-                              flags=re.IGNORECASE):
-                spans[i - 1] = re.sub(r"\bE$", "",
-                                      spans[i - 1].rstrip(),
+            # Postgres adjacency rule: E is a prefix only when it
+            # IMMEDIATELY precedes the quote (no whitespace) — an
+            # identifier `e` before a literal must survive.
+            # \Z, not $: $ also matches before a trailing newline,
+            # which would treat "... e\n" as adjacent.
+            if re.search(r"\bE\Z", spans[i - 1], flags=re.IGNORECASE):
+                spans[i - 1] = re.sub(r"\bE\Z", "", spans[i - 1],
                                       flags=re.IGNORECASE)
                 spans[i] = ("'"
                             + spans[i][1:-1].replace("\\\\", "\\") + "'")
