@@ -281,3 +281,71 @@ def test_duplicate_file_parts_first_wins(server):
         got = c.get(f"{server}/api/images/{image_id}")
         assert got.status_code == 200
         assert got.content == first[1]   # first part's bytes, untouched
+
+
+def test_request_deadline_enforced(tmp_path_factory):
+    """The SERVER_READ/WRITE_TIMEOUT deadline middleware: a handler
+    stalled past the deadline answers 408; a backend socket.timeout
+    inside a handler is NOT mislabeled 408 (it 500s via recovery)."""
+    import socket as _socket
+
+    from imageprocessor_tpu.config import load as _load
+
+    h = ServerHarness(tmp_path_factory.mktemp("deadline"))
+    h.cfg.server.read_timeout_s = 0.2
+    h.cfg.server.write_timeout_s = 0.2
+    # rebuild the app with the tightened deadline: patch the usecase
+    # the handler calls to stall / raise
+    url = h.start()
+    try:
+        with httpx.Client(timeout=30) as c:
+            # baseline: normal request inside the deadline
+            r = c.get(f"{url}/api/health")
+            assert r.status_code == 200
+    finally:
+        h.stop()
+
+    # direct middleware-level checks (no server restart cost)
+    import asyncio as _asyncio
+
+    from aiohttp import web as _web
+
+    from imageprocessor_tpu.service.app import build_app
+    from imageprocessor_tpu.broker.memory import MemoryBroker
+    from imageprocessor_tpu.storage import (
+        LocalFSObjectStore,
+        SQLiteMetadataStore,
+    )
+
+    cfg = _load({})
+    cfg.server.read_timeout_s = 0.15
+    cfg.server.write_timeout_s = 0.15
+    tmp = tmp_path_factory.mktemp("deadline2")
+    app = build_app(cfg, meta=SQLiteMetadataStore(":memory:"),
+                    store=LocalFSObjectStore(str(tmp / "obj")),
+                    broker=MemoryBroker())
+
+    async def stalled(_request):
+        await _asyncio.sleep(5)
+        return _web.json_response({})
+
+    async def backend_timeout(_request):
+        raise _socket.timeout("backend socket timed out")
+
+    app.router.add_get("/stalled", stalled)
+    app.router.add_get("/backend-timeout", backend_timeout)
+
+    async def drive():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/stalled")
+            assert r.status == 408, r.status
+            r2 = await client.get("/backend-timeout")
+            assert r2.status == 500, r2.status   # recovery, not 408
+        finally:
+            await client.close()
+
+    asyncio.new_event_loop().run_until_complete(drive())
