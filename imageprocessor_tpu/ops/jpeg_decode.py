@@ -97,6 +97,17 @@ def _decode_ycbcr(y_c, cb_c, cr_c, qt, shapes, sampling, out_h: int,
     y = _idct_plane(y_c, qt[0], ybh, ybw)
     cb = _idct_plane(cb_c, qt[1], cbh_, cbw_)
     cr = _idct_plane(cr_c, qt[2], crh, crw)
+    # libjpeg range-limits IDCT samples to [0, 255] BEFORE upsampling
+    # (jidctint's range_limit table); matching it here bounds the
+    # upsample operands — real (pixel-sourced) streams are unaffected,
+    # and adversarial coefficient streams stay within 1 LSB of the
+    # Pallas kernel, whose upsample matmuls run at bf16 operand
+    # precision (ops/pallas_jpeg.UPSAMPLE_PRECISION). Applied only when
+    # an upsample runs, like the batched program and the kernel.
+    if (vy, hy) != (vc, hc):
+        cb = jnp.clip(cb, 0.0, 255.0)
+    if (vy, hy) != (vr, hr):
+        cr = jnp.clip(cr, 0.0, 255.0)
     cb = _upsample(cb, vy // vc, hy // hc)
     cr = _upsample(cr, vy // vr, hy // hr)
     y = y[:out_h, :out_w]
@@ -183,6 +194,11 @@ def batched_decode_ycbcr(yc, cbc, crc, qtabs, chroma_valid,
         # block at the image's chroma grid boundary.
         cb = _clamp_extent(cb, chroma_valid)
         cr = _clamp_extent(cr, chroma_valid)
+        # libjpeg range-limits IDCT samples before upsampling; see
+        # _decode_ycbcr. Keeps bf16 upsample operands bounded in the
+        # Pallas kernel this program is the oracle for.
+        cb = jnp.clip(cb, 0.0, 255.0)
+        cr = jnp.clip(cr, 0.0, 255.0)
     # libjpeg fancy (triangular) 2x upsample; batched planes use
     # axes (1, 2) of (B, h, w).
     if fh == 2:

@@ -53,34 +53,44 @@ from jax.experimental.pallas import tpu as pltpu
 from imageprocessor_tpu.ops.jpeg_decode import _idct_basis
 from imageprocessor_tpu.ops.pallas_resample import _round_up
 
-# Matmul precision for the codec transform/upsample contractions. On
-# TPU, f32 matmuls decompose into bf16 MXU passes: HIGHEST ~ 6 passes
-# (full f32), HIGH ~ 3 (error ~2^-16 relative — an order of magnitude
-# under the 0.5-LSB pixel budget at JPEG coefficient magnitudes;
-# encode-side probe: IMAGEPROCESSOR_CODEC_PRECISION=high
-# tools/jencodeprobe.py, which also prints the resolved policy).
-# Exact-select one-hot matmuls (the encode boundary extraction) stay
-# at DEFAULT independently of this.
+# Matmul precision for the codec TRANSFORM contractions (IDCT/FDCT).
+# On TPU, f32 matmuls decompose into bf16 MXU passes: HIGHEST ~ 6
+# passes (full f32), DEFAULT 1 (bf16 inputs — ~2^-9 relative, far too
+# coarse at JPEG coefficient magnitudes, where dequantized values reach
+# ~2^18). Mosaic's dot lowering rejects Precision.HIGH (the bf16x3
+# middle tier), so the transforms stay at HIGHEST.
+#
+# The chroma UPSAMPLE contractions are a different regime: their
+# weights are one-hot 0.75/0.25 taps (exact in bf16) applied to
+# PIXEL-scale values (|x| <~ 255 after the IDCT), where bf16 rounding
+# of the operand costs <= 2^-9 * 255 ~ 0.5 before the color convert —
+# measured <= 1 LSB vs the HIGHEST XLA program on-chip (PERF.md), the
+# same fidelity contract as the rest of the kernel, for 1 MXU pass
+# instead of 6 on ~47% of the kernel's MACs. They default to DEFAULT
+# via their own knob (IMAGEPROCESSOR_UPSAMPLE_PRECISION=highest
+# restores the old behavior). Exact-select one-hot matmuls (the encode
+# boundary extraction) stay at DEFAULT unconditionally — they select
+# single exactly-representable u8 values.
 _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
-               "high": jax.lax.Precision.HIGH,
                "highest": jax.lax.Precision.HIGHEST}
 
 
-def _resolve_precision() -> jax.lax.Precision:
-    raw = os.environ.get("IMAGEPROCESSOR_CODEC_PRECISION",
-                         "highest").strip().lower()
+def _resolve_precision(env: str, dflt: str) -> jax.lax.Precision:
+    raw = os.environ.get(env, dflt).strip().lower()
     prec = _PRECISIONS.get(raw)
     if prec is None:
         import warnings
 
         warnings.warn(
-            f"IMAGEPROCESSOR_CODEC_PRECISION={raw!r} is not one of "
-            f"{sorted(_PRECISIONS)}; using 'highest'", stacklevel=2)
-        return jax.lax.Precision.HIGHEST
+            f"{env}={raw!r} is not one of "
+            f"{sorted(_PRECISIONS)}; using {dflt!r}", stacklevel=2)
+        return _PRECISIONS[dflt]
     return prec
 
 
-PRECISION = _resolve_precision()
+PRECISION = _resolve_precision("IMAGEPROCESSOR_CODEC_PRECISION", "highest")
+UPSAMPLE_PRECISION = _resolve_precision(
+    "IMAGEPROCESSOR_UPSAMPLE_PRECISION", "default")
 
 
 @dataclass(frozen=True)
@@ -315,7 +325,15 @@ def _kernel(plan: DecodePlan, interpret: bool):
                 v8c_ref[:], x, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=PRECISION)
-            return idct_h(x)                                     # (RC, Wc)
+            x = idct_h(x)                                        # (RC, Wc)
+            if fh == 2 or fw == 2:
+                # libjpeg range-limits IDCT samples to the u8 range
+                # before upsampling (these carry no +128 level, so
+                # [-128, 127]); matches the XLA oracle and bounds the
+                # UPSAMPLE_PRECISION bf16 operands — 2^-9 * 128 = 0.25
+                # per rounding, <= 1 final LSB through the color math.
+                x = jnp.clip(x, -128.0, 127.0)
+            return x
 
         cbp = idct_win(cbw_ref, qb)
         crp = idct_win(crw_ref, qr)
@@ -330,11 +348,11 @@ def _kernel(plan: DecodePlan, interpret: bool):
             cbv = jax.lax.dot_general(
                 wv, cbp, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=PRECISION)             # (R, Wc)
+                precision=UPSAMPLE_PRECISION)    # (R, Wc)
             crv = jax.lax.dot_general(
                 wv, crp, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=PRECISION)
+                precision=UPSAMPLE_PRECISION)
         else:
             cbv, crv = cbp, crp                 # rows already 1:1 (R, Wc)
 
@@ -348,10 +366,10 @@ def _kernel(plan: DecodePlan, interpret: bool):
                       + jnp.where(iota == i1, 0.25, 0.0))        # (128, 128)
                 cbh = jnp.dot(cbv[:, hws[c]:hws[c] + 128], wh,
                               preferred_element_type=jnp.float32,
-                              precision=PRECISION)
+                              precision=UPSAMPLE_PRECISION)
                 crh = jnp.dot(crv[:, hws[c]:hws[c] + 128], wh,
                               preferred_element_type=jnp.float32,
-                              precision=PRECISION)
+                              precision=UPSAMPLE_PRECISION)
             else:
                 cbh = cbv[:, hws[c]:hws[c] + 128]   # direct (R, 128)
                 crh = crv[:, hws[c]:hws[c] + 128]
