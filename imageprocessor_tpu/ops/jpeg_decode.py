@@ -46,6 +46,11 @@ def _idct_plane(coefs_i16, qtab_f32, bh: int, bw: int):
     d = jnp.asarray(_idct_basis())
     x = coefs_i16.astype(jnp.float32).reshape(bh, 8, bw, 8)
     x = x * qtab_f32[None, :, None, :].reshape(1, 8, 1, 8)
+    # Pixel-sourced streams keep |dequantized coef| <= 255*8 + q/2 ~
+    # 2168; the clamp only bites adversarial synthetic canvases and
+    # keeps this program within 1 LSB of the Pallas kernel's bf16x3
+    # transform dots on any input (ops/pallas_jpeg.DEQUANT_CLAMP).
+    x = jnp.clip(x, -4096.0, 4096.0)
     x = x.transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
     # spatial = D^T @ X @ D
     x = jnp.einsum("ki,bkl->bil", d, x, preferred_element_type=jnp.float32,
@@ -137,6 +142,8 @@ def _idct_planes_batched(coefs_i16, qtabs_f32):
     d = jnp.asarray(_idct_basis())
     x = coefs_i16.astype(jnp.float32).reshape(b, bh, 8, bw, 8)
     x = x * qtabs_f32[:, None, :, None, :]
+    # dequant clamp — see _idct_plane (no-op for pixel-sourced streams)
+    x = jnp.clip(x, -4096.0, 4096.0)
     # vertical: spatial_i = sum_k D[k, i] * coef[k, .]
     x = x.reshape(b, bh, 8, ww)
     x = jnp.einsum("ki,bhkw->bhiw", d, x,

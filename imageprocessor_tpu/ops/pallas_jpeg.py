@@ -75,22 +75,70 @@ _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
                "highest": jax.lax.Precision.HIGHEST}
 
 
-def _resolve_precision(env: str, dflt: str) -> jax.lax.Precision:
+def _resolve_choice(env: str, dflt: str, allowed) -> str:
     raw = os.environ.get(env, dflt).strip().lower()
-    prec = _PRECISIONS.get(raw)
-    if prec is None:
+    if raw not in allowed:
         import warnings
 
         warnings.warn(
             f"{env}={raw!r} is not one of "
-            f"{sorted(_PRECISIONS)}; using {dflt!r}", stacklevel=2)
-        return _PRECISIONS[dflt]
-    return prec
+            f"{sorted(allowed)}; using {dflt!r}", stacklevel=2)
+        return dflt
+    return raw
 
 
-PRECISION = _resolve_precision("IMAGEPROCESSOR_CODEC_PRECISION", "highest")
-UPSAMPLE_PRECISION = _resolve_precision(
-    "IMAGEPROCESSOR_UPSAMPLE_PRECISION", "default")
+# Transform (IDCT/FDCT) matmul algorithm:
+#   bf16x3  — dual-bf16 operand split + 3 single-pass dots (the classic
+#             f32-emulation trick): exact-split error <= 2^-18 relative
+#             per operand, and the dropped lo*lo term is bounded by the
+#             DEQUANT_CLAMP below; measured <= 1 LSB vs the 6-pass
+#             HIGHEST XLA oracle on-chip at half the MXU pass count.
+#   highest — full f32 (6 bf16 MXU passes), bitwise the round-2 behavior.
+#   default — single bf16 pass (NOT pixel-faithful at coefficient
+#             magnitudes; for speed-of-light probes only).
+TRANSFORM_MODE = _resolve_choice(
+    "IMAGEPROCESSOR_CODEC_PRECISION", "bf16x3",
+    ("bf16x3", "highest", "default"))
+PRECISION = _PRECISIONS["highest" if TRANSFORM_MODE == "highest"
+                        else "default"]
+UPSAMPLE_PRECISION = _PRECISIONS[_resolve_choice(
+    "IMAGEPROCESSOR_UPSAMPLE_PRECISION", "default", _PRECISIONS)]
+
+# Dequantized coefficients from PIXEL-SOURCED streams are bounded by
+# |FDCT| + q/2 <= 255*8 + 128 = 2168; clamping at +-4096 (1.9x
+# headroom) is invisible to real images while bounding the bf16x3
+# split's dropped-term error for adversarial synthetic canvases. The
+# XLA oracle programs apply the identical clamp (jpeg_decode.py), so
+# kernel-vs-oracle parity holds on ANY input.
+DEQUANT_CLAMP = 4096.0
+
+
+def _split_bf16(x):
+    """Exact-ish dual-bf16 split: x ~ hi + lo with residual <= 2^-18|x|
+    (the hi subtraction is exact in f32 — Sterbenz: hi is within 2^-9
+    of x)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _tdot(a, x, dn, *, split_a=None, split_x=None):
+    """Transform dot product under TRANSFORM_MODE.
+
+    bf16x3 mode computes a_hi@x_hi + a_hi@x_lo + a_lo@x_hi as three
+    single-pass bf16 MXU dots with f32 accumulation (the dropped
+    a_lo@x_lo term is <= 2^-18|a||x| per product). Callers that reuse
+    an operand across several dots pass its pre-split pair via
+    split_a/split_x to amortize the VPU split."""
+    dd = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                           preferred_element_type=jnp.float32)
+    if TRANSFORM_MODE != "bf16x3":
+        return dd(a, x, precision=PRECISION)
+    ah, al = split_a if split_a is not None else _split_bf16(a)
+    xh, xl = split_x if split_x is not None else _split_bf16(x)
+    return (dd(ah, xh, precision=jax.lax.Precision.DEFAULT)
+            + dd(ah, xl, precision=jax.lax.Precision.DEFAULT)
+            + dd(al, xh, precision=jax.lax.Precision.DEFAULT))
 
 
 @dataclass(frozen=True)
@@ -270,25 +318,32 @@ def _kernel(plan: DecodePlan, interpret: bool):
                out_ref,                          # VMEM (1, 3, R, W)
                cbw_ref, crw_ref, sem0, sem1):
 
+        dn = (((1,), (0,)), ((), ()))
+        bf3 = TRANSFORM_MODE == "bf16x3"
+
         def idct_h(x):
             """Horizontal IDCT: (rows, width) @ block-diag(D) in 128-col
             chunks plus an optional 64-col tail (chroma widths are
-            multiples of 64, not always 128)."""
+            multiples of 64, not always 128). The operand is split into
+            its dual-bf16 pair ONCE; chunk slices of the split pair
+            equal splits of the chunk slices (elementwise ops commute
+            with slicing)."""
+            xs = _split_bf16(x) if bf3 else None
+            h8s = _split_bf16(h8_ref[:]) if bf3 else None
             cols = []
             width = x.shape[1]
             for c in range(width // 128):
-                cols.append(jax.lax.dot_general(
-                    x[:, c * 128:(c + 1) * 128], h8_ref[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                precision=PRECISION))
+                sl = slice(c * 128, (c + 1) * 128)
+                cols.append(_tdot(
+                    x[:, sl], h8_ref[:], dn,
+                    split_a=(xs[0][:, sl], xs[1][:, sl]) if bf3 else None,
+                    split_x=h8s))
             if width % 128:
                 assert width % 128 == 64, width
-                cols.append(jax.lax.dot_general(
-                    x[:, width - 64:], h8t_ref[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                precision=PRECISION))
+                sl = slice(width - 64, None)
+                cols.append(_tdot(
+                    x[:, sl], h8t_ref[:], dn,
+                    split_a=(xs[0][:, sl], xs[1][:, sl]) if bf3 else None))
             return jnp.concatenate(cols, axis=1)
 
         b = pl.program_id(0)
@@ -302,13 +357,13 @@ def _kernel(plan: DecodePlan, interpret: bool):
         cp0.start()
         cp1.start()
 
-        # ---- luma: dequant + vertical + horizontal IDCT (+128 shift)
+        # ---- luma: dequant + clamp + vertical + horizontal IDCT
+        # (+128 shift). The clamp bounds bf16x3's dropped split terms;
+        # pixel-sourced streams never reach it (see DEQUANT_CLAMP).
         qy = jnp.concatenate([qty_ref[0]] * (r // 8), axis=0)   # (R, W)
         yf = y_ref[0].astype(jnp.int32).astype(jnp.float32) * qy
-        yf = jax.lax.dot_general(
-            v8_ref[:], yf, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-                precision=PRECISION)
+        yf = jnp.clip(yf, -DEQUANT_CLAMP, DEQUANT_CLAMP)
+        yf = _tdot(v8_ref[:], yf, dn)
         yf = idct_h(yf) + 128.0                                  # (R, W)
 
         cp0.wait()
@@ -321,10 +376,8 @@ def _kernel(plan: DecodePlan, interpret: bool):
 
         def idct_win(win_ref, q):
             x = win_ref[:].astype(jnp.int32).astype(jnp.float32) * q
-            x = jax.lax.dot_general(
-                v8c_ref[:], x, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=PRECISION)
+            x = jnp.clip(x, -DEQUANT_CLAMP, DEQUANT_CLAMP)
+            x = _tdot(v8c_ref[:], x, dn)
             x = idct_h(x)                                        # (RC, Wc)
             if fh == 2 or fw == 2:
                 # libjpeg range-limits IDCT samples to the u8 range
@@ -631,19 +684,23 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
         # (chroma carries no 128 shift: the +128 level and the -128 FDCT
         # shift cancel)
 
-        # ---- luma FDCT: vertical (R,R) static, horizontal per chunk
-        yv = jax.lax.dot_general(
-            vy_ref[:], y, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=PRECISION)
+        # ---- luma FDCT: vertical (R,R) static, horizontal per chunk.
+        # FDCT operands are pixel-scale (|y| <= ~180), so bf16x3 needs
+        # no clamp here — the dropped split term is <= 2^-18 relative
+        # on values the quantizer divides by >= 1.
+        dn = (((1,), (0,)), ((), ()))
+        bf3 = TRANSFORM_MODE == "bf16x3"
+        yv = _tdot(vy_ref[:], y, dn)
         qy = jnp.concatenate([qy_ref[:]] * (r // 8), axis=0)   # (R, W)
+        yvs = _split_bf16(yv) if bf3 else None
+        hys = _split_bf16(hy_ref[:]) if bf3 else None
         ycoef = []
         for c in range(k):
-            blk = jax.lax.dot_general(
-                yv[:, c * 128:(c + 1) * 128], hy_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=PRECISION)
+            sl = slice(c * 128, (c + 1) * 128)
+            blk = _tdot(
+                yv[:, sl], hy_ref[:], dn,
+                split_a=(yvs[0][:, sl], yvs[1][:, sl]) if bf3 else None,
+                split_x=hys)
             ycoef.append(blk)
         yq = jnp.concatenate(ycoef, axis=1) / qy
         yc_ref[0] = jnp.clip(jnp.round(yq), -1023, 1023).astype(jnp.int16)
@@ -652,26 +709,26 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
         # mean INTO the FDCT; horizontal (256, 128) static folds the
         # 2-col mean the same way
         qc = jnp.concatenate([qc_ref[:]] * (rc // 8), axis=0)  # (RC, Wc)
+        hcs = _split_bf16(hc_ref[:]) if bf3 else None
         for plane, out_ref in ((cb, cbc_ref), (cr, crc_ref)):
-            pv = jax.lax.dot_general(
-                vc_ref[:], plane, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=PRECISION)       # (R/2, W)
+            pv = _tdot(vc_ref[:], plane, dn)       # (R/2, W)
+            pvs = _split_bf16(pv) if bf3 else None
             coefs = []
             for c in range(wc // 128):
-                blk = jax.lax.dot_general(
-                    pv[:, c * 256:(c + 1) * 256], hc_ref[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=PRECISION)   # (R/2, 128)
+                sl = slice(c * 256, (c + 1) * 256)
+                blk = _tdot(
+                    pv[:, sl], hc_ref[:], dn,
+                    split_a=(pvs[0][:, sl], pvs[1][:, sl]) if bf3 else None,
+                    split_x=hcs)                   # (R/2, 128)
                 coefs.append(blk)
             if wc % 128:
                 assert wc % 128 == 64, wc
-                blk = jax.lax.dot_general(
-                    pv[:, w - 128:], hc_ref[:, :128][:128],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=PRECISION)[:, :64]
+                sl = slice(w - 128, None)
+                blk = _tdot(
+                    pv[:, sl], hc_ref[:, :128][:128], dn,
+                    split_a=(pvs[0][:, sl], pvs[1][:, sl]) if bf3 else None,
+                    split_x=(hcs[0][:, :128][:128], hcs[1][:, :128][:128])
+                    if bf3 else None)[:, :64]
                 coefs.append(blk)
             pq = jnp.concatenate(coefs, axis=1) / qc
             q16 = jnp.clip(jnp.round(pq), -1023, 1023).astype(jnp.int16)

@@ -100,16 +100,17 @@ TRANSIENT = "transient"
 # codec cap (see the policy comment in ProcessingEngine.__init__). The
 # ratio is scale-invariant in image size (both sides are linear in
 # pixels). Measured on v5e (BENCH r3): the composed on-chip
-# decode->pipeline->encode step runs ~855 12MP img/s PER CHIP with the
+# decode->pipeline->encode step runs ~1270 12MP img/s PER CHIP with the
 # fused Pallas codec kernels (ops/pallas_jpeg; was ~90 with the XLA
 # codec halves, ~494 before the encode kernel's scalar-prefetch clamp
 # replaced its one-hot replication matmuls, ~720 before the decode
-# kernel's bf16 upsample precision split) and a host core ~10 img/s,
-# so the single-chip crossover is ~85 cores — and the codec kernels
-# shard over the engine mesh (_codec_sharded), so a v5e-8 host's
-# crossover is ~8x that.
+# kernel's bf16 upsample precision split, ~855 before the bf16x3
+# transform dots halved the IDCT/FDCT MXU passes) and a host core
+# ~10 img/s, so the single-chip crossover is ~127 cores — and the
+# codec kernels shard over the engine mesh (_codec_sharded), so a
+# v5e-8 host's crossover is ~8x that.
 DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
-    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "85"))
+    "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "127"))
 
 
 def usable_cores() -> int:
@@ -191,14 +192,15 @@ class ProcessingEngine:
         # scan; IDCT + chroma upsample + color convert run batched on
         # device, and full-size JPEG outputs run the encode front half
         # on device too. Eligible geometry takes the fused Pallas codec
-        # kernels (ops/pallas_jpeg: decode 8.5 ms, encode 5.2 ms per
+        # kernels (ops/pallas_jpeg: decode 2.1 ms, encode ~3.6 ms per
         # 8x12MP batch vs 38.5/108 ms XLA), putting the composed
-        # decode->pipeline->encode step at ~855 12MP img/s per chip
-        # (BENCH r3; was ~90 with the XLA halves). The codec still
-        # trades CHIP time for HOST CPU (the fused pipeline step alone
-        # is 0.7 ms/batch), so it wins when the host cannot feed the
-        # chip: per core the host codec manages ~10 12MP img/s, so
-        # below the ~85-core-per-chip crossover the device path serves
+        # decode->pipeline->encode step at ~1270 12MP img/s per chip
+        # (BENCH r3, bf16x3 transform dots; was ~90 with the XLA
+        # halves). The codec still trades CHIP time for HOST CPU (the
+        # fused pipeline step alone is 0.7 ms/batch), so it wins when
+        # the host cannot feed the chip: per core the host codec
+        # manages ~10 12MP img/s, so below the
+        # ~127-core-per-chip crossover the device path serves
         # more total throughput, above it the host pool does. Auto
         # policy = native scanner present AND TPU backend AND a
         # core-starved host; IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces.

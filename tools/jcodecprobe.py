@@ -62,6 +62,9 @@ def main() -> int:
     ap.add_argument("--modes", default="22,12,21,11")
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--force", action="store_true",
+                    help="keep timing even if the fidelity gate fails "
+                         "(for pass-count/what-if speed experiments)")
     args = ap.parse_args()
 
     import os
@@ -132,7 +135,7 @@ def main() -> int:
             qt_d, cv_d)))
         print(f"  compile+check: {time.monotonic() - t0:.1f}s "
               f"max|kernel-xla|={md} {'OK' if md <= 1 else 'FAIL'}")
-        if md > 1:
+        if md > 1 and not args.force:
             return 1
 
         def looped(y, cb, cr, ws, qy, qcb, qcr, v0, v1, h0, h1, k):

@@ -27,6 +27,9 @@ def main() -> int:
     ap.add_argument("--dims", default="3000x4000")
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--force", action="store_true",
+                    help="keep timing even if the fidelity gate "
+                         "fails (for speed experiments)")
     args = ap.parse_args()
 
     import os
@@ -48,7 +51,7 @@ def main() -> int:
     b = args.batch
     dev = jax.devices()[0]
     print(f"platform={dev.platform} canvas={H}x{W} valid={h}x{w} batch={b} "
-          f"precision={pj.PRECISION}")
+          f"transform={pj.TRANSFORM_MODE}")
     interp = bool(args.cpu)
 
     qt = quality_qtables(85).astype(np.float32)
@@ -93,7 +96,7 @@ def main() -> int:
     print(f"  compile+check: {time.monotonic() - t0:.1f}s "
           f"max|kernel-xla| y/cb/cr={md.tolist()} "
           f"{'OK' if ok else 'FAIL'}")
-    if not ok:
+    if not ok and not args.force:
         return 1
 
     def looped(rgb_, valid, qy, qc, k):
