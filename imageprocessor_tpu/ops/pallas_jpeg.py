@@ -562,21 +562,28 @@ class EncodePlan:
     h: int              # luma canvas rows (multiple of 16)
     w: int              # luma canvas cols (multiple of 128, >= 256)
     band_rows: int      # luma rows per grid step (multiple of 16)
+    tile_w: int         # luma cols per grid step (divides w)
 
     @property
     def n_bands(self) -> int:
         return self.h // self.band_rows
 
     @property
+    def n_wtiles(self) -> int:
+        return self.w // self.tile_w
+
+    @property
     def n_col_chunks(self) -> int:
-        return self.w // 128
+        # 128-lane chunks per grid step (per width tile)
+        return self.tile_w // 128
 
     @property
     def wcp(self) -> int:
         # chroma output canvas width padded to the 128-lane tile (w/2
-        # is a 64-multiple only for w=384/640-class buckets); the pad
-        # columns are zero coefficients the entropy emitter never reads
-        # (it slices each image's MCU grid).
+        # is a 64-multiple only for w=384/640-class buckets; width
+        # tiling requires tile_w % 256 == 0, so tiled plans are never
+        # padded); the pad columns are zero coefficients the entropy
+        # emitter never reads (it slices each image's MCU grid).
         return _round_up(self.w // 2, 128)
 
 
@@ -585,22 +592,36 @@ class EncodeArgs:
     """Per-batch runtime inputs (host-computed)."""
 
     valid: np.ndarray       # (B * 2,) i32 per-image valid (h, w) pairs
-    qy: np.ndarray          # (8, W) f32 tiled luma quant pattern
-    qc: np.ndarray          # (8, W // 2) f32 tiled chroma quant pattern
+    qy: np.ndarray          # (8, tile_w) f32 tiled luma quant pattern
+    qc: np.ndarray          # (8, tile_w // 2) f32 chroma quant pattern
 
 
 def make_encode_plan(batch: int, h: int, w: int) -> EncodePlan:
     if h % 16 or w % 128 or w < 256:
         raise ValueError(f"canvas {h}x{w} must be H%16==0, W%128==0, "
                          "W>=256")
-    # The kernel holds ~5 f32 band-sized planes at once (3 replicated
-    # channels + vertical intermediates); keep the VMEM footprint under
-    # the 16 MB budget on wide canvases (64 rows x 4096 cols measured
-    # 16.43M — just over).
-    band = 128 if w <= 2048 else (64 if w <= 3072 else 32)
+    # The kernel holds ~5 f32 step-sized planes at once (3 replicated
+    # channels + vertical intermediates), so R x W steps cap band_rows
+    # at 32 on wide canvases (64 rows x 4096 cols measured 16.43 MB —
+    # just over the VMEM budget) — and R=32 steps run every FDCT dot at
+    # M=K=32, wasting most of the MXU's 128-wide stream. Tiling the
+    # width instead (third grid dimension) keeps the step footprint
+    # constant at 128 x <=1024 so every dot runs at M=K=128. tile_w
+    # must divide w and keep the chroma tile lane-aligned
+    # (tile_w % 256 == 0); widths <= 2048 already fit untiled.
+    tile = w
+    if w > 2048:
+        for cand in (1024, 768, 512, 256):
+            if w % cand == 0:
+                tile = cand
+                break
+    if tile < w:
+        band = 128
+    else:
+        band = 128 if w <= 2048 else (64 if w <= 3072 else 32)
     while h % band:
         band //= 2
-    return EncodePlan(batch=batch, h=h, w=w, band_rows=band)
+    return EncodePlan(batch=batch, h=h, w=w, band_rows=band, tile_w=tile)
 
 
 def make_encode_args(plan: EncodePlan, qt: np.ndarray,
@@ -614,25 +635,32 @@ def make_encode_args(plan: EncodePlan, qt: np.ndarray,
     extraction + select — no per-image one-hot matmuls)."""
     valid = np.maximum(np.asarray(valid_hw, np.int64), 1) \
         .astype(np.int32).reshape(-1)
-    qy = np.tile(np.asarray(qt[0], np.float32), (1, plan.w // 8))
-    qc = np.tile(np.asarray(qt[1], np.float32), (1, plan.w // 16))
+    # quant patterns repeat every 8 columns, so one tile-width pattern
+    # serves every width tile
+    qy = np.tile(np.asarray(qt[0], np.float32), (1, plan.tile_w // 8))
+    qc = np.tile(np.asarray(qt[1], np.float32), (1, plan.tile_w // 16))
     return EncodeArgs(valid=valid, qy=qy, qc=qc)
 
 
 def _encode_kernel(plan: EncodePlan, interpret: bool):
     r = plan.band_rows
-    w = plan.w
-    wc = w // 2
+    wt = plan.tile_w
+    wc = wt // 2
     rc = r // 2
     k = plan.n_col_chunks
+    tiled = plan.n_wtiles > 1
+    # chroma output block width: tiled plans are lane-aligned per tile;
+    # untiled plans may pad to the 128-lane canvas (wcp)
+    wco = wc if tiled else plan.wcp
 
     def kernel(valid_ref,                        # scalar prefetch (B*2,)
-               rgb_ref,                          # VMEM (1, 3, R, W) u8
+               rgb_ref,                          # VMEM (1, 3, R, Wt) u8
                vy_ref, vc_ref, hy_ref, hc_ref,   # VMEM static FDCT bases
                qy_ref, qc_ref,                   # VMEM quant patterns
                yc_ref, cbc_ref, crc_ref):        # outputs (1, ., .) i16
         b = pl.program_id(0)
         tt = pl.program_id(1)
+        col0 = pl.program_id(2) * wt             # tile's absolute col
         vh = valid_ref[b * 2]
         vw = valid_ref[b * 2 + 1]
 
@@ -660,20 +688,20 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
             x = rgb_ref[0, ch].astype(jnp.int32).astype(jnp.float32)
             brow = jax.lax.dot_general(
                 sel_row, x, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (1, W)
-            x = jnp.where(row_ok, x, brow)                # (R, W)
+                preferred_element_type=jnp.float32)       # (1, Wt)
+            x = jnp.where(row_ok, x, brow)                # (R, Wt)
             cols = []
             for c in range(k):
                 xc = x[:, c * 128:(c + 1) * 128]
-                ci = jnp.clip(vw - 1 - c * 128, 0, 127)   # boundary col
+                ci = jnp.clip(vw - 1 - col0 - c * 128, 0, 127)  # boundary
                 sel_col = jnp.where(iota_sub == ci, 1.0, 0.0)  # (128, 1)
                 bcol = jax.lax.dot_general(
                     xc, sel_col,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)   # (R, 1)
-                col_ok = (iota_lane + c * 128) < vw       # (1, 128)
+                col_ok = (iota_lane + col0 + c * 128) < vw  # (1, 128)
                 cols.append(jnp.where(col_ok, xc, bcol))
-            return jnp.concatenate(cols, axis=1)          # (R, W)
+            return jnp.concatenate(cols, axis=1)          # (R, Wt)
 
         rr_ = load_chan(0)
         gg = load_chan(1)
@@ -711,7 +739,7 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
         qc = jnp.concatenate([qc_ref[:]] * (rc // 8), axis=0)  # (RC, Wc)
         hcs = _split_bf16(hc_ref[:]) if bf3 else None
         for plane, out_ref in ((cb, cbc_ref), (cr, crc_ref)):
-            pv = _tdot(vc_ref[:], plane, dn)       # (R/2, W)
+            pv = _tdot(vc_ref[:], plane, dn)       # (R/2, Wt)
             pvs = _split_bf16(pv) if bf3 else None
             coefs = []
             for c in range(wc // 128):
@@ -721,9 +749,9 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
                     split_a=(pvs[0][:, sl], pvs[1][:, sl]) if bf3 else None,
                     split_x=hcs)                   # (R/2, 128)
                 coefs.append(blk)
-            if wc % 128:
+            if wc % 128:        # untiled plans only (tiled: wc%128==0)
                 assert wc % 128 == 64, wc
-                sl = slice(w - 128, None)
+                sl = slice(wt - 128, None)
                 blk = _tdot(
                     pv[:, sl], hc_ref[:, :128][:128], dn,
                     split_a=(pvs[0][:, sl], pvs[1][:, sl]) if bf3 else None,
@@ -732,9 +760,9 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
                 coefs.append(blk)
             pq = jnp.concatenate(coefs, axis=1) / qc
             q16 = jnp.clip(jnp.round(pq), -1023, 1023).astype(jnp.int16)
-            if wc < plan.wcp:   # tile-pad the chroma output canvas
+            if wc < wco:        # tile-pad the chroma output canvas
                 q16 = jnp.concatenate(
-                    [q16, jnp.zeros((rc, plan.wcp - wc), jnp.int16)],
+                    [q16, jnp.zeros((rc, wco - wc), jnp.int16)],
                     axis=1)
             out_ref[0] = q16
 
@@ -767,12 +795,14 @@ def _encode_bases(band_rows: int):
 
 @functools.lru_cache(maxsize=16)
 def _build_encode_call(plan: EncodePlan, interpret: bool):
-    r, w = plan.band_rows, plan.w
+    r, wt = plan.band_rows, plan.tile_w
+    wco = wt // 2 if plan.n_wtiles > 1 else plan.wcp
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(plan.batch, plan.n_bands),
+        grid=(plan.batch, plan.n_bands, plan.n_wtiles),
         in_specs=[
-            pl.BlockSpec((1, 3, r, w), lambda b, tt, s: (b, 0, tt, 0)),
+            pl.BlockSpec((1, 3, r, wt),
+                         lambda b, tt, ss, s: (b, 0, tt, ss)),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # vy
             pl.BlockSpec(memory_space=pltpu.VMEM),   # vc
             pl.BlockSpec(memory_space=pltpu.VMEM),   # hy
@@ -781,14 +811,16 @@ def _build_encode_call(plan: EncodePlan, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # qc
         ],
         out_specs=[
-            pl.BlockSpec((1, r, w), lambda b, tt, s: (b, tt, 0)),
-            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt, s: (b, tt, 0)),
-            pl.BlockSpec((1, r // 2, plan.wcp), lambda b, tt, s: (b, tt, 0)),
+            pl.BlockSpec((1, r, wt), lambda b, tt, ss, s: (b, tt, ss)),
+            pl.BlockSpec((1, r // 2, wco),
+                         lambda b, tt, ss, s: (b, tt, ss)),
+            pl.BlockSpec((1, r // 2, wco),
+                         lambda b, tt, ss, s: (b, tt, ss)),
         ],
     )
     # edge replication is now rank-1 extract + select (~6 vs the index
     # version's 3*r + 3*128 MAC terms)
-    flops = (plan.batch * plan.n_bands * 2 * r * w
+    flops = (plan.batch * plan.n_bands * plan.n_wtiles * 2 * r * wt
              * (6 + r + 128 + 128))
     return pl.pallas_call(
         _encode_kernel(plan, interpret),

@@ -230,6 +230,10 @@ def test_plan_constraints():
     (64, 256, [(60, 250), (64, 256), (40, 130)]),
     (64, 384, [(60, 380), (64, 384), (40, 200)]),   # 64-col chroma tail
     (384, 512, [(380, 500), (384, 512), (200, 260)]),  # multi-band
+    # width-tiled plan (W>2048 -> tile_w 512, 5 tiles): valid widths
+    # straddling a mid-tile chunk, the full canvas, and one leaving
+    # whole tiles past the valid extent (don't-care regions)
+    (128, 2560, [(120, 2500), (128, 2560), (100, 513)]),
 ])
 def test_encode_matches_xla_bitexact(H, W, dims):
     from imageprocessor_tpu.ops.jpeg_encode import (
@@ -267,7 +271,14 @@ def test_encode_plan_constraints():
     with pytest.raises(ValueError):
         pj.make_encode_plan(1, 64, 128)     # W below minimum
     p = pj.make_encode_plan(8, 3072, 4096)
-    assert p.band_rows == 32 and p.n_bands == 96   # VMEM-bounded band
+    # wide canvases tile the width so the band stays MXU-sized (the
+    # per-step footprint is band_rows x tile_w, not band_rows x w)
+    assert p.band_rows == 128 and p.tile_w == 1024
+    assert p.n_bands * p.n_wtiles == 96
+    # widths whose divisors can't stay lane-aligned fall back to the
+    # VMEM-bounded narrow band
+    q = pj.make_encode_plan(8, 3072, 2176)
+    assert q.tile_w == 2176 and q.band_rows == 64
 
 
 @pytest.mark.parametrize("subsampling,fh,fw", [
