@@ -100,12 +100,13 @@ TRANSIENT = "transient"
 # codec cap (see the policy comment in ProcessingEngine.__init__). The
 # ratio is scale-invariant in image size (both sides are linear in
 # pixels). Measured on v5e (BENCH r3): the composed on-chip
-# decode->pipeline->encode step runs ~1270 12MP img/s PER CHIP with the
+# decode->pipeline->encode step runs ~1346 12MP img/s PER CHIP with the
 # fused Pallas codec kernels (ops/pallas_jpeg; was ~90 with the XLA
 # codec halves, ~494 before the encode kernel's scalar-prefetch clamp
 # replaced its one-hot replication matmuls, ~720 before the decode
 # kernel's bf16 upsample precision split, ~855 before the bf16x3
-# transform dots halved the IDCT/FDCT MXU passes) and a host core
+# transform dots halved the IDCT/FDCT MXU passes, ~1270 before the
+# encode width tiling kept FDCT dots MXU-sized) and a host core
 # ~10 img/s, so the single-chip crossover is ~127 cores — and the
 # codec kernels shard over the engine mesh (_codec_sharded), so a
 # v5e-8 host's crossover is ~8x that.
