@@ -611,7 +611,11 @@ def make_encode_plan(batch: int, h: int, w: int) -> EncodePlan:
     # (tile_w % 256 == 0); widths <= 2048 already fit untiled.
     tile = w
     if w > 2048:
-        for cand in (1024, 768, 512, 256):
+        # largest first: the 512-vs-1024 silicon A/B showed bigger
+        # tiles win (fewer grid steps); 1280 still fits the VMEM model
+        # (128 x 1280 at ~62.6 B/px ~= 10.3 MB) and is the only tile
+        # that divides the 2560/5120/10240 rungs without falling to 512
+        for cand in (1280, 1024, 768, 512, 256):
             if w % cand == 0:
                 tile = cand
                 break

@@ -230,9 +230,9 @@ def test_plan_constraints():
     (64, 256, [(60, 250), (64, 256), (40, 130)]),
     (64, 384, [(60, 380), (64, 384), (40, 200)]),   # 64-col chroma tail
     (384, 512, [(380, 500), (384, 512), (200, 260)]),  # multi-band
-    # width-tiled plan (W>2048 -> tile_w 512, 5 tiles): valid widths
-    # straddling a mid-tile chunk, the full canvas, and one leaving
-    # whole tiles past the valid extent (don't-care regions)
+    # width-tiled plan (W>2048 -> tile_w 1280, 2 tiles): valid widths
+    # straddling a mid-tile chunk, the full canvas, and one well short
+    # of the second tile (don't-care region)
     (128, 2560, [(120, 2500), (128, 2560), (100, 513)]),
 ])
 def test_encode_matches_xla_bitexact(H, W, dims):
@@ -275,6 +275,9 @@ def test_encode_plan_constraints():
     # per-step footprint is band_rows x tile_w, not band_rows x w)
     assert p.band_rows == 128 and p.tile_w == 1024
     assert p.n_bands * p.n_wtiles == 96
+    # rungs 1280 divides prefer the larger tile (silicon A/B: bigger
+    # tiles win; 2560 at tile 512 measured 8.44 vs 8.00 ms at 1280)
+    assert pj.make_encode_plan(8, 3072, 2560).tile_w == 1280
     # widths whose divisors can't stay lane-aligned fall back to the
     # VMEM-bounded narrow band
     q = pj.make_encode_plan(8, 3072, 2176)
