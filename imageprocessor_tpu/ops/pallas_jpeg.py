@@ -55,15 +55,17 @@ from imageprocessor_tpu.ops.pallas_resample import _round_up
 
 # Matmul precision for the codec TRANSFORM contractions (IDCT/FDCT).
 # On TPU, f32 matmuls decompose into bf16 MXU passes: HIGHEST ~ 6
-# passes (full f32), DEFAULT 1 (bf16 inputs — ~2^-9 relative, far too
-# coarse at JPEG coefficient magnitudes, where dequantized values reach
-# ~2^18). Mosaic's dot lowering rejects Precision.HIGH (the bf16x3
-# middle tier), so the transforms stay at HIGHEST.
+# passes (full f32), DEFAULT 1 (bf16 inputs — unit roundoff 2^-8
+# [7 fraction bits], far too coarse at JPEG coefficient magnitudes,
+# where dequantized values reach ~2^18). Mosaic's dot lowering rejects
+# Precision.HIGH (the bf16x3 middle tier), so the transforms stay at
+# HIGHEST.
 #
 # The chroma UPSAMPLE contractions are a different regime: their
 # weights are one-hot 0.75/0.25 taps (exact in bf16) applied to
 # PIXEL-scale values (|x| <~ 255 after the IDCT), where bf16 rounding
-# of the operand costs <= 2^-9 * 255 ~ 0.5 before the color convert —
+# of the operand costs at most half an ulp — 0.5 absolute in the
+# [128, 256) binade (ulp = 2^(7-7+1) = 1) — before the color convert —
 # measured <= 1 LSB vs the HIGHEST XLA program on-chip (PERF.md), the
 # same fidelity contract as the rest of the kernel, for 1 MXU pass
 # instead of 6 on ~47% of the kernel's MACs. They default to DEFAULT
@@ -80,17 +82,26 @@ def _resolve_choice(env: str, dflt: str, allowed) -> str:
     if raw not in allowed:
         import warnings
 
+        # Unrecognized/typo'd values must fail SAFE: fall back to the
+        # highest-fidelity mode, never to a faster-but-coarser one.
+        extra = ""
+        if raw == "high":
+            # removed round-2 value: Mosaic's dot lowering rejects
+            # Precision.HIGH, so the middle tier no longer exists.
+            extra = (" ('high' was removed: Mosaic rejects "
+                     "Precision.HIGH; 'bf16x3' is its replacement)")
         warnings.warn(
             f"{env}={raw!r} is not one of "
-            f"{sorted(allowed)}; using {dflt!r}", stacklevel=2)
-        return dflt
+            f"{sorted(allowed)}; using 'highest'{extra}", stacklevel=2)
+        return "highest"
     return raw
 
 
 # Transform (IDCT/FDCT) matmul algorithm:
 #   bf16x3  — dual-bf16 operand split + 3 single-pass dots (the classic
-#             f32-emulation trick): exact-split error <= 2^-18 relative
-#             per operand, and the dropped lo*lo term is bounded by the
+#             f32-emulation trick): split residual <= 2^-16 relative
+#             per operand (two compounded 2^-8 roundings), and the
+#             dropped lo*lo term is bounded by the
 #             DEQUANT_CLAMP below; measured <= 1 LSB vs the 6-pass
 #             HIGHEST XLA oracle on-chip at half the MXU pass count.
 #   highest — full f32 (6 bf16 MXU passes), bitwise the round-2 behavior.
@@ -114,9 +125,10 @@ DEQUANT_CLAMP = 4096.0
 
 
 def _split_bf16(x):
-    """Exact-ish dual-bf16 split: x ~ hi + lo with residual <= 2^-18|x|
-    (the hi subtraction is exact in f32 — Sterbenz: hi is within 2^-9
-    of x)."""
+    """Exact-ish dual-bf16 split: x ~ hi + lo with residual <= 2^-16|x|
+    (the hi subtraction is exact in f32 — Sterbenz: hi is within
+    2^-8|x| of x, and rounding (x - hi) to bf16 costs another 2^-8
+    factor)."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
@@ -129,7 +141,9 @@ def _tdot(a, x, dn, *, split_a=None, split_x=None):
     single-pass bf16 MXU dots with f32 accumulation (the dropped
     a_lo@x_lo term is <= 2^-18|a||x| per product). Callers that reuse
     an operand across several dots pass its pre-split pair via
-    split_a/split_x to amortize the VPU split."""
+    split_a/split_x to amortize the VPU split. (The per-product bound
+    in the docstring above: |a_lo| <= 2^-8|a| and |x_lo| <= 2^-8|x|,
+    so a_lo@x_lo <= 2^-16|a||x|.)"""
     dd = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
                            preferred_element_type=jnp.float32)
     if TRANSFORM_MODE != "bf16x3":
@@ -383,8 +397,12 @@ def _kernel(plan: DecodePlan, interpret: bool):
                 # libjpeg range-limits IDCT samples to the u8 range
                 # before upsampling (these carry no +128 level, so
                 # [-128, 127]); matches the XLA oracle and bounds the
-                # UPSAMPLE_PRECISION bf16 operands — 2^-9 * 128 = 0.25
-                # per rounding, <= 1 final LSB through the color math.
+                # UPSAMPLE_PRECISION bf16 operands — half-ulp in the
+                # [64, 128) binade is 0.25 per rounding. Worst case
+                # through the 1.772*Cb color weight with two compounded
+                # roundings is ~1.3 LSB in theory; measured on-chip
+                # <= 1 LSB (tools/jcodecprobe), which is the gate that
+                # must re-run before changing this math.
                 x = jnp.clip(x, -128.0, 127.0)
             return x
 
@@ -718,7 +736,7 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
 
         # ---- luma FDCT: vertical (R,R) static, horizontal per chunk.
         # FDCT operands are pixel-scale (|y| <= ~180), so bf16x3 needs
-        # no clamp here — the dropped split term is <= 2^-18 relative
+        # no clamp here — the dropped split term is <= 2^-16 relative
         # on values the quantizer divides by >= 1.
         dn = (((1,), (0,)), ((), ()))
         bf3 = TRANSFORM_MODE == "bf16x3"

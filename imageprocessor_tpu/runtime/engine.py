@@ -107,9 +107,10 @@ TRANSIENT = "transient"
 # kernel's bf16 upsample precision split, ~855 before the bf16x3
 # transform dots halved the IDCT/FDCT MXU passes, ~1270 before the
 # encode width tiling kept FDCT dots MXU-sized) and a host core
-# ~10 img/s, so the single-chip crossover is ~127 cores — and the
-# codec kernels shard over the engine mesh (_codec_sharded), so a
-# v5e-8 host's crossover is ~8x that.
+# ~10 img/s, so the single-chip crossover is ~135 cores; the default
+# stays 127 (the pre-width-tiling figure) as a deliberately
+# conservative margin — and the codec kernels shard over the engine
+# mesh (_codec_sharded), so a v5e-8 host's crossover is ~8x that.
 DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
     "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "127"))
 
@@ -195,13 +196,14 @@ class ProcessingEngine:
         # on device too. Eligible geometry takes the fused Pallas codec
         # kernels (ops/pallas_jpeg: decode 2.1 ms, encode ~3.6 ms per
         # 8x12MP batch vs 38.5/108 ms XLA), putting the composed
-        # decode->pipeline->encode step at ~1270 12MP img/s per chip
-        # (BENCH r3, bf16x3 transform dots; was ~90 with the XLA
-        # halves). The codec still trades CHIP time for HOST CPU (the
-        # fused pipeline step alone is 0.7 ms/batch), so it wins when
-        # the host cannot feed the chip: per core the host codec
-        # manages ~10 12MP img/s, so below the
-        # ~127-core-per-chip crossover the device path serves
+        # decode->pipeline->encode step at ~1346 12MP img/s per chip
+        # (BENCH r3, bf16x3 transform dots + encode width tiling; was
+        # ~90 with the XLA halves). The codec still trades CHIP time
+        # for HOST CPU (the fused pipeline step alone is 0.7 ms/batch),
+        # so it wins when the host cannot feed the chip: per core the
+        # host codec manages ~10 12MP img/s, so below the crossover
+        # (~135 cores/chip measured; default threshold 127, kept
+        # conservative) the device path serves
         # more total throughput, above it the host pool does. Auto
         # policy = native scanner present AND TPU backend AND a
         # core-starved host; IMAGEPROCESSOR_DEVICE_JPEG=1/0 forces.

@@ -43,6 +43,14 @@ def _case(dims, H, W, seed=1, fh=2, fw=2):
     (128, 640, [(120, 633), (128, 640)]),   # wc=320 at fw=2: tile-padded
 ])
 def test_matches_xla_decode_within_1lsb(H, W, dims, fh, fw):
+    """Kernel vs XLA decode on the CPU backend, <=1 LSB.
+
+    COVERAGE GAP (deliberate): on CPU, DEFAULT-precision f32 dots are
+    exact, so this suite cannot exercise UPSAMPLE_PRECISION=default's
+    bf16 operand rounding — that contract rests on the on-chip
+    measurement (tools/jcodecprobe md<=1 gate, which must re-run
+    before any change to the upsample math) plus the explicit bf16
+    emulation in test_upsample_bf16_rounding_cpu_emulation below."""
     yc, cbc, crc, qt, cv = _case(dims, H, W, fh=fh, fw=fw)
     ref = np.asarray(batched_decode_ycbcr(yc, cbc, crc, qt, cv,
                                           fh=fh, fw=fw))
@@ -54,6 +62,63 @@ def test_matches_xla_decode_within_1lsb(H, W, dims, fh, fw):
         d = np.abs(ref[i, :, :h, :w].astype(int)
                    - out[i, :, :h, :w].astype(int))
         assert d.max() <= 1, (fh, fw, i, h, w, d.max())
+
+
+def test_upsample_bf16_rounding_cpu_emulation():
+    """Emulate the TPU UPSAMPLE_PRECISION=default bf16 pass on CPU.
+
+    The kernel's chroma-upsample dots run with bf16 operands on TPU
+    (one MXU pass); CPU interpret mode runs them in exact f32, so the
+    main decode suite never sees the rounding. This test reproduces
+    the numeric path by hand — fancy-upsample 0.75/0.25 taps applied
+    vertically then horizontally with explicit bf16 casts of every
+    operand (including the inter-pass intermediate, which the TPU dot
+    also rounds), then the worst-amplifying color weight (B = Y +
+    1.772*Cb) — and checks the rounded u8 output stays within 1 LSB of
+    the float64 path on pixel-sourced chroma. The theoretical
+    adversarial worst case is ~1.3 LSB (three compounded quarter-ulp
+    roundings through 1.772); pixel-sourced planes measure <=1 LSB
+    here and on silicon (tools/jcodecprobe)."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (96, 160, 3)).astype(np.float64)
+    ych = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+           + 0.114 * rgb[..., 2])
+    cb = (-0.168735892 * rgb[..., 0] - 0.331264108 * rgb[..., 1]
+          + 0.5 * rgb[..., 2])
+    # subsampled chroma plane, as the IDCT would produce it (rounded
+    # to the range libjpeg's pre-upsample range limit enforces)
+    cbs = np.clip(cb[::2, ::2], -128.0, 127.0)
+
+    def up1d(x, axis, cast):
+        # fancy upsampling: out[2i] = .75 x[i] + .25 x[i-1] (clamped),
+        # out[2i+1] = .75 x[i] + .25 x[i+1]
+        x = np.moveaxis(x, axis, 0)
+        xm = np.concatenate([x[:1], x[:-1]], axis=0)
+        xp = np.concatenate([x[1:], x[-1:]], axis=0)
+        x_, xm_, xp_ = (cast(v) for v in (x, xm, xp))
+        even = 0.75 * x_ + 0.25 * xm_
+        odd = 0.75 * x_ + 0.25 * xp_
+        out = np.empty((2 * x.shape[0],) + x.shape[1:], np.float64)
+        out[0::2] = even
+        out[1::2] = odd
+        return np.moveaxis(out, 0, axis)
+
+    def bf16(v):
+        return v.astype(ml_dtypes.bfloat16).astype(np.float64)
+
+    exact = up1d(up1d(cbs, 0, lambda v: v), 1, lambda v: v)
+    # TPU pass: operands bf16-rounded in BOTH passes (the vertical
+    # output re-rounds when it becomes a horizontal-dot operand)
+    approx = up1d(bf16(up1d(cbs, 0, bf16)), 1, bf16)
+
+    h, w = exact.shape
+    blue_exact = np.clip(np.round(ych[:h, :w] + 1.772 * exact),
+                         0, 255).astype(np.int32)
+    blue_approx = np.clip(np.round(ych[:h, :w] + 1.772 * approx),
+                          0, 255).astype(np.int32)
+    assert np.abs(blue_exact - blue_approx).max() <= 1
 
 
 def test_chroma_tile_padding():
