@@ -8,9 +8,18 @@ Measures the production path on whatever accelerator is live:
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
 
-value        = sustained device-pipeline throughput (H2D + compute + D2H).
+value        = the COMPOSED on-chip decode->pipeline->encode step rate
+               (coefficients -> IDCT/upsample/color -> thumbnail/resize/
+               watermark -> FDCT/quantize), i.e. the metric BASELINE.md's
+               20k-img/s target actually prices. Falls back to the fused
+               ops-only rate (with the metric string saying so) only when
+               the composed step cannot run (smoke mode / no native
+               scanner / non-TPU geometry).
 vs_baseline  = value / 2500 (north star 20k img/s on 8 chips => 2500/chip,
                BASELINE.md).
+fused_pipeline_images_per_sec = the ops-only fused step (thumbnail +
+               resize + watermark, HBM-resident pixels) — the r1-r3
+               headline, now a secondary key.
 Extra keys report the host-codec rates measured on this machine and the
 end-to-end rate they imply — this bench host exposes a single CPU core,
 so the deployment-sized host codec pool is reported, not assumed.
@@ -621,7 +630,7 @@ def main() -> int:
 
     psnr_db = quick_psnr_check()
 
-    value = dev["device_step_images_per_sec"]
+    fused_rate = dev["device_step_images_per_sec"]
     # End-to-end on THIS host, on the DEFAULT serving path. With the
     # native scanner present and a TPU backend, device_jpeg is on by
     # default (engine auto policy): the host keeps only the entropy scan
@@ -630,7 +639,8 @@ def main() -> int:
     enc = codecs["host_encode_images_per_sec_per_core"]
     scan = codecs.get("host_entropy_scan_images_per_sec_per_core")
     emit = codecs.get("host_entropy_emit_images_per_sec_per_core")
-    e2e_host_codec = 1.0 / (1.0 / dec + 1.0 / enc + 1.0 / max(value, 1e-9))
+    e2e_host_codec = 1.0 / (1.0 / dec + 1.0 / enc
+                            + 1.0 / max(fused_rate, 1e-9))
     from imageprocessor_tpu.runtime.engine import (
         DEVICE_JPEG_CORE_THRESHOLD,
         usable_cores,
@@ -649,13 +659,29 @@ def main() -> int:
         e2e_one_core = e2e_host_codec
         e2e_path = "host_codec"
 
+    # Headline = the composed on-chip decode->ops->encode step: that IS
+    # the "decode→resize→watermark→encode" box the baseline target
+    # prices. The fused ops-only rate is a secondary key. Only when the
+    # composed step cannot run (smoke / no scanner / ineligible
+    # geometry) does the fused rate stand in, with the metric string
+    # renamed so the fallback is impossible to misread as the target
+    # metric.
+    if djpeg:
+        value = djpeg["device_jpeg_step_images_per_sec"]
+        metric = ("12MP images/sec/chip (decode→resize→watermark"
+                  "→encode); PSNR vs Go reference")
+    else:
+        value = fused_rate
+        metric = ("12MP images/sec/chip (fused resize+watermark "
+                  "ops only — composed codec step unavailable on "
+                  "this run); PSNR vs Go reference")
     out = {
-        "metric": "12MP images/sec/chip (decode→resize→watermark"
-                  "→encode); PSNR vs Go reference",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "images/sec",
         "vs_baseline": round(value / 2500.0, 4),
         "psnr_db_vs_oracle": min(round(psnr_db, 2), 99.99),
+        "fused_pipeline_images_per_sec": round(fused_rate, 2),
         "device_step_images_per_sec_slope": round(
             dev["device_step_images_per_sec_slope"], 2),
         "pallas": dev["pallas"],
@@ -682,11 +708,18 @@ def main() -> int:
         "batch": dev["batch"],
         "bucket": dev["bucket"],
         "platform": dev["platform"],
-        "note": ("value = fused on-chip pipeline rate (thumbnail + resize + "
-                 "watermark), inputs HBM-resident. This dev environment "
-                 "reaches the chip through a ~15 MB/s tunnel (see tunnel_* "
-                 "keys), so transfer-inclusive rates measure the tunnel, "
-                 "not the chip; production PCIe/DMA overlaps transfers with "
+        "note": (("value = COMPOSED on-chip step: coefficient decode "
+                  "(IDCT+upsample+color) -> thumbnail+resize+watermark "
+                  "-> encode front half (FDCT+quantize), batch-chained "
+                  "on device. Host entropy scan/emit run on CPU cores "
+                  "(see host_entropy_* keys and PERF.md's whole-system "
+                  "model). " if djpeg else
+                  "value = fused ops-only rate; the composed codec step "
+                  "could not run here. ")
+                 + "This dev environment reaches the chip through a "
+                 "~15 MB/s tunnel (see tunnel_* keys), so "
+                 "transfer-inclusive rates measure the tunnel, not the "
+                 "chip; production PCIe/DMA overlaps transfers with "
                  "compute. Host codec rates are per single CPU core."),
     }
     print(json.dumps(out))
