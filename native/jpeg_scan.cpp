@@ -32,13 +32,39 @@ constexpr int kZigzag[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
+inline int extend(int v, int s) {
+  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+// Branchless EXTEND (F.2.2.1) for the LUT-covered paths: the sign of
+// an s-bit RECEIVE field is its MSB; a mispredicted conditional here
+// is a coin flip on photographic noise (the emit side measured the
+// same branch at ~1.7x the whole pass cost — see jpeg_emit.cpp).
+// Callers guarantee s >= 1.
+inline int extend_nb(int v, int s) {
+  const int m = (v >> (s - 1)) - 1;  // 0 if positive, -1 if negative
+  return v + (m & static_cast<int>((~0u << s) + 1));
+}
+
 struct HuffTable {
-  // Canonical decode tables (F.2.2.3) + an 8-bit fast lookup.
+  // Canonical decode tables (F.2.2.3) + an 8-bit fast lookup + the
+  // 12-bit combined lookahead below.
   int32_t maxcode[18];
   int32_t valptr[17];
   int32_t mincode[17];
   uint8_t values[256];
   int16_t fast[256];  // (len << 8) | value, or -1
+  // One L1 load resolves code length, zero-run, size category, AND —
+  // when code+value bits fit the 12-bit window — the sign-extended
+  // coefficient value itself (multi-field Huffman decode; at q85 the
+  // window fully covers ~97% of coefficients, and codes of 9..16 bits
+  // no longer take the canonical length-by-length walk).
+  // Entry layout: bits 0..4 total bits to consume (code, or
+  // code+value when bit 9 is set); bits 5..8 zero-run; bit 9 value
+  // included; bits 10..13 size category s; bits 16..31 extended value
+  // (int16). 0 = slow path (code >12 bits, invalid prefix, or a
+  // category the scan class forbids: DC s>11 / AC s>10).
+  uint32_t lut[4096];
   bool present = false;
 
   // Returns false for a non-canonical table: a DHT claiming more codes
@@ -46,7 +72,8 @@ struct HuffTable {
   // libjpeg's jdhuff performs). Without this check the fast-table fill
   // below computes base = code << (8 - l) past fast[256] — a crafted
   // ~300-byte upload could overwrite the stack-resident Decoder.
-  bool build(const uint8_t* bits, const uint8_t* vals, int nvals) {
+  bool build(const uint8_t* bits, const uint8_t* vals, int nvals,
+             bool is_dc) {
     memcpy(values, vals, static_cast<size_t>(nvals));
     int code = 0, k = 0;
     for (int l = 1; l <= 16; ++l) {
@@ -70,6 +97,45 @@ struct HuffTable {
           fast[base + f] = static_cast<int16_t>((l << 8) | vals[k]);
       }
       code <<= 1;
+    }
+    // 12-bit combined lookahead: canonical-decode every window once at
+    // DHT parse time (~4096 x <=12 compares, microseconds).
+    for (int w = 0; w < 4096; ++w) {
+      int sym = -1, len = 0;
+      for (int l = 1; l <= 12; ++l) {
+        const int cd = w >> (12 - l);
+        if (cd <= maxcode[l]) {
+          sym = values[valptr[l] + (cd - mincode[l])];
+          len = l;
+          break;
+        }
+      }
+      if (sym < 0) {
+        lut[w] = 0;
+        continue;
+      }
+      const int run = is_dc ? 0 : (sym >> 4);
+      const int s = is_dc ? sym : (sym & 15);
+      if (s > (is_dc ? 11 : 10)) {  // category the scan class forbids
+        lut[w] = 0;
+        continue;
+      }
+      // DC s==0 combines to value 0 (uniform path); AC s==0 stays
+      // non-combined — EOB/ZRL have control-flow semantics.
+      if ((s > 0 || is_dc) && len + s <= 12) {
+        const int v = s ? ((w >> (12 - len - s)) & ((1 << s) - 1)) : 0;
+        const int ext = s ? extend(v, s) : 0;
+        lut[w] = static_cast<uint32_t>(len + s)
+                 | (static_cast<uint32_t>(run) << 5) | (1u << 9)
+                 | (static_cast<uint32_t>(s) << 10)
+                 | (static_cast<uint32_t>(static_cast<uint16_t>(
+                        static_cast<int16_t>(ext)))
+                    << 16);
+      } else {
+        lut[w] = static_cast<uint32_t>(len)
+                 | (static_cast<uint32_t>(run) << 5)
+                 | (static_cast<uint32_t>(s) << 10);
+      }
     }
     present = true;
     return true;
@@ -174,10 +240,6 @@ inline int huff_decode(BitReader& br, const HuffTable& t) {
   if (l > 16) return -1;
   br.consume(l);
   return t.values[t.valptr[l] + (code - t.mincode[l])];
-}
-
-inline int extend(int v, int s) {
-  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
 }
 
 struct Component {
@@ -324,7 +386,8 @@ struct Decoder {
       for (int i = 0; i < 16; ++i) nv += bits[i];
       if (q + 17 + static_cast<size_t>(nv) > seg_end || nv > 256)
         return 18;
-      if (!(tc == 0 ? dc[th] : ac[th]).build(bits, data + q + 17, nv))
+      if (!(tc == 0 ? dc[th] : ac[th]).build(bits, data + q + 17, nv,
+                                             tc == 0))
         return 18;  // non-canonical code counts
       q += 17 + static_cast<size_t>(nv);
     }
@@ -457,26 +520,73 @@ struct Decoder {
 
   // Writes ONLY the non-zero coefficients; the caller's plane must be
   // pre-zeroed (np.zeros / calloc on the Python side).
+  //
+  // Hot path: one 12-bit LUT load resolves (len, run, size, value) per
+  // coefficient — no canonical walk for 9..12-bit codes, no extend
+  // branch, and usually no separate value read. The slow path (codes
+  // 13..16 bits, invalid prefixes, forbidden categories) keeps the
+  // original canonical decode + validation.
   int decode_block(BitReader& br, Component& c, int16_t* blk_out) {
     const HuffTable& dct = dc[c.dc_tbl];
     const HuffTable& act = ac[c.ac_tbl];
     if (!dct.present || !act.present) return 30;
     br.fill();  // >= 57 bits: covers the DC code (<=16) + diff (<=11)
-    int s = huff_decode(br, dct);
-    // Baseline DC magnitude categories are 0..11 (ITU T.81 F.1.2.1.1); a
-    // malicious DHT can encode larger symbols, which would shift by a
-    // negative count in get_bits_nofill / overflow extend — reject first.
-    if (s < 0 || s > 11) return 31;
-    int diff = s ? extend(br.get_bits_nofill(s), s) : 0;
+    int diff;
+    {
+      const uint32_t e = dct.lut[br.acc >> 52];
+      if (e & (1u << 9)) {  // combined: code + extended diff, one step
+        br.consume(static_cast<int>(e & 31));
+        diff = static_cast<int16_t>(e >> 16);
+      } else if (e != 0) {  // code <=12 bits, diff bits past the window
+        br.consume(static_cast<int>(e & 31));
+        const int s = static_cast<int>((e >> 10) & 15);
+        diff = extend_nb(br.get_bits_nofill(s), s);
+      } else {
+        // Baseline DC magnitude categories are 0..11 (ITU T.81
+        // F.1.2.1.1); a malicious DHT can encode larger symbols, which
+        // would shift by a negative count in get_bits_nofill /
+        // overflow extend — reject first.
+        int s = huff_decode(br, dct);
+        if (s < 0 || s > 11) return 31;
+        diff = s ? extend(br.get_bits_nofill(s), s) : 0;
+      }
+    }
     c.pred += diff;
     blk_out[0] = static_cast<int16_t>(c.pred);
     const int32_t* zig = c.zigoff;
     for (int k = 1; k < 64;) {
       if (br.nbits < 26) br.fill();  // AC code (<=16) + value (<=10)
+      const uint32_t e = act.lut[br.acc >> 52];
+      if (e & (1u << 9)) {  // combined (run, value): s >= 1 always
+        br.consume(static_cast<int>(e & 31));
+        k += static_cast<int>((e >> 5) & 15);
+        if (k > 63) return 33;
+        blk_out[zig[k]] = static_cast<int16_t>(e >> 16);
+        ++k;
+        continue;
+      }
+      if (e != 0) {
+        br.consume(static_cast<int>(e & 31));
+        const int s = static_cast<int>((e >> 10) & 15);
+        if (s == 0) {
+          if (((e >> 5) & 15) == 15) {
+            k += 16;  // ZRL
+            continue;
+          }
+          break;  // EOB
+        }
+        k += static_cast<int>((e >> 5) & 15);
+        if (k > 63) return 33;
+        blk_out[zig[k]] =
+            static_cast<int16_t>(extend_nb(br.get_bits_nofill(s), s));
+        ++k;
+        continue;
+      }
+      // slow path: code 13..16 bits, invalid prefix, or s > 10
       int rs = huff_decode(br, act);
       if (rs < 0) return 32;
       int r = rs >> 4;
-      s = rs & 15;
+      int s = rs & 15;
       if (s == 0) {
         if (r == 15) {
           k += 16;
