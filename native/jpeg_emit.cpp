@@ -19,6 +19,9 @@
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -98,7 +101,15 @@ struct BitWriter {
   uint8_t* __restrict out;
   size_t cap;
   size_t pos = 0;
-  uint64_t acc = 0;  // pending bits in the TOP `nbits` bits
+#if defined(__SIZEOF_INT128__)
+  // 128-bit accumulator: a fused code+value write is <=27 bits, so a
+  // 64-bit acc must flush 32 bits as soon as 32 are pending (pre-add
+  // headroom), i.e. every ~5 symbols. With 128 bits of headroom the
+  // flush runs half as often and stores 8 bytes per branch-free check.
+  unsigned __int128 acc = 0;  // pending bits in the TOP `nbits` bits
+#else
+  uint64_t acc64 = 0;
+#endif
   int nbits = 0;
   bool overflow = false;
 
@@ -110,8 +121,50 @@ struct BitWriter {
     out[pos++] = b;
   }
 
+#if defined(__SIZEOF_INT128__)
+  void flush64() {  // emit the top 64 buffered bits
+    const uint64_t top = static_cast<uint64_t>(acc >> 64);
+    const uint64_t inv = ~top;  // 0xFF byte <=> zero byte in ~top
+    if (((inv - 0x0101010101010101ull) & ~inv
+         & 0x8080808080808080ull) == 0
+        && pos + 8 <= cap) {
+      // no stuffing needed: one big-endian word store
+      const uint64_t be = __builtin_bswap64(top);
+      memcpy(out + pos, &be, 8);
+      pos += 8;
+    } else {
+      for (int i = 56; i >= 0; i -= 8) {
+        const uint8_t b = static_cast<uint8_t>(top >> i);
+        put_byte(b);
+        if (b == 0xFF) put_byte(0x00);
+      }
+    }
+    acc <<= 64;
+    nbits -= 64;
+  }
+
+  // v holds the code in its low n bits; n <= 31 (a fused Huffman code +
+  // value pair is at most 16 + 11 bits).
+  void put_bits(uint32_t v, int n) {
+    acc |= static_cast<unsigned __int128>(v) << (128 - nbits - n);
+    nbits += n;
+    if (nbits >= 64) flush64();
+  }
+
+  void flush_scan() {  // pad final partial byte with 1s (spec F.1.2.3)
+    if (nbits & 7) put_bits((1u << (8 - (nbits & 7))) - 1, 8 - (nbits & 7));
+    while (nbits >= 64) flush64();
+    while (nbits >= 8) {
+      const uint8_t b = static_cast<uint8_t>(acc >> 120);
+      put_byte(b);
+      if (b == 0xFF) put_byte(0x00);
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
+#else
   void flush32() {  // emit the top 32 buffered bits
-    const uint32_t top = static_cast<uint32_t>(acc >> 32);
+    const uint32_t top = static_cast<uint32_t>(acc64 >> 32);
     const uint32_t inv = ~top;  // 0xFF byte <=> zero byte in ~top
     if (((inv - 0x01010101u) & ~inv & 0x80808080u) == 0
         && pos + 4 <= cap) {
@@ -126,29 +179,28 @@ struct BitWriter {
         if (b == 0xFF) put_byte(0x00);
       }
     }
-    acc <<= 32;
+    acc64 <<= 32;
     nbits -= 32;
   }
 
-  // v holds the code in its low n bits; n <= 31 (a fused Huffman code +
-  // value pair is at most 16 + 11 bits).
   void put_bits(uint32_t v, int n) {
-    acc |= static_cast<uint64_t>(v) << (64 - nbits - n);
+    acc64 |= static_cast<uint64_t>(v) << (64 - nbits - n);
     nbits += n;
     if (nbits >= 32) flush32();
   }
 
-  void flush_scan() {  // pad final partial byte with 1s (spec F.1.2.3)
+  void flush_scan() {
     if (nbits & 7) put_bits((1u << (8 - (nbits & 7))) - 1, 8 - (nbits & 7));
     while (nbits >= 32) flush32();
     while (nbits >= 8) {
-      const uint8_t b = static_cast<uint8_t>(acc >> 56);
+      const uint8_t b = static_cast<uint8_t>(acc64 >> 56);
       put_byte(b);
       if (b == 0xFF) put_byte(0x00);
-      acc <<= 8;
+      acc64 <<= 8;
       nbits -= 8;
     }
   }
+#endif
 };
 
 inline int bit_length(int v) {  // category of |v| (v >= 0)
@@ -193,7 +245,29 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
   // slots (typical blocks have ~10 non-zeros).
   int16_t nat[64];
   uint64_t nzmask = 0;
-#if defined(__SSE2__)
+#if defined(__AVX2__) && defined(__BMI2__)
+  // Two rows per 256-bit op; PEXT compacts the 32-bit epi8 movemask's
+  // even bits into the two per-row non-zero bytes in one instruction.
+  const __m256i zero256 = _mm256_setzero_si256();
+  const __m256i lo256 = _mm256_set1_epi16(-1023);
+  const __m256i hi256 = _mm256_set1_epi16(1023);
+  for (int r = 0; r < 8; r += 2) {
+    __m256i v = _mm256_inserti128_si256(
+        _mm256_castsi128_si256(_mm_loadu_si128(
+            reinterpret_cast<const __m128i*>(
+                blk + static_cast<size_t>(r) * stride))),
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(
+            blk + static_cast<size_t>(r + 1) * stride)),
+        1);
+    // Clamp to the baseline-representable range (see the SSE2 path).
+    v = _mm256_max_epi16(_mm256_min_epi16(v, hi256), lo256);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(nat + r * 8), v);
+    const uint32_t mm = ~static_cast<uint32_t>(
+        _mm256_movemask_epi8(_mm256_cmpeq_epi16(v, zero256)));
+    const uint32_t rows = _pext_u32(mm, 0x55555555u);
+    nzmask |= kRowZig.t[r][rows & 0xFF] | kRowZig.t[r + 1][rows >> 8];
+  }
+#elif defined(__SSE2__)
   const __m128i zero = _mm_setzero_si128();
   for (int r = 0; r < 8; ++r) {
     __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(
