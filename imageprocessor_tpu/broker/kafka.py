@@ -62,6 +62,45 @@ _RETRIABLE = (kw.ILLEGAL_GENERATION, kw.REBALANCE_IN_PROGRESS,
               kw.UNKNOWN_MEMBER_ID, kw.NOT_COORDINATOR)
 
 
+def join_group_body(group: str, member_id: str, session_ms: int,
+                    subscription: bytes, jver: int) -> bytes:
+    """JoinGroup request body (KIP-62 layout; v1+ adds
+    rebalance_timeout). Exposed as a pure function so the wire-golden
+    suite can compare these exact bytes against spec-assembled frames
+    (tests/test_kafka_goldens.py)."""
+    w = kw.Writer().string(group).i32(session_ms)
+    if jver >= 1:
+        w.i32(session_ms)  # rebalance_timeout
+    return (w.string(member_id).string("consumer")
+            .array([("range", subscription)],
+                   lambda ww, pr: ww.string(pr[0]).bytes_(pr[1]))
+            ).done()
+
+
+def sync_group_body(group: str, generation: int, member_id: str,
+                    assignments: list) -> bytes:
+    """SyncGroup request body; assignments = [(member_id, blob)] (empty
+    for followers). Pure for the wire-golden suite, like
+    join_group_body."""
+    return (kw.Writer().string(group).i32(generation).string(member_id)
+            .array(assignments,
+                   lambda w, a: w.string(a[0]).bytes_(a[1]))).done()
+
+
+def produce_body(topic: str, pid: int, rset: bytes, ver: int,
+                 acks: int = -1, timeout_ms: int = 10000) -> bytes:
+    """Produce request body (v3+ prefixes a nullable transactional_id).
+    Pure for the wire-golden suite, like join_group_body."""
+    w = kw.Writer()
+    if ver >= 3:
+        w.string(None)  # transactional_id
+    return (w.i16(acks).i32(timeout_ms)
+            .array([topic], lambda ww, t: (
+                ww.string(t)
+                .array([pid], lambda w2, p: (
+                    w2.i32(p).i32(len(rset)).raw(rset))))).done())
+
+
 class _Conn:
     """One broker connection: framed request/response with correlation,
     plus the broker's advertised API version ranges (ApiVersions v0,
@@ -426,19 +465,13 @@ class KafkaBroker(Broker):
                 # real brokers.
                 rset = kw.encode_record_batch(
                     [(0, key, value, int(time.time() * 1000))])
-                w = kw.Writer().string(None)  # transactional_id
             else:
                 # Ancient broker (no ApiVersions): magic-0 message set —
                 # the one framing every broker since 0.8 accepts. No
                 # timestamp field exists at magic 0, so queue_wait_ms is
                 # unavailable there (documented in MULTIHOST.md).
                 rset = kw.encode_message_set([(0, key, value)])
-                w = kw.Writer()
-            body = (w.i16(-1).i32(10000)
-                    .array([topic], lambda w, t: (
-                        w.string(t)
-                        .array([pid], lambda w2, p: (
-                            w2.i32(p).i32(len(rset)).raw(rset)))))).done()
+            body = produce_body(topic, pid, rset, ver)
             r = self._req(leader, kw.PRODUCE, max(ver, 0), body)
             offset = -1
             for _ in range(r.i32()):
@@ -509,13 +542,8 @@ class KafkaBroker(Broker):
             except MessageQueueError:
                 time.sleep(0.05)
                 continue
-            w = kw.Writer().string(c.group).i32(_SESSION_TIMEOUT_MS)
-            if jver >= 1:
-                w.i32(_SESSION_TIMEOUT_MS)  # rebalance_timeout
-            body = (w.string(c.member_id).string("consumer")
-                    .array([("range", sub)],
-                           lambda w, pr: w.string(pr[0]).bytes_(pr[1]))
-                    ).done()
+            body = join_group_body(c.group, c.member_id,
+                                   _SESSION_TIMEOUT_MS, sub, jver)
             try:
                 # The coordinator parks joins up to the rebalance
                 # timeout; give the socket that long plus margin.
@@ -569,10 +597,8 @@ class KafkaBroker(Broker):
                         start += cnt
                 assignments = [(mid, kw.encode_assignment(tp))
                                for mid, tp in per_member.items()]
-            body = (kw.Writer().string(c.group).i32(generation)
-                    .string(member_id)
-                    .array(assignments,
-                           lambda w, a: w.string(a[0]).bytes_(a[1]))).done()
+            body = sync_group_body(c.group, generation, member_id,
+                                   assignments)
             try:
                 sver = self._pick_version(coord, kw.SYNC_GROUP, 1)
                 # A follower's SyncGroup is parked until the leader

@@ -104,7 +104,9 @@ class Reader:
         self.pos = pos
 
     def _take(self, n: int) -> bytes:
-        if self.pos + n > len(self.buf):
+        # n < 0 (a corrupt varint length) would silently slice backward;
+        # pos < 0 (a corrupt record skip) would wrap to the buffer tail.
+        if n < 0 or self.pos < 0 or self.pos + n > len(self.buf):
             raise WireError("short read")
         b = self.buf[self.pos:self.pos + n]
         self.pos += n
@@ -386,6 +388,8 @@ def _decode_one_batch_v2(buf: bytes, pos: int, end: int,
     rr = Reader(payload)
     for _ in range(count):
         rec_len = read_varint(rr)
+        if rec_len < 0 or rr.pos + rec_len > len(payload):
+            raise WireError("record length out of range")
         rec_end = rr.pos + rec_len
         rr.i8()  # record attributes
         ts_delta = read_varint(rr)
@@ -394,6 +398,8 @@ def _decode_one_batch_v2(buf: bytes, pos: int, end: int,
         key = rr._take(klen) if klen >= 0 else None
         vlen = read_varint(rr)
         value = rr._take(vlen) if vlen >= 0 else None
+        if rr.pos > rec_end:
+            raise WireError("record fields overran record length")
         rr.pos = rec_end  # skip headers
         if not is_control:
             out.append(WireMessage(base_offset + off_delta, key, value,

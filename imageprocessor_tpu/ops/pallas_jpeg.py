@@ -115,6 +115,28 @@ PRECISION = _PRECISIONS["highest" if TRANSFORM_MODE == "highest"
 UPSAMPLE_PRECISION = _PRECISIONS[_resolve_choice(
     "IMAGEPROCESSOR_UPSAMPLE_PRECISION", "default", _PRECISIONS)]
 
+# ENCODE-side transform mode (FDCT only). The decode IDCT's output IS
+# the pixels, so its precision is contract-bound (<=1 LSB vs oracle);
+# the encode FDCT's output feeds a QUANTIZER whose step (>=1, typically
+# 2-17 at q85) absorbs small transform error — the acceptance metric
+# there is decoded-PSNR vs a libjpeg encode at the same quality, not
+# the f32 oracle (tools/eprecprobe.py measures both; PERF.md "encode
+# precision ladder" records the verdict). Modes:
+#   bf16x3  — the decode-grade dual-split (default; round-3 behavior,
+#             <=1 quant step vs the f32 oracle on any input).
+#   bf16x2  — 2 single-pass dots: the constant basis rounds to bf16
+#             once (a fixed, sign-mixed ~2^-8 perturbation per tap)
+#             and the pixel/intermediate operand keeps its dual-bf16
+#             split. NOT oracle-parity-exact (the kernel rounds the
+#             downsample-folded chroma basis, the XLA program would
+#             round the unfolded one), so it stays opt-in unless the
+#             measured speed gain justifies mirroring the oracle.
+#   highest — 6-pass full f32.
+#   default — 1 bf16 pass (probes only; ~2x the bf16x2 error).
+ENCODE_TRANSFORM_MODE = _resolve_choice(
+    "IMAGEPROCESSOR_ENCODE_PRECISION", "bf16x3",
+    ("bf16x3", "bf16x2", "highest", "default"))
+
 # Dequantized coefficients from PIXEL-SOURCED streams are bounded by
 # |FDCT| + q/2 <= 255*8 + 128 = 2168; clamping at +-4096 (1.9x
 # headroom) is invisible to real images while bounding the bf16x3
@@ -134,25 +156,36 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _tdot(a, x, dn, *, split_a=None, split_x=None):
-    """Transform dot product under TRANSFORM_MODE.
+def _tdot(a, x, dn, *, split_a=None, split_x=None, mode=None,
+          basis=None):
+    """Transform dot product under a precision mode (default:
+    TRANSFORM_MODE).
 
-    bf16x3 mode computes a_hi@x_hi + a_hi@x_lo + a_lo@x_hi as three
+    bf16x3 computes a_hi@x_hi + a_hi@x_lo + a_lo@x_hi as three
     single-pass bf16 MXU dots with f32 accumulation (the dropped
-    a_lo@x_lo term is <= 2^-18|a||x| per product). Callers that reuse
-    an operand across several dots pass its pre-split pair via
-    split_a/split_x to amortize the VPU split. (The per-product bound
-    in the docstring above: |a_lo| <= 2^-8|a| and |x_lo| <= 2^-8|x|,
-    so a_lo@x_lo <= 2^-16|a||x|.)"""
+    a_lo@x_lo term is <= 2^-16|a||x| per product: |a_lo| <= 2^-8|a|
+    and |x_lo| <= 2^-8|x|). bf16x2 additionally drops the BASIS
+    operand's lo term (`basis` names which of 'a'/'x' is the constant
+    transform matrix) — equivalent to applying a once-rounded bf16
+    basis to the full-precision data operand; encode-only, see
+    ENCODE_TRANSFORM_MODE. Callers that reuse an operand across
+    several dots pass its pre-split pair via split_a/split_x to
+    amortize the VPU split."""
+    mode = TRANSFORM_MODE if mode is None else mode
     dd = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
                            preferred_element_type=jnp.float32)
-    if TRANSFORM_MODE != "bf16x3":
-        return dd(a, x, precision=PRECISION)
+    if mode == "highest":
+        return dd(a, x, precision=jax.lax.Precision.HIGHEST)
+    if mode == "default":
+        return dd(a, x, precision=jax.lax.Precision.DEFAULT)
     ah, al = split_a if split_a is not None else _split_bf16(a)
     xh, xl = split_x if split_x is not None else _split_bf16(x)
-    return (dd(ah, xh, precision=jax.lax.Precision.DEFAULT)
-            + dd(ah, xl, precision=jax.lax.Precision.DEFAULT)
-            + dd(al, xh, precision=jax.lax.Precision.DEFAULT))
+    out = dd(ah, xh, precision=jax.lax.Precision.DEFAULT)
+    if mode == "bf16x3" or basis != "a":
+        out = out + dd(al, xh, precision=jax.lax.Precision.DEFAULT)
+    if mode == "bf16x3" or basis == "a":
+        out = out + dd(ah, xl, precision=jax.lax.Precision.DEFAULT)
+    return out
 
 
 @dataclass(frozen=True)
@@ -739,8 +772,9 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
         # no clamp here — the dropped split term is <= 2^-16 relative
         # on values the quantizer divides by >= 1.
         dn = (((1,), (0,)), ((), ()))
-        bf3 = TRANSFORM_MODE == "bf16x3"
-        yv = _tdot(vy_ref[:], y, dn)
+        em = ENCODE_TRANSFORM_MODE
+        bf3 = em in ("bf16x3", "bf16x2")  # split modes
+        yv = _tdot(vy_ref[:], y, dn, mode=em, basis="a")
         qy = jnp.concatenate([qy_ref[:]] * (r // 8), axis=0)   # (R, W)
         yvs = _split_bf16(yv) if bf3 else None
         hys = _split_bf16(hy_ref[:]) if bf3 else None
@@ -748,7 +782,7 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
         for c in range(k):
             sl = slice(c * 128, (c + 1) * 128)
             blk = _tdot(
-                yv[:, sl], hy_ref[:], dn,
+                yv[:, sl], hy_ref[:], dn, mode=em, basis="x",
                 split_a=(yvs[0][:, sl], yvs[1][:, sl]) if bf3 else None,
                 split_x=hys)
             ycoef.append(blk)
@@ -761,13 +795,13 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
         qc = jnp.concatenate([qc_ref[:]] * (rc // 8), axis=0)  # (RC, Wc)
         hcs = _split_bf16(hc_ref[:]) if bf3 else None
         for plane, out_ref in ((cb, cbc_ref), (cr, crc_ref)):
-            pv = _tdot(vc_ref[:], plane, dn)       # (R/2, Wt)
+            pv = _tdot(vc_ref[:], plane, dn, mode=em, basis="a")
             pvs = _split_bf16(pv) if bf3 else None
             coefs = []
             for c in range(wc // 128):
                 sl = slice(c * 256, (c + 1) * 256)
                 blk = _tdot(
-                    pv[:, sl], hc_ref[:], dn,
+                    pv[:, sl], hc_ref[:], dn, mode=em, basis="x",
                     split_a=(pvs[0][:, sl], pvs[1][:, sl]) if bf3 else None,
                     split_x=hcs)                   # (R/2, 128)
                 coefs.append(blk)
@@ -775,7 +809,8 @@ def _encode_kernel(plan: EncodePlan, interpret: bool):
                 assert wc % 128 == 64, wc
                 sl = slice(wt - 128, None)
                 blk = _tdot(
-                    pv[:, sl], hc_ref[:, :128][:128], dn,
+                    pv[:, sl], hc_ref[:, :128][:128], dn, mode=em,
+                    basis="x",
                     split_a=(pvs[0][:, sl], pvs[1][:, sl]) if bf3 else None,
                     split_x=(hcs[0][:, :128][:128], hcs[1][:, :128][:128])
                     if bf3 else None)[:, :64]

@@ -52,7 +52,8 @@ def main() -> int:
     bucket_h, bucket_w = bucket_for(src_h, src_w)
     print(f"platform={jax.devices()[0].platform} bucket={bucket_h}x"
           f"{bucket_w} valid={src_h}x{src_w} batch={batch} "
-          f"stages={sorted(stages)} transform={pjk.TRANSFORM_MODE}")
+          f"stages={sorted(stages)} transform={pjk.TRANSFORM_MODE} "
+          f"encode={pjk.ENCODE_TRANSFORM_MODE}")
 
     plan = normalize_operations([
         OperationParams(OperationType.THUMBNAIL,
