@@ -40,6 +40,7 @@ inside a live worker without poisoning the commit order.
 
 from __future__ import annotations
 
+import os
 import socket
 import threading
 import time
@@ -52,7 +53,13 @@ from imageprocessor_tpu.utils import get_logger
 
 log = get_logger("kafka")
 
-_SESSION_TIMEOUT_MS = 30000
+# Consumer-group session timeout: the broker evicts a member (and
+# rebalances its partitions to survivors) after this long without a
+# heartbeat/commit/join. 30 s matches the reference client's default
+# (segmentio/kafka-go); the env knob exists for fast-failover
+# deployments and the rebalance chaos tests.
+_SESSION_TIMEOUT_MS = int(os.environ.get(
+    "KAFKA_SESSION_TIMEOUT_MS", "30000"))
 # Heartbeat pacing: NOT per poll (the worker polls every few ms when idle
 # and each heartbeat is a synchronous coordinator RTT), but well under any
 # rebalance window so a member never misses a join round — the in-process

@@ -253,6 +253,140 @@ class FlakyStore:
         return self._inner.close()
 
 
+def test_two_member_group_rebalance_under_load(tmp_path):
+    """Two live worker PROCESSES split the topic's partitions in one
+    consumer group against the bundled kafka-wire broker; kill -9 one
+    mid-stream and assert the survivor takes over its partitions, every
+    uncommitted message redelivers, zero images are lost, and the final
+    committed offsets account for every produced message (at-least-once
+    accounting across the rebalance). Validates the MULTIHOST.md N-host
+    scale-out story (reference: Makefile:24-25 3-partition topics;
+    worker.go:125-146 commit-after-success)."""
+    from imageprocessor_tpu.broker.kafka import KafkaBroker
+    from imageprocessor_tpu.broker.kafkaserver import KafkaServer
+    from imageprocessor_tpu.broker import kafkawire as kw
+
+    data = tmp_path
+    srv = KafkaServer(default_partitions=3, rebalance_timeout_s=1.0)
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "DEVICE_PLATFORM": "cpu",
+        "BROKER_BACKEND": "kafka",
+        "KAFKA_BROKERS": srv.address,
+        "KAFKA_SESSION_TIMEOUT_MS": "2000",
+        "METADATA_BACKEND": "sqlite",
+        "METADATA_SQLITE_PATH": str(data / "meta.db"),
+        "STORAGE_BACKEND": "localfs",
+        "STORAGE_LOCALFS_ROOT": str(data / "objects"),
+        "WORKER_BATCH_SIZE": "2",
+        "RETRIES_ATTEMPTS": "2",
+        "RETRIES_DELAY_MS": "10",
+        "LOG_LEVEL": "error",
+    }
+    meta = SQLiteMetadataStore(str(data / "meta.db"))
+    store = LocalFSObjectStore(str(data / "objects"))
+    broker = KafkaBroker(brokers=[srv.address])
+    uc = ImageUsecase(meta, store, broker, retries=_RETRIES)
+    group = "image-processor-group"
+
+    def spawn(name):
+        return subprocess.Popen(
+            [sys.executable, "-m", "imageprocessor_tpu.service", "worker"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def members():
+        g = srv._groups.get(group)
+        return dict(g.members) if g else {}
+
+    def split_assignments():
+        g = srv._groups.get(group)
+        if not g or g.state != "Stable":
+            return None
+        owned = {m: kw.decode_assignment(blob or b"").get(
+            "image-processing", []) for m, blob in g.assignments.items()
+            if m in g.members}
+        return owned
+
+    def completed():
+        return sum(meta.get_image(im.id).status is ImageStatus.COMPLETED
+                   for im in imgs)
+
+    imgs = []
+    a, b = spawn("a"), spawn("b")
+    try:
+        # Both members join and the 3 partitions split disjointly
+        # across them (range assignment: 2 + 1).
+        def two_member_split():
+            owned = split_assignments()
+            if not owned or len(owned) != 2:
+                return False
+            parts = sorted(p for ps in owned.values() for p in ps)
+            return parts == [0, 1, 2] and all(owned.values())
+        assert wait_for(two_member_split, timeout=90), \
+            f"group never split partitions: {split_assignments()}"
+
+        # Load: a first wave processed by BOTH members (keys are random
+        # uuids, so 12 uploads land on every partition w.h.p.).
+        imgs += [uc.upload_image(png_bytes(), f"r{i}.png", "image/png",
+                                 OPS) for i in range(12)]
+        assert wait_for(lambda: completed() >= 3, timeout=120), \
+            "no progress before the kill"
+
+        victim = a
+        victim.send_signal(signal.SIGKILL)
+        victim.wait(timeout=10)
+        # keep producing THROUGH the rebalance window
+        imgs += [uc.upload_image(png_bytes(), f"r{12 + i}.png",
+                                 "image/png", OPS) for i in range(6)]
+
+        # Survivor takes over all three partitions after eviction
+        # (session 2 s + rebalance round 1 s).
+        def survivor_owns_all():
+            owned = split_assignments()
+            return (owned is not None and len(owned) == 1
+                    and sorted(next(iter(owned.values()))) == [0, 1, 2])
+        assert wait_for(survivor_owns_all, timeout=60), \
+            f"survivor never took over: {split_assignments()}"
+
+        # Zero lost images: everything completes, including messages
+        # the victim had fetched but not committed (redelivered).
+        assert wait_for(lambda: completed() == len(imgs), timeout=180), \
+            f"only {completed()}/{len(imgs)} completed after rebalance"
+
+        # At-least-once accounting: processing may repeat, but the
+        # idempotent upsert keeps exactly one processed row per image,
+        # and the group's committed offsets cover every produced
+        # message (nothing stranded uncommitted).
+        for im in imgs:
+            rows = meta.list_processed(im.id)
+            assert len(rows) == 1 and store.get_object(rows[0].path)
+
+        def all_committed():
+            g = srv._groups.get(group)
+            if g is None:
+                return False
+            logs = srv._topics.get("image-processing", [])
+            return all(
+                g.offsets.get(("image-processing", pid), -1)
+                >= len(log)
+                for pid, log in enumerate(logs) if log)
+        assert wait_for(all_committed, timeout=60), (
+            {k: v for k, v in srv._groups[group].offsets.items()},
+            [len(p) for p in srv._topics.get("image-processing", [])])
+    finally:
+        for proc in (a, b):
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        for closer in (broker, meta, store):
+            closer.close()
+        srv.close()
+
+
 def test_object_store_flap_pipelined_no_permit_leaks(tmp_path):
     """Store flaps mid-run under the pipelined worker: fetch failures
     nack, save failures classify TRANSIENT and nack, everything replays
