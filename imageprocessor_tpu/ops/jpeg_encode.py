@@ -62,6 +62,34 @@ def quality_qtables(quality: int) -> np.ndarray:
     return out
 
 
+def _fdct_basis_and_precision():
+    """FDCT basis + einsum precision mirroring the Pallas encode
+    kernel's ENCODE_TRANSFORM_MODE, so the XLA program (the engine's
+    fallback and the kernel's parity oracle) computes the SAME
+    transform:
+
+    - bf16x2: the basis rounds to bf16 once; the data operand stays
+      full-precision (HIGHEST). This equals the kernel's dropped-
+      basis-lo split exactly (up to summation-order ties), INCLUDING
+      the chroma path: the kernel folds the 2x box downsample into its
+      basis before rounding, but folding is a pure 0.5 scaling +
+      duplication of entries and scaling by 0.5 is exponent-exact in
+      bf16, so rounding commutes with the fold.
+    - default: 1-pass bf16 einsum (both operands rounded), like the
+      kernel's single DEFAULT dot.
+    - bf16x3 / highest: exact basis at HIGHEST (the split modes differ
+      from full f32 by <=2^-16 relative — below quantizer resolution).
+    """
+    from imageprocessor_tpu.ops.pallas_jpeg import ENCODE_TRANSFORM_MODE
+    d = jnp.asarray(_idct_basis())
+    if ENCODE_TRANSFORM_MODE == "bf16x2":
+        return (d.astype(jnp.bfloat16).astype(jnp.float32),
+                jax.lax.Precision.HIGHEST)
+    if ENCODE_TRANSFORM_MODE == "default":
+        return d, jax.lax.Precision.DEFAULT
+    return d, jax.lax.Precision.HIGHEST
+
+
 @functools.partial(jax.jit, static_argnames=("bh", "bw"))
 def _fdct_quantize(plane_f32, qtab_f32, bh: int, bw: int):
     """(bh*8, bw*8) float32 samples -> int16 quantized coefficients.
@@ -70,13 +98,13 @@ def _fdct_quantize(plane_f32, qtab_f32, bh: int, bw: int):
     with the decoder (jpeg_decode._idct_basis), divided by the quant
     table with round-to-nearest, clamped to the baseline range.
     """
-    d = jnp.asarray(_idct_basis())
+    d, prec = _fdct_basis_and_precision()
     x = plane_f32.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
     x = x.reshape(bh * bw, 8, 8) - 128.0
     c = jnp.einsum("ki,bij->bkj", d, x, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     c = jnp.einsum("bkj,lj->bkl", c, d, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     c = c / qtab_f32[None, :, :]
     c = jnp.clip(jnp.round(c), -1023, 1023).astype(jnp.int16)
     return c.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
@@ -136,17 +164,17 @@ def _fdct_quantize_batched(planes_f32, qtab_f32):
     8x8 blocks — ~3x faster than the block-gather form on v5e."""
     b, hh, ww = planes_f32.shape
     bh, bw = hh // 8, ww // 8
-    d = jnp.asarray(_idct_basis())
+    d, prec = _fdct_basis_and_precision()
     # vertical: coef_k = sum_i D[k, i] * x[i, .]
     x = planes_f32.reshape(b, bh, 8, ww) - 128.0
     x = jnp.einsum("ki,bhiw->bhkw", d, x,
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     # horizontal: coef_l = sum_j x[., j] * D[l, j]
     x = x.reshape(b, hh, bw, 8)
     x = jnp.einsum("bhwj,lj->bhwl", x, d,
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     c = x.reshape(b, bh, 8, bw, 8) / qtab_f32[None, None, :, None, :]
     c = jnp.clip(jnp.round(c), -1023, 1023).astype(jnp.int16)
     return c.reshape(b, hh, ww)

@@ -121,20 +121,27 @@ UPSAMPLE_PRECISION = _PRECISIONS[_resolve_choice(
 # 2-17 at q85) absorbs small transform error — the acceptance metric
 # there is decoded-PSNR vs a libjpeg encode at the same quality, not
 # the f32 oracle (tools/eprecprobe.py measures both; PERF.md "encode
-# precision ladder" records the verdict). Modes:
-#   bf16x3  — the decode-grade dual-split (default; round-3 behavior,
+# precision ladder" records the measurements). Modes:
+#   bf16x2  — DEFAULT. 2 single-pass dots: the constant basis rounds
+#             to bf16 once (a fixed, sign-mixed ~2^-8 perturbation per
+#             tap) and the pixel/intermediate operand keeps its
+#             dual-bf16 split. Measured on-chip: decoded PSNR equals
+#             libjpeg q85's to 0.001 dB, coefficients within 1 quant
+#             step of the f32 oracle, encode kernel 3.95 -> 3.40
+#             ms/batch (composed step 1351 -> 1483 img/s/chip). The
+#             XLA program mirrors the mode (jpeg_encode.
+#             _fdct_basis_and_precision), so kernel<->fallback parity
+#             holds: rounding the basis commutes with the kernel's
+#             downsample fold (0.5 scaling is exponent-exact).
+#   bf16x3  — the decode-grade dual-split (round-3 behavior,
 #             <=1 quant step vs the f32 oracle on any input).
-#   bf16x2  — 2 single-pass dots: the constant basis rounds to bf16
-#             once (a fixed, sign-mixed ~2^-8 perturbation per tap)
-#             and the pixel/intermediate operand keeps its dual-bf16
-#             split. NOT oracle-parity-exact (the kernel rounds the
-#             downsample-folded chroma basis, the XLA program would
-#             round the unfolded one), so it stays opt-in unless the
-#             measured speed gain justifies mirroring the oracle.
 #   highest — 6-pass full f32.
-#   default — 1 bf16 pass (probes only; ~2x the bf16x2 error).
+#   default — 1 bf16 pass (fastest, 2.79 ms encode; both operands
+#             rounded, so the worst-case bound is content-dependent —
+#             measured equal-PSNR on photographic content, kept
+#             opt-in).
 ENCODE_TRANSFORM_MODE = _resolve_choice(
-    "IMAGEPROCESSOR_ENCODE_PRECISION", "bf16x3",
+    "IMAGEPROCESSOR_ENCODE_PRECISION", "bf16x2",
     ("bf16x3", "bf16x2", "highest", "default"))
 
 # Dequantized coefficients from PIXEL-SOURCED streams are bounded by

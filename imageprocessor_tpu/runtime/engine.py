@@ -99,18 +99,16 @@ TRANSIENT = "transient"
 # serve more JPEG throughput from the host codec pool than the chip-side
 # codec cap (see the policy comment in ProcessingEngine.__init__). The
 # ratio is scale-invariant in image size (both sides are linear in
-# pixels). Measured on v5e (BENCH r3): the composed on-chip
-# decode->pipeline->encode step runs ~1346 12MP img/s PER CHIP with the
-# fused Pallas codec kernels (ops/pallas_jpeg; was ~90 with the XLA
-# codec halves, ~494 before the encode kernel's scalar-prefetch clamp
-# replaced its one-hot replication matmuls, ~720 before the decode
-# kernel's bf16 upsample precision split, ~855 before the bf16x3
-# transform dots halved the IDCT/FDCT MXU passes, ~1270 before the
-# encode width tiling kept FDCT dots MXU-sized) and a host core
-# ~10 img/s, so the single-chip crossover is ~135 cores; the default
-# stays 127 (the pre-width-tiling figure) as a deliberately
-# conservative margin — and the codec kernels shard over the engine
-# mesh (_codec_sharded), so a v5e-8 host's crossover is ~8x that.
+# pixels). Measured on v5e (round 4): the composed on-chip
+# decode->pipeline->encode step runs ~1483 12MP img/s PER CHIP with the
+# fused Pallas codec kernels (ops/pallas_jpeg; the ladder: ~90 XLA
+# codec halves -> 494 scalar-prefetch clamp -> 720 bf16 upsample split
+# -> 855 -> 1270 bf16x3 transform dots -> 1346 encode width tiling ->
+# 1483 bf16x2 encode FDCT) and a host core ~10 12MP img/s through the
+# full host codec, so the single-chip crossover is ~148 cores; the
+# default stays 127 as a deliberately conservative margin — and the
+# codec kernels shard over the engine mesh (_codec_sharded), so a
+# v5e-8 host's crossover is ~8x that.
 DEVICE_JPEG_CORE_THRESHOLD = int(os.environ.get(
     "IMAGEPROCESSOR_DEVICE_JPEG_CORES", "127"))
 
@@ -194,15 +192,15 @@ class ProcessingEngine:
         # scan; IDCT + chroma upsample + color convert run batched on
         # device, and full-size JPEG outputs run the encode front half
         # on device too. Eligible geometry takes the fused Pallas codec
-        # kernels (ops/pallas_jpeg: decode 2.1 ms, encode ~3.6 ms per
+        # kernels (ops/pallas_jpeg: decode 2.1 ms, encode 3.40 ms per
         # 8x12MP batch vs 38.5/108 ms XLA), putting the composed
-        # decode->pipeline->encode step at ~1346 12MP img/s per chip
-        # (BENCH r3, bf16x3 transform dots + encode width tiling; was
-        # ~90 with the XLA halves). The codec still trades CHIP time
+        # decode->pipeline->encode step at ~1483 12MP img/s per chip
+        # (round 4, bf16x2 encode FDCT; was ~90 with the XLA halves).
+        # The codec still trades CHIP time
         # for HOST CPU (the fused pipeline step alone is 0.7 ms/batch),
         # so it wins when the host cannot feed the chip: per core the
         # host codec manages ~10 12MP img/s, so below the crossover
-        # (~135 cores/chip measured; default threshold 127, kept
+        # (~148 cores/chip measured; default threshold 127, kept
         # conservative) the device path serves
         # more total throughput, above it the host pool does. Auto
         # policy = native scanner present AND TPU backend AND a
