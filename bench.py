@@ -381,6 +381,18 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
     out = {"host_decode_images_per_sec_per_core": 1.0 / dec_s,
            "host_encode_images_per_sec_per_core": 1.0 / enc_s,
            "jpeg_bytes_12mp": len(jpeg)}
+    # PNG-heavy workload row (VERDICT r3 #6): rate + size at the active
+    # IMAGEPROCESSOR_PNG_COMPRESSION level (default 6 = Go png.Encode
+    # parity; level 1 trades size for host throughput).
+    from imageprocessor_tpu.runtime.codecs import PNG_COMPRESSION
+    png = encode_image(arr, "png")
+    t0 = time.monotonic()
+    for _ in range(max(n // 2, 1)):
+        encode_image(arr, "png")
+    png_s = (time.monotonic() - t0) / max(n // 2, 1)
+    out["host_png_encode_images_per_sec_per_core"] = round(1.0 / png_s, 2)
+    out["png_bytes"] = len(png)
+    out["png_compression_level"] = PNG_COMPRESSION
     # Host halves of the TPU-side JPEG codec (entropy-only passes):
     # streaming scan (decode side) and Annex K emit (encode side).
     try:

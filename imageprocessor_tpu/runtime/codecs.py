@@ -16,10 +16,39 @@ Format rules replicate the reference exactly:
 from __future__ import annotations
 
 import io
+import os
 
 import numpy as np
 
 from imageprocessor_tpu.errors import DecodeError
+
+
+def _png_compression() -> int:
+    """PNG zlib compression level (IMAGEPROCESSOR_PNG_COMPRESSION,
+    0-9). Default 6 = zlib's default = what Go's png.Encode emits
+    (reference: operations/resize.go:83-85), so processed PNG sizes
+    match the reference's. Measured tradeoff at 12 MP (PERF.md "PNG
+    level tradeoff"): level 1 encodes ~1.25x faster but emits 3.2x
+    LARGER files on graphics-like content (level 6: 58 KB vs 186 KB)
+    and ~3% larger on photographic content — set 1 only when the host
+    codec pool, not storage, is the bottleneck. Invalid values fall
+    back to 6 (the size-parity default)."""
+    raw = os.environ.get("IMAGEPROCESSOR_PNG_COMPRESSION", "6").strip()
+    try:
+        lvl = int(raw)
+    except ValueError:
+        lvl = -1
+    if not 0 <= lvl <= 9:
+        import warnings
+
+        warnings.warn(
+            f"IMAGEPROCESSOR_PNG_COMPRESSION={raw!r} is not 0-9; "
+            "using 6 (Go png.Encode parity)", stacklevel=2)
+        return 6
+    return lvl
+
+
+PNG_COMPRESSION = _png_compression()
 
 try:  # OpenCV is the fast path; PIL covers the rest.
     import cv2
@@ -187,11 +216,13 @@ def encode_image(arr: np.ndarray, fmt: str, quality: int = 85) -> bytes:
             ok, out = cv2.imencode(".jpg", bgr,
                                    [cv2.IMWRITE_JPEG_QUALITY, int(quality)])
         elif fmt == "png":
-            # Speed-over-size: processed artifacts are cache objects with a
-            # 1-year lifetime (minio.go:126); compression level 1 keeps the
-            # single-core host from becoming the pipeline bottleneck.
-            ok, out = cv2.imencode(".png", bgr,
-                                   [cv2.IMWRITE_PNG_COMPRESSION, 1])
+            # Default level 6 = Go png.Encode's zlib default (size
+            # parity with the reference); IMAGEPROCESSOR_PNG_COMPRESSION
+            # trades size for host throughput (see _png_compression for
+            # the measured tradeoff).
+            ok, out = cv2.imencode(
+                ".png", bgr,
+                [cv2.IMWRITE_PNG_COMPRESSION, PNG_COMPRESSION])
         elif fmt == "webp":
             ok, out = cv2.imencode(".webp", bgr,
                                    [cv2.IMWRITE_WEBP_QUALITY, int(quality)])

@@ -166,3 +166,49 @@ def test_transparent_gif_pixels_render_black():
     arr, fmt = decode_image(buf.getvalue())
     assert fmt == "gif"
     assert arr.max() == 0   # transparent red -> black, not (255,0,0)
+
+
+def test_png_compression_knob(monkeypatch):
+    """IMAGEPROCESSOR_PNG_COMPRESSION: default 6 (Go png.Encode size
+    parity, reference resize.go:83-85), validated range, fail-safe
+    fallback to 6, and a real size effect between levels."""
+    import importlib
+
+    import numpy as np
+
+    import imageprocessor_tpu.runtime.codecs as codecs
+
+    # graphics-like content — where the level matters
+    img = np.zeros((256, 256, 3), np.uint8)
+    img[:128, :128] = (200, 10, 10)
+    img[::7, :] = 255
+
+    monkeypatch.delenv("IMAGEPROCESSOR_PNG_COMPRESSION", raising=False)
+    importlib.reload(codecs)
+    assert codecs.PNG_COMPRESSION == 6
+    size6 = len(codecs.encode_image(img, "png"))
+
+    monkeypatch.setenv("IMAGEPROCESSOR_PNG_COMPRESSION", "1")
+    importlib.reload(codecs)
+    assert codecs.PNG_COMPRESSION == 1
+    size1 = len(codecs.encode_image(img, "png"))
+    assert size6 < size1  # level 6 compresses graphics harder
+
+    # invalid values fall back to the size-parity default, warning
+    monkeypatch.setenv("IMAGEPROCESSOR_PNG_COMPRESSION", "fast")
+    with pytest.warns(UserWarning, match="PNG_COMPRESSION"):
+        importlib.reload(codecs)
+    assert codecs.PNG_COMPRESSION == 6
+    monkeypatch.setenv("IMAGEPROCESSOR_PNG_COMPRESSION", "11")
+    with pytest.warns(UserWarning):
+        importlib.reload(codecs)
+    assert codecs.PNG_COMPRESSION == 6
+
+    # restore the module for the rest of the suite
+    monkeypatch.delenv("IMAGEPROCESSOR_PNG_COMPRESSION", raising=False)
+    importlib.reload(codecs)
+    assert codecs.PNG_COMPRESSION == 6
+
+    # decoded pixels are identical at any level (PNG is lossless)
+    a1, _ = codecs.decode_image(codecs.encode_image(img, "png"))
+    assert np.array_equal(a1, img)
