@@ -715,7 +715,9 @@ def main() -> int:
         # emit beats a full SIMD encode 1.6x.
         **{k: codecs[k] for k in
            ("host_entropy_scan_images_per_sec_per_core",
-            "host_entropy_emit_images_per_sec_per_core") if k in codecs},
+            "host_entropy_emit_images_per_sec_per_core",
+            "host_png_encode_images_per_sec_per_core",
+            "png_bytes", "png_compression_level") if k in codecs},
         "compile_s": round(dev["compile_s"], 2),
         "batch": dev["batch"],
         "bucket": dev["bucket"],

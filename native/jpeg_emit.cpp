@@ -122,6 +122,16 @@ struct BitWriter {
   }
 
 #if defined(__SIZEOF_INT128__)
+  // Up-to-63-bit write: encode_block batches several fused code+value
+  // symbols into one local 64-bit accumulator and hands them over in
+  // one call — one 128-bit shift + one flush check per ~2.5 symbols
+  // instead of per symbol.
+  void put_bits64(uint64_t v, int n) {
+    acc |= static_cast<unsigned __int128>(v) << (128 - nbits - n);
+    nbits += n;
+    if (nbits >= 64) flush64();
+  }
+
   void flush64() {  // emit the top 64 buffered bits
     const uint64_t top = static_cast<uint64_t>(acc >> 64);
     const uint64_t inv = ~top;  // 0xFF byte <=> zero byte in ~top
@@ -187,6 +197,15 @@ struct BitWriter {
     acc64 |= static_cast<uint64_t>(v) << (64 - nbits - n);
     nbits += n;
     if (nbits >= 32) flush32();
+  }
+
+  void put_bits64(uint64_t v, int n) {  // <= 63 bits, split writes
+    if (n > 31) {
+      put_bits(static_cast<uint32_t>(v >> 31), n - 31);
+      n = 31;
+      v &= 0x7FFFFFFFull;
+    }
+    put_bits(static_cast<uint32_t>(v), n);
   }
 
   void flush_scan() {
@@ -306,6 +325,21 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
     nzmask |= kRowZig.t[r][mm];
   }
 #endif
+  // Symbols accumulate into a local 64-bit buffer first (a fused
+  // code+value pair is <= 27 bits, so ~2.5 symbols fit) and reach the
+  // BitWriter via one put_bits64 per flush — one 128-bit shift + one
+  // flush check per batch instead of per symbol.
+  uint64_t pv = 0;
+  int pn = 0;
+  const auto push = [&](uint32_t v, int n) {
+    if (pn + n > 63) {
+      bw.put_bits64(pv, pn);
+      pv = 0;
+      pn = 0;
+    }
+    pv = (pv << n) | v;
+    pn += n;
+  };
   // DC: category code + extend bits of the prediction difference,
   // fused into one bit write.
   // Branchless sign handling (F.1.2.1): for negative v the appended
@@ -318,7 +352,7 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
   uint32_t bits = static_cast<uint32_t>(diff + dsign) & ((1u << s) - 1);
   {
     const uint32_t de = dct.e[s];
-    bw.put_bits(((de & 0xFFFFF) << s) | bits, static_cast<int>(de >> 20) + s);
+    push(((de & 0xFFFFF) << s) | bits, static_cast<int>(de >> 20) + s);
   }
   // AC: iterate set bits; runs of zeros come from bit-position gaps.
   uint64_t m = nzmask & ~1ull;
@@ -329,7 +363,7 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
     int run = k - prev - 1;
     prev = k;
     while (run > 15) {
-      bw.put_bits(act.code(0xF0), act.size(0xF0));  // ZRL
+      push(act.code(0xF0), act.size(0xF0));  // ZRL
       run -= 16;
     }
     const int v = nat[kZigzag[k]];
@@ -338,9 +372,10 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
     const int rs = (run << 4) | s;
     bits = static_cast<uint32_t>(v + vsign) & ((1u << s) - 1);
     const uint32_t ae = act.e[rs];
-    bw.put_bits(((ae & 0xFFFFF) << s) | bits, static_cast<int>(ae >> 20) + s);
+    push(((ae & 0xFFFFF) << s) | bits, static_cast<int>(ae >> 20) + s);
   }
-  if (prev != 63) bw.put_bits(act.code(0x00), act.size(0x00));  // EOB
+  if (prev != 63) push(act.code(0x00), act.size(0x00));  // EOB
+  if (pn) bw.put_bits64(pv, pn);
 }
 
 void emit_marker_segment(BitWriter& bw, uint8_t marker, const uint8_t* body,

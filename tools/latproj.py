@@ -29,7 +29,7 @@ sys.path.insert(0, ".")
 DEVICE_STEP_MS = 5.39          # composed decode->ops->encode, 8x12MP,
                                # v5e, tools/composedprobe.py (bf16x2)
 SCAN_MS = 27.0                 # native scan, 12MP q85, per core (r4)
-EMIT_MS = 37.3                 # native emit, 12MP output, per core (r4)
+EMIT_MS = 22.8                 # native emit, 12MP output, per core (r4)
 SMALL_ENC_MS = 3.1             # resize (0.79MP) + thumb host encodes
 GLUE_MS = 5.0                  # storage+broker glue, CPU-run histograms
 BATCH = 8
