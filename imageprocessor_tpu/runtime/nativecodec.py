@@ -130,6 +130,9 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_long, ctypes.c_long, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_size_t]
             lib.ip_jpeg_emit_strided.restype = ctypes.c_long
+            lib.ip_jpeg_emit_strided_ilp.argtypes = (
+                lib.ip_jpeg_emit_strided.argtypes + [ctypes.c_int])
+            lib.ip_jpeg_emit_strided_ilp.restype = ctypes.c_long
         except AttributeError:  # pragma: no cover — stale .so
             pass
         try:
@@ -387,7 +390,8 @@ def scan_jpeg_coefficients(data: bytes, threads: int = 0):
 
 def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
                                 sampling=(2, 2),
-                                restart_interval: int = 0) -> bytes:
+                                restart_interval: int = 0,
+                                interleave: int = 1) -> bytes:
     """Entropy-encode quantized coefficient planes into a baseline JFIF
     stream (native/jpeg_emit.cpp, Annex K Huffman tables) — the host
     half of TPU-side JPEG encode.
@@ -400,6 +404,13 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     emits DRI + RSTn markers every that many MCUs, which lets decoders
     (including scan_jpeg_coefficients) split the entropy pass across
     cores.
+
+    interleave > 1 (needs restart_interval > 0) encodes that many
+    restart segments concurrently on ONE core with independent bit
+    chains; output is byte-identical to the sequential path. Opt-in:
+    measured on the round-4 dev Xeon it is throughput-NEUTRAL to
+    slightly negative (the emit loop is issue-bound, not latency-bound
+    there — see PERF.md); kept for wider production cores to A/B.
     """
     lib = _load()
     # Guard on the symbol actually called below — a stale library built
@@ -454,14 +465,25 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     cap = sum(a.size for a in arrs[:ncomp]) * 2 + (1 << 16)
     out = np.empty(cap, dtype=np.uint8)
     strides = [a.strides[0] // a.itemsize for a in arrs]
-    n = lib.ip_jpeg_emit_strided(
-        arrs[0].ctypes.data_as(ctypes.c_void_p),
-        arrs[1].ctypes.data_as(ctypes.c_void_p),
-        arrs[2].ctypes.data_as(ctypes.c_void_p),
-        qt2.ctypes.data_as(ctypes.c_void_p),
-        img_w, img_h, ncomp, h0, v0, int(restart_interval),
-        strides[0], strides[1], strides[2],
-        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if (int(interleave) > 1 and int(restart_interval) > 0
+            and hasattr(lib, "ip_jpeg_emit_strided_ilp")):
+        n = lib.ip_jpeg_emit_strided_ilp(
+            arrs[0].ctypes.data_as(ctypes.c_void_p),
+            arrs[1].ctypes.data_as(ctypes.c_void_p),
+            arrs[2].ctypes.data_as(ctypes.c_void_p),
+            qt2.ctypes.data_as(ctypes.c_void_p),
+            img_w, img_h, ncomp, h0, v0, int(restart_interval),
+            strides[0], strides[1], strides[2],
+            out.ctypes.data_as(ctypes.c_void_p), cap, int(interleave))
+    else:
+        n = lib.ip_jpeg_emit_strided(
+            arrs[0].ctypes.data_as(ctypes.c_void_p),
+            arrs[1].ctypes.data_as(ctypes.c_void_p),
+            arrs[2].ctypes.data_as(ctypes.c_void_p),
+            qt2.ctypes.data_as(ctypes.c_void_p),
+            img_w, img_h, ncomp, h0, v0, int(restart_interval),
+            strides[0], strides[1], strides[2],
+            out.ctypes.data_as(ctypes.c_void_p), cap)
     if n < 0:
         raise NativeCodecError(f"jpeg emit failed (rc={n})")
     return out[:n].tobytes()

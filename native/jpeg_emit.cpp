@@ -16,6 +16,9 @@
 #include <cstdint>
 #include <cstring>
 
+#include <algorithm>
+#include <vector>
+
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
@@ -378,6 +381,23 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
   if (pn) bw.put_bits64(pv, pn);
 }
 
+// One interleave lane: an independent restart segment mid-encode.
+// Restart segments are byte-aligned and reset DC predictors, so W
+// segments can encode concurrently on ONE core — each lane's serial
+// dependency chain (Huffman table load -> bit-accumulator shift ->
+// next symbol) is independent, and the out-of-order window overlaps
+// them where a single stream leaves most issue slots idle. Lanes write
+// private scratch buffers that are spliced (already byte-stuffed)
+// into the main stream in segment order, so the output is
+// byte-identical to the sequential restart-interval path.
+struct EmitLane {
+  BitWriter bw;
+  int preds[3];
+  int m;      // next MCU index
+  int m_end;  // one past the segment's last MCU
+  int mx, my;
+};
+
 void emit_marker_segment(BitWriter& bw, uint8_t marker, const uint8_t* body,
                          int body_len) {
   bw.put_byte(0xFF);
@@ -399,10 +419,6 @@ void emit_dht(BitWriter& bw, int tc, int th, const uint8_t* bits,
   emit_marker_segment(bw, 0xC4, body, 17 + nv);
 }
 
-}  // namespace
-
-extern "C" {
-
 // Emit a complete baseline JFIF stream from quantized coefficient
 // planes (natural order, spatial block layout, MCU-aligned dims) and
 // per-component quant tables (natural order). ncomp is 1 (grayscale)
@@ -411,13 +427,16 @@ extern "C" {
 // strideN: row stride of plane N in int16 ELEMENTS (0 = tight, i.e.
 // the component's MCU-aligned grid width) — lets callers emit directly
 // from per-image views into larger batch canvases without copies.
-long ip_jpeg_emit_strided(const int16_t* coef0, const int16_t* coef1,
-                          const int16_t* coef2,
-                          const uint16_t* qtab /* 2*64 */,
-                          int img_w, int img_h, int ncomp, int h0, int v0,
-                          int restart_interval,
-                          long stride0, long stride1, long stride2,
-                          uint8_t* out, size_t out_cap) {
+// interleave > 1 (requires restart_interval > 0) encodes that many
+// restart segments concurrently on this core (see EmitLane); output is
+// byte-identical to the sequential path at the same restart interval.
+long emit_impl(const int16_t* coef0, const int16_t* coef1,
+               const int16_t* coef2,
+               const uint16_t* qtab /* 2*64 */,
+               int img_w, int img_h, int ncomp, int h0, int v0,
+               int restart_interval,
+               long stride0, long stride1, long stride2,
+               uint8_t* out, size_t out_cap, int interleave) {
   if (img_w <= 0 || img_h <= 0) return -1;
   if (ncomp != 1 && ncomp != 3) return -2;
   if (h0 < 1 || h0 > 2 || v0 < 1 || v0 > 2) return -3;
@@ -523,8 +542,102 @@ long ip_jpeg_emit_strided(const int16_t* coef0, const int16_t* coef1,
     if (comp[0].stride < mcus_x * 8) return -7;
   }
 
+  const int total_mcus = mcus_x * mcus_y;
+  if (restart_interval > 0 && interleave > 1) {
+    const int ri = restart_interval;
+    const int nseg = (total_mcus + ri - 1) / ri;
+    int W = interleave;
+    if (W > nseg) W = nseg;
+    if (W > 8) W = 8;
+    if (W > 1) {
+      // Scratch capacity: one segment's worst case. A block emits at
+      // most (16+11) DC + 63×(16+10) AC + EOB bits ≈ 209 bytes, ≤ 2×
+      // with stuffing — 512 bytes/block is a safe ceiling.
+      int bpm = 0;  // blocks per MCU
+      for (int c = 0; c < ncomp; ++c) bpm += comp[c].h * comp[c].v;
+      const size_t lane_cap =
+          static_cast<size_t>(ri) * static_cast<size_t>(bpm) * 512 + 4096;
+      std::vector<std::vector<uint8_t>> scratch(static_cast<size_t>(W));
+      for (auto& s : scratch) s.resize(lane_cap);
+      std::vector<EmitLane> lanes(static_cast<size_t>(W));
+      int next_rst = 0;
+      for (int seg0 = 0; seg0 < nseg; seg0 += W) {
+        const int nl = std::min(W, nseg - seg0);
+        for (int l = 0; l < nl; ++l) {
+          EmitLane& L = lanes[static_cast<size_t>(l)];
+          L.bw = BitWriter{scratch[static_cast<size_t>(l)].data(), lane_cap};
+          L.preds[0] = L.preds[1] = L.preds[2] = 0;
+          L.m = (seg0 + l) * ri;
+          L.m_end = std::min(L.m + ri, total_mcus);
+        }
+        for (;;) {
+          // Lanes with MCUs left this step (only the window's last
+          // segment can run short).
+          int idx[8];
+          int live = 0;
+          for (int l = 0; l < nl; ++l)
+            if (lanes[static_cast<size_t>(l)].m
+                < lanes[static_cast<size_t>(l)].m_end)
+              idx[live++] = l;
+          if (live == 0) break;
+          for (int j = 0; j < live; ++j) {
+            EmitLane& L = lanes[static_cast<size_t>(idx[j])];
+            L.mx = L.m % mcus_x;
+            L.my = L.m / mcus_x;
+          }
+          // Block-level round robin: geometry is uniform across lanes,
+          // so adjacent encode_block calls run on independent bit
+          // chains — the ILP the single-stream loop can't expose.
+          for (int c = 0; c < ncomp; ++c) {
+            CompSpec& cc = comp[c];
+            const EncTable& dct = (c == 0) ? dc_l : dc_c;
+            const EncTable& act = (c == 0) ? ac_l : ac_c;
+            const long stride = cc.stride;
+            for (int v = 0; v < cc.v; ++v) {
+              for (int h = 0; h < cc.h; ++h) {
+                for (int j = 0; j < live; ++j) {
+                  EmitLane& L = lanes[static_cast<size_t>(idx[j])];
+                  const int bx = L.mx * cc.h + h;
+                  const int by = L.my * cc.v + v;
+                  const int16_t* blk = cc.coef
+                      + static_cast<size_t>(by) * 8 * stride
+                      + static_cast<size_t>(bx) * 8;
+                  encode_block(L.bw, blk, static_cast<int>(stride), dct,
+                               act, L.preds[c]);
+                }
+              }
+            }
+          }
+          for (int j = 0; j < live; ++j)
+            ++lanes[static_cast<size_t>(idx[j])].m;
+        }
+        // Splice in segment order: lane bytes are already stuffed and
+        // flush_scan byte-aligns with 1-padding, exactly like the
+        // sequential path does before each RSTn.
+        for (int l = 0; l < nl; ++l) {
+          EmitLane& L = lanes[static_cast<size_t>(l)];
+          L.bw.flush_scan();
+          if (L.bw.overflow) return -5;
+          if (bw.pos + L.bw.pos > out_cap) return -5;
+          memcpy(out + bw.pos, scratch[static_cast<size_t>(l)].data(),
+                 L.bw.pos);
+          bw.pos += L.bw.pos;
+          if (seg0 + l != nseg - 1) {
+            bw.put_byte(0xFF);
+            bw.put_byte(static_cast<uint8_t>(0xD0 + next_rst));
+            next_rst = (next_rst + 1) & 7;
+          }
+        }
+      }
+      bw.put_byte(0xFF);
+      bw.put_byte(0xD9);  // EOI
+      if (bw.overflow) return -5;
+      return static_cast<long>(bw.pos);
+    }
+  }
+
   int mcus_until_restart =
-      restart_interval ? restart_interval : mcus_x * mcus_y + 1;
+      restart_interval ? restart_interval : total_mcus + 1;
   int next_rst = 0;
   for (int my = 0; my < mcus_y; ++my) {
     for (int mx = 0; mx < mcus_x; ++mx) {
@@ -563,14 +676,45 @@ long ip_jpeg_emit_strided(const int16_t* coef0, const int16_t* coef1,
   return static_cast<long>(bw.pos);
 }
 
-}  // extern "C"
+}  // namespace
 
-extern "C" long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
-                             const int16_t* coef2, const uint16_t* qtab,
-                             int img_w, int img_h, int ncomp, int h0,
-                             int v0, int restart_interval, uint8_t* out,
-                             size_t out_cap) {
-  return ip_jpeg_emit_strided(coef0, coef1, coef2, qtab, img_w, img_h,
-                              ncomp, h0, v0, restart_interval, 0, 0, 0,
-                              out, out_cap);
+extern "C" {
+
+long ip_jpeg_emit_strided(const int16_t* coef0, const int16_t* coef1,
+                          const int16_t* coef2, const uint16_t* qtab,
+                          int img_w, int img_h, int ncomp, int h0, int v0,
+                          int restart_interval,
+                          long stride0, long stride1, long stride2,
+                          uint8_t* out, size_t out_cap) {
+  return emit_impl(coef0, coef1, coef2, qtab, img_w, img_h, ncomp, h0, v0,
+                   restart_interval, stride0, stride1, stride2, out,
+                   out_cap, 1);
 }
+
+// Interleaved variant: encode `interleave` restart segments
+// concurrently on one core (independent bit chains fill the OoO issue
+// slots a single serial Huffman stream leaves idle). Byte-identical
+// output to ip_jpeg_emit_strided at the same restart_interval.
+long ip_jpeg_emit_strided_ilp(const int16_t* coef0, const int16_t* coef1,
+                              const int16_t* coef2, const uint16_t* qtab,
+                              int img_w, int img_h, int ncomp, int h0,
+                              int v0, int restart_interval,
+                              long stride0, long stride1, long stride2,
+                              uint8_t* out, size_t out_cap,
+                              int interleave) {
+  return emit_impl(coef0, coef1, coef2, qtab, img_w, img_h, ncomp, h0, v0,
+                   restart_interval, stride0, stride1, stride2, out,
+                   out_cap, interleave);
+}
+
+long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,
+                  const int16_t* coef2, const uint16_t* qtab,
+                  int img_w, int img_h, int ncomp, int h0,
+                  int v0, int restart_interval, uint8_t* out,
+                  size_t out_cap) {
+  return emit_impl(coef0, coef1, coef2, qtab, img_w, img_h,
+                   ncomp, h0, v0, restart_interval, 0, 0, 0,
+                   out, out_cap, 1);
+}
+
+}  // extern "C"

@@ -61,6 +61,39 @@ def test_transcode_identity(subsampling, quality):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("ri", [1, 3, 11, 64])
+@pytest.mark.parametrize("ilv", [2, 4, 8])
+def test_interleaved_emit_byte_identical(ri, ilv):
+    """The interleaved-lane emitter (ip_jpeg_emit_strided_ilp) must be
+    byte-identical to the sequential path at the same restart interval:
+    restart segments are byte-aligned with reset predictors, so lane
+    order cannot leak into the stream. Covers short final segments
+    (ri that doesn't divide the MCU count) and W > segment count."""
+    if not hasattr(nc._load(), "ip_jpeg_emit_strided_ilp"):
+        pytest.skip("stale native library without the ilp entry point")
+    jpeg = pil_jpeg(photo(137, 181), quality=85, subsampling=2)
+    planes, qt, dims, samp = nc.scan_jpeg_coefficients(jpeg)
+    seq = nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
+                                         samp[0], restart_interval=ri)
+    par = nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
+                                         samp[0], restart_interval=ri,
+                                         interleave=ilv)
+    assert par == seq
+
+
+def test_interleaved_emit_byte_identical_grayscale():
+    if not hasattr(nc._load(), "ip_jpeg_emit_strided_ilp"):
+        pytest.skip("stale native library without the ilp entry point")
+    arr = RNG.integers(0, 256, (90, 130), dtype=np.uint8)
+    jpeg = pil_jpeg(arr, quality=85)
+    planes, qt, dims, samp = nc.scan_jpeg_coefficients(jpeg)
+    seq = nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
+                                         restart_interval=5)
+    par = nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
+                                         restart_interval=5, interleave=3)
+    assert par == seq
+
+
 def test_transcode_identity_grayscale():
     arr = RNG.integers(0, 256, (90, 130), dtype=np.uint8)
     jpeg = pil_jpeg(arr, quality=85)
