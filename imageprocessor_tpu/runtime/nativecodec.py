@@ -136,6 +136,35 @@ def _load() -> ctypes.CDLL | None:
         except AttributeError:  # pragma: no cover — stale .so
             pass
         try:
+            lib.ip_jpeg_scan_coefs_offsets.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.ip_jpeg_scan_coefs_offsets.restype = ctypes.c_int
+            lib.ip_jpeg_scan_tables.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.ip_jpeg_scan_tables.restype = ctypes.c_int
+            lib.ip_jpeg_emit_transcode.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_size_t]
+            lib.ip_jpeg_emit_transcode.restype = ctypes.c_long
+        except AttributeError:  # pragma: no cover — stale .so
+            pass
+        try:
             lib.ip_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_uint32]
             lib.ip_crc32c.restype = ctypes.c_uint32
@@ -487,6 +516,174 @@ def emit_jpeg_from_coefficients(planes, qtabs, img_w: int, img_h: int,
     if n < 0:
         raise NativeCodecError(f"jpeg emit failed (rc={n})")
     return out[:n].tobytes()
+
+
+class JpegSpliceContext:
+    """Everything ip_jpeg_emit_transcode needs to splice-edit one JPEG:
+    coefficient planes, the destuffed entropy stream with per-MCU bit
+    offsets, and the input's own table assignments. Produced by
+    scan_jpeg_for_transcode; consumed by emit_jpeg_transcode after the
+    caller edits `planes` in place and flags the touched MCUs."""
+
+    __slots__ = ("planes", "qt_slots", "qtabs", "size", "sampling",
+                 "destuff", "mcu_bits", "destuff_bits", "comp_id",
+                 "comp_tq", "comp_dc", "comp_ac", "dht_bits", "dht_vals",
+                 "dht_present", "mcus_x", "mcus_y")
+
+    @property
+    def nmcus(self) -> int:
+        return self.mcus_x * self.mcus_y
+
+
+def scan_jpeg_for_transcode(data: bytes) -> JpegSpliceContext:
+    """Streaming entropy decode PLUS splice support: per-MCU bit offsets
+    into a destuffed copy of the entropy stream, and the input's own
+    Huffman/quant table specs. Raises NativeCodecError for anything the
+    splice emitter cannot reproduce (progressive, restart markers,
+    truncated streams) — callers fall back to the full re-encode path.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ip_jpeg_scan_coefs_offsets"):
+        raise NativeCodecError("splice scanner unavailable")
+    ncomp = ctypes.c_int()
+    iw = ctypes.c_int()
+    ih = ctypes.c_int()
+    cbw = (ctypes.c_int * 4)()
+    cbh = (ctypes.c_int * 4)()
+    hs = (ctypes.c_int * 4)()
+    vs = (ctypes.c_int * 4)()
+    rc = lib.ip_jpeg_scan_dims(data, len(data), ctypes.byref(ncomp),
+                               ctypes.byref(iw), ctypes.byref(ih),
+                               cbw, cbh, hs, vs)
+    if rc != 0:
+        raise NativeCodecError(f"scan dims failed (rc={rc})")
+    _check_coef_dims(iw.value, ih.value)
+    n = ncomp.value
+    if n not in (1, 3):
+        raise NativeCodecError(f"unsupported component count {n}")
+    planes = [np.zeros((cbh[c] * 8, cbw[c] * 8), dtype=np.int16)
+              for c in range(n)]
+    pv = planes + [np.zeros((8, 8), dtype=np.int16)] * (3 - n)
+    hmax = max(hs[c] for c in range(n)) if n == 3 else 1
+    vmax = max(vs[c] for c in range(n)) if n == 3 else 1
+    mcus_x = -(-iw.value // (hmax * 8))
+    mcus_y = -(-ih.value // (vmax * 8))
+    nmcus = mcus_x * mcus_y
+    # +64: the scanner may append a few synthetic zero-fill bytes at the
+    # stream tail and the splice emitter bulk-reads 8-byte windows.
+    destuff = np.zeros(len(data) + 64, dtype=np.uint8)
+    mcu_bits = np.zeros(nmcus + 1, dtype=np.int64)
+    dbits = ctypes.c_int64()
+    rc = lib.ip_jpeg_scan_coefs_offsets(
+        data, len(data),
+        pv[0].ctypes.data_as(ctypes.c_void_p),
+        pv[1].ctypes.data_as(ctypes.c_void_p),
+        pv[2].ctypes.data_as(ctypes.c_void_p),
+        destuff.ctypes.data_as(ctypes.c_void_p), destuff.size,
+        mcu_bits.ctypes.data_as(ctypes.c_void_p), ctypes.byref(dbits))
+    if rc != 0:
+        raise NativeCodecError(f"splice scan failed (rc={rc})")
+    if mcu_bits[nmcus] > dbits.value:
+        raise NativeCodecError("truncated entropy stream")
+    comp_id = np.zeros(3, dtype=np.uint8)
+    comp_tq = np.zeros(3, dtype=np.uint8)
+    comp_dc = np.zeros(3, dtype=np.uint8)
+    comp_ac = np.zeros(3, dtype=np.uint8)
+    dht_bits = np.zeros((8, 17), dtype=np.uint8)
+    dht_vals = np.zeros((8, 256), dtype=np.uint8)
+    dht_present = np.zeros(8, dtype=np.uint8)
+    qt = np.zeros((4, 64), dtype=np.uint16)
+    nc2 = ctypes.c_int()
+    dri = ctypes.c_int()
+    prog = ctypes.c_int()
+    rc = lib.ip_jpeg_scan_tables(
+        data, len(data), ctypes.byref(nc2),
+        comp_id.ctypes.data_as(ctypes.c_void_p),
+        comp_tq.ctypes.data_as(ctypes.c_void_p),
+        comp_dc.ctypes.data_as(ctypes.c_void_p),
+        comp_ac.ctypes.data_as(ctypes.c_void_p),
+        dht_bits.ctypes.data_as(ctypes.c_void_p),
+        dht_vals.ctypes.data_as(ctypes.c_void_p),
+        dht_present.ctypes.data_as(ctypes.c_void_p),
+        qt.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(dri), ctypes.byref(prog))
+    if rc != 0:
+        raise NativeCodecError(f"scan tables failed (rc={rc})")
+    ctx = JpegSpliceContext()
+    ctx.planes = planes
+    ctx.qt_slots = qt
+    ctx.qtabs = np.stack([qt[comp_tq[c]] for c in range(n)]
+                         ).reshape(n, 8, 8).astype(np.float32)
+    ctx.size = (iw.value, ih.value)
+    ctx.sampling = [(hs[c], vs[c]) for c in range(n)]
+    ctx.destuff = destuff
+    ctx.mcu_bits = mcu_bits
+    ctx.destuff_bits = int(dbits.value)
+    ctx.comp_id = comp_id
+    ctx.comp_tq = comp_tq
+    ctx.comp_dc = comp_dc
+    ctx.comp_ac = comp_ac
+    ctx.dht_bits = dht_bits
+    ctx.dht_vals = dht_vals
+    ctx.dht_present = dht_present
+    ctx.mcus_x = mcus_x
+    ctx.mcus_y = mcus_y
+    return ctx
+
+
+def emit_jpeg_transcode(ctx: JpegSpliceContext,
+                        reenc: np.ndarray) -> bytes:
+    """Splice-emit a baseline JFIF stream from ctx after the caller
+    edited ctx.planes in place: MCUs flagged in `reenc` (uint8,
+    (mcus_y, mcus_x) or flat) are re-symbolized with the input's own
+    Huffman tables; every other MCU's bits are copied from the original
+    entropy stream. Raises NativeCodecError when the input's (possibly
+    optimized) tables cannot express an edited block — callers fall
+    back to a full re-encode."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ip_jpeg_emit_transcode"):
+        raise NativeCodecError("splice emitter unavailable")
+    n = len(ctx.planes)
+    flags = np.ascontiguousarray(reenc, dtype=np.uint8).reshape(-1)
+    if flags.size != ctx.nmcus:
+        raise NativeCodecError(
+            f"reenc has {flags.size} flags, stream has {ctx.nmcus} MCUs")
+    pv = list(ctx.planes) + [np.zeros((8, 8), dtype=np.int16)] * (3 - n)
+    samp_h = np.array([s[0] for s in ctx.sampling] + [1] * (3 - n),
+                      dtype=np.uint8)
+    samp_v = np.array([s[1] for s in ctx.sampling] + [1] * (3 - n),
+                      dtype=np.uint8)
+    w, hgt = ctx.size
+    # Worst case: every MCU re-symbolized (~2 bytes/coefficient) plus
+    # the copied stream itself plus headers.
+    cap = (sum(int(p.size) for p in ctx.planes) * 2
+           + ctx.destuff.size + (1 << 16))
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.ip_jpeg_emit_transcode(
+        pv[0].ctypes.data_as(ctypes.c_void_p),
+        pv[1].ctypes.data_as(ctypes.c_void_p),
+        pv[2].ctypes.data_as(ctypes.c_void_p),
+        pv[0].strides[0] // 2, pv[1].strides[0] // 2,
+        pv[2].strides[0] // 2,
+        ctx.qt_slots.ctypes.data_as(ctypes.c_void_p),
+        ctx.comp_tq.ctypes.data_as(ctypes.c_void_p),
+        ctx.comp_id.ctypes.data_as(ctypes.c_void_p),
+        ctx.comp_dc.ctypes.data_as(ctypes.c_void_p),
+        ctx.comp_ac.ctypes.data_as(ctypes.c_void_p),
+        ctx.dht_bits.ctypes.data_as(ctypes.c_void_p),
+        ctx.dht_vals.ctypes.data_as(ctypes.c_void_p),
+        ctx.dht_present.ctypes.data_as(ctypes.c_void_p),
+        w, hgt, n,
+        samp_h.ctypes.data_as(ctypes.c_void_p),
+        samp_v.ctypes.data_as(ctypes.c_void_p),
+        ctx.destuff.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(ctx.destuff_bits),
+        ctx.mcu_bits.ctypes.data_as(ctypes.c_void_p),
+        flags.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if rc < 0:
+        raise NativeCodecError(f"splice emit failed (rc={rc})")
+    return out[:rc].tobytes()
 
 
 def encode_jpeg_planar(planes: np.ndarray, width: int, height: int,

@@ -381,6 +381,84 @@ void encode_block(BitWriter& bw, const int16_t* blk, int stride,
   if (pn) bw.put_bits64(pv, pn);
 }
 
+// Checked block encoder for the splice path (ip_jpeg_emit_transcode):
+// the INPUT stream's Huffman tables may be optimized (holding only the
+// symbols the original image used), so a re-encoded watermark block can
+// produce a (run, size) combination the tables cannot express — and the
+// boundary blocks it re-symbolizes are ORIGINAL data that must round-trip
+// exactly, so the fast path's ±1023 clamp is wrong here. This variant
+// validates every symbol against the table (absent => false, caller
+// falls back to a full re-encode) and never clamps; coefficient
+// magnitudes are validated instead (AC category <= 10, DC diff
+// category <= 11 — the baseline-representable ranges).
+bool encode_block_checked(BitWriter& bw, const int16_t* blk, long stride,
+                          const EncTable& dct, const EncTable& act,
+                          int& pred) {
+  int16_t nat[64];
+  uint64_t nzmask = 0;
+  for (int r = 0; r < 8; ++r) {
+    memcpy(nat + r * 8, blk + static_cast<size_t>(r) * stride,
+           8 * sizeof(int16_t));
+    uint32_t mm = 0;
+    for (int i = 0; i < 8; ++i)
+      mm |= static_cast<uint32_t>(nat[r * 8 + i] != 0) << i;
+    nzmask |= kRowZig.t[r][mm];
+  }
+  const int diff = nat[0] - pred;
+  pred = nat[0];
+  const int dsign = diff >> 31;
+  int s = bit_length((diff + dsign) ^ dsign);
+  if (s > 11 || dct.e[s] == 0) return false;
+  uint32_t bits = static_cast<uint32_t>(diff + dsign) & ((1u << s) - 1);
+  bw.put_bits(((dct.e[s] & 0xFFFFF) << s) | bits,
+              static_cast<int>(dct.e[s] >> 20) + s);
+  uint64_t m = nzmask & ~1ull;
+  int prev = 0;
+  while (m) {
+    const int k = __builtin_ctzll(m);
+    m &= m - 1;
+    int run = k - prev - 1;
+    prev = k;
+    while (run > 15) {
+      if (act.e[0xF0] == 0) return false;
+      bw.put_bits(act.code(0xF0), act.size(0xF0));  // ZRL
+      run -= 16;
+    }
+    const int v = nat[kZigzag[k]];
+    const int vsign = v >> 31;
+    s = bit_length((v + vsign) ^ vsign);
+    if (s > 10) return false;
+    const int rs = (run << 4) | s;
+    if (act.e[rs] == 0) return false;
+    bits = static_cast<uint32_t>(v + vsign) & ((1u << s) - 1);
+    bw.put_bits(((act.e[rs] & 0xFFFFF) << s) | bits,
+                static_cast<int>(act.e[rs] >> 20) + s);
+  }
+  if (prev != 63) {
+    if (act.e[0x00] == 0) return false;
+    bw.put_bits(act.code(0x00), act.size(0x00));  // EOB
+  }
+  return true;
+}
+
+// Append destuffed-source bits [b0, b1) to the writer. The source must
+// be readable through byte (b1 - 1) / 8 + 8 (bulk 8-byte windows; the
+// scanner's offsets API requires callers to over-allocate by 8).
+void copy_bits(BitWriter& bw, const uint8_t* src, int64_t b0, int64_t b1) {
+  int64_t bit = b0;
+  int64_t n = b1 - b0;
+  while (n > 0) {
+    const int take = n > 48 ? 48 : static_cast<int>(n);
+    uint64_t w;
+    memcpy(&w, src + (bit >> 3), 8);
+    w = __builtin_bswap64(w);
+    const uint64_t v = (w << (bit & 7)) >> (64 - take);
+    bw.put_bits64(v, take);
+    bit += take;
+    n -= take;
+  }
+}
+
 // One interleave lane: an independent restart segment mid-encode.
 // Restart segments are byte-aligned and reset DC predictors, so W
 // segments can encode concurrently on ONE core — each lane's serial
@@ -676,6 +754,232 @@ long emit_impl(const int16_t* coef0, const int16_t* coef1,
   return static_cast<long>(bw.pos);
 }
 
+// Splice emitter: rebuild a baseline JPEG from (possibly modified)
+// coefficient planes, COPYING the original entropy stream's bit spans
+// for untouched MCUs instead of re-symbolizing them. Huffman coding is
+// bit-serial, but with the input's own Huffman + quant tables
+// re-declared in the output headers, an untouched MCU's coded bits are
+// identical except for byte alignment (handled by the shifting copy)
+// and the DC prediction chain (handled by re-symbolizing the first MCU
+// after every re-encoded region — all later DC diffs difference two
+// unchanged values). This turns the ~23 ms full-image entropy emit
+// into a ~1-2 ms memcpy-with-bit-shift plus the edited region, the
+// jpegtran-style lossless-region edit applied to watermarking.
+//
+// Inputs come from ip_jpeg_scan_coefs_offsets / ip_jpeg_scan_tables:
+// coefficient planes (natural order, spatial block layout, MCU-aligned
+// dims), the destuffed entropy stream + per-MCU bit offsets, the raw
+// DHT specs and table/quant-slot assignments, and a per-MCU reenc flag
+// (1 = the caller changed this MCU's coefficients; its bits are
+// re-symbolized from the planes).
+//
+// Errors (negative): -5 output overflow, -8 a referenced Huffman/quant
+// table is absent, -9 a re-encoded block needs a symbol the input's
+// (possibly optimized) tables cannot express or is out of baseline
+// range, -10 inconsistent offsets, -11 bad geometry/params. Callers
+// fall back to the full re-encode path on any error.
+long emit_transcode_impl(
+    const int16_t* const* planes, const long* strides,
+    const uint16_t* qt, const uint8_t* comp_tq, const uint8_t* comp_id,
+    const uint8_t* comp_dc, const uint8_t* comp_ac,
+    const uint8_t* dht_bits, const uint8_t* dht_vals,
+    const uint8_t* dht_present,
+    int img_w, int img_h, int ncomp,
+    const uint8_t* samp_h, const uint8_t* samp_v,
+    const uint8_t* destuff, int64_t destuff_bits,
+    const int64_t* mcu_bits, const uint8_t* reenc,
+    uint8_t* out, size_t out_cap) {
+  if (img_w <= 0 || img_h <= 0) return -11;
+  if (ncomp != 1 && ncomp != 3) return -11;
+  int hmax = 1, vmax = 1;
+  int h[3], v[3];
+  for (int c = 0; c < ncomp; ++c) {
+    h[c] = samp_h[c];
+    v[c] = samp_v[c];
+    if (h[c] < 1 || h[c] > 4 || v[c] < 1 || v[c] > 4) return -11;
+    if (h[c] > hmax) hmax = h[c];
+    if (v[c] > vmax) vmax = v[c];
+  }
+  if (ncomp == 1) h[0] = v[0] = hmax = vmax = 1;  // scanner convention
+  const int mcus_x = (img_w + hmax * 8 - 1) / (hmax * 8);
+  const int mcus_y = (img_h + vmax * 8 - 1) / (vmax * 8);
+  const int64_t nmcus = static_cast<int64_t>(mcus_x) * mcus_y;
+
+  // Offsets must be monotone and inside the destuffed stream; a
+  // truncated scan (decoded against zero-fill) fails here.
+  for (int64_t i = 0; i < nmcus; ++i)
+    if (mcu_bits[i] > mcu_bits[i + 1]) return -10;
+  if (mcu_bits[0] < 0 || mcu_bits[nmcus] > destuff_bits) return -10;
+
+  EncTable enc[8];  // dc0..3, ac0..3
+  bool built[8] = {};
+  for (int c = 0; c < ncomp; ++c) {
+    const int td = comp_dc[c], ta = comp_ac[c];
+    if (td > 3 || ta > 3 || comp_tq[c] > 3) return -11;
+    for (int t : {td, ta + 4}) {
+      if (!dht_present[t]) return -8;
+      if (!built[t]) {
+        int nv = 0;
+        for (int l = 1; l <= 16; ++l) nv += dht_bits[t * 17 + l];
+        enc[t].build(dht_bits + t * 17, dht_vals + t * 256, nv);
+        built[t] = true;
+      }
+    }
+  }
+
+  BitWriter bw{out, out_cap};
+  bw.put_byte(0xFF);
+  bw.put_byte(0xD8);  // SOI
+  const uint8_t app0[] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
+  emit_marker_segment(bw, 0xE0, app0, sizeof(app0));
+
+  // DQT: each distinct slot, 16-bit entries when any value > 255.
+  bool qdone[4] = {};
+  for (int c = 0; c < ncomp; ++c) {
+    const int tq = comp_tq[c];
+    if (qdone[tq]) continue;
+    qdone[tq] = true;
+    bool wide = false;
+    for (int k = 0; k < 64; ++k)
+      if (qt[tq * 64 + k] > 255) wide = true;
+    uint8_t body[1 + 128];
+    body[0] = static_cast<uint8_t>((wide ? 0x10 : 0x00) | tq);
+    int o = 1;
+    for (int k = 0; k < 64; ++k) {
+      const int q = qt[tq * 64 + kZigzag[k]];
+      if (q < 1) return -8;
+      if (wide) {
+        body[o++] = static_cast<uint8_t>(q >> 8);
+        body[o++] = static_cast<uint8_t>(q & 0xFF);
+      } else {
+        body[o++] = static_cast<uint8_t>(q);
+      }
+    }
+    emit_marker_segment(bw, 0xDB, body, o);
+  }
+
+  // SOF0 with the input's component ids / sampling / quant slots.
+  {
+    uint8_t body[6 + 3 * 3];
+    int o = 0;
+    body[o++] = 8;
+    body[o++] = static_cast<uint8_t>(img_h >> 8);
+    body[o++] = static_cast<uint8_t>(img_h & 0xFF);
+    body[o++] = static_cast<uint8_t>(img_w >> 8);
+    body[o++] = static_cast<uint8_t>(img_w & 0xFF);
+    body[o++] = static_cast<uint8_t>(ncomp);
+    for (int c = 0; c < ncomp; ++c) {
+      body[o++] = comp_id[c];
+      body[o++] = static_cast<uint8_t>((h[c] << 4) | v[c]);
+      body[o++] = comp_tq[c];
+    }
+    emit_marker_segment(bw, 0xC0, body, o);
+  }
+
+  // DHT: each distinct referenced table, input spec verbatim.
+  bool hdone[8] = {};
+  for (int c = 0; c < ncomp; ++c) {
+    for (int t : {static_cast<int>(comp_dc[c]),
+                  static_cast<int>(comp_ac[c]) + 4}) {
+      if (hdone[t]) continue;
+      hdone[t] = true;
+      emit_dht(bw, t < 4 ? 0 : 1, t & 3, dht_bits + t * 17,
+               dht_vals + t * 256);
+    }
+  }
+
+  // SOS
+  {
+    uint8_t body[1 + 3 * 2 + 3];
+    int o = 0;
+    body[o++] = static_cast<uint8_t>(ncomp);
+    for (int c = 0; c < ncomp; ++c) {
+      body[o++] = comp_id[c];
+      body[o++] = static_cast<uint8_t>((comp_dc[c] << 4) | comp_ac[c]);
+    }
+    body[o++] = 0;
+    body[o++] = 63;
+    body[o++] = 0;
+    emit_marker_segment(bw, 0xDA, body, o);
+  }
+
+  CompSpec comp[3];
+  for (int c = 0; c < ncomp; ++c) {
+    comp[c].coef = planes[c];
+    if (planes[c] == nullptr) return -4;
+    comp[c].h = h[c];
+    comp[c].v = v[c];
+    comp[c].bw = mcus_x * h[c];
+    comp[c].stride = strides[c] > 0 ? strides[c] : comp[c].bw * 8;
+    if (comp[c].stride < comp[c].bw * 8) return -7;
+    comp[c].pred = 0;
+  }
+
+  // Re-symbolize one MCU from the planes (checked, exact).
+  const auto resym_mcu = [&](int64_t m) -> bool {
+    const int mx = static_cast<int>(m % mcus_x);
+    const int my = static_cast<int>(m / mcus_x);
+    for (int c = 0; c < ncomp; ++c) {
+      CompSpec& cc = comp[c];
+      const EncTable& dct = enc[comp_dc[c]];
+      const EncTable& act = enc[comp_ac[c] + 4];
+      for (int bv = 0; bv < cc.v; ++bv) {
+        for (int bh = 0; bh < cc.h; ++bh) {
+          const int bx = mx * cc.h + bh;
+          const int by = my * cc.v + bv;
+          const int16_t* blk = cc.coef
+              + static_cast<size_t>(by) * 8 * cc.stride
+              + static_cast<size_t>(bx) * 8;
+          if (!encode_block_checked(bw, blk, cc.stride, dct, act,
+                                    cc.pred))
+            return false;
+        }
+      }
+    }
+    return true;
+  };
+
+  int64_t m = 0;
+  while (m < nmcus) {
+    if (reenc[m]) {
+      if (!resym_mcu(m)) return -9;
+      ++m;
+      continue;
+    }
+    int64_t e = m;
+    while (e < nmcus && !reenc[e]) ++e;
+    // First MCU after a re-encoded region: its DC diffs reference
+    // changed predecessors, so re-symbolize it (bit-identical to the
+    // original except the DC fields). Every later MCU in the run
+    // differences two unchanged DC values — straight copy.
+    if (m > 0 && reenc[m - 1]) {
+      if (!resym_mcu(m)) return -9;
+      ++m;
+    }
+    if (m < e) {
+      copy_bits(bw, destuff, mcu_bits[m], mcu_bits[e]);
+      // Restore per-component DC predictors from the planes: the last
+      // block (in scan order) of the run's final MCU.
+      const int mx = static_cast<int>((e - 1) % mcus_x);
+      const int my = static_cast<int>((e - 1) / mcus_x);
+      for (int c = 0; c < ncomp; ++c) {
+        CompSpec& cc = comp[c];
+        const int bx = mx * cc.h + (cc.h - 1);
+        const int by = my * cc.v + (cc.v - 1);
+        cc.pred = cc.coef[static_cast<size_t>(by) * 8 * cc.stride
+                          + static_cast<size_t>(bx) * 8];
+      }
+      m = e;
+    }
+  }
+
+  bw.flush_scan();
+  bw.put_byte(0xFF);
+  bw.put_byte(0xD9);  // EOI
+  if (bw.overflow) return -5;
+  return static_cast<long>(bw.pos);
+}
+
 }  // namespace
 
 extern "C" {
@@ -705,6 +1009,32 @@ long ip_jpeg_emit_strided_ilp(const int16_t* coef0, const int16_t* coef1,
   return emit_impl(coef0, coef1, coef2, qtab, img_w, img_h, ncomp, h0, v0,
                    restart_interval, stride0, stride1, stride2, out,
                    out_cap, interleave);
+}
+
+// Splice emitter (see emit_transcode_impl above): copy untouched MCUs'
+// bit spans from the original destuffed entropy stream, re-symbolize
+// only reenc-flagged MCUs (plus the DC-chain boundary MCU after each
+// edited region) with the input's own Huffman/quant tables.
+long ip_jpeg_emit_transcode(
+    const int16_t* coef0, const int16_t* coef1, const int16_t* coef2,
+    long stride0, long stride1, long stride2,
+    const uint16_t* qt /*4*64 natural*/,
+    const uint8_t* comp_tq, const uint8_t* comp_id,
+    const uint8_t* comp_dc, const uint8_t* comp_ac,
+    const uint8_t* dht_bits /*8*17*/, const uint8_t* dht_vals /*8*256*/,
+    const uint8_t* dht_present /*8*/,
+    int img_w, int img_h, int ncomp,
+    const uint8_t* samp_h, const uint8_t* samp_v,
+    const uint8_t* destuff, int64_t destuff_bits,
+    const int64_t* mcu_bits, const uint8_t* reenc,
+    uint8_t* out, size_t out_cap) {
+  const int16_t* planes[3] = {coef0, coef1, coef2};
+  const long strides[3] = {stride0, stride1, stride2};
+  return emit_transcode_impl(planes, strides, qt, comp_tq, comp_id,
+                             comp_dc, comp_ac, dht_bits, dht_vals,
+                             dht_present, img_w, img_h, ncomp, samp_h,
+                             samp_v, destuff, destuff_bits, mcu_bits,
+                             reenc, out, out_cap);
 }
 
 long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,

@@ -66,6 +66,12 @@ struct HuffTable {
   // category the scan class forbids: DC s>11 / AC s>10).
   uint32_t lut[4096];
   bool present = false;
+  // Raw DHT spec (BITS counts; values[] above holds HUFFVAL): retained
+  // so ip_jpeg_scan_tables can hand the exact input tables to the
+  // splice emitter (ip_jpeg_emit_transcode re-declares them, which is
+  // what makes copied bit spans decodable).
+  uint8_t spec_bits[17] = {};
+  int spec_nvals = 0;
 
   // Returns false for a non-canonical table: a DHT claiming more codes
   // at some length than fit (code >= 1 << l, the same validation
@@ -75,6 +81,8 @@ struct HuffTable {
   bool build(const uint8_t* bits, const uint8_t* vals, int nvals,
              bool is_dc) {
     memcpy(values, vals, static_cast<size_t>(nvals));
+    memcpy(spec_bits + 1, bits, 16);
+    spec_nvals = nvals;
     int code = 0, k = 0;
     for (int l = 1; l <= 16; ++l) {
       valptr[l] = k;
@@ -149,6 +157,19 @@ struct BitReader {
   int nbits = 0;
   bool saw_marker = false;
   uint8_t marker = 0;
+  // Optional destuffed-stream recording (the splice emitter's input):
+  // every byte fed into `acc` is appended to `dump` (bounded by
+  // dump_cap), so `fed * 8 - nbits` is a bit position into the dumped
+  // stream. Synthetic zero-fill bytes past the stream end are counted
+  // in `fed` (position accounting needs them) but only real entropy
+  // bytes advance `real_fed` — they always form a prefix of the dump,
+  // since zero-fill begins only once the stream/marker is reached.
+  uint8_t* dump = nullptr;
+  int64_t dump_cap = 0;
+  int64_t fed = 0;       // bytes fed to acc (incl. synthetic tail)
+  int64_t real_fed = 0;  // real destuffed bytes (prefix of dump)
+
+  int64_t bit_pos() const { return fed * 8 - nbits; }  // consumed bits
 
   void fill() {  // refill to >= 57 bits
     while (nbits <= 56) {
@@ -165,16 +186,23 @@ struct BitReader {
           const uint64_t be = __builtin_bswap64(chunk);
           acc |= (be >> (64 - 8 * k)) << (64 - nbits - 8 * k);
           nbits += 8 * k;
+          if (dump != nullptr) {
+            if (fed + k <= dump_cap) memcpy(dump + fed, p, static_cast<size_t>(k));
+            fed += k;
+            real_fed = fed;
+          }
           p += k;
           continue;
         }
       }
       // Byte-at-a-time path: stuffing, markers, stream end.
       uint8_t b;
+      bool real_b = false;
       if (saw_marker || p >= end) {
         b = 0;  // zero-fill past the end / at a marker
       } else {
         b = *p++;
+        real_b = true;
         if (b == 0xFF) {
           uint8_t b2 = (p < end) ? *p : 0xD9;
           if (b2 == 0x00) {
@@ -183,8 +211,14 @@ struct BitReader {
             saw_marker = true;
             marker = b2;
             b = 0;
+            real_b = false;
           }
         }
+      }
+      if (dump != nullptr) {
+        if (fed < dump_cap) dump[fed] = b;
+        ++fed;
+        if (real_b) real_fed = fed;
       }
       acc |= static_cast<uint64_t>(b) << (56 - nbits);
       nbits += 8;
@@ -285,6 +319,12 @@ struct Decoder {
   Component comp[3];
   HuffTable dc[4], ac[4];
   uint16_t qtab[4][64] = {};   // natural order
+  // Optional splice-support recording (ip_jpeg_scan_coefs_offsets):
+  // per-MCU bit offsets into a destuffed copy of the entropy stream.
+  int64_t* rec_mcu = nullptr;   // nmcus + 1 entries
+  uint8_t* rec_dump = nullptr;  // destuffed stream sink
+  int64_t rec_cap = 0;
+  int64_t rec_real_bits = 0;    // real destuffed bits written
 
   int u16() {
     if (pos + 2 > len) return -1;
@@ -636,10 +676,16 @@ struct Decoder {
     const int mcus_x = (width + hmax * 8 - 1) / (hmax * 8);
     const int mcus_y = (height + vmax * 8 - 1) / (vmax * 8);
     BitReader br{data + pos, data + len};
+    if (rec_mcu != nullptr) {
+      br.dump = rec_dump;
+      br.dump_cap = rec_cap;
+    }
     int mcus_until_restart =
         restart_interval ? restart_interval : mcus_x * mcus_y + 1;
     for (int my = 0; my < mcus_y; ++my) {
       for (int mx = 0; mx < mcus_x; ++mx) {
+        if (rec_mcu != nullptr)
+          rec_mcu[static_cast<size_t>(my) * mcus_x + mx] = br.bit_pos();
         for (int c = 0; c < ncomp; ++c) {
           Component& cc = comp[c];
           for (int v = 0; v < cc.v; ++v) {
@@ -674,6 +720,10 @@ struct Decoder {
           mcus_until_restart = restart_interval;
         }
       }
+    }
+    if (rec_mcu != nullptr) {
+      rec_mcu[static_cast<size_t>(mcus_x) * mcus_y] = br.bit_pos();
+      rec_real_bits = br.real_fed * 8;
     }
     return 0;
   }
@@ -932,6 +982,88 @@ int ip_jpeg_scan_coefs(const uint8_t* data, size_t len,
     if (outs[c] == nullptr) return 40;
   }
   return d.decode_all();
+}
+
+// Streaming entropy decode + splice-support recording: per-MCU bit
+// offsets into a destuffed copy of the scan's entropy data — the
+// inputs ip_jpeg_emit_transcode needs to copy untouched MCUs
+// bit-for-bit. Gated to single-scan baseline streams WITHOUT restart
+// markers (restarts byte-align and reset predictors, which the splice
+// emitter does not model; progressive scans interleave coefficients
+// across the file). Returns 50 for progressive, 51 for restart-marked
+// streams — callers fall back to the plain scan + full re-encode.
+//
+// destuff must hold >= len + 8 bytes (the splice emitter bulk-reads
+// 8-byte windows; destuffed data is <= len). mcu_bits must hold
+// nmcus + 1 int64 entries: the bit offset of each MCU's first code
+// plus the total consumed bit count. *destuff_bits receives the real
+// destuffed bit count; a well-formed stream has
+// mcu_bits[nmcus] <= *destuff_bits (callers must verify — a truncated
+// stream decodes against synthetic zero-fill past that point).
+int ip_jpeg_scan_coefs_offsets(const uint8_t* data, size_t len,
+                               int16_t* coef0, int16_t* coef1,
+                               int16_t* coef2,
+                               uint8_t* destuff, size_t destuff_cap,
+                               int64_t* mcu_bits, int64_t* destuff_bits) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  if (d.progressive) return 50;
+  if (d.restart_interval > 0) return 51;
+  if (destuff == nullptr || mcu_bits == nullptr || destuff_bits == nullptr)
+    return 40;
+  const int mcus_x = (d.width + d.hmax * 8 - 1) / (d.hmax * 8);
+  int16_t* outs[3] = {coef0, coef1, coef2};
+  for (int c = 0; c < d.ncomp; ++c) {
+    d.comp[c].out = outs[c];
+    d.comp[c].bw = mcus_x * d.comp[c].h;
+    d.comp[c].build_zigoff();
+    if (outs[c] == nullptr) return 40;
+  }
+  d.rec_mcu = mcu_bits;
+  d.rec_dump = destuff;
+  d.rec_cap = static_cast<int64_t>(destuff_cap);
+  rc = d.decode_scan();
+  *destuff_bits = d.rec_real_bits;
+  return rc;
+}
+
+// Entropy-coding headers for the splice emitter: per-component ids /
+// quant-table slots / DC+AC table ids, the raw DHT specs (8 tables:
+// dc0..3 then ac0..3; bits[0] unused), quant tables per SLOT in
+// natural order, DRI and the progressive flag. Header parse only.
+int ip_jpeg_scan_tables(const uint8_t* data, size_t len,
+                        int* ncomp_out,
+                        uint8_t* comp_id /*3*/, uint8_t* comp_tq /*3*/,
+                        uint8_t* comp_dc /*3*/, uint8_t* comp_ac /*3*/,
+                        uint8_t* dht_bits /*8*17*/,
+                        uint8_t* dht_vals /*8*256*/,
+                        uint8_t* dht_present /*8*/,
+                        uint16_t* qt /*4*64 natural*/,
+                        int* restart_interval_out, int* progressive_out) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  *ncomp_out = d.ncomp;
+  *restart_interval_out = d.restart_interval;
+  *progressive_out = d.progressive ? 1 : 0;
+  for (int c = 0; c < d.ncomp; ++c) {
+    comp_id[c] = static_cast<uint8_t>(d.comp[c].id);
+    comp_tq[c] = static_cast<uint8_t>(d.comp[c].tq);
+    comp_dc[c] = static_cast<uint8_t>(d.comp[c].dc_tbl);
+    comp_ac[c] = static_cast<uint8_t>(d.comp[c].ac_tbl);
+  }
+  for (int t = 0; t < 8; ++t) {
+    const HuffTable& h = (t < 4) ? d.dc[t] : d.ac[t - 4];
+    dht_present[t] = h.present ? 1 : 0;
+    memcpy(dht_bits + t * 17, h.spec_bits, 17);
+    memset(dht_vals + t * 256, 0, 256);
+    if (h.present)
+      memcpy(dht_vals + t * 256, h.values,
+             static_cast<size_t>(h.spec_nvals));
+  }
+  memcpy(qt, d.qtab, sizeof(d.qtab));
+  return 0;
 }
 
 // Multithreaded streaming entropy decode. The stream must carry restart

@@ -1,0 +1,202 @@
+"""Splice emitter (native/jpeg_emit.cpp ip_jpeg_emit_transcode) +
+offset-recording scanner (native/jpeg_scan.cpp ip_jpeg_scan_coefs_offsets).
+
+The splice path rebuilds a baseline JPEG from edited coefficient planes
+by COPYING the original entropy stream's bit spans for untouched MCUs
+(re-declaring the input's own Huffman/quant tables) and re-symbolizing
+only the flagged MCUs plus the DC-chain boundary MCU after each edited
+region — the jpegtran-style lossless-region edit. Contract: scanning
+the spliced output yields coefficient planes EQUAL to the edited
+planes, for any flag pattern, and untouched regions keep the input's
+exact coefficients (no recompression generation loss).
+
+Reference scope: this accelerates the watermark output of
+internal/usecase/processor/operations/watermark.go:40-155 (full-res
+re-encode) for JPEG inputs; the reference re-encodes the whole frame.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imageprocessor_tpu.runtime import nativecodec as nc
+
+pytestmark = pytest.mark.skipif(
+    not nc.available(), reason="native codec unavailable")
+
+
+def _photo(h: int, w: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = (128 + 80 * np.sin(x / 37.0) + 60 * np.cos(y / 23.0))[..., None]
+    return (base + rng.normal(0, 12, (h, w, 3))).clip(0, 255).astype(np.uint8)
+
+
+def _jpeg(img: np.ndarray, **kw) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _edit_flagged(ctx, flags: np.ndarray) -> None:
+    """Perturb every block of every flagged MCU (DC and two ACs)."""
+    my, mx = flags.shape
+    hy, vy = ctx.sampling[0]
+    for c, p in enumerate(ctx.planes):
+        fh = vy if c == 0 else 1
+        fw = hy if c == 0 else 1
+        for myy, mxx in zip(*np.nonzero(flags)):
+            for bv in range(fh):
+                for bh in range(fw):
+                    by, bx = myy * fh + bv, mxx * fw + bh
+                    blk = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    blk[0, 0] = np.clip(int(blk[0, 0]) + 37, -1000, 1000)
+                    blk[0, 1] = 5
+                    blk[3, 4] = -9
+
+
+SUBSAMPLINGS = [(2, "4:2:0"), (1, "4:2:2"), (0, "4:4:4")]
+
+
+@pytest.mark.parametrize("subs,name", SUBSAMPLINGS)
+def test_copy_identity(subs, name):
+    """No edits -> the spliced stream decodes to identical coefficients
+    (and the offset scan's planes equal the plain scan's)."""
+    data = _jpeg(_photo(467, 629), quality=85, subsampling=subs)
+    ctx = nc.scan_jpeg_for_transcode(data)
+    planes0, _qt, size0, samp0 = nc.scan_jpeg_coefficients(data)
+    for a, b in zip(ctx.planes, planes0):
+        np.testing.assert_array_equal(a, b)
+    out = nc.emit_jpeg_transcode(ctx, np.zeros(ctx.nmcus, dtype=np.uint8))
+    p2, _qt2, size2, samp2 = nc.scan_jpeg_coefficients(out)
+    assert size2 == size0 and samp2 == samp0
+    for a, b in zip(p2, planes0):
+        np.testing.assert_array_equal(a, b)
+    Image.open(io.BytesIO(out)).load()  # independently decodable
+
+
+def test_copy_identity_grayscale():
+    data = _jpeg(_photo(467, 629)[:, :, 0], quality=85)
+    ctx = nc.scan_jpeg_for_transcode(data)
+    out = nc.emit_jpeg_transcode(ctx, np.zeros(ctx.nmcus, dtype=np.uint8))
+    p0, *_ = nc.scan_jpeg_coefficients(data)
+    p2, *_ = nc.scan_jpeg_coefficients(out)
+    np.testing.assert_array_equal(p0[0], p2[0])
+
+
+@pytest.mark.parametrize("pattern", ["rect", "scatter", "all",
+                                     "first-last", "columns"])
+def test_edit_exact(pattern):
+    """Edited MCUs re-symbolize, everything else copies; the rescan
+    equals the edited planes exactly for every flag pattern (exercises
+    the DC-chain boundary re-symbolization after each edited region)."""
+    rng = np.random.default_rng(3)
+    data = _jpeg(_photo(467, 629, seed=1), quality=85)
+    ctx = nc.scan_jpeg_for_transcode(data)
+    my, mx = ctx.mcus_y, ctx.mcus_x
+    flags = np.zeros((my, mx), dtype=np.uint8)
+    if pattern == "rect":
+        flags[my // 3:my // 3 + 4, mx // 4:mx // 4 + 7] = 1
+    elif pattern == "scatter":
+        idx = rng.choice(mx * my, size=max(1, mx * my // 10), replace=False)
+        flags.reshape(-1)[idx] = 1
+    elif pattern == "all":
+        flags[:] = 1
+    elif pattern == "first-last":
+        flags[0, 0] = 1
+        flags[-1, -1] = 1
+    elif pattern == "columns":  # alternating runs inside one row
+        flags[my // 2, ::2] = 1
+    _edit_flagged(ctx, flags)
+    out = nc.emit_jpeg_transcode(ctx, flags)
+    p2, _qt, _size, _samp = nc.scan_jpeg_coefficients(out)
+    for a, b in zip(p2, ctx.planes):
+        np.testing.assert_array_equal(a, b)
+    Image.open(io.BytesIO(out)).load()
+
+
+def test_untouched_region_is_lossless():
+    """The copied spans preserve the INPUT's exact coefficients — no
+    decode->re-encode generation loss outside the edited region."""
+    data = _jpeg(_photo(320, 480, seed=2), quality=85)
+    planes_in, *_ = nc.scan_jpeg_coefficients(data)
+    ctx = nc.scan_jpeg_for_transcode(data)
+    flags = np.zeros((ctx.mcus_y, ctx.mcus_x), dtype=np.uint8)
+    flags[-2:, -5:] = 1
+    _edit_flagged(ctx, flags)
+    out = nc.emit_jpeg_transcode(ctx, flags)
+    p2, *_ = nc.scan_jpeg_coefficients(out)
+    # every block outside the flagged MCUs equals the input bit-exactly
+    hy, vy = ctx.sampling[0]
+    for c, (pin, pout) in enumerate(zip(planes_in, p2)):
+        fh = vy if c == 0 else 1
+        fw = hy if c == 0 else 1
+        for myy in range(ctx.mcus_y):
+            for mxx in range(ctx.mcus_x):
+                if flags[myy, mxx]:
+                    continue
+                r0, c0 = myy * fh * 8, mxx * fw * 8
+                np.testing.assert_array_equal(
+                    pout[r0:r0 + fh * 8, c0:c0 + fw * 8],
+                    pin[r0:r0 + fh * 8, c0:c0 + fw * 8])
+
+
+def test_optimized_tables_fallback():
+    """Optimized Huffman tables may lack symbols an edited block needs;
+    the emitter must fail cleanly (NativeCodecError), never corrupt."""
+    data = _jpeg(_photo(320, 480, seed=4), quality=90, optimize=True)
+    ctx = nc.scan_jpeg_for_transcode(data)
+    flags = np.zeros((ctx.mcus_y, ctx.mcus_x), dtype=np.uint8)
+    flags[1:3, 1:5] = 1
+    _edit_flagged(ctx, flags)
+    try:
+        out = nc.emit_jpeg_transcode(ctx, flags)
+    except nc.NativeCodecError:
+        return  # clean refusal is the expected common case
+    # If the tables happened to cover the symbols, output must be exact.
+    p2, *_ = nc.scan_jpeg_coefficients(out)
+    for a, b in zip(p2, ctx.planes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_optimized_tables_copy_identity():
+    """With NO edits, optimized-table inputs splice fine — every span is
+    copied and only table re-declaration matters."""
+    data = _jpeg(_photo(320, 480, seed=5), quality=90, optimize=True)
+    ctx = nc.scan_jpeg_for_transcode(data)
+    out = nc.emit_jpeg_transcode(ctx, np.zeros(ctx.nmcus, dtype=np.uint8))
+    p0, *_ = nc.scan_jpeg_coefficients(data)
+    p2, *_ = nc.scan_jpeg_coefficients(out)
+    for a, b in zip(p2, p0):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gates_progressive_and_restarts():
+    img = _photo(160, 240, seed=6)
+    prog = _jpeg(img, quality=85, progressive=True)
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_for_transcode(prog)
+    # restart-marked stream (own emitter produces one)
+    planes, qt, (w, h), samp = nc.scan_jpeg_coefficients(
+        _jpeg(img, quality=85))
+    rst = nc.emit_jpeg_from_coefficients(planes, qt, w, h, samp[0],
+                                         restart_interval=4)
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_for_transcode(rst)
+
+
+def test_truncated_stream_rejected():
+    data = _jpeg(_photo(320, 480, seed=7), quality=85)
+    with pytest.raises(nc.NativeCodecError):
+        nc.scan_jpeg_for_transcode(data[:len(data) // 2])
+
+
+def test_flag_count_validated():
+    data = _jpeg(_photo(160, 240, seed=8), quality=85)
+    ctx = nc.scan_jpeg_for_transcode(data)
+    with pytest.raises(nc.NativeCodecError):
+        nc.emit_jpeg_transcode(ctx, np.zeros(ctx.nmcus + 1, dtype=np.uint8))
