@@ -83,6 +83,11 @@ class BatchItem:
     payload: Any = None        # caller context (task, metadata, ...)
     layout: str = "hwc"
     valid_hw: tuple[int, int] | None = None
+    # JpegSpliceContext when the source stream is splice-editable and the
+    # plan wants a watermark rendition (runtime/splice.py); the engine's
+    # finish stage then emits that rendition by region transcode instead
+    # of a full re-encode. None otherwise.
+    splice: Any = None
     enqueued_at: float = field(default_factory=time.monotonic)
 
     @property

@@ -63,7 +63,7 @@ from imageprocessor_tpu.runtime.batcher import (
     group_items,
     quantize_batch,
 )
-from imageprocessor_tpu.runtime import nativecodec
+from imageprocessor_tpu.runtime import nativecodec, splice
 from imageprocessor_tpu.runtime.batcher import (
     bucket_for,
     coef_canvas,
@@ -303,6 +303,35 @@ class ProcessingEngine:
         return Artifact(operation=op.type.value, path=path, size=len(data),
                         mime_type=mime, format="jpeg")
 
+    def _splice_and_save(self, task: ProcessingTask, op: NormalizedOp,
+                         ctx) -> Artifact:
+        """Watermark rendition by JPEG splice transcode: edit only the
+        MCU band the text touches, copy every other MCU's bits verbatim
+        (runtime/splice.py — replaces the full-image entropy emit, the
+        host-side system bottleneck). Defensive fallback: decode the
+        scanned coefficients on host, blend if the band edit never
+        landed, and re-encode at the engine quality — same output the
+        pre-splice path produced."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        try:
+            data = splice.watermark_splice(ctx, op)
+        except nativecodec.NativeCodecError:
+            arr = splice.decode_rgb(ctx)
+            if not ctx.edited:
+                arr = self._apply_single(arr, op)
+            return self._encode_and_save(task, op, np.asarray(arr),
+                                         "jpeg")
+        METRICS.observe("engine_splice_emit_ms",
+                        (_time.monotonic() - t0) * 1000.0)
+        METRICS.inc("engine_splice_images", 1)
+        path = generate_path(task.image_id, op, "jpeg")
+        mime = mime_from_path(path)
+        self._save(path, data, mime)
+        return Artifact(operation=op.type.value, path=path,
+                        size=len(data), mime_type=mime, format="jpeg")
+
     # ------------------------------------------------------- single-image path
 
     def _apply_single(self, arr: np.ndarray, op: NormalizedOp) -> np.ndarray:
@@ -374,20 +403,47 @@ class ProcessingEngine:
 
     def decode_for_plan(self, data: bytes, plan: OperationPlan | None
                         ) -> tuple[np.ndarray, str, str, tuple | None]:
+        """Back-compat 4-tuple wrapper over decode_for_plan_ex."""
+        return self.decode_for_plan_ex(data, plan)[:4]
+
+    def decode_for_plan_ex(self, data: bytes, plan: OperationPlan | None
+                           ) -> tuple[np.ndarray, str, str, tuple | None,
+                                      object | None]:
         """Decode one blob, choosing the layout the device path wants.
 
         Planar-eligible JPEG tasks decode straight into their padded CHW
         bucket via the native codec (no device transpose, no host pack
         copy); everything else decodes to HWC. Returns
-        (array, detected_format, layout, valid_hw_or_None).
+        (array, detected_format, layout, valid_hw_or_None,
+        splice_ctx_or_None) — the splice context is produced when the
+        plan wants a watermark rendition and the stream is splice-
+        editable (runtime/splice.py), in which case the entropy scan
+        additionally records per-MCU bit offsets (+~13% scan cost) so
+        the finish stage can emit the watermark by region transcode.
         """
         if (plan is not None and self.device_jpeg
                 and nativecodec.available()
                 and detect_content_type(data[:512]) == "image/jpeg"
                 and self.model.supports_planar(plan, (1, 1))):
+            sctx = None
             try:
-                planes, qt, (w, h), samp = \
-                    nativecodec.scan_jpeg_coefficients(data)
+                if (splice.enabled()
+                        and any(op.type is OperationType.WATERMARK
+                                for op in plan.ops)):
+                    try:
+                        c = nativecodec.scan_jpeg_for_transcode(data)
+                        if splice.supports(c):
+                            sctx = c
+                    except nativecodec.NativeCodecError:
+                        sctx = None  # restart/progressive: plain scan
+                if sctx is not None:
+                    planes = sctx.planes
+                    qt = sctx.qtabs
+                    w, h = sctx.size
+                    samp = sctx.sampling
+                else:
+                    planes, qt, (w, h), samp = \
+                        nativecodec.scan_jpeg_coefficients(data)
                 bucket = bucket_for(h, w)
                 if (len(planes) == 3
                         and self.model.supports_planar(plan, bucket)
@@ -409,7 +465,7 @@ class ProcessingEngine:
                             and planes[1].shape[1] * fw == planes[0].shape[1]):
                         return ((planes[0], planes[1], planes[2],
                                  np.asarray(qt, dtype=np.float32)),
-                                "jpeg", coef_layout(fh, fw), (h, w))
+                                "jpeg", coef_layout(fh, fw), (h, w), sctx)
             except nativecodec.NativeCodecError:
                 pass  # progressive/exotic: fall through
         if (plan is not None and nativecodec.available()
@@ -423,11 +479,11 @@ class ProcessingEngine:
                 if (self.model.supports_planar(plan, bucket)
                         and self._plan_scale_ok(plan, h, w)):
                     arr = nativecodec.decode_jpeg_planar(data, pad_hw=bucket)
-                    return arr, "jpeg", "chw", (h, w)
+                    return arr, "jpeg", "chw", (h, w), None
             except nativecodec.NativeCodecError:
                 pass  # fall through to the generic decoder
         arr, detected = decode_image(data)
-        return arr, detected, "hwc", None
+        return arr, detected, "hwc", None, None
 
     def process_tasks(self, tasks_with_data: list[tuple[ProcessingTask, bytes]],
                       device_section=None) -> list[EngineResult]:
@@ -457,7 +513,8 @@ class ProcessingEngine:
                 results[i] = self._failed(task, f"Operation failed: {exc}")
 
         def _dec(i):
-            return self.decode_for_plan(tasks_with_data[i][1], plans.get(i))
+            return self.decode_for_plan_ex(tasks_with_data[i][1],
+                                           plans.get(i))
 
         pending = [i for i in range(n) if results[i] is None]
         t_dec = _time.monotonic()
@@ -473,7 +530,7 @@ class ProcessingEngine:
                 results[i] = self._failed(task,
                                           f"Failed to decode image: {dec}")
                 continue
-            arr, detected, layout, valid_hw = dec
+            arr, detected, layout, valid_hw, sctx = dec
             plan = plans[i]
             try:
                 # e.g. a non-string Format in the wire payload: fail
@@ -485,7 +542,8 @@ class ProcessingEngine:
                 items.append(BatchItem(item_id=str(i), image=arr,
                                        plan_key=plan.group_key(),
                                        payload=(i, task, fmt, plan),
-                                       layout=layout, valid_hw=valid_hw))
+                                       layout=layout, valid_hw=valid_hw,
+                                       splice=sctx))
             except Exception as exc:
                 results[i] = self._failed(task, f"Operation failed: {exc}")
 
@@ -869,6 +927,21 @@ class ProcessingEngine:
             else:
                 mh = _q64(max_h, cv_h)
                 mw = _q64(max_w, cv_w)
+                # Watermark renditions that EVERY item can produce by
+                # splice transcode (runtime/splice.py): skip the device
+                # encode front half AND the D2H transfer entirely — the
+                # finish stage edits+emits from the scanned coefficient
+                # stream on host. (Mixed groups keep the device coef
+                # path below; finish_item still prefers splice per item
+                # with the device coefs as its fallback.)
+                if (op.type is OperationType.WATERMARK
+                        and all(it.splice is not None
+                                for it in group.items)
+                        and all(negotiate_format(it.payload[2],
+                                                 watermark=True) == "jpeg"
+                                for it in group.items)):
+                    cropped.append(("splice", op))
+                    continue
                 # Full-bucket ops (watermark/flip/grayscale) whose output
                 # every item wants as JPEG: run the encode front half
                 # (color convert + 4:2:0 downsample + FDCT + quantize)
@@ -906,8 +979,10 @@ class ProcessingEngine:
             else:
                 cropped.append(o[:, :mh, :mw])
         outs_np = [
-            (o[0], np.asarray(o[1]), np.asarray(o[2]), np.asarray(o[3]),
-             o[4]) if isinstance(o, tuple) else np.asarray(o)
+            o if (isinstance(o, tuple) and o[0] == "splice")
+            else (o[0], np.asarray(o[1]), np.asarray(o[2]),
+                  np.asarray(o[3]), o[4]) if isinstance(o, tuple)
+            else np.asarray(o)
             for o in cropped]
         METRICS.observe("engine_device_ms",
                         (_time.monotonic() - t_dev) * 1000.0)
@@ -938,7 +1013,18 @@ class ProcessingEngine:
                 arr = (outs_np[oi][i][:, :h, :w] if planar
                        else outs_np[oi][i, :h, :w])
             try:
-                if isinstance(arr, tuple):
+                if isinstance(arr, tuple) and arr[0] == "splice":
+                    artifact = self._splice_and_save(task, op, it.splice)
+                elif (op.type is OperationType.WATERMARK
+                        and it.splice is not None
+                        and negotiate_format(fmt, watermark=True)
+                        == "jpeg"):
+                    # Mixed group (device coefs / pixels were computed
+                    # for batchmates): this item still prefers the
+                    # splice emit; _splice_and_save's own fallback
+                    # chain covers failures.
+                    artifact = self._splice_and_save(task, op, it.splice)
+                elif isinstance(arr, tuple):
                     artifact = self._emit_and_save(task, op, arr, i, h, w)
                 else:
                     artifact = self._encode_and_save(task, op, arr, fmt,

@@ -528,7 +528,7 @@ class JpegSpliceContext:
     __slots__ = ("planes", "qt_slots", "qtabs", "size", "sampling",
                  "destuff", "mcu_bits", "destuff_bits", "comp_id",
                  "comp_tq", "comp_dc", "comp_ac", "dht_bits", "dht_vals",
-                 "dht_present", "mcus_x", "mcus_y")
+                 "dht_present", "mcus_x", "mcus_y", "edited")
 
     @property
     def nmcus(self) -> int:
@@ -628,6 +628,7 @@ def scan_jpeg_for_transcode(data: bytes) -> JpegSpliceContext:
     ctx.dht_present = dht_present
     ctx.mcus_x = mcus_x
     ctx.mcus_y = mcus_y
+    ctx.edited = False  # set by splice.watermark_band after a write-back
     return ctx
 
 

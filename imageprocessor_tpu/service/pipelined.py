@@ -135,8 +135,8 @@ class PipelinedWorker(Worker):
         try:
             plan = normalize_operations(task.operations)
             with span("decode"):
-                arr, detected, layout, valid_hw = \
-                    self.engine.decode_for_plan(blob, plan)
+                arr, detected, layout, valid_hw, sctx = \
+                    self.engine.decode_for_plan_ex(blob, plan)
         except (DecodeError, InvalidParamsError,
                 UnsupportedOperationError, ValueError) as exc:
             prefix = ("Failed to decode image" if isinstance(exc, DecodeError)
@@ -161,7 +161,8 @@ class PipelinedWorker(Worker):
             item = BatchItem(item_id=task.id, image=arr,
                              plan_key=plan.group_key(),
                              payload=(msg, task, fmt, plan),
-                             layout=layout, valid_hw=valid_hw)
+                             layout=layout, valid_hw=valid_hw,
+                             splice=sctx)
             with self._batcher_lock:
                 group = self._batcher.add(item)
         except Exception as exc:

@@ -186,10 +186,19 @@ def test_progressive_joins_device_decode_path(engines):
         assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 45.0
 
 
-def test_device_encode_watermark_output(engines):
+def test_device_encode_watermark_output(engines, monkeypatch):
     """Full-bucket JPEG outputs (watermark) run the encode front half on
     device; host keeps only the entropy emit. Output must decode within
-    encoder-variation tolerance of the host-encoded engine's output."""
+    encoder-variation tolerance of the host-encoded engine's output.
+
+    Splice transcode is disabled here on purpose: it intentionally
+    preserves the SOURCE quantization (strictly closer to the ideal
+    than either re-encode, see test_engine_splice.py), which would turn
+    this same-pixels/two-encoders comparison into a q90-vs-q85 one.
+    With it off, the device coef encode + full entropy emit path this
+    test pins stays exercised (it remains the fallback for mixed groups
+    and non-splice-editable streams)."""
+    monkeypatch.setenv("IMAGEPROCESSOR_JPEG_SPLICE", "0")
     (e1, s1), (e2, s2) = engines
     blob = jpeg_bytes(300, 400)
     wm = [OperationParams(OperationType.WATERMARK,

@@ -151,12 +151,18 @@ def test_engine_sharded_device_jpeg_coef_path():
             assert st_s.blobs[a_s.path] == st_1.blobs[a_1.path]
 
 
-def test_engine_sharded_pallas_codec_kernels():
+def test_engine_sharded_pallas_codec_kernels(monkeypatch):
     """Kernel-eligible bucket geometry (250x400 -> 256x512, W%128==0)
     on a 4-way data mesh: BOTH fused Pallas codec kernels must run
     under shard_map (engine._codec_sharded), scaling the codec halves
     across local chips like the pixel pipeline — and match the
-    single-device engine byte-for-byte."""
+    single-device engine byte-for-byte.
+
+    Splice transcode is disabled so the watermark rendition actually
+    exercises the device ENCODE kernel (with it on, eligible watermark
+    groups skip the encode front half entirely — the encode path here
+    pins the fallback for mixed/non-editable streams)."""
+    monkeypatch.setenv("IMAGEPROCESSOR_JPEG_SPLICE", "0")
     from imageprocessor_tpu.runtime import nativecodec as nc
 
     if not nc.available() or not hasattr(nc._load(), "ip_jpeg_scan_dims"):

@@ -1,0 +1,215 @@
+"""Engine-level watermark splice transcode (runtime/splice.py).
+
+The device-JPEG engine's watermark renditions on splice-editable
+streams must be emitted by region transcode: pixels outside the text
+band BIT-EXACT to the source stream (zero generation loss — a property
+no decode+re-encode path has), the band itself within the PSNR
+contract of the full-pipeline blend, and every non-eligible input
+falling back to the round-3 re-encode path unchanged.
+
+Reference behavior being replaced: watermark.go:40-155 decodes, blends,
+and re-encodes the WHOLE image; the splice path produces the same
+visible rendition at a fraction of the host entropy cost (PERF.md
+whole-system model) with strictly higher fidelity outside the band.
+"""
+
+import io
+import uuid
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.domain import (
+    ImageStatus,
+    OperationParams,
+    OperationType,
+    ProcessingTask,
+)
+from imageprocessor_tpu.runtime import nativecodec, splice
+from imageprocessor_tpu.runtime.codecs import decode_image
+from imageprocessor_tpu.runtime.engine import ProcessingEngine
+from imageprocessor_tpu.storage import LocalFSObjectStore
+
+RNG = np.random.default_rng(11)
+
+pytestmark = pytest.mark.skipif(not nativecodec.available(),
+                                reason="native codec unavailable")
+
+
+def jpeg_bytes(h, w, quality=90, subsampling=2):
+    yy = np.linspace(0, 170, h)[:, None, None]
+    arr = np.clip(yy + RNG.integers(0, 40, (h, w, 3)), 0,
+                  255).astype(np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=quality,
+                                 subsampling=subsampling)
+    return bio.getvalue()
+
+
+def wm_task(fmt="jpeg", extra_ops=(), **params):
+    p = {"text": "hi mark", "opacity": 0.5, "position": "bottom-right"}
+    p.update(params)
+    ops = [OperationParams(OperationType.WATERMARK, p), *extra_ops]
+    return ProcessingTask(id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+                          original_path="o.jpg", bucket="b",
+                          operations=ops, format=fmt)
+
+
+@pytest.fixture()
+def engine(tmp_path):
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, device_jpeg=True, use_pallas=True,
+                           pallas_interpret=True, codec_threads=2)
+    yield eng, store
+    eng.close()
+
+
+def psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def test_watermark_rendition_is_spliced(engine):
+    """Untouched rows decode byte-identically to the source; the band
+    carries the blend; metrics record the splice emit."""
+    eng, store = engine
+    blob = jpeg_bytes(320, 448)
+    task = wm_task()
+    res = eng.process_tasks([(task, blob)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    out = store.get_object(res.result.processed_paths["watermark"])
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))
+    got = np.asarray(PILImage.open(io.BytesIO(out)))
+    assert got.shape == src.shape
+    # bottom-right text box: everything above the last few MCU rows is
+    # a verbatim bit copy -> decodes identically
+    assert np.array_equal(src[:256], got[:256])
+    assert (src[288:] != got[288:]).any()
+    # and the band matches the full-pipeline blend reference
+    from imageprocessor_tpu.ops.watermark import watermark_image
+    ref = np.asarray(watermark_image(src, text="hi mark", opacity=0.5,
+                                     position="bottom-right"))
+    assert psnr(got, ref) > 45.0
+
+
+def test_splice_composes_with_resize_thumbnail(engine):
+    """The default 3-op plan: resize/thumbnail still come off the device
+    pipeline while the watermark rendition splices."""
+    eng, store = engine
+    blob = jpeg_bytes(304, 400)
+    task = wm_task(extra_ops=[
+        OperationParams(OperationType.RESIZE,
+                        {"width": 200, "height": 150}),
+        OperationParams(OperationType.THUMBNAIL, {"size": 96})])
+    res = eng.process_tasks([(task, blob)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))
+    wm = np.asarray(PILImage.open(io.BytesIO(
+        store.get_object(res.result.processed_paths["watermark"]))))
+    assert np.array_equal(src[:240], wm[:240])
+    rz, _ = decode_image(store.get_object(res.result.processed_paths["resize"]))
+    assert rz.shape == (150, 200, 3)
+    from imageprocessor_tpu.ops import thumbnail_dims
+    th, _ = decode_image(
+        store.get_object(res.result.processed_paths["thumbnail"]))
+    tw, thh = thumbnail_dims(400, 304, 96)
+    assert th.shape[:2] == (thh, tw)
+
+
+def test_mixed_group_splices_eligible_item(engine, tmp_path):
+    """A batch mixing splice-eligible and non-eligible (progressive)
+    streams: the eligible item still splices, the progressive one falls
+    back to the re-encode path, both complete."""
+    eng, store = engine
+    base = jpeg_bytes(320, 448)
+    arr = np.asarray(PILImage.open(io.BytesIO(base)))
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
+                                 progressive=True)
+    prog = bio.getvalue()
+    t1, t2 = wm_task(), wm_task()
+    results = eng.process_tasks([(t1, base), (t2, prog)])
+    for res in results:
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    out1 = np.asarray(PILImage.open(io.BytesIO(
+        store.get_object(results[0].result.processed_paths["watermark"]))))
+    src = np.asarray(PILImage.open(io.BytesIO(base)))
+    assert np.array_equal(src[:256], out1[:256])  # spliced
+    out2 = np.asarray(PILImage.open(io.BytesIO(
+        store.get_object(results[1].result.processed_paths["watermark"]))))
+    assert out2.shape[:2] == (320, 448)
+
+
+def test_splice_disabled_restores_reencode(engine, monkeypatch):
+    """IMAGEPROCESSOR_JPEG_SPLICE=0: the watermark rendition is a full
+    re-encode again (no byte-identical prefix at q85 vs a q90 source)."""
+    monkeypatch.setenv("IMAGEPROCESSOR_JPEG_SPLICE", "0")
+    eng, store = engine
+    blob = jpeg_bytes(320, 448)
+    res = eng.process_tasks([(wm_task(), blob)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))
+    got = np.asarray(PILImage.open(io.BytesIO(
+        store.get_object(res.result.processed_paths["watermark"]))))
+    assert got.shape == src.shape
+    assert not np.array_equal(src[:256], got[:256])
+
+
+def test_png_output_never_splices(engine):
+    """format=png forces the PNG encoder; splice only serves JPEG
+    renditions."""
+    eng, store = engine
+    res = eng.process_tasks([(wm_task(fmt="png"),
+                              jpeg_bytes(200, 264))])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    assert res.result.processed_paths["watermark"].endswith(".png")
+
+
+def test_grayscale_input_falls_back(engine):
+    """Grayscale JPEGs are not splice-editable (the pipeline promotes
+    them to color before watermarking); they must complete via the
+    fallback path."""
+    eng, store = engine
+    arr = RNG.integers(0, 256, (200, 264), dtype=np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr, mode="L").save(bio, format="JPEG", quality=88)
+    res = eng.process_tasks([(wm_task(), bio.getvalue())])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    got = np.asarray(PILImage.open(io.BytesIO(
+        store.get_object(res.result.processed_paths["watermark"]))))
+    assert got.shape[:2] == (200, 264)
+
+
+def test_splice_preserves_source_quality(engine):
+    """The headline fidelity property: vs the ideal (decoded source +
+    float blend), the spliced rendition beats the re-encode path."""
+    eng, store = engine
+    blob = jpeg_bytes(320, 448, quality=95)
+    res = eng.process_tasks([(wm_task(), blob)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    spliced = np.asarray(PILImage.open(io.BytesIO(
+        store.get_object(res.result.processed_paths["watermark"]))))
+
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))
+    from imageprocessor_tpu.ops.watermark import watermark_image
+    ideal = np.asarray(watermark_image(src, text="hi mark", opacity=0.5,
+                                       position="bottom-right"))
+    # re-encode comparison: the ideal pixels through a q85 JPEG cycle
+    bio = io.BytesIO()
+    PILImage.fromarray(ideal).save(bio, format="JPEG", quality=85)
+    reenc = np.asarray(PILImage.open(bio))
+    assert psnr(spliced, ideal) > psnr(reenc, ideal) + 3.0
+
+
+def test_decode_rgb_fallback_matches_decoder():
+    """splice.decode_rgb (the defensive full-image fallback) matches
+    the production decode path within the codec contract."""
+    blob = jpeg_bytes(168, 232)
+    ctx = nativecodec.scan_jpeg_for_transcode(blob)
+    got = splice.decode_rgb(ctx)
+    from imageprocessor_tpu.ops.jpeg_decode import decode_jpeg_device
+    want = np.transpose(np.asarray(decode_jpeg_device(blob)), (1, 2, 0))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    assert psnr(got, want) > 55.0
