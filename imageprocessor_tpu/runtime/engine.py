@@ -315,11 +315,19 @@ class ProcessingEngine:
         import time as _time
 
         t0 = _time.monotonic()
+        was_edited = ctx.edited
         try:
             data = splice.watermark_splice(ctx, op)
         except nativecodec.NativeCodecError:
             arr = splice.decode_rgb(ctx)
-            if not ctx.edited:
+            # Apply the blend on host unless THIS call's band edit is the
+            # reason ctx is edited (then decode_rgb already carries it).
+            # A second watermark op in one plan lands here (splice
+            # rejects re-entry on an edited context): its text blends
+            # over the first edit — a benign divergence from the
+            # reference, where each op renders on the original and the
+            # later write overwrites the shared output path anyway.
+            if was_edited or not ctx.edited:
                 arr = self._apply_single(arr, op)
             return self._encode_and_save(task, op, np.asarray(arr),
                                          "jpeg")
@@ -406,7 +414,8 @@ class ProcessingEngine:
         """Back-compat 4-tuple wrapper over decode_for_plan_ex."""
         return self.decode_for_plan_ex(data, plan)[:4]
 
-    def decode_for_plan_ex(self, data: bytes, plan: OperationPlan | None
+    def decode_for_plan_ex(self, data: bytes, plan: OperationPlan | None,
+                           task_format: str | None = None
                            ) -> tuple[np.ndarray, str, str, tuple | None,
                                       object | None]:
         """Decode one blob, choosing the layout the device path wants.
@@ -427,9 +436,18 @@ class ProcessingEngine:
                 and self.model.supports_planar(plan, (1, 1))):
             sctx = None
             try:
+                # Splice only ever serves JPEG watermark renditions: skip
+                # the +~13% offset-recording scan when the task's
+                # requested format can never negotiate to JPEG (e.g.
+                # format=png — the context would be discarded at finish
+                # time). task_format=None (unknown caller) keeps the
+                # scan: the source IS a JPEG here, so detected-format
+                # fallback negotiates to jpeg.
                 if (splice.enabled()
                         and any(op.type is OperationType.WATERMARK
-                                for op in plan.ops)):
+                                for op in plan.ops)
+                        and negotiate_format(task_format or "jpeg",
+                                             watermark=True) == "jpeg"):
                     try:
                         c = nativecodec.scan_jpeg_for_transcode(data)
                         if splice.supports(c):
@@ -513,8 +531,10 @@ class ProcessingEngine:
                 results[i] = self._failed(task, f"Operation failed: {exc}")
 
         def _dec(i):
-            return self.decode_for_plan_ex(tasks_with_data[i][1],
-                                           plans.get(i))
+            fmt = tasks_with_data[i][0].format
+            return self.decode_for_plan_ex(
+                tasks_with_data[i][1], plans.get(i),
+                task_format=fmt if isinstance(fmt, str) else None)
 
         pending = [i for i in range(n) if results[i] is None]
         t_dec = _time.monotonic()
@@ -791,6 +811,29 @@ class ProcessingEngine:
 
     def _device_group_impl(self, group, force_xla_codec: bool = False):
         plan: OperationPlan = group.items[0].payload[3]
+
+        # Watermark renditions that EVERY item can produce by splice
+        # transcode (runtime/splice.py): exclude the op from the device
+        # program entirely — no device blend, no encode front half, no
+        # D2H; the finish stage edits+emits from the scanned coefficient
+        # stream on host. (_splice_and_save's fallback is a host
+        # decode_rgb of the scanned coefficients + re-encode, so the
+        # device output is never needed.) Mixed groups keep the device
+        # blend: non-eligible batchmates consume it, and eligible items
+        # still prefer splice per item in finish_item.
+        splice_skip: set[int] = set()
+        if (group.items
+                and all(it.splice is not None for it in group.items)
+                and all(negotiate_format(it.payload[2],
+                                         watermark=True) == "jpeg"
+                        for it in group.items)):
+            splice_skip = {oi for oi, op in enumerate(plan.ops)
+                           if op.type is OperationType.WATERMARK}
+        if splice_skip and len(splice_skip) == len(plan.ops):
+            # Every op splices: the device has nothing to do.
+            return (plan, [("splice", op) for op in plan.ops], {},
+                    group.layout)
+
         b = quantize_batch(len(group.items))
         if self._mesh is not None:
             # shard_map needs the batch divisible by the data axis; both
@@ -853,7 +896,21 @@ class ProcessingEngine:
 
         import time as _time
 
-        specs = plan_output_specs(plan, group.bucket, aspect_long)
+        # Reduced device plan: splice-served watermark ops are excluded
+        # from the compiled program (no blend canvas materialized).
+        keep = [oi for oi in range(len(plan.ops)) if oi not in splice_skip]
+        if splice_skip:
+            run_plan = OperationPlan(ops=tuple(plan.ops[oi] for oi in keep))
+            ridx = {oi: j for j, oi in enumerate(keep)}
+            run_out_hws = {ridx[oi]: v for oi, v in out_hws.items()
+                           if oi in ridx}
+            run_aspect = {ridx[oi]: v for oi, v in aspect_long.items()
+                          if oi in ridx}
+        else:
+            run_plan, ridx = plan, {oi: oi for oi in keep}
+            run_out_hws, run_aspect = out_hws, aspect_long
+
+        specs = plan_output_specs(run_plan, group.bucket, run_aspect)
         layout = group.layout
         if layout.startswith("coef"):
             # Batched TPU-side JPEG decode straight into the planar
@@ -869,8 +926,9 @@ class ProcessingEngine:
                                       force_xla=force_xla_codec)
             layout = "chw"
         if layout == "chw" and (
-                not self.model.supports_planar(plan, group.bucket)
-                or self.model.max_resample_scale(plan, src_hw, out_hws)
+                not self.model.supports_planar(run_plan, group.bucket)
+                or self.model.max_resample_scale(run_plan, src_hw,
+                                                 run_out_hws)
                 > _MAX_QUANT_SCALE):
             # Planar decode happened but the bucket/plan fell out of the
             # planar budget (rare; wide panoramas), or a resample is
@@ -885,8 +943,9 @@ class ProcessingEngine:
             # Data-parallel over the local mesh: one fused program under
             # shard_map, batch axis split across chips, no cross-chip
             # collectives (images are independent).
-            outs = self.model.run_sharded(self._mesh, plan, imgs, src_hw,
-                                          out_hws, specs, layout=layout)
+            outs = self.model.run_sharded(self._mesh, run_plan, imgs,
+                                          src_hw, run_out_hws, specs,
+                                          layout=layout)
         elif self._mesh is not None:
             # (data x space) GSPMD path: place the batch on the mesh and
             # let XLA auto-partition the jitted XLA-op program — the
@@ -895,11 +954,11 @@ class ProcessingEngine:
             # disabled when space > 1).
             from imageprocessor_tpu.parallel.mesh import batch_sharding
             imgs = jax.device_put(imgs, batch_sharding(self._mesh))
-            outs = self.model.run(plan, imgs, src_hw, out_hws, specs,
-                                  layout=layout)
+            outs = self.model.run(run_plan, imgs, src_hw, run_out_hws,
+                                  specs, layout=layout)
         else:
-            outs = self.model.run(plan, imgs, src_hw, out_hws, specs,
-                                  layout=layout)
+            outs = self.model.run(run_plan, imgs, src_hw, run_out_hws,
+                                  specs, layout=layout)
         # Crop device-side to the group's max valid extent before D2H —
         # canvases are padded well past the real outputs (e.g. a 480x640
         # upload's resize is valid 480x640 inside a 768x1024 canvas), so
@@ -915,7 +974,11 @@ class ProcessingEngine:
         max_w = int(max(it.hw[1] for it in group.items))
         cropped = []
         for oi, op in enumerate(plan.ops):
-            o = outs[oi]
+            if oi in splice_skip:
+                # Served by splice transcode on host; never ran on device.
+                cropped.append(("splice", op))
+                continue
+            o = outs[ridx[oi]]
             cv_h, cv_w = (o.shape[2], o.shape[3]) if layout == "chw" \
                 else (o.shape[1], o.shape[2])
             if oi in out_hws:
@@ -927,21 +990,6 @@ class ProcessingEngine:
             else:
                 mh = _q64(max_h, cv_h)
                 mw = _q64(max_w, cv_w)
-                # Watermark renditions that EVERY item can produce by
-                # splice transcode (runtime/splice.py): skip the device
-                # encode front half AND the D2H transfer entirely — the
-                # finish stage edits+emits from the scanned coefficient
-                # stream on host. (Mixed groups keep the device coef
-                # path below; finish_item still prefers splice per item
-                # with the device coefs as its fallback.)
-                if (op.type is OperationType.WATERMARK
-                        and all(it.splice is not None
-                                for it in group.items)
-                        and all(negotiate_format(it.payload[2],
-                                                 watermark=True) == "jpeg"
-                                for it in group.items)):
-                    cropped.append(("splice", op))
-                    continue
                 # Full-bucket ops (watermark/flip/grayscale) whose output
                 # every item wants as JPEG: run the encode front half
                 # (color convert + 4:2:0 downsample + FDCT + quantize)

@@ -16,8 +16,12 @@ native splice emitter. Results:
 
 * host emit cost drops from O(image) to O(band) (~11x on a 12 MP
   bottom-right watermark, tests/test_jpeg_splice.py);
-* pixels outside the band are BIT-EXACT to the input — zero generation
-  loss, strictly closer to the ideal than any decode+re-encode;
+* coefficients outside the band are BIT-EXACT to the input — zero
+  generation loss, strictly closer to the ideal than any
+  decode+re-encode. (Decoded *pixels* are identical except a <=1-px
+  boundary row/column adjacent to the band on subsampled-chroma
+  sources, where the decoder's fancy-upsample taps cross into edited
+  chroma blocks — measured <=5 LSB on 4:2:0.);
 * the band keeps the INPUT's quantization (the stream's own DQT), so
   output quality tracks the source instead of being forced to the
   engine's re-encode quality.
@@ -283,6 +287,15 @@ def watermark_splice(ctx: JpegSpliceContext, op) -> bytes:
     coefficient magnitudes); callers then fall back to decode_rgb."""
     if not supports(ctx):
         raise NativeCodecError("stream not splice-editable")
+    if ctx.edited:
+        # A second watermark op re-entering with an edited context would
+        # splice against already-rewritten planes: previously edited
+        # MCUs outside the new band would be copied from the ORIGINAL
+        # bits while the new band's boundary blocks re-symbolize against
+        # the edited planes' DC predictors — chaining copied runs off
+        # the wrong DC. Force the caller's decode_rgb fallback instead.
+        raise NativeCodecError("context already edited; re-splice would "
+                               "desync DC predictors")
     flags = watermark_band(ctx, op)
     if flags is None:  # zero-coverage text: output == input stream
         flags = np.zeros((ctx.mcus_y, ctx.mcus_x), dtype=np.uint8)

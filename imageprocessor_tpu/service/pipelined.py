@@ -136,7 +136,10 @@ class PipelinedWorker(Worker):
             plan = normalize_operations(task.operations)
             with span("decode"):
                 arr, detected, layout, valid_hw, sctx = \
-                    self.engine.decode_for_plan_ex(blob, plan)
+                    self.engine.decode_for_plan_ex(
+                        blob, plan,
+                        task_format=task.format
+                        if isinstance(task.format, str) else None)
         except (DecodeError, InvalidParamsError,
                 UnsupportedOperationError, ValueError) as exc:
             prefix = ("Failed to decode image" if isinstance(exc, DecodeError)

@@ -1,11 +1,14 @@
 """Engine-level watermark splice transcode (runtime/splice.py).
 
 The device-JPEG engine's watermark renditions on splice-editable
-streams must be emitted by region transcode: pixels outside the text
-band BIT-EXACT to the source stream (zero generation loss — a property
-no decode+re-encode path has), the band itself within the PSNR
-contract of the full-pipeline blend, and every non-eligible input
-falling back to the round-3 re-encode path unchanged.
+streams must be emitted by region transcode: coefficients outside the
+text band BIT-EXACT to the source stream (zero generation loss — a
+property no decode+re-encode path has; decoded pixels are identical
+except a <=1-px boundary row/column adjacent to the band on
+subsampled-chroma sources, where fancy-upsample taps cross into edited
+chroma blocks), the band itself within the PSNR contract of the
+full-pipeline blend, and every non-eligible input falling back to the
+round-3 re-encode path unchanged.
 
 Reference behavior being replaced: watermark.go:40-155 decodes, blends,
 and re-encodes the WHOLE image; the splice path produces the same
@@ -200,6 +203,52 @@ def test_splice_preserves_source_quality(engine):
     PILImage.fromarray(ideal).save(bio, format="JPEG", quality=85)
     reenc = np.asarray(PILImage.open(bio))
     assert psnr(spliced, ideal) > psnr(reenc, ideal) + 3.0
+
+
+def test_two_watermark_ops_no_dc_corruption(engine):
+    """A plan with TWO watermark ops: splice serves the first; the
+    second must NOT re-splice against the edited context (copied runs
+    would chain off the wrong DC predictor — DC-shift corruption).
+    splice.watermark_splice rejects re-entry; the engine's fallback
+    blends the second text on host. Both outputs decode cleanly."""
+    eng, store = engine
+    blob = jpeg_bytes(320, 448)
+    task = wm_task(text="first")
+    task.operations.append(OperationParams(
+        OperationType.WATERMARK,
+        {"text": "second", "opacity": 0.5, "position": "top-left"}))
+    res = eng.process_tasks([(task, blob)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    # one shared output path (reference layout: watermarked.{fmt});
+    # the surviving artifact is the SECOND op's write
+    got = np.asarray(PILImage.open(io.BytesIO(
+        store.get_object(res.result.processed_paths["watermark"]))))
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))
+    assert got.shape == src.shape
+    # no DC-shift corruption: rows between the two text bands stay
+    # within normal re-encode error of the source (corruption shows up
+    # as large uniform luma shifts across whole MCU runs)
+    mid = slice(96, 224)
+    assert psnr(got[mid], src[mid]) > 30.0
+    # both texts landed: top-left band and bottom-right band differ
+    # from the source
+    assert (got[:64] != src[:64]).any()
+    assert (got[288:] != src[288:]).any()
+
+
+def test_splice_rejects_edited_context():
+    """watermark_splice on an already-edited context raises (the engine
+    then falls back to decode_rgb + host blend)."""
+    from types import SimpleNamespace
+
+    blob = jpeg_bytes(168, 232)
+    ctx = nativecodec.scan_jpeg_for_transcode(blob)
+    op = SimpleNamespace(text="x", opacity=0.5, position="bottom-right",
+                         font_size=None, font_color="")
+    out1 = splice.watermark_splice(ctx, op)
+    assert ctx.edited and out1[:2] == b"\xff\xd8"
+    with pytest.raises(nativecodec.NativeCodecError):
+        splice.watermark_splice(ctx, op)
 
 
 def test_decode_rgb_fallback_matches_decoder():

@@ -150,7 +150,14 @@ def test_engine_falls_back_to_xla_when_pallas_codec_fails(tmp_path,
                                                           monkeypatch):
     """A geometry the eligibility gate admits but the kernel cannot
     compile (or any other Pallas codec failure) must fall back to the
-    XLA codec path and blacklist the geometry — never fail the image."""
+    XLA codec path and blacklist the geometry — never fail the image.
+
+    Splice is disabled here on purpose: with the default splice-on
+    config a single-op watermark JPEG task never reaches the device
+    encode (runtime/splice.py serves it from the scanned stream), so
+    the codec routing/fallback intent this test covers only exists on
+    the splice-off path. The splice-default behavior is asserted by
+    test_engine_splice_default_skips_device_encode below."""
     import io
     import uuid
 
@@ -168,6 +175,7 @@ def test_engine_falls_back_to_xla_when_pallas_codec_fails(tmp_path,
 
     if not nc.available() or not hasattr(nc._load(), "ip_jpeg_scan_dims"):
         pytest.skip("native scanner unavailable")
+    monkeypatch.setenv("IMAGEPROCESSOR_JPEG_SPLICE", "0")
     arr = RNG.integers(0, 256, (300, 400, 3), dtype=np.uint8)
     bio = io.BytesIO()
     PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
@@ -413,13 +421,18 @@ def test_engine_routes_eligible_coefs_through_kernel(tmp_path, subsampling,
         e2.close()
 
 
-def test_engine_routes_device_encode_through_kernel(tmp_path):
+def test_engine_routes_device_encode_through_kernel(tmp_path, monkeypatch):
     """Full-bucket jpeg outputs (watermark on a 300x400 upload -> bucket
     384x512) take the fused Pallas ENCODE sweep: the engine widens the
     crop to a 128 multiple and caches kernel args under 'pjenc'; the
     emitted JPEG decodes to the XLA path's output within the suite's
     PSNR convention (the Pallas DECODE feeding it is <=1 LSB, not
-    bit-exact, so quantized coefficients can differ by one step)."""
+    bit-exact, so quantized coefficients can differ by one step).
+
+    Runs with splice disabled: on the default splice-on config a
+    watermark-only JPEG task is served by the splice transcode and the
+    device encode never runs (asserted separately by
+    test_engine_splice_default_skips_device_encode)."""
     import io
     import uuid
 
@@ -437,6 +450,7 @@ def test_engine_routes_device_encode_through_kernel(tmp_path):
 
     if not nc.available():
         pytest.skip("native codec unavailable")
+    monkeypatch.setenv("IMAGEPROCESSOR_JPEG_SPLICE", "0")
     # smooth natural-statistics fixture: pure noise at q85 sits every
     # coefficient on a quantization boundary, where the decode kernel's
     # legitimate <=1 LSB wiggle flips coefs broadly and PSNR measures
@@ -481,3 +495,68 @@ def test_engine_routes_device_encode_through_kernel(tmp_path):
     mse = float(np.mean(err * err))
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
     assert psnr > 45.0, psnr
+
+
+def test_engine_splice_default_skips_device_encode(tmp_path):
+    """Default (splice-on) config: a watermark-only JPEG task is served
+    by the splice transcode — the device encode front half never runs
+    (no 'pjenc' program compiled), the splice metric increments, and the
+    untouched top of the image decodes byte-identically to the source
+    (the property the splice path exists to provide)."""
+    import io
+    import uuid
+
+    from PIL import Image as PILImage
+
+    from imageprocessor_tpu.domain import (
+        ImageStatus,
+        OperationParams,
+        OperationType,
+        ProcessingTask,
+    )
+    from imageprocessor_tpu.runtime import nativecodec as nc
+    from imageprocessor_tpu.runtime import splice
+    from imageprocessor_tpu.runtime.engine import ProcessingEngine
+    from imageprocessor_tpu.storage import LocalFSObjectStore
+    from imageprocessor_tpu.utils.metrics import METRICS
+
+    if not nc.available() or not hasattr(nc._load(), "ip_jpeg_scan_dims"):
+        pytest.skip("native scanner unavailable")
+    assert splice.enabled()  # the shipped default
+    yy, xx = np.mgrid[0:300, 0:400].astype(np.float64)
+    arr = np.stack([
+        128 + 90 * np.sin(xx / 23.0) * np.cos(yy / 17.0),
+        128 + 80 * np.cos(xx / 31.0 + 1.0),
+        128 + 70 * np.sin((xx + yy) / 41.0),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
+    blob = bio.getvalue()
+
+    iid = str(uuid.uuid4())
+    task = ProcessingTask(
+        id=iid, image_id=iid, original_path="o", bucket="b",
+        operations=[OperationParams(OperationType.WATERMARK,
+                                    {"text": "t",
+                                     "position": "bottom-right"})],
+        format="jpeg")
+    store = LocalFSObjectStore(str(tmp_path))
+    eng = ProcessingEngine(store, device_jpeg=True, use_pallas=True,
+                           pallas_interpret=True)
+    before = METRICS.snapshot()["counters"].get("engine_splice_images", 0)
+    try:
+        r = eng.process_tasks([(task, blob)])[0]
+        assert r.result.status is ImageStatus.COMPLETED, r.result.error
+        assert not any(isinstance(k, tuple) and k and k[0] == "pjenc"
+                       for k in eng.model._args_cache)
+        after = METRICS.snapshot()["counters"].get(
+            "engine_splice_images", 0)
+        assert after == before + 1
+        path = r.result.processed_paths["watermark"]
+        src = np.asarray(PILImage.open(io.BytesIO(blob)))
+        got = np.asarray(PILImage.open(
+            io.BytesIO(store.get_object(path))))
+        assert got.shape == src.shape
+        assert np.array_equal(src[:192], got[:192])
+    finally:
+        eng.close()
