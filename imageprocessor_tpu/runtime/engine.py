@@ -453,7 +453,7 @@ class ProcessingEngine:
                         if splice.supports(c):
                             sctx = c
                     except nativecodec.NativeCodecError:
-                        sctx = None  # restart/progressive: plain scan
+                        sctx = None  # progressive/truncated: plain scan
                 if sctx is not None:
                     planes = sctx.planes
                     qt = sctx.qtabs

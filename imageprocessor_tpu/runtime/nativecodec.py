@@ -165,6 +165,20 @@ def _load() -> ctypes.CDLL | None:
         except AttributeError:  # pragma: no cover — stale .so
             pass
         try:
+            lib.ip_jpeg_scan_coefs_offsets_rst.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_void_p]
+            lib.ip_jpeg_scan_coefs_offsets_rst.restype = ctypes.c_int
+            lib.ip_jpeg_emit_transcode_rst.argtypes = (
+                lib.ip_jpeg_emit_transcode.argtypes
+                + [ctypes.c_int, ctypes.c_void_p])
+            lib.ip_jpeg_emit_transcode_rst.restype = ctypes.c_long
+        except AttributeError:  # pragma: no cover — stale .so
+            pass
+        try:
             lib.ip_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_uint32]
             lib.ip_crc32c.restype = ctypes.c_uint32
@@ -528,7 +542,8 @@ class JpegSpliceContext:
     __slots__ = ("planes", "qt_slots", "qtabs", "size", "sampling",
                  "destuff", "mcu_bits", "destuff_bits", "comp_id",
                  "comp_tq", "comp_dc", "comp_ac", "dht_bits", "dht_vals",
-                 "dht_present", "mcus_x", "mcus_y", "edited")
+                 "dht_present", "mcus_x", "mcus_y", "edited",
+                 "restart_interval", "seg_bits")
 
     @property
     def nmcus(self) -> int:
@@ -538,12 +553,16 @@ class JpegSpliceContext:
 def scan_jpeg_for_transcode(data: bytes) -> JpegSpliceContext:
     """Streaming entropy decode PLUS splice support: per-MCU bit offsets
     into a destuffed copy of the entropy stream, and the input's own
-    Huffman/quant table specs. Raises NativeCodecError for anything the
-    splice emitter cannot reproduce (progressive, restart markers,
-    truncated streams) — callers fall back to the full re-encode path.
+    Huffman/quant table specs. Restart-marker streams are supported
+    (segment end bits recorded; the splice emitter re-declares DRI and
+    preserves every boundary 1:1). Raises NativeCodecError for anything
+    the splice emitter cannot reproduce (progressive, truncated
+    streams) — callers fall back to the full re-encode path.
     """
     lib = _load()
-    if lib is None or not hasattr(lib, "ip_jpeg_scan_coefs_offsets"):
+    if (lib is None
+            or not hasattr(lib, "ip_jpeg_scan_coefs_offsets_rst")
+            or not hasattr(lib, "ip_jpeg_emit_transcode_rst")):
         raise NativeCodecError("splice scanner unavailable")
     ncomp = ctypes.c_int()
     iw = ctypes.c_int()
@@ -569,22 +588,8 @@ def scan_jpeg_for_transcode(data: bytes) -> JpegSpliceContext:
     mcus_x = -(-iw.value // (hmax * 8))
     mcus_y = -(-ih.value // (vmax * 8))
     nmcus = mcus_x * mcus_y
-    # +64: the scanner may append a few synthetic zero-fill bytes at the
-    # stream tail and the splice emitter bulk-reads 8-byte windows.
-    destuff = np.zeros(len(data) + 64, dtype=np.uint8)
-    mcu_bits = np.zeros(nmcus + 1, dtype=np.int64)
-    dbits = ctypes.c_int64()
-    rc = lib.ip_jpeg_scan_coefs_offsets(
-        data, len(data),
-        pv[0].ctypes.data_as(ctypes.c_void_p),
-        pv[1].ctypes.data_as(ctypes.c_void_p),
-        pv[2].ctypes.data_as(ctypes.c_void_p),
-        destuff.ctypes.data_as(ctypes.c_void_p), destuff.size,
-        mcu_bits.ctypes.data_as(ctypes.c_void_p), ctypes.byref(dbits))
-    if rc != 0:
-        raise NativeCodecError(f"splice scan failed (rc={rc})")
-    if mcu_bits[nmcus] > dbits.value:
-        raise NativeCodecError("truncated entropy stream")
+    # Tables first (cheap header parse): the restart interval sizes the
+    # destuff buffer and the per-segment end array.
     comp_id = np.zeros(3, dtype=np.uint8)
     comp_tq = np.zeros(3, dtype=np.uint8)
     comp_dc = np.zeros(3, dtype=np.uint8)
@@ -609,6 +614,29 @@ def scan_jpeg_for_transcode(data: bytes) -> JpegSpliceContext:
         ctypes.byref(dri), ctypes.byref(prog))
     if rc != 0:
         raise NativeCodecError(f"scan tables failed (rc={rc})")
+    ri = int(dri.value)
+    nseg = -(-nmcus // ri) if ri > 0 else 1
+    # +64: the scanner may append a few synthetic zero-fill bytes at the
+    # stream tail and the splice emitter bulk-reads 8-byte windows;
+    # each restart boundary can append up to 8 more.
+    destuff = np.zeros(len(data) + 64 + 8 * (nseg - 1), dtype=np.uint8)
+    mcu_bits = np.zeros(nmcus + 1, dtype=np.int64)
+    seg_bits = (np.zeros(max(nseg - 1, 1), dtype=np.int64)
+                if ri > 0 else None)
+    dbits = ctypes.c_int64()
+    rc = lib.ip_jpeg_scan_coefs_offsets_rst(
+        data, len(data),
+        pv[0].ctypes.data_as(ctypes.c_void_p),
+        pv[1].ctypes.data_as(ctypes.c_void_p),
+        pv[2].ctypes.data_as(ctypes.c_void_p),
+        destuff.ctypes.data_as(ctypes.c_void_p), destuff.size,
+        mcu_bits.ctypes.data_as(ctypes.c_void_p), ctypes.byref(dbits),
+        seg_bits.ctypes.data_as(ctypes.c_void_p)
+        if seg_bits is not None else None)
+    if rc != 0:
+        raise NativeCodecError(f"splice scan failed (rc={rc})")
+    if mcu_bits[nmcus] > dbits.value:
+        raise NativeCodecError("truncated entropy stream")
     ctx = JpegSpliceContext()
     ctx.planes = planes
     ctx.qt_slots = qt
@@ -628,6 +656,8 @@ def scan_jpeg_for_transcode(data: bytes) -> JpegSpliceContext:
     ctx.dht_present = dht_present
     ctx.mcus_x = mcus_x
     ctx.mcus_y = mcus_y
+    ctx.restart_interval = ri
+    ctx.seg_bits = seg_bits if ri > 0 else None
     ctx.edited = False  # set by splice.watermark_band after a write-back
     return ctx
 
@@ -642,7 +672,7 @@ def emit_jpeg_transcode(ctx: JpegSpliceContext,
     optimized) tables cannot express an edited block — callers fall
     back to a full re-encode."""
     lib = _load()
-    if lib is None or not hasattr(lib, "ip_jpeg_emit_transcode"):
+    if lib is None or not hasattr(lib, "ip_jpeg_emit_transcode_rst"):
         raise NativeCodecError("splice emitter unavailable")
     n = len(ctx.planes)
     flags = np.ascontiguousarray(reenc, dtype=np.uint8).reshape(-1)
@@ -660,7 +690,9 @@ def emit_jpeg_transcode(ctx: JpegSpliceContext,
     cap = (sum(int(p.size) for p in ctx.planes) * 2
            + ctx.destuff.size + (1 << 16))
     out = np.empty(cap, dtype=np.uint8)
-    rc = lib.ip_jpeg_emit_transcode(
+    ri = int(getattr(ctx, "restart_interval", 0) or 0)
+    seg = getattr(ctx, "seg_bits", None)
+    rc = lib.ip_jpeg_emit_transcode_rst(
         pv[0].ctypes.data_as(ctypes.c_void_p),
         pv[1].ctypes.data_as(ctypes.c_void_p),
         pv[2].ctypes.data_as(ctypes.c_void_p),
@@ -681,7 +713,9 @@ def emit_jpeg_transcode(ctx: JpegSpliceContext,
         ctypes.c_int64(ctx.destuff_bits),
         ctx.mcu_bits.ctypes.data_as(ctypes.c_void_p),
         flags.ctypes.data_as(ctypes.c_void_p),
-        out.ctypes.data_as(ctypes.c_void_p), cap)
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        ri,
+        seg.ctypes.data_as(ctypes.c_void_p) if seg is not None else None)
     if rc < 0:
         raise NativeCodecError(f"splice emit failed (rc={rc})")
     return out[:rc].tobytes()

@@ -62,9 +62,11 @@ def supports(ctx: JpegSpliceContext) -> bool:
     """Splice-editable streams: 3-component YCbCr with unsubsampled
     chroma-vs-chroma and a 1x/2x luma ratio per axis (4:4:4 / 4:2:2 /
     4:4:0 / 4:2:0) — the layouts whose upsample/downsample the
-    production codec path defines. Grayscale is excluded: the full
-    pipeline promotes it to color before watermarking, which a
-    luma-only splice could not reproduce."""
+    production codec path defines. Restart-marked streams are eligible
+    (the scanner records per-segment ends; the emitter preserves every
+    boundary 1:1). Grayscale is excluded: the full pipeline promotes it
+    to color before watermarking, which a luma-only splice could not
+    reproduce."""
     if len(ctx.planes) != 3:
         return False
     (hy, vy), (hc, vc), (hr, vr) = ctx.sampling

@@ -788,9 +788,12 @@ long emit_transcode_impl(
     const uint8_t* samp_h, const uint8_t* samp_v,
     const uint8_t* destuff, int64_t destuff_bits,
     const int64_t* mcu_bits, const uint8_t* reenc,
-    uint8_t* out, size_t out_cap) {
+    uint8_t* out, size_t out_cap,
+    int restart_interval, const int64_t* seg_end_bits) {
   if (img_w <= 0 || img_h <= 0) return -11;
   if (ncomp != 1 && ncomp != 3) return -11;
+  if (restart_interval < 0 || restart_interval > 65535) return -11;
+  if (restart_interval > 0 && seg_end_bits == nullptr) return -11;
   int hmax = 1, vmax = 1;
   int h[3], v[3];
   for (int c = 0; c < ncomp; ++c) {
@@ -888,6 +891,15 @@ long emit_transcode_impl(
     }
   }
 
+  // DRI: re-declare the input's restart interval (segment boundaries
+  // are preserved 1:1 so offsets/predictor resets line up).
+  if (restart_interval > 0) {
+    const uint8_t dri[] = {
+        static_cast<uint8_t>(restart_interval >> 8),
+        static_cast<uint8_t>(restart_interval & 0xFF)};
+    emit_marker_segment(bw, 0xDD, dri, 2);
+  }
+
   // SOS
   {
     uint8_t body[1 + 3 * 2 + 3];
@@ -939,37 +951,60 @@ long emit_transcode_impl(
     return true;
   };
 
-  int64_t m = 0;
-  while (m < nmcus) {
-    if (reenc[m]) {
-      if (!resym_mcu(m)) return -9;
-      ++m;
-      continue;
+  // Restart segments are byte-aligned with predictors reset, so each
+  // splices independently: copy runs clip at segment boundaries, the
+  // output re-aligns + emits RSTn exactly where the input did, and the
+  // first MCU of a segment never needs the DC fix-up (its diff is
+  // against the reset predictor, unchanged by edits elsewhere).
+  const int64_t ri = restart_interval > 0 ? restart_interval : nmcus;
+  const int64_t nseg = (nmcus + ri - 1) / ri;
+  int next_rst = 0;
+  for (int64_t seg = 0; seg < nseg; ++seg) {
+    const int64_t s0 = seg * ri;
+    const int64_t s1 = s0 + ri < nmcus ? s0 + ri : nmcus;
+    const int64_t seg_end =
+        (seg == nseg - 1) ? mcu_bits[nmcus] : seg_end_bits[seg];
+    if (seg_end < mcu_bits[s1 - 1] || seg_end > destuff_bits) return -10;
+    if (seg > 0) {
+      bw.flush_scan();  // byte-align with 1-padding, like the input
+      bw.put_byte(0xFF);
+      bw.put_byte(static_cast<uint8_t>(0xD0 + next_rst));
+      next_rst = (next_rst + 1) & 7;
+      for (int c = 0; c < ncomp; ++c) comp[c].pred = 0;
     }
-    int64_t e = m;
-    while (e < nmcus && !reenc[e]) ++e;
-    // First MCU after a re-encoded region: its DC diffs reference
-    // changed predecessors, so re-symbolize it (bit-identical to the
-    // original except the DC fields). Every later MCU in the run
-    // differences two unchanged DC values — straight copy.
-    if (m > 0 && reenc[m - 1]) {
-      if (!resym_mcu(m)) return -9;
-      ++m;
-    }
-    if (m < e) {
-      copy_bits(bw, destuff, mcu_bits[m], mcu_bits[e]);
-      // Restore per-component DC predictors from the planes: the last
-      // block (in scan order) of the run's final MCU.
-      const int mx = static_cast<int>((e - 1) % mcus_x);
-      const int my = static_cast<int>((e - 1) / mcus_x);
-      for (int c = 0; c < ncomp; ++c) {
-        CompSpec& cc = comp[c];
-        const int bx = mx * cc.h + (cc.h - 1);
-        const int by = my * cc.v + (cc.v - 1);
-        cc.pred = cc.coef[static_cast<size_t>(by) * 8 * cc.stride
-                          + static_cast<size_t>(bx) * 8];
+    int64_t m = s0;
+    while (m < s1) {
+      if (reenc[m]) {
+        if (!resym_mcu(m)) return -9;
+        ++m;
+        continue;
       }
-      m = e;
+      int64_t e = m;
+      while (e < s1 && !reenc[e]) ++e;
+      // First MCU after a re-encoded region: its DC diffs reference
+      // changed predecessors, so re-symbolize it (bit-identical to the
+      // original except the DC fields). Every later MCU in the run
+      // differences two unchanged DC values — straight copy.
+      if (m > s0 && reenc[m - 1]) {
+        if (!resym_mcu(m)) return -9;
+        ++m;
+      }
+      if (m < e) {
+        copy_bits(bw, destuff, mcu_bits[m],
+                  e == s1 ? seg_end : mcu_bits[e]);
+        // Restore per-component DC predictors from the planes: the last
+        // block (in scan order) of the run's final MCU.
+        const int mx = static_cast<int>((e - 1) % mcus_x);
+        const int my = static_cast<int>((e - 1) / mcus_x);
+        for (int c = 0; c < ncomp; ++c) {
+          CompSpec& cc = comp[c];
+          const int bx = mx * cc.h + (cc.h - 1);
+          const int by = my * cc.v + (cc.v - 1);
+          cc.pred = cc.coef[static_cast<size_t>(by) * 8 * cc.stride
+                            + static_cast<size_t>(bx) * 8];
+        }
+        m = e;
+      }
     }
   }
 
@@ -1034,7 +1069,38 @@ long ip_jpeg_emit_transcode(
                              comp_dc, comp_ac, dht_bits, dht_vals,
                              dht_present, img_w, img_h, ncomp, samp_h,
                              samp_v, destuff, destuff_bits, mcu_bits,
-                             reenc, out, out_cap);
+                             reenc, out, out_cap, 0, nullptr);
+}
+
+// Restart-capable splice emitter: preserves the input's restart
+// interval 1:1 (DRI re-declared; byte-align + RSTn + predictor reset
+// at every boundary; copy runs clip at boundaries). seg_end_bits comes
+// from ip_jpeg_scan_coefs_offsets_rst: each non-final segment's true
+// end bit in the destuffed stream. Pass restart_interval=0 +
+// seg_end_bits=nullptr for streams without restarts (identical to
+// ip_jpeg_emit_transcode).
+long ip_jpeg_emit_transcode_rst(
+    const int16_t* coef0, const int16_t* coef1, const int16_t* coef2,
+    long stride0, long stride1, long stride2,
+    const uint16_t* qt /*4*64 natural*/,
+    const uint8_t* comp_tq, const uint8_t* comp_id,
+    const uint8_t* comp_dc, const uint8_t* comp_ac,
+    const uint8_t* dht_bits /*8*17*/, const uint8_t* dht_vals /*8*256*/,
+    const uint8_t* dht_present /*8*/,
+    int img_w, int img_h, int ncomp,
+    const uint8_t* samp_h, const uint8_t* samp_v,
+    const uint8_t* destuff, int64_t destuff_bits,
+    const int64_t* mcu_bits, const uint8_t* reenc,
+    uint8_t* out, size_t out_cap,
+    int restart_interval, const int64_t* seg_end_bits) {
+  const int16_t* planes[3] = {coef0, coef1, coef2};
+  const long strides[3] = {stride0, stride1, stride2};
+  return emit_transcode_impl(planes, strides, qt, comp_tq, comp_id,
+                             comp_dc, comp_ac, dht_bits, dht_vals,
+                             dht_present, img_w, img_h, ncomp, samp_h,
+                             samp_v, destuff, destuff_bits, mcu_bits,
+                             reenc, out, out_cap, restart_interval,
+                             seg_end_bits);
 }
 
 long ip_jpeg_emit(const int16_t* coef0, const int16_t* coef1,

@@ -319,6 +319,10 @@ struct Decoder {
   Component comp[3];
   HuffTable dc[4], ac[4];
   uint16_t qtab[4][64] = {};   // natural order
+  // Optional per-restart-segment end recording (_rst entry point):
+  // seg k's last MCU ends at rec_seg[k] bits (before byte-align
+  // padding); the final segment's end is rec_mcu[nmcus].
+  int64_t* rec_seg = nullptr;
   // Optional splice-support recording (ip_jpeg_scan_coefs_offsets):
   // per-MCU bit offsets into a destuffed copy of the entropy stream.
   int64_t* rec_mcu = nullptr;   // nmcus + 1 entries
@@ -682,6 +686,7 @@ struct Decoder {
     }
     int mcus_until_restart =
         restart_interval ? restart_interval : mcus_x * mcus_y + 1;
+    int64_t seg_idx = 0;
     for (int my = 0; my < mcus_y; ++my) {
       for (int mx = 0; mx < mcus_x; ++mx) {
         if (rec_mcu != nullptr)
@@ -703,6 +708,10 @@ struct Decoder {
         }
         if (--mcus_until_restart == 0 && !(my == mcus_y - 1
                                            && mx == mcus_x - 1)) {
+          // bit_pos() is invariant under fill() (fed and nbits advance
+          // together), so this is the true end of the segment's last
+          // MCU code, before padding/alignment.
+          if (rec_seg != nullptr) rec_seg[seg_idx++] = br.bit_pos();
           // Expect RSTn: byte-align, reset predictors.
           if (!br.saw_marker) {
             // marker not yet hit: skip remaining bits to it
@@ -724,6 +733,10 @@ struct Decoder {
     if (rec_mcu != nullptr) {
       rec_mcu[static_cast<size_t>(mcus_x) * mcus_y] = br.bit_pos();
       rec_real_bits = br.real_fed * 8;
+      // Bytes past dump_cap were dropped by the BitReader; offsets
+      // would then index lost data (restart boundaries can append a
+      // few synthetic bytes each — callers size the buffer for that).
+      if (br.fed > br.dump_cap) return 35;
     }
     return 0;
   }
@@ -1023,6 +1036,45 @@ int ip_jpeg_scan_coefs_offsets(const uint8_t* data, size_t len,
   d.rec_mcu = mcu_bits;
   d.rec_dump = destuff;
   d.rec_cap = static_cast<int64_t>(destuff_cap);
+  rc = d.decode_scan();
+  *destuff_bits = d.rec_real_bits;
+  return rc;
+}
+
+// Restart-capable variant: additionally records each restart segment's
+// true end bit (before byte-align padding) into seg_end_bits, which
+// must hold ceil(nmcus / DRI) - 1 entries when the stream declares a
+// restart interval (the FINAL segment's end is mcu_bits[nmcus]); pass
+// nullptr for streams without one. The destuff buffer needs extra
+// headroom with restarts: each boundary can append up to 8 synthetic
+// zero bytes to the dump (size for len + 8 * nsegments + 64). Returns
+// 35 when the dump overflowed destuff_cap.
+int ip_jpeg_scan_coefs_offsets_rst(const uint8_t* data, size_t len,
+                                   int16_t* coef0, int16_t* coef1,
+                                   int16_t* coef2,
+                                   uint8_t* destuff, size_t destuff_cap,
+                                   int64_t* mcu_bits,
+                                   int64_t* destuff_bits,
+                                   int64_t* seg_end_bits) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  if (d.progressive) return 50;
+  if (d.restart_interval > 0 && seg_end_bits == nullptr) return 51;
+  if (destuff == nullptr || mcu_bits == nullptr || destuff_bits == nullptr)
+    return 40;
+  const int mcus_x = (d.width + d.hmax * 8 - 1) / (d.hmax * 8);
+  int16_t* outs[3] = {coef0, coef1, coef2};
+  for (int c = 0; c < d.ncomp; ++c) {
+    d.comp[c].out = outs[c];
+    d.comp[c].bw = mcus_x * d.comp[c].h;
+    d.comp[c].build_zigoff();
+    if (outs[c] == nullptr) return 40;
+  }
+  d.rec_mcu = mcu_bits;
+  d.rec_dump = destuff;
+  d.rec_cap = static_cast<int64_t>(destuff_cap);
+  d.rec_seg = seg_end_bits;
   rc = d.decode_scan();
   *destuff_bits = d.rec_real_bits;
   return rc;

@@ -144,6 +144,30 @@ def test_mixed_group_splices_eligible_item(engine, tmp_path):
     assert out2.shape[:2] == (320, 448)
 
 
+def test_restart_marked_source_splices(engine):
+    """A restart-marked baseline upload (DRI > 0) takes the splice path:
+    untouched rows decode byte-identically, the output re-declares DRI,
+    and the band carries the blend."""
+    eng, store = engine
+    base = jpeg_bytes(320, 448)
+    planes, qt, (w, h), samp = nativecodec.scan_jpeg_coefficients(base)
+    blob = nativecodec.emit_jpeg_from_coefficients(
+        planes, qt, w, h, samp[0], restart_interval=6)
+    res = eng.process_tasks([(wm_task(), blob)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    out = store.get_object(res.result.processed_paths["watermark"])
+    assert out.count(b"\xff\xdd") >= 1  # restart interval preserved
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))
+    got = np.asarray(PILImage.open(io.BytesIO(out)))
+    assert got.shape == src.shape
+    assert np.array_equal(src[:256], got[:256])
+    assert (src[288:] != got[288:]).any()
+    from imageprocessor_tpu.ops.watermark import watermark_image
+    ref = np.asarray(watermark_image(src, text="hi mark", opacity=0.5,
+                                     position="bottom-right"))
+    assert psnr(got, ref) > 45.0
+
+
 def test_splice_disabled_restores_reencode(engine, monkeypatch):
     """IMAGEPROCESSOR_JPEG_SPLICE=0: the watermark rendition is a full
     re-encode again (no byte-identical prefix at q85 vs a q90 source)."""

@@ -175,18 +175,65 @@ def test_optimized_tables_copy_identity():
         np.testing.assert_array_equal(a, b)
 
 
-def test_gates_progressive_and_restarts():
+def test_gates_progressive():
     img = _photo(160, 240, seed=6)
     prog = _jpeg(img, quality=85, progressive=True)
     with pytest.raises(nc.NativeCodecError):
         nc.scan_jpeg_for_transcode(prog)
-    # restart-marked stream (own emitter produces one)
+
+
+def _restart_jpeg(img: np.ndarray, ri: int, quality: int = 85) -> bytes:
+    """Restart-marked baseline stream (own emitter re-codes one)."""
     planes, qt, (w, h), samp = nc.scan_jpeg_coefficients(
-        _jpeg(img, quality=85))
-    rst = nc.emit_jpeg_from_coefficients(planes, qt, w, h, samp[0],
-                                         restart_interval=4)
-    with pytest.raises(nc.NativeCodecError):
-        nc.scan_jpeg_for_transcode(rst)
+        _jpeg(img, quality=quality))
+    return nc.emit_jpeg_from_coefficients(planes, qt, w, h, samp[0],
+                                          restart_interval=ri)
+
+
+@pytest.mark.parametrize("ri", [1, 4, 13])
+def test_restart_copy_identity(ri):
+    """Restart-marked streams splice: no edits -> the output preserves
+    the restart interval, every segment boundary, and every coefficient
+    bit-exactly; PIL and our own (restart-strict) scanner both accept
+    the result."""
+    rst = _restart_jpeg(_photo(250, 410, seed=6), ri)
+    ctx = nc.scan_jpeg_for_transcode(rst)
+    assert ctx.restart_interval == ri
+    planes0, _qt, size0, samp0 = nc.scan_jpeg_coefficients(rst)
+    out = nc.emit_jpeg_transcode(ctx, np.zeros(ctx.nmcus, dtype=np.uint8))
+    assert out.count(b"\xff\xdd") >= 1  # DRI re-declared
+    p2, _qt2, size2, samp2 = nc.scan_jpeg_coefficients(out)
+    assert size2 == size0 and samp2 == samp0
+    for a, b in zip(p2, planes0):
+        np.testing.assert_array_equal(a, b)
+    Image.open(io.BytesIO(out)).load()
+
+
+@pytest.mark.parametrize("pattern", ["rect", "seg-span", "all"])
+def test_restart_edit_exact(pattern):
+    """Edits on a restart-marked stream: flagged MCUs re-symbolize,
+    copy runs clip at segment boundaries, predictors reset per segment;
+    the rescan equals the edited planes exactly."""
+    rst = _restart_jpeg(_photo(250, 410, seed=7), 7)
+    ctx = nc.scan_jpeg_for_transcode(rst)
+    my, mx = ctx.mcus_y, ctx.mcus_x
+    flags = np.zeros((my, mx), dtype=np.uint8)
+    if pattern == "rect":
+        flags[my // 3:my // 3 + 3, mx // 4:mx // 4 + 5] = 1
+    elif pattern == "seg-span":  # a run crossing several RST boundaries
+        flags.reshape(-1)[5:40] = 1
+    else:
+        flags[:] = 1
+    _edit_flagged(ctx, flags)
+    out = nc.emit_jpeg_transcode(ctx, flags)
+    p2, *_ = nc.scan_jpeg_coefficients(out)
+    for a, b in zip(p2, ctx.planes):
+        np.testing.assert_array_equal(a, b)
+    Image.open(io.BytesIO(out)).load()
+    # decoded pixels must match PIL's view of the same coefficients
+    ours = nc.scan_jpeg_coefficients(out)
+    pil = np.asarray(Image.open(io.BytesIO(out)))
+    assert pil.shape == (250, 410, 3)
 
 
 def test_truncated_stream_rejected():
