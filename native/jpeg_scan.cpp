@@ -676,6 +676,87 @@ struct Decoder {
     return 0;
   }
 
+  // Round-5 probe: per-block round-robin interleaved decode of W
+  // restart segments on ONE core (the decode-side analog of round 4's
+  // ip_jpeg_emit_strided_ilp). MEASURED THROUGHPUT-NEGATIVE on the dev
+  // Xeon: 0.80-0.82x sequential at W=2..4 on a 12 MP q85 DRI=8 stream
+  // (PERF.md round-5 scan-probe section) — the scan loop is
+  // issue-bound like the emitter, and lane switching adds state
+  // save/restore + predictor aliasing. Kept opt-in for wider cores.
+  struct IlpLane {
+    BitReader br;
+    int preds[3];
+    int m, m_end;
+    int k;
+    int c, bv, bh;
+    bool active;
+  };
+
+  int decode_scan_ilp(int W, const std::vector<size_t>& seg_off,
+                      int ri, int total) {
+    const int mcus_x = (width + hmax * 8 - 1) / (hmax * 8);
+    const int nseg = static_cast<int>(seg_off.size());
+    std::vector<IlpLane> lanes(static_cast<size_t>(W));
+    for (int wl = 0; wl < W; ++wl) {
+      IlpLane& L = lanes[static_cast<size_t>(wl)];
+      L.k = wl;
+      L.active = L.k < nseg;
+      if (L.active) {
+        L.br = BitReader{data + seg_off[static_cast<size_t>(L.k)],
+                         data + len};
+        L.m = L.k * ri;
+        L.m_end = L.m + ri < total ? L.m + ri : total;
+        L.preds[0] = L.preds[1] = L.preds[2] = 0;
+        L.c = L.bv = L.bh = 0;
+      }
+    }
+    int live = 0;
+    for (auto& L : lanes) live += L.active ? 1 : 0;
+    while (live > 0) {
+      for (int wl = 0; wl < W; ++wl) {
+        IlpLane& L = lanes[static_cast<size_t>(wl)];
+        if (!L.active) continue;
+        Component& cc = comp[L.c];
+        const int mx = L.m % mcus_x;
+        const int my = L.m / mcus_x;
+        const int bx = mx * cc.h + L.bh;
+        const int by = my * cc.v + L.bv;
+        const int stride = cc.bw * 8;
+        int16_t* out = cc.out + static_cast<size_t>(by) * 8 * stride
+                       + static_cast<size_t>(bx) * 8;
+        cc.pred = L.preds[L.c];
+        int rc = decode_block(L.br, cc, out);
+        if (rc != 0) return rc;
+        L.preds[L.c] = cc.pred;
+        // advance the block cursor (h fastest, then v, then comp)
+        if (++L.bh == cc.h) {
+          L.bh = 0;
+          if (++L.bv == cc.v) {
+            L.bv = 0;
+            if (++L.c == ncomp) {
+              L.c = 0;
+              if (++L.m == L.m_end) {
+                L.k += W;
+                if (L.k >= nseg) {
+                  L.active = false;
+                  --live;
+                } else {
+                  L.br = BitReader{
+                      data + seg_off[static_cast<size_t>(L.k)],
+                      data + len};
+                  L.m = L.k * ri;
+                  L.m_end = L.m + ri < total ? L.m + ri : total;
+                  L.preds[0] = L.preds[1] = L.preds[2] = 0;
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    return 0;
+  }
+
   int decode_scan() {
     const int mcus_x = (width + hmax * 8 - 1) / (hmax * 8);
     const int mcus_y = (height + vmax * 8 - 1) / (vmax * 8);
@@ -1197,6 +1278,50 @@ int ip_jpeg_scan_coefs_mt(const uint8_t* data, size_t len, int nthreads,
   for (int t = 0; t < T; ++t)
     if (rcs[static_cast<size_t>(t)] != 0) return rcs[static_cast<size_t>(t)];
   return 0;
+}
+
+
+// Round-5 probe entry (see Decoder::decode_scan_ilp): single-core
+// interleaved-lane decode over restart segments. Throughput-NEGATIVE
+// on the dev host (0.80x at W=2) — committed so the measurement is
+// reproducible and wider production cores can re-A/B it. Falls back
+// to the sequential scan for non-restart/progressive streams or
+// nlanes <= 1.
+int ip_jpeg_scan_coefs_ilp(const uint8_t* data, size_t len, int nlanes,
+                           int16_t* coef0, int16_t* coef1, int16_t* coef2) {
+  Decoder d{data, len};
+  int rc = d.parse_headers();
+  if (rc != 0) return rc;
+  const int mcus_x = (d.width + d.hmax * 8 - 1) / (d.hmax * 8);
+  const int mcus_y = (d.height + d.vmax * 8 - 1) / (d.vmax * 8);
+  const int total = mcus_x * mcus_y;
+  int16_t* outs[3] = {coef0, coef1, coef2};
+  for (int c = 0; c < d.ncomp; ++c) {
+    d.comp[c].out = outs[c];
+    d.comp[c].bw = mcus_x * d.comp[c].h;
+    d.comp[c].build_zigoff();
+    if (outs[c] == nullptr) return 40;
+  }
+  const int ri = d.restart_interval;
+  if (d.progressive || ri <= 0 || nlanes <= 1) return d.decode_scan();
+  const int nseg = (total + ri - 1) / ri;
+  std::vector<size_t> seg_off;
+  seg_off.reserve(static_cast<size_t>(nseg));
+  seg_off.push_back(d.pos);
+  for (size_t i = d.pos; i + 1 < len
+       && seg_off.size() < static_cast<size_t>(nseg); ++i) {
+    if (data[i] == 0xFF) {
+      const uint8_t m = data[i + 1];
+      if (m >= 0xD0 && m <= 0xD7) {
+        seg_off.push_back(i + 2);
+        ++i;
+      } else if (m != 0x00 && m != 0xFF) {
+        break;
+      }
+    }
+  }
+  if (seg_off.size() != static_cast<size_t>(nseg)) return d.decode_scan();
+  return d.decode_scan_ilp(nlanes, seg_off, ri, total);
 }
 
 }  // extern "C"

@@ -315,3 +315,41 @@ def test_fill_bytes_before_markers_accepted():
     # insert two fill bytes before the first marker after SOI
     padded = jpeg[:2] + b"\xff\xff" + jpeg[2:]
     assert_scan_matches_libjpeg(padded)
+
+
+def test_ilp_lane_decode_matches_sequential():
+    """Round-5 probe entry (ip_jpeg_scan_coefs_ilp): interleaved-lane
+    decode of restart segments on one core must be bit-exact vs the
+    sequential scan (the probe is throughput-negative on the dev host —
+    PERF.md — but kept reproducible for wider cores to re-A/B)."""
+    import ctypes
+
+    lib = nc._load()
+    if lib is None or not hasattr(lib, "ip_jpeg_scan_coefs_ilp"):
+        pytest.skip("ilp probe entry unavailable")
+    blob = make_jpeg(360, 520, quality=88)
+    planes, qt, (w, h), samp = nc.scan_jpeg_coefficients(blob)
+    rst = nc.emit_jpeg_from_coefficients(planes, qt, w, h, samp[0],
+                                         restart_interval=3)
+    want, *_ = nc.scan_jpeg_coefficients(rst)
+    ncomp = ctypes.c_int()
+    iw = ctypes.c_int()
+    ih = ctypes.c_int()
+    cbw = (ctypes.c_int * 4)()
+    cbh = (ctypes.c_int * 4)()
+    hs = (ctypes.c_int * 4)()
+    vs = (ctypes.c_int * 4)()
+    assert lib.ip_jpeg_scan_dims(rst, len(rst), ctypes.byref(ncomp),
+                                 ctypes.byref(iw), ctypes.byref(ih),
+                                 cbw, cbh, hs, vs) == 0
+    for lanes in (2, 3):
+        ps = [np.zeros((cbh[c] * 8, cbw[c] * 8), np.int16)
+              for c in range(ncomp.value)]
+        rc = lib.ip_jpeg_scan_coefs_ilp(
+            rst, len(rst), lanes,
+            ps[0].ctypes.data_as(ctypes.c_void_p),
+            ps[1].ctypes.data_as(ctypes.c_void_p),
+            ps[2].ctypes.data_as(ctypes.c_void_p))
+        assert rc == 0
+        for a, b in zip(ps, want):
+            np.testing.assert_array_equal(a, b)
