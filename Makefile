@@ -14,6 +14,7 @@ NATIVE_ARCH ?= native
 native:
 	g++ -O3 -march=$(NATIVE_ARCH) -shared -fPIC -pthread \
 	  native/ipcodec.cpp native/jpeg_scan.cpp native/jpeg_emit.cpp \
+	  native/gifquant.cpp \
 	  -o native/libipcodec.so -ljpeg
 
 test:

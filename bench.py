@@ -441,27 +441,32 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
         op = SimpleNamespace(text="© ImageProcessor", opacity=0.5,
                              position="bottom-right", font_size=36.0,
                              font_color="")
+        # min-of-reps: on TPU runs the tunnel's background RPC threads
+        # steal slices of the single host core; the floor is the honest
+        # per-stage cost (matches tools/splicebench.py's convention).
         ctx = nc.scan_jpeg_for_transcode(jpeg)
-        t0 = time.monotonic()
+        scan_s = float("inf")
         for _ in range(n):
+            t0 = time.monotonic()
             nc.scan_jpeg_for_transcode(jpeg)
-        out["host_splice_scan_ms"] = round(
-            (time.monotonic() - t0) * 1000.0 / n, 2)
+            scan_s = min(scan_s, time.monotonic() - t0)
+        out["host_splice_scan_ms"] = round(scan_s * 1000.0, 2)
         planes0 = [p.copy() for p in ctx.planes]
         splice.watermark_band(ctx, op)  # warm the raster cache
-        edit_s = 0.0
+        edit_s = float("inf")
         for _ in range(n):
             ctx.planes = [p.copy() for p in planes0]  # outside the window
             ctx.edited = False
             t0 = time.monotonic()
             flags = splice.watermark_band(ctx, op)
-            edit_s += time.monotonic() - t0
-        out["host_splice_edit_ms"] = round(edit_s * 1000.0 / n, 2)
-        t0 = time.monotonic()
+            edit_s = min(edit_s, time.monotonic() - t0)
+        out["host_splice_edit_ms"] = round(edit_s * 1000.0, 2)
+        emit_s = float("inf")
         for _ in range(n):
+            t0 = time.monotonic()
             nc.emit_jpeg_transcode(ctx, flags)
-        out["host_splice_emit_ms"] = round(
-            (time.monotonic() - t0) * 1000.0 / n, 2)
+            emit_s = min(emit_s, time.monotonic() - t0)
+        out["host_splice_emit_ms"] = round(emit_s * 1000.0, 2)
         out["host_splice_total_ms"] = round(
             out["host_splice_scan_ms"] + out["host_splice_edit_ms"]
             + out["host_splice_emit_ms"], 2)

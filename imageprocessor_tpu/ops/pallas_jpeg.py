@@ -561,12 +561,22 @@ def _build_call(plan: DecodePlan, interpret: bool):
 
 
 @functools.lru_cache(maxsize=16)
-def _bases(band_rows: int, win_rows: int):
+def _bases_np(band_rows: int, win_rows: int):
     d = _idct_basis().astype(np.float32)  # D[k, n]
     v8 = np.kron(np.eye(band_rows // 8, dtype=np.float32), d.T)
     v8c = np.kron(np.eye(win_rows // 8, dtype=np.float32), d.T)
     h8 = np.kron(np.eye(16, dtype=np.float32), d)
     h8t = np.kron(np.eye(8, dtype=np.float32), d)   # 64-col tail
+    return v8, v8c, h8, h8t
+
+
+def _bases(band_rows: int, win_rows: int):
+    # Cache NUMPY, convert per call: caching the jnp arrays would store
+    # TRACERS when the first call happens under a jit trace, and the
+    # next trace with the same geometry would then consume a leaked
+    # tracer (UnexpectedTracerError — bit the round-5 bench, which
+    # traces two programs with the same plan dims in one process).
+    v8, v8c, h8, h8t = _bases_np(band_rows, win_rows)
     return (jnp.asarray(v8), jnp.asarray(v8c), jnp.asarray(h8),
             jnp.asarray(h8t))
 
@@ -853,6 +863,12 @@ def _encode_bases(band_rows: int):
         pairc[2 * i, i] = 0.5
         pairc[2 * i + 1, i] = 0.5
     hcm = pairc @ np.kron(np.eye(16, dtype=np.float32), d.T)
+    return vy, vc, hy, hcm
+
+
+def _encode_bases_jnp(band_rows: int):
+    # numpy cached, jnp per call — see _bases for the tracer-leak trap
+    vy, vc, hy, hcm = _encode_bases(band_rows)
     return (jnp.asarray(vy), jnp.asarray(vc), jnp.asarray(hy),
             jnp.asarray(hcm))
 
@@ -912,6 +928,6 @@ def encode_420(rgb_u8, plan: EncodePlan, args: EncodeArgs,
     quantization step (different FDCT summation order can cross an
     exact rounding tie; measured <=1 coef per megapixel)."""
     call = _build_encode_call(plan, interpret)
-    vy, vc, hy, hcm = _encode_bases(plan.band_rows)
+    vy, vc, hy, hcm = _encode_bases_jnp(plan.band_rows)
     return call(jnp.asarray(args.valid), rgb_u8, vy, vc, hy, hcm,
                 jnp.asarray(args.qy), jnp.asarray(args.qc))

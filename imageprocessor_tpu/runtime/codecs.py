@@ -235,11 +235,29 @@ def encode_image(arr: np.ndarray, fmt: str, quality: int = 85) -> bytes:
     from PIL import Image
 
     bio = io.BytesIO()
-    im = Image.fromarray(arr)
     if fmt == "gif":
-        # Go gif.Encode(nil) quantizes to a 256-color palette.
-        im.convert("P", palette=Image.ADAPTIVE).save(bio, format="GIF")
-    elif fmt == "jpeg":
+        # Go gif.Encode(nil) = fixed Plan9 palette + Floyd-Steinberg
+        # (image/gif/writer.go -> draw.FloydSteinberg). The native
+        # quantizer reproduces that arithmetic bit-for-bit, so decoded
+        # pixels match the reference exactly; the LZW layer is lossless
+        # and may differ byte-wise. IMAGEPROCESSOR_GIF_QUANTIZER=
+        # adaptive restores the round-3/4 behavior (PIL median-cut
+        # ADAPTIVE palette — usually higher PSNR but not Go-parity).
+        mode = os.environ.get("IMAGEPROCESSOR_GIF_QUANTIZER", "go").lower()
+        if mode != "adaptive" and _native.available():
+            try:
+                idx, pal = _native.gif_quantize_plan9(arr)
+                pim = Image.fromarray(idx, mode="P")
+                pim.putpalette(pal.reshape(-1).tolist())
+                pim.save(bio, format="GIF")
+                return bio.getvalue()
+            except _native.NativeCodecError:  # pragma: no cover
+                pass
+        Image.fromarray(arr).convert(
+            "P", palette=Image.ADAPTIVE).save(bio, format="GIF")
+        return bio.getvalue()
+    im = Image.fromarray(arr)
+    if fmt == "jpeg":
         im.save(bio, format="JPEG", quality=int(quality))
     else:
         im.save(bio, format=fmt.upper())

@@ -23,6 +23,7 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "ipcodec.cpp"
 _SRC_SCAN = _REPO_ROOT / "native" / "jpeg_scan.cpp"
 _SRC_EMIT = _REPO_ROOT / "native" / "jpeg_emit.cpp"
+_SRC_GIF = _REPO_ROOT / "native" / "gifquant.cpp"
 _LIB = _REPO_ROOT / "native" / "libipcodec.so"
 
 _lock = threading.Lock()
@@ -36,7 +37,7 @@ class NativeCodecError(RuntimeError):
 
 def _build() -> bool:
     srcs = [str(_SRC)]
-    for extra_src in (_SRC_SCAN, _SRC_EMIT):
+    for extra_src in (_SRC_SCAN, _SRC_EMIT, _SRC_GIF):
         if extra_src.exists():
             srcs.append(str(extra_src))
     # Built at import time on the machine that runs it, so -march=native
@@ -70,7 +71,7 @@ def _stale() -> bool:
     try:
         lib_m = _LIB.stat().st_mtime
         return any(s.exists() and s.stat().st_mtime > lib_m
-                   for s in (_SRC, _SRC_SCAN, _SRC_EMIT))
+                   for s in (_SRC, _SRC_SCAN, _SRC_EMIT, _SRC_GIF))
     except OSError:
         return True
 
@@ -182,6 +183,14 @@ def _load() -> ctypes.CDLL | None:
             lib.ip_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_uint32]
             lib.ip_crc32c.restype = ctypes.c_uint32
+        except AttributeError:  # pragma: no cover — stale .so
+            pass
+        try:
+            lib.ip_gif_quantize_plan9.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_long, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.ip_gif_quantize_plan9.restype = ctypes.c_int
         except AttributeError:  # pragma: no cover — stale .so
             pass
         lib.ip_free.argtypes = [ctypes.c_void_p]
@@ -777,6 +786,35 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
         return ctypes.string_at(out_p, out_len.value)
     finally:
         lib.ip_free(out_p)
+
+
+def gif_quantize_plan9(rgb: np.ndarray, dither: bool = True
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize (H, W, 3) uint8 RGB to Go's gif.Encode semantics: the
+    fixed Plan9 palette with Floyd-Steinberg dithering (native/
+    gifquant.cpp — bit-exact drawPaletted arithmetic; reference:
+    internal/usecase/processor/operations/resize.go:98-119 via Go
+    image/gif/writer.go). Returns (indices (H, W) uint8, palette
+    (256, 3) uint8)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ip_gif_quantize_plan9"):
+        raise NativeCodecError("gif quantizer unavailable")
+    rgb = np.asarray(rgb)
+    if rgb.ndim != 3 or rgb.shape[2] < 3:
+        raise NativeCodecError(
+            f"gif_quantize needs an (H, W, >=3) array, got {rgb.shape}")
+    rgb = np.ascontiguousarray(rgb[:, :, :3], dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    idx = np.empty((h, w), dtype=np.uint8)
+    pal = np.empty((256, 3), dtype=np.uint8)
+    rc = lib.ip_gif_quantize_plan9(
+        rgb.ctypes.data_as(ctypes.c_void_p), w, h, rgb.strides[0],
+        1 if dither else 0,
+        idx.ctypes.data_as(ctypes.c_void_p),
+        pal.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise NativeCodecError(f"gif quantize failed (rc={rc})")
+    return idx, pal
 
 
 def crc32c(data: bytes, crc: int = 0) -> int | None:
