@@ -606,7 +606,10 @@ def bench_latency(n_images: int = 60, size=(480, 640), big_every: int = 10,
     if not lat:
         raise RuntimeError("no latencies measured")
     snap = METRICS.snapshot()["timings"]
-    stages = {name: {k: round(v, 1) for k, v in t.items() if k != "count"}
+    # counts kept: observations per stage give the batch count, hence
+    # the mean batch size (n / worker_batch count) — the contention
+    # sweep (tools/latproj_r05.py) needs it.
+    stages = {name: {k: round(v, 1) for k, v in t.items()}
               for name, t in snap.items()
               if name in ("queue_wait_ms", "engine_decode_ms",
                           "engine_device_ms", "engine_encode_ms",
