@@ -384,15 +384,19 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
     arr = imgs[0]
     jpeg = encode_image(arr, "jpeg", 85)
 
-    t0 = time.monotonic()
-    for _ in range(n):
-        decode_image(jpeg)
-    dec_s = (time.monotonic() - t0) / n
+    def _best(fn, reps: int = n) -> float:
+        """min-of-reps seconds: on TPU runs the tunnel's background RPC
+        threads steal slices of the single host core, so a mean would
+        measure the contention, not the codec."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return best
 
-    t0 = time.monotonic()
-    for _ in range(n):
-        encode_image(arr, "jpeg", 85)
-    enc_s = (time.monotonic() - t0) / n
+    dec_s = _best(lambda: decode_image(jpeg))
+    enc_s = _best(lambda: encode_image(arr, "jpeg", 85))
 
     out = {"host_decode_images_per_sec_per_core": 1.0 / dec_s,
            "host_encode_images_per_sec_per_core": 1.0 / enc_s,
@@ -402,10 +406,7 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
     # parity; level 1 trades size for host throughput).
     from imageprocessor_tpu.runtime.codecs import PNG_COMPRESSION
     png = encode_image(arr, "png")
-    t0 = time.monotonic()
-    for _ in range(max(n // 2, 1)):
-        encode_image(arr, "png")
-    png_s = (time.monotonic() - t0) / max(n // 2, 1)
+    png_s = _best(lambda: encode_image(arr, "png"), max(n // 2, 1))
     out["host_png_encode_images_per_sec_per_core"] = round(1.0 / png_s, 2)
     out["png_bytes"] = len(png)
     out["png_compression_level"] = PNG_COMPRESSION
@@ -414,19 +415,15 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
     try:
         from imageprocessor_tpu.runtime import nativecodec as nc
         planes, qt, dims, samp = nc.scan_jpeg_coefficients(jpeg)
-        t0 = time.monotonic()
-        for _ in range(n):
-            nc.scan_jpeg_coefficients(jpeg)
+        scan_s = _best(lambda: nc.scan_jpeg_coefficients(jpeg))
         out["host_entropy_scan_images_per_sec_per_core"] = round(
-            n / (time.monotonic() - t0), 2)
+            1.0 / scan_s, 2)
         nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
                                        samp[0])
-        t0 = time.monotonic()
-        for _ in range(n):
-            nc.emit_jpeg_from_coefficients(planes, qt, dims[0], dims[1],
-                                           samp[0])
+        emit_s = _best(lambda: nc.emit_jpeg_from_coefficients(
+            planes, qt, dims[0], dims[1], samp[0]))
         out["host_entropy_emit_images_per_sec_per_core"] = round(
-            n / (time.monotonic() - t0), 2)
+            1.0 / emit_s, 2)
     except Exception:  # pragma: no cover — native lib unavailable
         pass
     # Splice-path host stages (the shipped watermark default since
@@ -735,9 +732,13 @@ def main() -> int:
     )
     ncores = usable_cores()
     spl_scan_ms = codecs.get("host_splice_scan_ms")
-    spl_work_ms = (codecs.get("host_splice_edit_ms", 0)
-                   + codecs.get("host_splice_emit_ms", 0))
-    if (spl_step and spl_scan_ms
+    spl_edit_ms = codecs.get("host_splice_edit_ms")
+    spl_emit_ms = codecs.get("host_splice_emit_ms")
+    spl_work_ms = (spl_edit_ms or 0) + (spl_emit_ms or 0)
+    # all three stage keys required: a partial splice-bench failure
+    # (e.g. raster unavailable after the scan was timed) must not
+    # select this path with the edit/emit cost silently priced at 0
+    if (spl_step and spl_scan_ms and spl_edit_ms and spl_emit_ms
             and ncores < DEVICE_JPEG_CORE_THRESHOLD):
         # Shipped default: device decode+thumb+resize, watermark by
         # host splice (offset scan + band edit + splice emit), small

@@ -570,15 +570,33 @@ def _bases_np(band_rows: int, win_rows: int):
     return v8, v8c, h8, h8t
 
 
+# Device-resident basis cache: concrete arrays only. Caching blindly
+# would store TRACERS when the first call happens under a jit trace,
+# and the next trace with the same geometry would then consume a leaked
+# tracer (UnexpectedTracerError — bit the round-5 bench, which traces
+# two programs with the same plan dims in one process). Caching only
+# concrete results keeps the serving hot path free of per-group basis
+# re-uploads (4 H2D transfers per codec half — expensive on
+# high-latency links) while staying trace-safe.
+_bases_dev: dict[tuple, tuple] = {}
+
+
+def _concrete(arrays: tuple) -> bool:
+    import jax
+
+    return not any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
 def _bases(band_rows: int, win_rows: int):
-    # Cache NUMPY, convert per call: caching the jnp arrays would store
-    # TRACERS when the first call happens under a jit trace, and the
-    # next trace with the same geometry would then consume a leaked
-    # tracer (UnexpectedTracerError — bit the round-5 bench, which
-    # traces two programs with the same plan dims in one process).
+    hit = _bases_dev.get((band_rows, win_rows))
+    if hit is not None:
+        return hit
     v8, v8c, h8, h8t = _bases_np(band_rows, win_rows)
-    return (jnp.asarray(v8), jnp.asarray(v8c), jnp.asarray(h8),
-            jnp.asarray(h8t))
+    out = (jnp.asarray(v8), jnp.asarray(v8c), jnp.asarray(h8),
+           jnp.asarray(h8t))
+    if _concrete(out):
+        _bases_dev[(band_rows, win_rows)] = out
+    return out
 
 
 def pad_chroma(plan: DecodePlan, cbc, crc):
@@ -866,11 +884,20 @@ def _encode_bases(band_rows: int):
     return vy, vc, hy, hcm
 
 
+_encode_bases_dev: dict[int, tuple] = {}
+
+
 def _encode_bases_jnp(band_rows: int):
-    # numpy cached, jnp per call — see _bases for the tracer-leak trap
+    # concrete-only device cache — see _bases for the tracer-leak trap
+    hit = _encode_bases_dev.get(band_rows)
+    if hit is not None:
+        return hit
     vy, vc, hy, hcm = _encode_bases(band_rows)
-    return (jnp.asarray(vy), jnp.asarray(vc), jnp.asarray(hy),
-            jnp.asarray(hcm))
+    out = (jnp.asarray(vy), jnp.asarray(vc), jnp.asarray(hy),
+           jnp.asarray(hcm))
+    if _concrete(out):
+        _encode_bases_dev[band_rows] = out
+    return out
 
 
 @functools.lru_cache(maxsize=16)

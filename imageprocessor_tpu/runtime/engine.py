@@ -830,7 +830,12 @@ class ProcessingEngine:
             splice_skip = {oi for oi, op in enumerate(plan.ops)
                            if op.type is OperationType.WATERMARK}
         if splice_skip and len(splice_skip) == len(plan.ops):
-            # Every op splices: the device has nothing to do.
+            # Every op splices: the device has nothing to do. Keep the
+            # device-stage counters continuous (a legitimately
+            # zero-cost device stage, not a gap in the decomposition —
+            # this is the PRIMARY production shape with splice on).
+            METRICS.observe("engine_device_ms", 0.0)
+            METRICS.inc("engine_device_images", len(group.items))
             return (plan, [("splice", op) for op in plan.ops], {},
                     group.layout)
 

@@ -229,11 +229,18 @@ def test_restart_edit_exact(pattern):
     p2, *_ = nc.scan_jpeg_coefficients(out)
     for a, b in zip(p2, ctx.planes):
         np.testing.assert_array_equal(a, b)
-    Image.open(io.BytesIO(out)).load()
-    # decoded pixels must match PIL's view of the same coefficients
-    ours = nc.scan_jpeg_coefficients(out)
-    pil = np.asarray(Image.open(io.BytesIO(out)))
-    assert pil.shape == (250, 410, 3)
+    # Independent pixel check through a THIRD-PARTY decoder: PIL's
+    # decode of the spliced stream must be identical to PIL's decode of
+    # a plain re-emission of the same edited coefficients with the same
+    # quant tables — catches any splice-emitter bug that produces a
+    # self-consistent-through-our-scanner but wrong-content stream.
+    ref = nc.emit_jpeg_from_coefficients(
+        list(ctx.planes), ctx.qtabs, *ctx.size,
+        (ctx.sampling[0][0], ctx.sampling[0][1]))
+    pil_out = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+    pil_ref = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+    assert pil_out.shape == (250, 410, 3)
+    np.testing.assert_array_equal(pil_out, pil_ref)
 
 
 def test_truncated_stream_rejected():
