@@ -430,6 +430,32 @@ class ProcessingEngine:
         additionally records per-MCU bit offsets (+~13% scan cost) so
         the finish stage can emit the watermark by region transcode.
         """
+        # Watermark-ONLY plans on splice-eligible JPEGs need NO pixel
+        # decode on ANY backend: the rendition is emitted straight from
+        # the scanned stream (device_group has nothing to run and
+        # finish_item splices). This is what already happens implicitly
+        # on the device-JPEG path; taking it explicitly also serves the
+        # host-codec path (CPU scale-out workers: ~2.6x on this task
+        # shape — scan+splice vs decode+blend+re-encode). The image
+        # field is a placeholder; it can never be packed because these
+        # items group under their own plan-key tag (see below), so a
+        # group is either all-splice (early return before pack) or
+        # all-pixels.
+        if (plan is not None and len(plan.ops) > 0
+                and all(op.type is OperationType.WATERMARK
+                        for op in plan.ops)
+                and splice.enabled() and nativecodec.available()
+                and negotiate_format(task_format or "jpeg",
+                                     watermark=True) == "jpeg"
+                and detect_content_type(data[:512]) == "image/jpeg"):
+            try:
+                c = nativecodec.scan_jpeg_for_transcode(data)
+                if splice.supports(c):
+                    w, h = c.size
+                    return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
+                            "splice", (h, w), c)
+            except nativecodec.NativeCodecError:
+                pass  # progressive/truncated/grayscale: decode below
         if (plan is not None and self.device_jpeg
                 and nativecodec.available()
                 and detect_content_type(data[:512]) == "image/jpeg"

@@ -275,6 +275,67 @@ def test_splice_rejects_edited_context():
         splice.watermark_splice(ctx, op)
 
 
+def test_watermark_only_splices_without_device_jpeg(tmp_path):
+    """Backend-independent shortcut (round 5): a watermark-ONLY plan on
+    a splice-eligible JPEG needs no pixel decode and no device program
+    — it splices even with device_jpeg OFF (the host-codec path CPU
+    scale-out workers run). The rendition keeps the byte-identical
+    untouched region."""
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
+    try:
+        blob = jpeg_bytes(320, 448)
+        res = eng.process_tasks([(wm_task(), blob)])[0]
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        src = np.asarray(PILImage.open(io.BytesIO(blob)))
+        got = np.asarray(PILImage.open(io.BytesIO(
+            store.get_object(res.result.processed_paths["watermark"]))))
+        assert got.shape == src.shape
+        assert np.array_equal(src[:256], got[:256])
+        assert (src[288:] != got[288:]).any()
+    finally:
+        eng.close()
+
+
+def test_watermark_only_mixed_eligibility_without_device_jpeg(tmp_path):
+    """Shortcut grouping: eligible items take the 'splice' layout group,
+    a progressive batchmate decodes to pixels in its own group — both
+    complete, neither corrupts the other."""
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
+    try:
+        base = jpeg_bytes(320, 448)
+        arr = np.asarray(PILImage.open(io.BytesIO(base)))
+        bio = io.BytesIO()
+        PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
+                                     progressive=True)
+        prog = bio.getvalue()
+        results = eng.process_tasks([(wm_task(), base), (wm_task(), prog)])
+        for res in results:
+            assert res.result.status is ImageStatus.COMPLETED, \
+                res.result.error
+        src = np.asarray(PILImage.open(io.BytesIO(base)))
+        out1 = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+            results[0].result.processed_paths["watermark"]))))
+        assert np.array_equal(src[:256], out1[:256])  # spliced
+        out2 = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+            results[1].result.processed_paths["watermark"]))))
+        assert out2.shape[:2] == (320, 448)  # re-encode fallback
+        from imageprocessor_tpu.ops.watermark import watermark_image
+        # out2 went through TWO lossy generations (q90 progressive
+        # re-encode of the source, then the q85 fallback re-encode of
+        # this NOISY fixture, which alone floors at ~36 dB); the bar is
+        # "right content" (garbage/corruption sits below ~20), not
+        # splice-grade fidelity
+        prog_px = np.asarray(PILImage.open(io.BytesIO(prog)))
+        ref = np.asarray(watermark_image(prog_px, text="hi mark",
+                                         opacity=0.5,
+                                         position="bottom-right"))
+        assert psnr(out2, ref) > 33.0
+    finally:
+        eng.close()
+
+
 def test_decode_rgb_fallback_matches_decoder():
     """splice.decode_rgb (the defensive full-image fallback) matches
     the production decode path within the codec contract."""
