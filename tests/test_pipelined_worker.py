@@ -288,3 +288,31 @@ def test_bad_format_field_fails_without_permit_leak(harness):
         return n == depth
 
     assert wait_for(permits_restored, timeout=60)
+
+
+def test_watermark_only_jpeg_splices_through_pipeline(harness):
+    """The streaming worker threads the splice context through its own
+    staging (BatchItem splice=..., 'splice' layout grouping): a
+    watermark-only JPEG upload completes by splice transcode — untouched
+    rows byte-identical to the source."""
+    uc, meta, _broker, w = harness
+    yy = np.linspace(0, 170, 320)[:, None, None]
+    arr = np.clip(yy + RNG.integers(0, 40, (320, 448, 3)), 0,
+                  255).astype(np.uint8)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90)
+    blob = bio.getvalue()
+    ops = [OperationParams(OperationType.WATERMARK,
+                           {"text": "pipelined", "opacity": 0.5,
+                            "position": "bottom-right"})]
+    img = uc.upload_image(blob, "w.jpg", "image/jpeg", ops)
+    assert wait_for(lambda: meta.get_image(img.id).status
+                    is ImageStatus.COMPLETED), "never completed"
+    rows = meta.list_processed(img.id)
+    assert len(rows) == 1
+    out = w.store.get_object(rows[0].path)
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))
+    got = np.asarray(PILImage.open(io.BytesIO(out)))
+    assert got.shape == src.shape
+    assert np.array_equal(src[:256], got[:256])
+    assert (src[288:] != got[288:]).any()
