@@ -455,7 +455,22 @@ class ProcessingEngine:
                     return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
                             "splice", (h, w), c)
             except nativecodec.NativeCodecError:
-                pass  # progressive/truncated/grayscale: decode below
+                # Progressive: no bit offsets exist, but the plain scan
+                # still yields every coefficient — edit the band and
+                # re-symbolize baseline with the SOURCE's quantization
+                # (splice.coef_context; zero loss outside the band,
+                # no pixel decode, matches the reference's baseline
+                # output format).
+                try:
+                    planes, qt, (w, h), samp = \
+                        nativecodec.scan_jpeg_coefficients(data)
+                    c = splice.coef_context(planes, qt, (w, h), samp)
+                    if (splice.supports(c)
+                            and np.array_equal(c.qtabs[1], c.qtabs[2])):
+                        return (np.empty((0, 0, 3), dtype=np.uint8),
+                                "jpeg", "splice", (h, w), c)
+                except nativecodec.NativeCodecError:
+                    pass  # truncated/exotic: decode below
         if (plan is not None and self.device_jpeg
                 and nativecodec.available()
                 and detect_content_type(data[:512]) == "image/jpeg"
@@ -488,6 +503,23 @@ class ProcessingEngine:
                 else:
                     planes, qt, (w, h), samp = \
                         nativecodec.scan_jpeg_coefficients(data)
+                    # Progressive with a watermark op in a mixed plan:
+                    # the plain scan's coefficients support the
+                    # coefficient-domain rendition (band edit + baseline
+                    # re-symbolization with source tables) — zero extra
+                    # scan cost, and the device skips the blend/encode
+                    # for the watermark op (splice_skip).
+                    if (splice.enabled()
+                            and any(op.type is OperationType.WATERMARK
+                                    for op in plan.ops)
+                            and negotiate_format(task_format or "jpeg",
+                                                 watermark=True)
+                            == "jpeg"):
+                        c = splice.coef_context(planes, qt, (w, h), samp)
+                        if (splice.supports(c)
+                                and np.array_equal(c.qtabs[1],
+                                                   c.qtabs[2])):
+                            sctx = c
                 bucket = bucket_for(h, w)
                 if (len(planes) == 3
                         and self.model.supports_planar(plan, bucket)

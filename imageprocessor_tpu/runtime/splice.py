@@ -278,15 +278,58 @@ def watermark_band(ctx: JpegSpliceContext, op) -> np.ndarray | None:
     return flags
 
 
+def coef_context(planes, qtabs, size, sampling) -> JpegSpliceContext:
+    """Pseudo splice context from a PLAIN coefficient scan — no entropy
+    bit offsets, so nothing can be bit-copied, but the band edit + a
+    full re-symbolization with the SOURCE's quantization tables still
+    beat decode+re-encode on both cost and fidelity. This serves
+    PROGRESSIVE sources (scan_jpeg_for_transcode refuses them; their
+    coefficients come from the plain multi-scan decode the device path
+    performs anyway) — the output is baseline, like the reference's
+    (Go jpeg.Encode only writes baseline)."""
+    ctx = JpegSpliceContext()
+    ctx.planes = list(planes)
+    ctx.qtabs = np.asarray(qtabs, dtype=np.float32)
+    ctx.qt_slots = None
+    ctx.size = tuple(size)
+    ctx.sampling = [tuple(s) for s in sampling]
+    ctx.destuff = None
+    ctx.mcu_bits = None
+    ctx.destuff_bits = 0
+    ctx.comp_id = ctx.comp_tq = ctx.comp_dc = ctx.comp_ac = None
+    ctx.dht_bits = ctx.dht_vals = ctx.dht_present = None
+    ctx.restart_interval = 0
+    ctx.seg_bits = None
+    (hy, vy) = ctx.sampling[0]
+    ctx.mcus_x = -(-ctx.size[0] // (hy * 8))
+    ctx.mcus_y = -(-ctx.size[1] // (vy * 8))
+    ctx.edited = False
+    return ctx
+
+
+def _reencode_all(ctx: JpegSpliceContext) -> bytes:
+    """Full re-symbolization with the stream's own quantization tables
+    (standard Huffman). emit_jpeg_from_coefficients declares ONE shared
+    chroma quant table — only equivalent when Cb and Cr tables agree."""
+    if not np.array_equal(ctx.qtabs[1], ctx.qtabs[2]):
+        raise NativeCodecError("distinct chroma quant tables")
+    w, h = ctx.size
+    return nativecodec.emit_jpeg_from_coefficients(
+        list(ctx.planes), ctx.qtabs, w, h,
+        (ctx.sampling[0][0], ctx.sampling[0][1]))
+
+
 def watermark_splice(ctx: JpegSpliceContext, op) -> bytes:
     """Produce the watermark rendition by splice transcode. Edits
     ctx.planes in place, then emits: flagged MCUs re-symbolized with the
     input's own tables, everything else copied bit-exact. When the
     input's (possibly optimized) Huffman tables cannot express an edited
     block, falls back to a full re-symbolization with standard tables —
-    same pixels, same quantization, only a longer emit. Raises
-    NativeCodecError when even that cannot code the stream (adversarial
-    coefficient magnitudes); callers then fall back to decode_rgb."""
+    same pixels, same quantization, only a longer emit. Pseudo contexts
+    (coef_context — progressive sources) have no bit offsets and always
+    take the full re-symbolization. Raises NativeCodecError when even
+    that cannot code the stream (adversarial coefficient magnitudes);
+    callers then fall back to decode_rgb."""
     if not supports(ctx):
         raise NativeCodecError("stream not splice-editable")
     if ctx.edited:
@@ -299,18 +342,12 @@ def watermark_splice(ctx: JpegSpliceContext, op) -> bytes:
         raise NativeCodecError("context already edited; re-splice would "
                                "desync DC predictors")
     flags = watermark_band(ctx, op)
+    if ctx.destuff is None:  # pseudo context: no bits to copy
+        return _reencode_all(ctx)
     if flags is None:  # zero-coverage text: output == input stream
         flags = np.zeros((ctx.mcus_y, ctx.mcus_x), dtype=np.uint8)
         return nativecodec.emit_jpeg_transcode(ctx, flags)
     try:
         return nativecodec.emit_jpeg_transcode(ctx, flags)
     except NativeCodecError:
-        # Full re-symbolization with standard tables declares ONE shared
-        # chroma quant table (emit_jpeg_from_coefficients contract) —
-        # only equivalent when the stream's Cb and Cr tables agree.
-        if not np.array_equal(ctx.qtabs[1], ctx.qtabs[2]):
-            raise
-        w, h = ctx.size
-        return nativecodec.emit_jpeg_from_coefficients(
-            list(ctx.planes), ctx.qtabs, w, h,
-            (ctx.sampling[0][0], ctx.sampling[0][1]))
+        return _reencode_all(ctx)

@@ -121,18 +121,18 @@ def test_splice_composes_with_resize_thumbnail(engine):
 
 
 def test_mixed_group_splices_eligible_item(engine, tmp_path):
-    """A batch mixing splice-eligible and non-eligible (progressive)
-    streams: the eligible item still splices, the progressive one falls
-    back to the re-encode path, both complete."""
+    """A batch mixing splice-eligible and non-eligible (grayscale)
+    streams: the eligible item still splices, the grayscale one falls
+    back to the decode+re-encode path, both complete."""
     eng, store = engine
     base = jpeg_bytes(320, 448)
     arr = np.asarray(PILImage.open(io.BytesIO(base)))
     bio = io.BytesIO()
-    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
-                                 progressive=True)
-    prog = bio.getvalue()
+    PILImage.fromarray(arr[:, :, 0], mode="L").save(bio, format="JPEG",
+                                                    quality=90)
+    gray = bio.getvalue()
     t1, t2 = wm_task(), wm_task()
-    results = eng.process_tasks([(t1, base), (t2, prog)])
+    results = eng.process_tasks([(t1, base), (t2, gray)])
     for res in results:
         assert res.result.status is ImageStatus.COMPLETED, res.result.error
     out1 = np.asarray(PILImage.open(io.BytesIO(
@@ -142,6 +142,34 @@ def test_mixed_group_splices_eligible_item(engine, tmp_path):
     out2 = np.asarray(PILImage.open(io.BytesIO(
         store.get_object(results[1].result.processed_paths["watermark"]))))
     assert out2.shape[:2] == (320, 448)
+
+
+def test_progressive_watermark_coef_reencode(engine):
+    """Progressive sources have no bit offsets to copy, but the plain
+    scan's coefficients support the coefficient-domain rendition: band
+    edit + baseline re-symbolization with the SOURCE's quantization.
+    Pixels outside the band must be IDENTICAL to PIL's decode of the
+    progressive source (same coefficients, same tables, same decoder)."""
+    eng, store = engine
+    base = jpeg_bytes(320, 448)
+    arr = np.asarray(PILImage.open(io.BytesIO(base)))
+    bio = io.BytesIO()
+    PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
+                                 progressive=True)
+    prog = bio.getvalue()
+    res = eng.process_tasks([(wm_task(), prog)])[0]
+    assert res.result.status is ImageStatus.COMPLETED, res.result.error
+    out = store.get_object(res.result.processed_paths["watermark"])
+    assert b"\xff\xc0" in out  # SOF0: baseline output, like Go's encoder
+    src = np.asarray(PILImage.open(io.BytesIO(prog)))
+    got = np.asarray(PILImage.open(io.BytesIO(out)))
+    assert got.shape == src.shape
+    assert np.array_equal(src[:256], got[:256])  # zero-loss region
+    assert (src[288:] != got[288:]).any()        # band carries the blend
+    from imageprocessor_tpu.ops.watermark import watermark_image
+    ref = np.asarray(watermark_image(src, text="hi mark", opacity=0.5,
+                                     position="bottom-right"))
+    assert psnr(got, ref) > 45.0
 
 
 def test_restart_marked_source_splices(engine):
@@ -299,18 +327,26 @@ def test_watermark_only_splices_without_device_jpeg(tmp_path):
 
 def test_watermark_only_mixed_eligibility_without_device_jpeg(tmp_path):
     """Shortcut grouping: eligible items take the 'splice' layout group,
-    a progressive batchmate decodes to pixels in its own group — both
-    complete, neither corrupts the other."""
+    a grayscale batchmate (never splice-eligible: the pipeline promotes
+    it to color before watermarking) decodes to pixels in its own group
+    — both complete, neither corrupts the other. A progressive
+    batchmate also rides the splice group (coefficient-domain
+    re-encode) with its zero-loss region intact."""
     store = LocalFSObjectStore(str(tmp_path / "objects"))
     eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
     try:
         base = jpeg_bytes(320, 448)
         arr = np.asarray(PILImage.open(io.BytesIO(base)))
         bio = io.BytesIO()
+        PILImage.fromarray(arr[:, :, 0], mode="L").save(
+            bio, format="JPEG", quality=90)
+        gray = bio.getvalue()
+        bio = io.BytesIO()
         PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
                                      progressive=True)
         prog = bio.getvalue()
-        results = eng.process_tasks([(wm_task(), base), (wm_task(), prog)])
+        results = eng.process_tasks([(wm_task(), base), (wm_task(), gray),
+                                     (wm_task(), prog)])
         for res in results:
             assert res.result.status is ImageStatus.COMPLETED, \
                 res.result.error
@@ -321,17 +357,10 @@ def test_watermark_only_mixed_eligibility_without_device_jpeg(tmp_path):
         out2 = np.asarray(PILImage.open(io.BytesIO(store.get_object(
             results[1].result.processed_paths["watermark"]))))
         assert out2.shape[:2] == (320, 448)  # re-encode fallback
-        from imageprocessor_tpu.ops.watermark import watermark_image
-        # out2 went through TWO lossy generations (q90 progressive
-        # re-encode of the source, then the q85 fallback re-encode of
-        # this NOISY fixture, which alone floors at ~36 dB); the bar is
-        # "right content" (garbage/corruption sits below ~20), not
-        # splice-grade fidelity
         prog_px = np.asarray(PILImage.open(io.BytesIO(prog)))
-        ref = np.asarray(watermark_image(prog_px, text="hi mark",
-                                         opacity=0.5,
-                                         position="bottom-right"))
-        assert psnr(out2, ref) > 33.0
+        out3 = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+            results[2].result.processed_paths["watermark"]))))
+        assert np.array_equal(prog_px[:256], out3[:256])  # coef-spliced
     finally:
         eng.close()
 
