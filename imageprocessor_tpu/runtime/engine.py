@@ -454,17 +454,32 @@ class ProcessingEngine:
                     w, h = c.size
                     return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
                             "splice", (h, w), c)
+                if len(c.planes) == 1:
+                    # Grayscale: keep Y bit-exact, synthesize neutral
+                    # chroma, re-encode 4:4:4 — the same color
+                    # promotion the pixel pipeline performs, minus the
+                    # pixel pipeline.
+                    c = splice.promote_grayscale(c.planes, c.qtabs,
+                                                 c.size, c.sampling)
+                    w, h = c.size
+                    return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
+                            "splice", (h, w), c)
             except nativecodec.NativeCodecError:
                 # Progressive: no bit offsets exist, but the plain scan
                 # still yields every coefficient — edit the band and
                 # re-symbolize baseline with the SOURCE's quantization
                 # (splice.coef_context; zero loss outside the band,
                 # no pixel decode, matches the reference's baseline
-                # output format).
+                # output format). Grayscale progressive promotes the
+                # same way as baseline grayscale.
                 try:
                     planes, qt, (w, h), samp = \
                         nativecodec.scan_jpeg_coefficients(data)
-                    c = splice.coef_context(planes, qt, (w, h), samp)
+                    if len(planes) == 1:
+                        c = splice.promote_grayscale(planes, qt,
+                                                     (w, h), samp)
+                    else:
+                        c = splice.coef_context(planes, qt, (w, h), samp)
                     if (splice.supports(c)
                             and np.array_equal(c.qtabs[1], c.qtabs[2])):
                         return (np.empty((0, 0, 3), dtype=np.uint8),

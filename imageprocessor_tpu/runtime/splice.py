@@ -64,9 +64,10 @@ def supports(ctx: JpegSpliceContext) -> bool:
     4:4:0 / 4:2:0) — the layouts whose upsample/downsample the
     production codec path defines. Restart-marked streams are eligible
     (the scanner records per-segment ends; the emitter preserves every
-    boundary 1:1). Grayscale is excluded: the full pipeline promotes it
-    to color before watermarking, which a luma-only splice could not
-    reproduce."""
+    boundary 1:1). Grayscale is excluded HERE (a luma-only splice
+    cannot express the color promotion) — but promote_grayscale builds
+    an eligible 3-component pseudo context from a grayscale scan by
+    synthesizing neutral chroma planes."""
     if len(ctx.planes) != 3:
         return False
     (hy, vy), (hc, vc), (hr, vr) = ctx.sampling
@@ -305,6 +306,27 @@ def coef_context(planes, qtabs, size, sampling) -> JpegSpliceContext:
     ctx.mcus_y = -(-ctx.size[1] // (vy * 8))
     ctx.edited = False
     return ctx
+
+
+def promote_grayscale(planes, qtabs, size, sampling) -> JpegSpliceContext:
+    """Pseudo context for a GRAYSCALE source: keep the Y plane (its
+    coefficients stay bit-exact outside the band), synthesize all-zero
+    chroma coefficient planes (zero chroma decodes to 128 = neutral —
+    exactly the gray→color promotion the pixel pipeline performs), and
+    emit 4:4:4 with the luma quant table shared by chroma (zero
+    coefficients are exactly representable under ANY table; only the
+    band's blended chroma quantizes with it). Output: a 3-component
+    baseline stream, matching the reference's color output for
+    watermarked grayscale JPEGs (watermark.go promotes to RGBA before
+    jpeg.Encode)."""
+    if len(planes) != 1:
+        raise NativeCodecError("not a grayscale scan")
+    y = planes[0]
+    zero = np.zeros_like(y)
+    qt = np.asarray(qtabs, dtype=np.float32).reshape(-1, 8, 8)[:1]
+    return coef_context([y, zero, zero.copy()],
+                        np.concatenate([qt, qt, qt], axis=0),
+                        size, [(1, 1), (1, 1), (1, 1)])
 
 
 def _reencode_all(ctx: JpegSpliceContext) -> bytes:

@@ -221,19 +221,40 @@ def test_png_output_never_splices(engine):
     assert res.result.processed_paths["watermark"].endswith(".png")
 
 
-def test_grayscale_input_falls_back(engine):
-    """Grayscale JPEGs are not splice-editable (the pipeline promotes
-    them to color before watermarking); they must complete via the
-    fallback path."""
+def test_grayscale_watermark_promotes_in_coefficient_domain(engine):
+    """Grayscale watermark-only tasks promote to color in the
+    coefficient domain (round 5): Y coefficients stay bit-exact outside
+    the band, synthesized neutral chroma reproduces the gray→color
+    promotion, output is a 3-component baseline stream (reference:
+    watermark.go promotes to RGBA before jpeg.Encode). Decoded pixels
+    outside the band are IDENTICAL to the grayscale source's decode."""
     eng, store = engine
     arr = RNG.integers(0, 256, (200, 264), dtype=np.uint8)
     bio = io.BytesIO()
     PILImage.fromarray(arr, mode="L").save(bio, format="JPEG", quality=88)
-    res = eng.process_tasks([(wm_task(), bio.getvalue())])[0]
+    blob = bio.getvalue()
+    res = eng.process_tasks([(wm_task(), blob)])[0]
     assert res.result.status is ImageStatus.COMPLETED, res.result.error
-    got = np.asarray(PILImage.open(io.BytesIO(
-        store.get_object(res.result.processed_paths["watermark"]))))
-    assert got.shape[:2] == (200, 264)
+    out = store.get_object(res.result.processed_paths["watermark"])
+    got = np.asarray(PILImage.open(io.BytesIO(out)).convert("RGB"))
+    assert got.shape == (200, 264, 3)
+    src = np.asarray(PILImage.open(io.BytesIO(blob)))  # (H, W) gray
+    # outside the bottom-right band: exact gray promotion
+    np.testing.assert_array_equal(got[:136],
+                                  np.repeat(src[:136, :, None], 3, axis=2))
+    assert (got[168:] != src[168:, :, None]).any()  # band carries blend
+    # grayscale PROGRESSIVE promotes the same way (via the plain scan)
+    bio = io.BytesIO()
+    PILImage.fromarray(arr, mode="L").save(bio, format="JPEG", quality=88,
+                                           progressive=True)
+    pblob = bio.getvalue()
+    res2 = eng.process_tasks([(wm_task(), pblob)])[0]
+    assert res2.result.status is ImageStatus.COMPLETED, res2.result.error
+    got2 = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+        res2.result.processed_paths["watermark"]))).convert("RGB"))
+    psrc = np.asarray(PILImage.open(io.BytesIO(pblob)))
+    np.testing.assert_array_equal(
+        got2[:136], np.repeat(psrc[:136, :, None], 3, axis=2))
 
 
 def test_splice_preserves_source_quality(engine):
