@@ -131,6 +131,15 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     mime = detect_content_type(data[:512])
     fmt = format_from_content_type(mime) if mime != "application/octet-stream" else ""
 
+    if fmt == "jpeg" and b"\xff\xd9" not in data[-4096:]:
+        # No EOI near the tail: the stream was cut mid-file. Both
+        # libjpeg and cv2 RECOVER from this (gray/zero fill) and would
+        # return a half-garbage image as success; the reference's Go
+        # image.Decode errors instead (worker marks the task failed),
+        # so match that. The 4 KiB window tolerates writers that pad
+        # trailing bytes after EOI.
+        raise DecodeError("truncated JPEG stream (no EOI marker)")
+
     if fmt == "jpeg" and _native.available():
         try:
             return _native.decode_jpeg(data), "jpeg"

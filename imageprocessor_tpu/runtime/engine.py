@@ -411,8 +411,17 @@ class ProcessingEngine:
 
     def decode_for_plan(self, data: bytes, plan: OperationPlan | None
                         ) -> tuple[np.ndarray, str, str, tuple | None]:
-        """Back-compat 4-tuple wrapper over decode_for_plan_ex."""
-        return self.decode_for_plan_ex(data, plan)[:4]
+        """Back-compat 4-tuple wrapper over decode_for_plan_ex. The
+        watermark-only splice shortcut returns a placeholder image whose
+        meaning lives in the discarded 5th element, so this wrapper
+        decodes real pixels instead — callers of the 4-tuple API get
+        pixels, always."""
+        arr, detected, layout, valid_hw, _sctx = \
+            self.decode_for_plan_ex(data, plan)
+        if layout == "splice":
+            arr, detected = decode_image(data)
+            return arr, detected, "hwc", None
+        return arr, detected, layout, valid_hw
 
     def decode_for_plan_ex(self, data: bytes, plan: OperationPlan | None,
                            task_format: str | None = None
@@ -430,111 +439,87 @@ class ProcessingEngine:
         additionally records per-MCU bit offsets (+~13% scan cost) so
         the finish stage can emit the watermark by region transcode.
         """
-        # Watermark-ONLY plans on splice-eligible JPEGs need NO pixel
-        # decode on ANY backend: the rendition is emitted straight from
-        # the scanned stream (device_group has nothing to run and
-        # finish_item splices). This is what already happens implicitly
-        # on the device-JPEG path; taking it explicitly also serves the
-        # host-codec path (CPU scale-out workers: ~2.6x on this task
-        # shape — scan+splice vs decode+blend+re-encode). The image
-        # field is a placeholder; it can never be packed because these
-        # items group under their own plan-key tag (see below), so a
-        # group is either all-splice (early return before pack) or
-        # all-pixels.
-        if (plan is not None and len(plan.ops) > 0
-                and all(op.type is OperationType.WATERMARK
-                        for op in plan.ops)
-                and splice.enabled() and nativecodec.available()
-                and negotiate_format(task_format or "jpeg",
-                                     watermark=True) == "jpeg"
-                and detect_content_type(data[:512]) == "image/jpeg"):
-            try:
-                c = nativecodec.scan_jpeg_for_transcode(data)
-                if splice.supports(c):
-                    w, h = c.size
-                    return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
-                            "splice", (h, w), c)
-                if len(c.planes) == 1:
-                    # Grayscale: keep Y bit-exact, synthesize neutral
-                    # chroma, re-encode 4:4:4 — the same color
-                    # promotion the pixel pipeline performs, minus the
-                    # pixel pipeline.
-                    c = splice.promote_grayscale(c.planes, c.qtabs,
-                                                 c.size, c.sampling)
-                    w, h = c.size
-                    return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
-                            "splice", (h, w), c)
-            except nativecodec.NativeCodecError:
-                # Progressive: no bit offsets exist, but the plain scan
-                # still yields every coefficient — edit the band and
-                # re-symbolize baseline with the SOURCE's quantization
-                # (splice.coef_context; zero loss outside the band,
-                # no pixel decode, matches the reference's baseline
-                # output format). Grayscale progressive promotes the
-                # same way as baseline grayscale.
-                try:
-                    planes, qt, (w, h), samp = \
-                        nativecodec.scan_jpeg_coefficients(data)
-                    if len(planes) == 1:
-                        c = splice.promote_grayscale(planes, qt,
-                                                     (w, h), samp)
-                    else:
-                        c = splice.coef_context(planes, qt, (w, h), samp)
-                    if (splice.supports(c)
-                            and np.array_equal(c.qtabs[1], c.qtabs[2])):
-                        return (np.empty((0, 0, 3), dtype=np.uint8),
-                                "jpeg", "splice", (h, w), c)
-                except nativecodec.NativeCodecError:
-                    pass  # truncated/exotic: decode below
-        if (plan is not None and self.device_jpeg
-                and nativecodec.available()
-                and detect_content_type(data[:512]) == "image/jpeg"
-                and self.model.supports_planar(plan, (1, 1))):
-            sctx = None
-            try:
-                # Splice only ever serves JPEG watermark renditions: skip
-                # the +~13% offset-recording scan when the task's
-                # requested format can never negotiate to JPEG (e.g.
-                # format=png — the context would be discarded at finish
-                # time). task_format=None (unknown caller) keeps the
-                # scan: the source IS a JPEG here, so detected-format
-                # fallback negotiates to jpeg.
-                if (splice.enabled()
+        # The EOI check keeps truncated streams off every lenient
+        # native path (scan zero-fill, libjpeg gray-fill): they fall to
+        # decode_image, which rejects them like the reference's Go
+        # image.Decode does (worker marks the task failed).
+        is_jpeg = (plan is not None and nativecodec.available()
+                   and detect_content_type(data[:512]) == "image/jpeg"
+                   and b"\xff\xd9" in data[-4096:])
+        # Splice only ever serves JPEG watermark renditions: skip the
+        # +~13% offset-recording scan when the task's requested format
+        # can never negotiate to JPEG (e.g. format=png — the context
+        # would be discarded at finish time). task_format=None (unknown
+        # caller) keeps the scan: the source IS a JPEG here, so the
+        # detected-format fallback negotiates to jpeg.
+        wants_splice = (is_jpeg and splice.enabled()
                         and any(op.type is OperationType.WATERMARK
                                 for op in plan.ops)
                         and negotiate_format(task_format or "jpeg",
-                                             watermark=True) == "jpeg"):
-                    try:
-                        c = nativecodec.scan_jpeg_for_transcode(data)
-                        if splice.supports(c):
+                                             watermark=True) == "jpeg")
+        wm_only = (wants_splice and len(plan.ops) > 0
+                   and all(op.type is OperationType.WATERMARK
+                           for op in plan.ops))
+        # ONE scan, shared by the splice context and the device-JPEG
+        # coefficient path (they consume the identical planes).
+        sctx = None
+        scanned = None  # (planes, qtabs, (w, h), sampling)
+        if wants_splice:
+            try:
+                c = nativecodec.scan_jpeg_for_transcode(data)
+                scanned = (c.planes, c.qtabs, c.size, c.sampling)
+                if splice.supports(c):
+                    sctx = c
+                elif len(c.planes) == 1:
+                    # Grayscale: keep Y bit-exact, synthesize neutral
+                    # chroma, re-encode 4:4:4 — the same color
+                    # promotion the pixel pipeline performs, minus the
+                    # pixel pipeline (splice.promote_grayscale).
+                    sctx = splice.promote_grayscale(
+                        c.planes, c.qtabs, c.size, c.sampling)
+            except nativecodec.NativeCodecError:
+                # The transcode scan refuses progressive AND truncated/
+                # exotic streams. Only PROGRESSIVE — an exact header
+                # signal — takes the coefficient-domain path
+                # (splice.coef_context: band edit + baseline
+                # re-symbolization with the SOURCE's quantization; zero
+                # loss outside the band, no pixel decode, matching the
+                # reference's baseline output). Truncated streams must
+                # fall to the pixel decoders and their error semantics
+                # instead of being zero-filled into a COMPLETED
+                # rendition.
+                try:
+                    if nativecodec.is_progressive(data):
+                        planes, qt, (w, h), samp = \
+                            nativecodec.scan_jpeg_coefficients(data)
+                        scanned = (planes, qt, (w, h), samp)
+                        c = (splice.promote_grayscale(planes, qt,
+                                                      (w, h), samp)
+                             if len(planes) == 1
+                             else splice.coef_context(planes, qt,
+                                                      (w, h), samp))
+                        if splice.coef_reencodable(c):
                             sctx = c
-                    except nativecodec.NativeCodecError:
-                        sctx = None  # progressive/truncated: plain scan
-                if sctx is not None:
-                    planes = sctx.planes
-                    qt = sctx.qtabs
-                    w, h = sctx.size
-                    samp = sctx.sampling
-                else:
-                    planes, qt, (w, h), samp = \
-                        nativecodec.scan_jpeg_coefficients(data)
-                    # Progressive with a watermark op in a mixed plan:
-                    # the plain scan's coefficients support the
-                    # coefficient-domain rendition (band edit + baseline
-                    # re-symbolization with source tables) — zero extra
-                    # scan cost, and the device skips the blend/encode
-                    # for the watermark op (splice_skip).
-                    if (splice.enabled()
-                            and any(op.type is OperationType.WATERMARK
-                                    for op in plan.ops)
-                            and negotiate_format(task_format or "jpeg",
-                                                 watermark=True)
-                            == "jpeg"):
-                        c = splice.coef_context(planes, qt, (w, h), samp)
-                        if (splice.supports(c)
-                                and np.array_equal(c.qtabs[1],
-                                                   c.qtabs[2])):
-                            sctx = c
+                except nativecodec.NativeCodecError:
+                    pass  # unparseable/truncated: pixel decode below
+        # Watermark-ONLY plans with a context need NO pixel decode and
+        # no device program on ANY backend: the rendition is emitted
+        # straight from the scanned coefficients (device_group has
+        # nothing to run; finish_item splices). The placeholder image
+        # can never be packed: 'splice'-layout items group separately,
+        # so a group is either all-splice (early return before pack) or
+        # all-pixels. On the host-codec path (CPU scale-out workers)
+        # this is ~2.6x over decode+blend+re-encode.
+        if wm_only and sctx is not None:
+            w, h = sctx.size
+            return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
+                    "splice", (h, w), sctx)
+        if (is_jpeg and self.device_jpeg
+                and self.model.supports_planar(plan, (1, 1))):
+            try:
+                if scanned is None:
+                    scanned = nativecodec.scan_jpeg_coefficients(data)
+                planes, qt, (w, h), samp = scanned
                 bucket = bucket_for(h, w)
                 if (len(planes) == 3
                         and self.model.supports_planar(plan, bucket)
@@ -558,10 +543,8 @@ class ProcessingEngine:
                                  np.asarray(qt, dtype=np.float32)),
                                 "jpeg", coef_layout(fh, fw), (h, w), sctx)
             except nativecodec.NativeCodecError:
-                pass  # progressive/exotic: fall through
-        if (plan is not None and nativecodec.available()
-                and detect_content_type(data[:512]) == "image/jpeg"
-                and self.model.supports_planar(plan, (1, 1))):
+                pass  # exotic/truncated: fall through
+        if (is_jpeg and self.model.supports_planar(plan, (1, 1))):
             try:
                 w, h, _c = nativecodec.probe_jpeg(data)
                 bucket = bucket_for(h, w)
@@ -570,11 +553,13 @@ class ProcessingEngine:
                 if (self.model.supports_planar(plan, bucket)
                         and self._plan_scale_ok(plan, h, w)):
                     arr = nativecodec.decode_jpeg_planar(data, pad_hw=bucket)
-                    return arr, "jpeg", "chw", (h, w), None
+                    # sctx rides along: mixed plans on pixel layouts
+                    # still splice the watermark at finish time.
+                    return arr, "jpeg", "chw", (h, w), sctx
             except nativecodec.NativeCodecError:
                 pass  # fall through to the generic decoder
         arr, detected = decode_image(data)
-        return arr, detected, "hwc", None, None
+        return arr, detected, "hwc", None, sctx
 
     def process_tasks(self, tasks_with_data: list[tuple[ProcessingTask, bytes]],
                       device_section=None) -> list[EngineResult]:

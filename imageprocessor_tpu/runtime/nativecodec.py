@@ -788,6 +788,39 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
         lib.ip_free(out_p)
 
 
+def is_progressive(data: bytes) -> bool:
+    """Header-only probe: True for SOF2 (progressive) streams. Raises
+    NativeCodecError on unparseable headers."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ip_jpeg_scan_tables"):
+        raise NativeCodecError("scanner unavailable")
+    comp_id = np.zeros(3, dtype=np.uint8)
+    comp_tq = np.zeros(3, dtype=np.uint8)
+    comp_dc = np.zeros(3, dtype=np.uint8)
+    comp_ac = np.zeros(3, dtype=np.uint8)
+    dht_bits = np.zeros((8, 17), dtype=np.uint8)
+    dht_vals = np.zeros((8, 256), dtype=np.uint8)
+    dht_present = np.zeros(8, dtype=np.uint8)
+    qt = np.zeros((4, 64), dtype=np.uint16)
+    nc2 = ctypes.c_int()
+    dri = ctypes.c_int()
+    prog = ctypes.c_int()
+    rc = lib.ip_jpeg_scan_tables(
+        data, len(data), ctypes.byref(nc2),
+        comp_id.ctypes.data_as(ctypes.c_void_p),
+        comp_tq.ctypes.data_as(ctypes.c_void_p),
+        comp_dc.ctypes.data_as(ctypes.c_void_p),
+        comp_ac.ctypes.data_as(ctypes.c_void_p),
+        dht_bits.ctypes.data_as(ctypes.c_void_p),
+        dht_vals.ctypes.data_as(ctypes.c_void_p),
+        dht_present.ctypes.data_as(ctypes.c_void_p),
+        qt.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(dri), ctypes.byref(prog))
+    if rc != 0:
+        raise NativeCodecError(f"scan tables failed (rc={rc})")
+    return bool(prog.value)
+
+
 def gif_quantize_plan9(rgb: np.ndarray, dither: bool = True
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Quantize (H, W, 3) uint8 RGB to Go's gif.Encode semantics: the

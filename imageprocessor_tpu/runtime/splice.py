@@ -279,6 +279,16 @@ def watermark_band(ctx: JpegSpliceContext, op) -> np.ndarray | None:
     return flags
 
 
+def coef_reencodable(ctx: JpegSpliceContext) -> bool:
+    """Single source of truth for the coefficient-domain re-encode
+    gate: layouts supports() covers AND equal Cb/Cr quant tables
+    (emit_jpeg_from_coefficients declares one shared chroma table).
+    decode_for_plan_ex and _reencode_all must agree on this rule or a
+    'splice'-layout item could reach an emit that cannot serve it."""
+    return (supports(ctx)
+            and np.array_equal(ctx.qtabs[1], ctx.qtabs[2]))
+
+
 def coef_context(planes, qtabs, size, sampling) -> JpegSpliceContext:
     """Pseudo splice context from a PLAIN coefficient scan — no entropy
     bit offsets, so nothing can be bit-copied, but the band edit + a
@@ -287,7 +297,8 @@ def coef_context(planes, qtabs, size, sampling) -> JpegSpliceContext:
     PROGRESSIVE sources (scan_jpeg_for_transcode refuses them; their
     coefficients come from the plain multi-scan decode the device path
     performs anyway) — the output is baseline, like the reference's
-    (Go jpeg.Encode only writes baseline)."""
+    (reference: internal/usecase/processor/operations/resize.go:78-91 —
+    Go's image/jpeg Encode only writes baseline)."""
     ctx = JpegSpliceContext()
     ctx.planes = list(planes)
     ctx.qtabs = np.asarray(qtabs, dtype=np.float32)
@@ -317,8 +328,9 @@ def promote_grayscale(planes, qtabs, size, sampling) -> JpegSpliceContext:
     coefficients are exactly representable under ANY table; only the
     band's blended chroma quantizes with it). Output: a 3-component
     baseline stream, matching the reference's color output for
-    watermarked grayscale JPEGs (watermark.go promotes to RGBA before
-    jpeg.Encode)."""
+    watermarked grayscale JPEGs (reference: internal/usecase/processor/
+    operations/watermark.go:90-104 — the source is drawn onto an RGBA
+    canvas before encoding)."""
     if len(planes) != 1:
         raise NativeCodecError("not a grayscale scan")
     y = planes[0]

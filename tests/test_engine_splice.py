@@ -121,18 +121,20 @@ def test_splice_composes_with_resize_thumbnail(engine):
 
 
 def test_mixed_group_splices_eligible_item(engine, tmp_path):
-    """A batch mixing splice-eligible and non-eligible (grayscale)
-    streams: the eligible item still splices, the grayscale one falls
-    back to the decode+re-encode path, both complete."""
+    """A batch mixing a splice-eligible JPEG with a PNG upload (never
+    splice-eligible: splice only serves JPEG sources): the JPEG item
+    splices in its own 'splice'-layout group, the PNG decodes to pixels
+    in a separate group and takes the blend+encode path — both
+    complete, neither corrupts the other (guards the placeholder image
+    against ever reaching Group.pack)."""
     eng, store = engine
     base = jpeg_bytes(320, 448)
     arr = np.asarray(PILImage.open(io.BytesIO(base)))
     bio = io.BytesIO()
-    PILImage.fromarray(arr[:, :, 0], mode="L").save(bio, format="JPEG",
-                                                    quality=90)
-    gray = bio.getvalue()
+    PILImage.fromarray(arr).save(bio, format="PNG")
+    png = bio.getvalue()
     t1, t2 = wm_task(), wm_task()
-    results = eng.process_tasks([(t1, base), (t2, gray)])
+    results = eng.process_tasks([(t1, base), (t2, png)])
     for res in results:
         assert res.result.status is ImageStatus.COMPLETED, res.result.error
     out1 = np.asarray(PILImage.open(io.BytesIO(
@@ -142,6 +144,10 @@ def test_mixed_group_splices_eligible_item(engine, tmp_path):
     out2 = np.asarray(PILImage.open(io.BytesIO(
         store.get_object(results[1].result.processed_paths["watermark"]))))
     assert out2.shape[:2] == (320, 448)
+    from imageprocessor_tpu.ops.watermark import watermark_image
+    ref = np.asarray(watermark_image(arr, text="hi mark", opacity=0.5,
+                                     position="bottom-right"))
+    assert psnr(out2, ref) > 33.0  # pixel path: q85 re-encode of noise
 
 
 def test_progressive_watermark_coef_reencode(engine):
@@ -347,28 +353,29 @@ def test_watermark_only_splices_without_device_jpeg(tmp_path):
 
 
 def test_watermark_only_mixed_eligibility_without_device_jpeg(tmp_path):
-    """Shortcut grouping: eligible items take the 'splice' layout group,
-    a grayscale batchmate (never splice-eligible: the pipeline promotes
-    it to color before watermarking) decodes to pixels in its own group
-    — both complete, neither corrupts the other. A progressive
-    batchmate also rides the splice group (coefficient-domain
-    re-encode) with its zero-loss region intact."""
+    """Shortcut grouping: splice-served items (baseline bit-splice,
+    progressive coef re-encode, grayscale promotion) ride the 'splice'
+    layout group; a PNG batchmate decodes to pixels in its own group —
+    all complete, none corrupts another, and a TRUNCATED baseline JPEG
+    fails with a decode error instead of being zero-filled into a
+    COMPLETED garbage rendition."""
     store = LocalFSObjectStore(str(tmp_path / "objects"))
     eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
     try:
         base = jpeg_bytes(320, 448)
         arr = np.asarray(PILImage.open(io.BytesIO(base)))
         bio = io.BytesIO()
-        PILImage.fromarray(arr[:, :, 0], mode="L").save(
-            bio, format="JPEG", quality=90)
-        gray = bio.getvalue()
+        PILImage.fromarray(arr).save(bio, format="PNG")
+        png = bio.getvalue()
         bio = io.BytesIO()
         PILImage.fromarray(arr).save(bio, format="JPEG", quality=90,
                                      progressive=True)
         prog = bio.getvalue()
-        results = eng.process_tasks([(wm_task(), base), (wm_task(), gray),
-                                     (wm_task(), prog)])
-        for res in results:
+        truncated = base[:len(base) // 2]
+        results = eng.process_tasks([
+            (wm_task(), base), (wm_task(), png), (wm_task(), prog),
+            (wm_task(), truncated)])
+        for res in results[:3]:
             assert res.result.status is ImageStatus.COMPLETED, \
                 res.result.error
         src = np.asarray(PILImage.open(io.BytesIO(base)))
@@ -377,11 +384,14 @@ def test_watermark_only_mixed_eligibility_without_device_jpeg(tmp_path):
         assert np.array_equal(src[:256], out1[:256])  # spliced
         out2 = np.asarray(PILImage.open(io.BytesIO(store.get_object(
             results[1].result.processed_paths["watermark"]))))
-        assert out2.shape[:2] == (320, 448)  # re-encode fallback
+        assert out2.shape[:2] == (320, 448)  # pixel path (PNG source)
         prog_px = np.asarray(PILImage.open(io.BytesIO(prog)))
         out3 = np.asarray(PILImage.open(io.BytesIO(store.get_object(
             results[2].result.processed_paths["watermark"]))))
         assert np.array_equal(prog_px[:256], out3[:256])  # coef-spliced
+        # truncated: decode-error semantics, never a zero-filled splice
+        assert results[3].result.status is ImageStatus.FAILED
+        assert "decode" in (results[3].result.error or "").lower()
     finally:
         eng.close()
 
