@@ -117,6 +117,44 @@ def negotiate_format(requested: str, *, watermark: bool = False) -> str:
     return "jpeg"
 
 
+def jpeg_stream_complete(data: bytes) -> bool:
+    """True iff a JPEG stream carries its EOI marker, i.e. was not cut
+    mid-file. A naive `\\xff\\xd9 in tail` check false-positives when an
+    embedded EXIF/JFIF *thumbnail's* EOI lands in the search window on a
+    stream truncated inside the entropy data, so walk the length-prefixed
+    header segments (skipping APPn/COM payloads) to the first SOS and
+    search only the entropy data that follows: there, FF-stuffing
+    (\\xff\\x00) and RSTn are the only FF escapes, so \\xff\\xd9 is
+    genuinely the EOI. Returns False for unparseable headers too — the
+    strict decoders downstream would reject those anyway (matching Go
+    image.Decode error semantics, image_processor.go:47)."""
+    n = len(data)
+    if n < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return False
+    i = 2
+    while i + 2 <= n:
+        if data[i] != 0xFF:
+            return False  # lost marker sync: malformed header
+        m = data[i + 1]
+        if m == 0xFF:  # fill byte padding before a marker
+            i += 1
+            continue
+        if m == 0xD9:  # EOI before any SOS: degenerate but complete
+            return True
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # TEM/RSTn/SOI: no payload
+            i += 2
+            continue
+        if i + 4 > n:
+            return False  # cut inside a marker's length field
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        if seg_len < 2:
+            return False
+        if m == 0xDA:  # SOS: entropy data follows the header payload
+            return data.find(b"\xff\xd9", i + 2 + seg_len) != -1
+        i += 2 + seg_len
+    return False  # ran out of bytes before reaching SOS
+
+
 # --- decode -----------------------------------------------------------------
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
@@ -131,13 +169,11 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     mime = detect_content_type(data[:512])
     fmt = format_from_content_type(mime) if mime != "application/octet-stream" else ""
 
-    if fmt == "jpeg" and b"\xff\xd9" not in data[-4096:]:
-        # No EOI near the tail: the stream was cut mid-file. Both
-        # libjpeg and cv2 RECOVER from this (gray/zero fill) and would
-        # return a half-garbage image as success; the reference's Go
-        # image.Decode errors instead (worker marks the task failed),
-        # so match that. The 4 KiB window tolerates writers that pad
-        # trailing bytes after EOI.
+    if fmt == "jpeg" and not jpeg_stream_complete(data):
+        # The stream was cut mid-file. Both libjpeg and cv2 RECOVER
+        # from this (gray/zero fill) and would return a half-garbage
+        # image as success; the reference's Go image.Decode errors
+        # instead (worker marks the task failed), so match that.
         raise DecodeError("truncated JPEG stream (no EOI marker)")
 
     if fmt == "jpeg" and _native.available():

@@ -73,6 +73,7 @@ from imageprocessor_tpu.runtime.codecs import (
     decode_image,
     detect_content_type,
     encode_image,
+    jpeg_stream_complete,
     mime_from_path,
     negotiate_format,
 )
@@ -439,13 +440,13 @@ class ProcessingEngine:
         additionally records per-MCU bit offsets (+~13% scan cost) so
         the finish stage can emit the watermark by region transcode.
         """
-        # The EOI check keeps truncated streams off every lenient
-        # native path (scan zero-fill, libjpeg gray-fill): they fall to
-        # decode_image, which rejects them like the reference's Go
-        # image.Decode does (worker marks the task failed).
+        # The completeness check keeps truncated streams off every
+        # lenient native path (scan zero-fill, libjpeg gray-fill): they
+        # fall to decode_image, which rejects them like the reference's
+        # Go image.Decode does (worker marks the task failed).
         is_jpeg = (plan is not None and nativecodec.available()
                    and detect_content_type(data[:512]) == "image/jpeg"
-                   and b"\xff\xd9" in data[-4096:])
+                   and jpeg_stream_complete(data))
         # Splice only ever serves JPEG watermark renditions: skip the
         # +~13% offset-recording scan when the task's requested format
         # can never negotiate to JPEG (e.g. format=png — the context

@@ -212,3 +212,79 @@ def test_png_compression_knob(monkeypatch):
     # decoded pixels are identical at any level (PNG is lossless)
     a1, _ = codecs.decode_image(codecs.encode_image(img, "png"))
     assert np.array_equal(a1, img)
+
+
+def test_jpeg_stream_complete_walks_past_embedded_thumbnail_eoi():
+    """A `\\xff\\xd9 in tail` heuristic false-positives when a stream
+    truncated mid-entropy still shows an embedded EXIF *thumbnail's*
+    EOI in the search window; jpeg_stream_complete must skip APPn
+    payloads and only accept the real EOI after SOS (truncated uploads
+    must FAIL like Go image.Decode, image_processor.go:47 — never
+    gray-fill into a COMPLETED rendition)."""
+    from imageprocessor_tpu.runtime.codecs import jpeg_stream_complete
+
+    base, _ = make_bytes("jpeg", size=(96, 64))
+    assert jpeg_stream_complete(base)
+
+    # Embed a fake EXIF thumbnail (own SOI..EOI) in an APP1 after SOI.
+    payload = (b"Exif\x00\x00" + b"A" * 80 + b"\xff\xd8" + b"B" * 60
+               + b"\xff\xd9" + b"C" * 20)
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    doctored = base[:2] + app1 + base[2:]
+    assert jpeg_stream_complete(doctored)  # intact: still complete
+
+    # Truncate inside the entropy data, shallow enough that the
+    # thumbnail EOI sits inside any tail search window.
+    trunc = doctored[: len(app1) + 2 + 256]
+    assert b"\xff\xd9" in trunc  # the naive check would pass...
+    assert not jpeg_stream_complete(trunc)  # ...this one must not
+    with pytest.raises(DecodeError):
+        decode_image(trunc)
+
+    # Cut points everywhere: mid-APP1, mid-SOS header, mid-entropy,
+    # before the final EOI byte — all incomplete; the full stream and
+    # one with trailing padding after EOI are complete.
+    for frac in (0.02, 0.1, 0.3, 0.6, 0.9):
+        cut = doctored[: max(4, int(len(doctored) * frac))]
+        assert not jpeg_stream_complete(cut), frac
+    assert not jpeg_stream_complete(doctored[:-1])
+    assert jpeg_stream_complete(doctored + b"\x00" * 32)  # trailing pad
+    assert not jpeg_stream_complete(b"\xff\xd8\xff")
+    assert not jpeg_stream_complete(b"not a jpeg")
+
+
+def test_engine_rejects_truncated_jpeg_with_thumbnail_eoi_in_tail():
+    """End-to-end: the engine's native-path gate must not be fooled by
+    an embedded thumbnail EOI either — the task fails with a decode
+    error instead of serving a zero-filled splice/scan rendition."""
+    import tempfile
+
+    from imageprocessor_tpu.domain import (
+        ImageStatus,
+        OperationParams,
+        OperationType,
+        ProcessingTask,
+    )
+    from imageprocessor_tpu.runtime.engine import ProcessingEngine
+    from imageprocessor_tpu.storage import LocalFSObjectStore
+
+    base, _ = make_bytes("jpeg", size=(96, 64))
+    payload = (b"Exif\x00\x00" + b"A" * 80 + b"\xff\xd8" + b"B" * 60
+               + b"\xff\xd9" + b"C" * 20)
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    doctored = base[:2] + app1 + base[2:]
+    trunc = doctored[: len(app1) + 2 + 256]
+
+    with tempfile.TemporaryDirectory() as td:
+        store = LocalFSObjectStore(td)
+        eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
+        try:
+            task = ProcessingTask(
+                id="t-trunc", image_id="i-trunc",
+                original_path="o.jpg", bucket="b", format="jpeg",
+                operations=[OperationParams(OperationType.WATERMARK, {})])
+            res = eng.process_tasks([(task, trunc)])[0]
+            assert res.result.status is ImageStatus.FAILED
+            assert "decode" in (res.result.error or "").lower()
+        finally:
+            eng.close()
