@@ -407,3 +407,58 @@ def test_decode_rgb_fallback_matches_decoder():
     assert got.shape == want.shape
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
     assert psnr(got, want) > 55.0
+
+
+@pytest.mark.parametrize("hw,pos,subsampling", [
+    ((33, 47), "bottom-right", 2),   # partial MCU row+col, 4:2:0
+    ((33, 47), "top-left", 0),       # 4:4:4 keeps chroma the pixel
+    ((17, 129), "center", 0),        # path's 4:2:0 re-encode drops
+    ((17, 129), "bottom-center", 2),
+    ((15, 15), "bottom-right", 2),   # image smaller than one band
+    ((15, 15), "top-center", 1),     # 4:2:2 partial MCUs
+    ((128, 16), "bottom-left", 2),   # single-MCU-wide canvas
+    ((40, 24), "top-right", 1),
+])
+def test_splice_partial_mcu_geometry(tmp_path, hw, pos, subsampling):
+    """Geometry sweep distilled from a 147-combo probe: sizes with
+    partial bottom/right MCUs across anchors and subsamplings must
+    splice to COMPLETED, and the splice rendition must be at least as
+    close to the decoded source as the splice-off pixel path's q85
+    re-encode is (on 4:4:4 sources it is ~70 dB closer — the re-encode
+    subsamples chroma to 4:2:0, splice keeps the source's sampling)."""
+    h, w = hw
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
+    try:
+        yy = np.linspace(0, 170, h)[:, None, None]
+        arr = np.clip(yy + RNG.integers(0, 40, (h, w, 3)), 0,
+                      255).astype(np.uint8)
+        bio = io.BytesIO()
+        PILImage.fromarray(arr).save(bio, format="JPEG", quality=88,
+                                     subsampling=subsampling)
+        src = bio.getvalue()
+        srcpx = np.asarray(PILImage.open(io.BytesIO(src)).convert("RGB"))
+        res = eng.process_tasks([
+            (wm_task(position=pos, opacity=0.35), src)])[0]
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        out = store.get_object(res.result.processed_paths["watermark"])
+        a = np.asarray(PILImage.open(io.BytesIO(out)).convert("RGB"))
+        assert a.shape == srcpx.shape
+        import os
+        os.environ["IMAGEPROCESSOR_JPEG_SPLICE"] = "0"
+        try:
+            res2 = eng.process_tasks([
+                (wm_task(position=pos, opacity=0.35), src)])[0]
+        finally:
+            os.environ["IMAGEPROCESSOR_JPEG_SPLICE"] = "1"
+        assert res2.result.status is ImageStatus.COMPLETED
+        b = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+            res2.result.processed_paths["watermark"]))).convert("RGB"))
+        # The fidelity ordering IS the property: splice must never be
+        # farther from the source than the q85 re-encode (no absolute
+        # floor — on tiny canvases the watermark band legitimately
+        # covers most pixels, so both paths sit far from the
+        # unwatermarked source).
+        assert psnr(a, srcpx) >= psnr(b, srcpx) - 0.5
+    finally:
+        eng.close()
