@@ -288,3 +288,42 @@ def test_engine_rejects_truncated_jpeg_with_thumbnail_eoi_in_tail():
             assert "decode" in (res.result.error or "").lower()
         finally:
             eng.close()
+
+
+def test_jpeg_stream_complete_prefix_and_mutation_fuzz():
+    """Every strict prefix of a real stream (baseline and progressive)
+    is incomplete; arbitrary mutations never raise. The gate is pure
+    header-walking Python, so this doubles as its structural fuzz."""
+    from imageprocessor_tpu.runtime.codecs import jpeg_stream_complete
+
+    rng = np.random.default_rng(42)
+    base, _ = make_bytes("JPEG", size=(64, 48))
+    bio = io.BytesIO()
+    Image.fromarray(
+        rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)).save(
+        bio, "JPEG", quality=80, progressive=True)
+    prog = bio.getvalue()
+    assert jpeg_stream_complete(base) and jpeg_stream_complete(prog)
+    for src in (base, prog):
+        for cut in range(len(src)):
+            assert not jpeg_stream_complete(src[:cut]), cut
+    for trial in range(500):
+        buf = bytearray(base)
+        kind = trial % 4
+        if kind == 0:
+            for _ in range(int(rng.integers(1, 8))):
+                buf[int(rng.integers(0, len(buf)))] = int(
+                    rng.integers(0, 256))
+        elif kind == 1:
+            buf = buf[: int(rng.integers(0, len(buf)))] + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 64)),
+                             dtype=np.uint8))
+        elif kind == 2:
+            a = int(rng.integers(0, len(base)))
+            b = int(rng.integers(0, len(prog)))
+            buf = bytearray(base[:a] + prog[b:])
+        else:
+            buf = bytearray(rng.integers(
+                0, 256, int(rng.integers(0, 512)),
+                dtype=np.uint8).tobytes())
+        jpeg_stream_complete(bytes(buf))  # must not raise
