@@ -1,0 +1,143 @@
+"""Lossless coefficient-domain flip / rotate / crop (jpegtran-style).
+
+The reference declares crop/rotate/flip operation types but rejects them
+at dispatch (reference: internal/domain/image.go:42-50,
+internal/worker/image_processor.go:118-120); this framework implements
+them on-device (ops/extra.py). For JPEG sources with JPEG outputs, the
+90-degree rotations, both mirrors, and MCU-aligned crops are *exactly*
+expressible as permutations of the quantized coefficient blocks — the
+classic jpegtran transforms:
+
+* flip_h: reverse each plane's block columns; negate odd horizontal
+  frequencies within every block (mirroring samples n -> 7-n maps the
+  DCT-II basis cos((2n+1)v*pi/16) to (-1)^v times itself);
+* flip_v: the transpose of that argument on rows;
+* transpose: transpose the block grid AND each 8x8 block (the 2-D DCT
+  of a transposed tile is the transposed coefficient tile); sampling
+  factors and image dims swap;
+* rot90ccw = transpose(flip_h(.)), rot270 = transpose(flip_v(.)),
+  rot180 = flip_h(flip_v(.)) — matching np.rot90's CCW convention used
+  by ops/extra.rotate_image;
+* crop: drop whole MCU rows/columns (origin must be MCU-aligned; the
+  right/bottom edges may cut mid-block because JPEG dims already do).
+
+Serving these from the coefficient stream skips the pixel decode AND
+the re-encode entirely: decoded output pixels are bit-identical to
+running the pixel op on the decoded source (the transforms commute with
+the IDCT/upsample exactly), with zero generation loss — strictly more
+faithful than the pixel path's q85 re-encode, the same (documented)
+fidelity divergence as the watermark splice (PARITY.md).
+
+Expressibility follows jpegtran's "perfect transform" rules: a mirror
+is exact only when the axis it folds is a whole number of MCUs (else
+the partial edge block would land on the leading edge, which the JFIF
+block grid cannot represent). Ineligible geometry falls back to the
+pixel path — never a trimmed or shifted output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from imageprocessor_tpu.domain import OperationType
+from imageprocessor_tpu.runtime import splice
+from imageprocessor_tpu.runtime.nativecodec import JpegSpliceContext
+
+#: op types this module can serve (watermark is runtime/splice.py's job)
+TX_TYPES = frozenset(
+    {OperationType.CROP, OperationType.ROTATE, OperationType.FLIP})
+
+_SIGN8 = np.array([1, -1, 1, -1, 1, -1, 1, -1], dtype=np.int16)
+
+
+def _flip_h_plane(p: np.ndarray) -> np.ndarray:
+    hp, wp = p.shape
+    v = p.reshape(hp, wp // 8, 8)[:, ::-1, :] * _SIGN8[None, None, :]
+    return v.reshape(hp, wp)
+
+
+def _flip_v_plane(p: np.ndarray) -> np.ndarray:
+    hp, wp = p.shape
+    v = p.reshape(hp // 8, 8, wp)[::-1] * _SIGN8[None, :, None]
+    return v.reshape(hp, wp)
+
+
+def eligible_prims(op, size, sampling) -> list | None:
+    """Primitive list expressing `op` losslessly on an image of `size`
+    (w, h) with luma `sampling[0]`, or None when inexpressible (odd
+    rotation angles, mirrors folding a partial MCU edge, crops with an
+    unaligned origin). Pure geometry — callers still gate the stream
+    itself via splice.coef_reencodable."""
+    w, h = size
+    hy, vy = sampling[0]
+    mw, mh = 8 * hy, 8 * vy
+    t = op.type
+    if t is OperationType.FLIP:
+        if op.direction == "vertical":
+            return ["flip_v"] if h % mh == 0 else None
+        return ["flip_h"] if w % mw == 0 else None
+    if t is OperationType.ROTATE:
+        a = op.angle % 360.0
+        if a == 0.0:
+            return []
+        if a == 90.0:
+            return ["flip_h", "transpose"] if w % mw == 0 else None
+        if a == 180.0:
+            return (["flip_h", "flip_v"]
+                    if (w % mw == 0 and h % mh == 0) else None)
+        if a == 270.0:
+            return ["flip_v", "transpose"] if h % mh == 0 else None
+        return None
+    if t is OperationType.CROP:
+        # Same clamping as ops/extra.crop_image, so the coefficient
+        # rendition matches the pixel path's output dims exactly.
+        x = min(max(op.x, 0), w - 1)
+        y = min(max(op.y, 0), h - 1)
+        cw = max(1, min(op.width, w - x))
+        ch = max(1, min(op.height, h - y))
+        if x % mw or y % mh:
+            return None
+        return [("crop", x, y, cw, ch)]
+    return None
+
+
+def apply(ctx: JpegSpliceContext, prims: list) -> JpegSpliceContext:
+    """Apply primitives to a context's coefficient planes, returning a
+    fresh PSEUDO context (no bit offsets — block order changed, so
+    nothing can be bit-copied; the caller re-symbolizes via
+    splice.reencode). Never mutates `ctx`."""
+    planes = list(ctx.planes)
+    qtabs = np.asarray(ctx.qtabs)
+    w, h = ctx.size
+    sampling = [tuple(s) for s in ctx.sampling]
+    for pr in prims:
+        if pr == "flip_h":
+            planes = [_flip_h_plane(p) for p in planes]
+        elif pr == "flip_v":
+            planes = [_flip_v_plane(p) for p in planes]
+        elif pr == "transpose":
+            planes = [np.ascontiguousarray(p.T) for p in planes]
+            # The stored coefficients are QUANTIZED: position (u, v) of
+            # a transposed block holds C[v,u]/Q[v,u], so the emitted
+            # stream must declare the TRANSPOSED quant tables for the
+            # dequantize to multiply the right step back (jpegtran does
+            # the same table transpose).
+            qtabs = np.ascontiguousarray(np.swapaxes(
+                np.asarray(qtabs).reshape(-1, 8, 8), -1, -2))
+            w, h = h, w
+            sampling = [(v, u) for (u, v) in sampling]
+        else:
+            _tag, x, y, cw, ch = pr
+            hy, vy = sampling[0]
+            new_mx = -(-cw // (8 * hy))
+            new_my = -(-ch // (8 * vy))
+            out = []
+            for c, (hc, vc) in enumerate(sampling):
+                x0 = x * hc // hy
+                y0 = y * vc // vy
+                out.append(np.ascontiguousarray(
+                    planes[c][y0:y0 + new_my * 8 * vc,
+                              x0:x0 + new_mx * 8 * hc]))
+            planes = out
+            w, h = cw, ch
+    return splice.coef_context(planes, qtabs, (w, h), sampling)

@@ -63,7 +63,7 @@ from imageprocessor_tpu.runtime.batcher import (
     group_items,
     quantize_batch,
 )
-from imageprocessor_tpu.runtime import nativecodec, splice
+from imageprocessor_tpu.runtime import coeftx, nativecodec, splice
 from imageprocessor_tpu.runtime.batcher import (
     bucket_for,
     coef_canvas,
@@ -316,25 +316,51 @@ class ProcessingEngine:
         import time as _time
 
         t0 = _time.monotonic()
-        was_edited = ctx.edited
         try:
             data = splice.watermark_splice(ctx, op)
         except nativecodec.NativeCodecError:
+            # watermark_splice restores the context in a finally, so
+            # decode_rgb always sees pristine source coefficients here
+            # and the blend must be applied in the pixel domain.
             arr = splice.decode_rgb(ctx)
-            # Apply the blend on host unless THIS call's band edit is the
-            # reason ctx is edited (then decode_rgb already carries it).
-            # A second watermark op in one plan lands here (splice
-            # rejects re-entry on an edited context): its text blends
-            # over the first edit — a benign divergence from the
-            # reference, where each op renders on the original and the
-            # later write overwrites the shared output path anyway.
-            if was_edited or not ctx.edited:
+            if not ctx.edited:
                 arr = self._apply_single(arr, op)
             return self._encode_and_save(task, op, np.asarray(arr),
                                          "jpeg")
         METRICS.observe("engine_splice_emit_ms",
                         (_time.monotonic() - t0) * 1000.0)
         METRICS.inc("engine_splice_images", 1)
+        path = generate_path(task.image_id, op, "jpeg")
+        mime = mime_from_path(path)
+        self._save(path, data, mime)
+        return Artifact(operation=op.type.value, path=path,
+                        size=len(data), mime_type=mime, format="jpeg")
+
+    def _coef_tx_and_save(self, task: ProcessingTask, op: NormalizedOp,
+                          ctx) -> Artifact:
+        """Crop/rotate/flip rendition by lossless coefficient-domain
+        transform (runtime/coeftx.py, jpegtran-style): permute the
+        quantized blocks, re-symbolize with the source's own tables —
+        no pixel decode, no re-encode generation loss. Defensive
+        fallback mirrors _splice_and_save: decode the scanned
+        coefficients on host, run the pixel op, re-encode at the
+        engine quality."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        try:
+            prims = coeftx.eligible_prims(op, ctx.size, ctx.sampling)
+            if prims is None or not splice.coef_reencodable(ctx):
+                raise nativecodec.NativeCodecError(
+                    "transform not expressible in the coefficient domain")
+            data = splice.reencode(coeftx.apply(ctx, prims))
+        except nativecodec.NativeCodecError:
+            arr = splice.decode_rgb(ctx)
+            arr = self._apply_single(arr, op)
+            return self._encode_and_save(task, op, np.asarray(arr), "jpeg")
+        METRICS.observe("engine_coeftx_emit_ms",
+                        (_time.monotonic() - t0) * 1000.0)
+        METRICS.inc("engine_coeftx_images", 1)
         path = generate_path(task.image_id, op, "jpeg")
         mime = mime_from_path(path)
         self._save(path, data, mime)
@@ -447,25 +473,36 @@ class ProcessingEngine:
         is_jpeg = (plan is not None and nativecodec.available()
                    and detect_content_type(data[:512]) == "image/jpeg"
                    and jpeg_stream_complete(data))
-        # Splice only ever serves JPEG watermark renditions: skip the
-        # +~13% offset-recording scan when the task's requested format
-        # can never negotiate to JPEG (e.g. format=png — the context
-        # would be discarded at finish time). task_format=None (unknown
-        # caller) keeps the scan: the source IS a JPEG here, so the
-        # detected-format fallback negotiates to jpeg.
+        # Coefficient-domain servable ops: watermark (band edit /
+        # splice, runtime/splice.py) and the lossless geometry
+        # transforms (flip / 90-degree rotate / MCU-aligned crop,
+        # runtime/coeftx.py). Skip the scan when the task's requested
+        # format can never negotiate to JPEG (e.g. format=png — the
+        # context would be discarded at finish time). task_format=None
+        # (unknown caller) keeps the scan: the source IS a JPEG here,
+        # so the detected-format fallback negotiates to jpeg.
+        fmt0 = task_format or "jpeg"
+        has_wm = any(op.type is OperationType.WATERMARK
+                     for op in plan.ops) if plan is not None else False
+        tx_ops = ([op for op in plan.ops if op.type in coeftx.TX_TYPES]
+                  if plan is not None else [])
+        all_coef_types = (plan is not None and len(plan.ops) > 0 and all(
+            op.type is OperationType.WATERMARK
+            or op.type in coeftx.TX_TYPES for op in plan.ops))
+        fmt_ok_all = (plan is not None and all(
+            negotiate_format(
+                fmt0, watermark=op.type is OperationType.WATERMARK)
+            == "jpeg" for op in plan.ops))
+        coef_only = all_coef_types and fmt_ok_all
         wants_splice = (is_jpeg and splice.enabled()
-                        and any(op.type is OperationType.WATERMARK
-                                for op in plan.ops)
-                        and negotiate_format(task_format or "jpeg",
-                                             watermark=True) == "jpeg")
-        wm_only = (wants_splice and len(plan.ops) > 0
-                   and all(op.type is OperationType.WATERMARK
-                           for op in plan.ops))
+                        and ((has_wm and negotiate_format(
+                            fmt0, watermark=True) == "jpeg")
+                            or coef_only))
         # ONE scan, shared by the splice context and the device-JPEG
         # coefficient path (they consume the identical planes).
         sctx = None
         scanned = None  # (planes, qtabs, (w, h), sampling)
-        if wants_splice:
+        if wants_splice and has_wm:
             try:
                 c = nativecodec.scan_jpeg_for_transcode(data)
                 scanned = (c.planes, c.qtabs, c.size, c.sampling)
@@ -503,18 +540,41 @@ class ProcessingEngine:
                             sctx = c
                 except nativecodec.NativeCodecError:
                     pass  # unparseable/truncated: pixel decode below
-        # Watermark-ONLY plans with a context need NO pixel decode and
-        # no device program on ANY backend: the rendition is emitted
-        # straight from the scanned coefficients (device_group has
-        # nothing to run; finish_item splices). The placeholder image
-        # can never be packed: 'splice'-layout items group separately,
-        # so a group is either all-splice (early return before pack) or
-        # all-pixels. On the host-codec path (CPU scale-out workers)
-        # this is ~2.6x over decode+blend+re-encode.
-        if wm_only and sctx is not None:
-            w, h = sctx.size
-            return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
-                    "splice", (h, w), sctx)
+        elif wants_splice:
+            # Transform-only plans re-symbolize every MCU, so the
+            # +~13% offset-recording transcode scan buys nothing —
+            # take the plain coefficient scan directly (it also covers
+            # progressive sources in one shot).
+            try:
+                planes, qt, (w, h), samp = \
+                    nativecodec.scan_jpeg_coefficients(data)
+                scanned = (planes, qt, (w, h), samp)
+                c = (splice.promote_grayscale(planes, qt, (w, h), samp)
+                     if len(planes) == 1
+                     else splice.coef_context(planes, qt, (w, h), samp))
+                if splice.coef_reencodable(c):
+                    sctx = c
+            except nativecodec.NativeCodecError:
+                pass  # exotic stream: pixel decode below
+        # Plans where EVERY op is coefficient-servable need NO pixel
+        # decode and no device program on ANY backend: each rendition
+        # is emitted straight from the scanned coefficients
+        # (device_group has nothing to run; finish_item splices the
+        # watermark ops and block-permutes the transform ops). The
+        # placeholder image can never be packed: 'splice'-layout items
+        # group separately, so a group is either all-splice (early
+        # return before pack) or all-pixels. On the host-codec path
+        # (CPU scale-out workers) this is ~2.6x over
+        # decode+blend+re-encode for the watermark shape and more for
+        # the transforms (zero DCT work).
+        if coef_only and sctx is not None:
+            tx_ok = all(
+                coeftx.eligible_prims(op, sctx.size, sctx.sampling)
+                is not None for op in tx_ops)
+            if tx_ok and (not tx_ops or splice.coef_reencodable(sctx)):
+                w, h = sctx.size
+                return (np.empty((0, 0, 3), dtype=np.uint8), "jpeg",
+                        "splice", (h, w), sctx)
         if (is_jpeg and self.device_jpeg
                 and self.model.supports_planar(plan, (1, 1))):
             try:
@@ -881,7 +941,13 @@ class ProcessingEngine:
         # blend: non-eligible batchmates consume it, and eligible items
         # still prefer splice per item in finish_item.
         splice_skip: set[int] = set()
-        if (group.items
+        if group.layout == "splice":
+            # decode_for_plan_ex only emits 'splice'-layout items when
+            # EVERY op is coefficient-servable (watermark band edit or
+            # coeftx transform) for that item's stream — the whole plan
+            # is served at finish time from the scanned coefficients.
+            splice_skip = set(range(len(plan.ops)))
+        elif (group.items
                 and all(it.splice is not None for it in group.items)
                 and all(negotiate_format(it.payload[2],
                                          watermark=True) == "jpeg"
@@ -1126,7 +1192,10 @@ class ProcessingEngine:
                        else outs_np[oi][i, :h, :w])
             try:
                 if isinstance(arr, tuple) and arr[0] == "splice":
-                    artifact = self._splice_and_save(task, op, it.splice)
+                    artifact = (
+                        self._splice_and_save(task, op, it.splice)
+                        if op.type is OperationType.WATERMARK
+                        else self._coef_tx_and_save(task, op, it.splice))
                 elif (op.type is OperationType.WATERMARK
                         and it.splice is not None
                         and negotiate_format(fmt, watermark=True)

@@ -552,7 +552,7 @@ class JpegSpliceContext:
                  "destuff", "mcu_bits", "destuff_bits", "comp_id",
                  "comp_tq", "comp_dc", "comp_ac", "dht_bits", "dht_vals",
                  "dht_present", "mcus_x", "mcus_y", "edited",
-                 "restart_interval", "seg_bits")
+                 "restart_interval", "seg_bits", "undo")
 
     @property
     def nmcus(self) -> int:
@@ -668,6 +668,7 @@ def scan_jpeg_for_transcode(data: bytes) -> JpegSpliceContext:
     ctx.restart_interval = ri
     ctx.seg_bits = seg_bits if ri > 0 else None
     ctx.edited = False  # set by splice.watermark_band after a write-back
+    ctx.undo = None     # band-edit snapshot (splice.watermark_band)
     return ctx
 
 

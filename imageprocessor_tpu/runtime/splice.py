@@ -272,6 +272,18 @@ def watermark_band(ctx: JpegSpliceContext, op) -> np.ndarray | None:
     band[wy:wy + win_h, wx:wx + win_w] = \
         np.clip(np.round(blended), 0, 255).astype(np.uint8)
 
+    # Snapshot the exact plane rects the band re-encode overwrites so
+    # watermark_splice can restore the context after the emit: plan ops
+    # are INDEPENDENT renditions of one source, so the edit must never
+    # leak into a later op's (or a retry's) view of the coefficients.
+    fh, fw = vy, hy
+    ctx.undo = [
+        (0, rr0, cc0, ctx.planes[0][rr0:rr1, cc0:cc1].copy()),
+        (1, rr0 // fh, cc0 // fw,
+         ctx.planes[1][rr0 // fh:rr1 // fh, cc0 // fw:cc1 // fw].copy()),
+        (2, rr0 // fh, cc0 // fw,
+         ctx.planes[2][rr0 // fh:rr1 // fh, cc0 // fw:cc1 // fw].copy()),
+    ]
     _encode_band(ctx, band, rr0, rr1, cc0, cc1)
     ctx.edited = True
     flags = np.zeros((ctx.mcus_y, ctx.mcus_x), dtype=np.uint8)
@@ -316,6 +328,7 @@ def coef_context(planes, qtabs, size, sampling) -> JpegSpliceContext:
     ctx.mcus_x = -(-ctx.size[0] // (hy * 8))
     ctx.mcus_y = -(-ctx.size[1] // (vy * 8))
     ctx.edited = False
+    ctx.undo = None
     return ctx
 
 
@@ -345,7 +358,8 @@ def _reencode_all(ctx: JpegSpliceContext) -> bytes:
     """Full re-symbolization with the stream's own quantization tables
     (standard Huffman). emit_jpeg_from_coefficients declares ONE shared
     chroma quant table — only equivalent when Cb and Cr tables agree."""
-    if not np.array_equal(ctx.qtabs[1], ctx.qtabs[2]):
+    if len(ctx.planes) == 3 \
+            and not np.array_equal(ctx.qtabs[1], ctx.qtabs[2]):
         raise NativeCodecError("distinct chroma quant tables")
     w, h = ctx.size
     return nativecodec.emit_jpeg_from_coefficients(
@@ -353,35 +367,57 @@ def _reencode_all(ctx: JpegSpliceContext) -> bytes:
         (ctx.sampling[0][0], ctx.sampling[0][1]))
 
 
+#: Public entry for consumers holding a pseudo context (runtime/coeftx
+#: transform outputs): re-symbolize it into a baseline stream.
+reencode = _reencode_all
+
+
+def _restore(ctx: JpegSpliceContext) -> None:
+    """Undo a band edit: put the snapshotted plane rects back and clear
+    the edited flag, returning ctx to its pristine scanned state."""
+    undo = getattr(ctx, "undo", None)
+    if undo:
+        for c, r0, c0, saved in undo:
+            ctx.planes[c][r0:r0 + saved.shape[0],
+                          c0:c0 + saved.shape[1]] = saved
+        ctx.undo = None
+        ctx.edited = False
+
+
 def watermark_splice(ctx: JpegSpliceContext, op) -> bytes:
-    """Produce the watermark rendition by splice transcode. Edits
-    ctx.planes in place, then emits: flagged MCUs re-symbolized with the
-    input's own tables, everything else copied bit-exact. When the
-    input's (possibly optimized) Huffman tables cannot express an edited
-    block, falls back to a full re-symbolization with standard tables —
-    same pixels, same quantization, only a longer emit. Pseudo contexts
-    (coef_context — progressive sources) have no bit offsets and always
-    take the full re-symbolization. Raises NativeCodecError when even
-    that cannot code the stream (adversarial coefficient magnitudes);
-    callers then fall back to decode_rgb."""
+    """Produce the watermark rendition by splice transcode: edit the
+    band, emit (flagged MCUs re-symbolized with the input's own tables,
+    everything else copied bit-exact), then RESTORE the context — plan
+    ops are independent renditions of one source, so the band edit must
+    never persist past this call (a second watermark op, a transform op
+    reading the same context, or a decode_rgb fallback would otherwise
+    see the first op's pixels). When the input's (possibly optimized)
+    Huffman tables cannot express an edited block, falls back to a full
+    re-symbolization with standard tables — same pixels, same
+    quantization, only a longer emit. Pseudo contexts (coef_context —
+    progressive sources) have no bit offsets and always take the full
+    re-symbolization. Raises NativeCodecError when even that cannot code
+    the stream (adversarial coefficient magnitudes); callers then fall
+    back to decode_rgb (the restore in `finally` guarantees it decodes
+    pristine source coefficients)."""
     if not supports(ctx):
         raise NativeCodecError("stream not splice-editable")
     if ctx.edited:
-        # A second watermark op re-entering with an edited context would
-        # splice against already-rewritten planes: previously edited
-        # MCUs outside the new band would be copied from the ORIGINAL
-        # bits while the new band's boundary blocks re-symbolize against
-        # the edited planes' DC predictors — chaining copied runs off
-        # the wrong DC. Force the caller's decode_rgb fallback instead.
+        # Defense in depth: a context that is ALREADY dirty at entry
+        # (an aborted edit that skipped its restore) cannot be spliced
+        # — copied runs would chain off the wrong DC predictors.
         raise NativeCodecError("context already edited; re-splice would "
                                "desync DC predictors")
-    flags = watermark_band(ctx, op)
-    if ctx.destuff is None:  # pseudo context: no bits to copy
-        return _reencode_all(ctx)
-    if flags is None:  # zero-coverage text: output == input stream
-        flags = np.zeros((ctx.mcus_y, ctx.mcus_x), dtype=np.uint8)
-        return nativecodec.emit_jpeg_transcode(ctx, flags)
     try:
-        return nativecodec.emit_jpeg_transcode(ctx, flags)
-    except NativeCodecError:
-        return _reencode_all(ctx)
+        flags = watermark_band(ctx, op)
+        if ctx.destuff is None:  # pseudo context: no bits to copy
+            return _reencode_all(ctx)
+        if flags is None:  # zero-coverage text: output == input stream
+            flags = np.zeros((ctx.mcus_y, ctx.mcus_x), dtype=np.uint8)
+            return nativecodec.emit_jpeg_transcode(ctx, flags)
+        try:
+            return nativecodec.emit_jpeg_transcode(ctx, flags)
+        except NativeCodecError:
+            return _reencode_all(ctx)
+    finally:
+        _restore(ctx)

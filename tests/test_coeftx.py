@@ -1,0 +1,241 @@
+"""Lossless coefficient-domain flip/rotate/crop (runtime/coeftx.py).
+
+Correctness criteria, strongest first:
+1. BIT-EXACT coefficients: emit + rescan of a transformed context
+   returns exactly the transformed planes (the transform is lossless in
+   the coefficient domain — zero generation loss, jpegtran's property).
+2. BIT-EXACT pixels under the float64 symmetric oracle decoder
+   (splice.decode_rgb) for mirrors and 90-degree rotations; crop is
+   pixel-exact except the <=1-px strip adjacent to a subsampled-chroma
+   crop edge, where the decoder's upsample taps clamp at the new plane
+   boundary instead of reading the cropped-away neighbors (same caveat
+   family as the splice band edge, PARITY.md). Integer decoders
+   (libjpeg/PIL) add their own <=3 LSB IDCT/upsample rounding asymmetry
+   on top — inherent to any jpegtran-style output, not a transform
+   property.
+3. Geometry gates follow jpegtran's perfect-transform rules; anything
+   inexpressible falls back to the pixel path.
+"""
+
+import io
+import tempfile
+import uuid
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from imageprocessor_tpu.domain import (
+    ImageStatus,
+    OperationParams,
+    OperationType,
+    ProcessingTask,
+)
+from imageprocessor_tpu.models.plan import NormalizedOp
+from imageprocessor_tpu.runtime import coeftx, nativecodec, splice
+from imageprocessor_tpu.runtime.engine import ProcessingEngine
+from imageprocessor_tpu.storage import LocalFSObjectStore
+
+pytestmark = pytest.mark.skipif(not nativecodec.available(),
+                                reason="native codec unavailable")
+
+RNG = np.random.default_rng(23)
+
+
+def jpeg_bytes(h, w, subsampling=2, quality=88, progressive=False,
+               gray=False):
+    yy = np.linspace(0, 170, h)[:, None, None]
+    arr = np.clip(yy + RNG.integers(0, 60, (h, w, 3)), 0,
+                  255).astype(np.uint8)
+    im = PILImage.fromarray(arr)
+    if gray:
+        im = im.convert("L")
+    bio = io.BytesIO()
+    kw = {"quality": quality}
+    if not gray:
+        kw["subsampling"] = subsampling
+    if progressive:
+        kw["progressive"] = True
+    im.save(bio, format="JPEG", **kw)
+    return bio.getvalue()
+
+
+OPS = [
+    ("flip_h", NormalizedOp(type=OperationType.FLIP,
+                            direction="horizontal"),
+     lambda a: a[:, ::-1]),
+    ("flip_v", NormalizedOp(type=OperationType.FLIP,
+                            direction="vertical"),
+     lambda a: a[::-1]),
+    ("rot90", NormalizedOp(type=OperationType.ROTATE, angle=90.0),
+     lambda a: np.rot90(a, 1, (0, 1))),
+    ("rot180", NormalizedOp(type=OperationType.ROTATE, angle=180.0),
+     lambda a: np.rot90(a, 2, (0, 1))),
+    ("rot270", NormalizedOp(type=OperationType.ROTATE, angle=270.0),
+     lambda a: np.rot90(a, 3, (0, 1))),
+    ("crop", NormalizedOp(type=OperationType.CROP, x=16, y=16,
+                          width=33, height=23),
+     lambda a: a[16:39, 16:49]),
+]
+
+
+@pytest.mark.parametrize("subsampling,hw", [
+    (0, (56, 72)), (1, (56, 80)), (2, (64, 80))])
+def test_transforms_bit_exact_and_oracle_pixels(subsampling, hw):
+    h, w = hw
+    src = jpeg_bytes(h, w, subsampling)
+    ctx = nativecodec.scan_jpeg_for_transcode(src)
+    srcpx = splice.decode_rgb(ctx)
+    pristine = [p.copy() for p in ctx.planes]
+    for label, op, fn in OPS:
+        prims = coeftx.eligible_prims(op, ctx.size, ctx.sampling)
+        assert prims is not None, label
+        out = coeftx.apply(ctx, prims)
+        # apply() is pure: the source context is untouched
+        for a, b in zip(ctx.planes, pristine):
+            assert np.array_equal(a, b), label
+        data = splice.reencode(out)
+        # 1. coefficient bit-exactness through a real emit + rescan
+        p2, qt2, (w2, h2), samp2 = \
+            nativecodec.scan_jpeg_coefficients(data)
+        assert (w2, h2) == out.size, label
+        assert [tuple(s) for s in samp2] == \
+            [tuple(s) for s in out.sampling], label
+        for a, b in zip(p2, out.planes):
+            assert np.array_equal(a, b), label
+        # 2. pixel exactness under the float64 symmetric oracle
+        got = splice.decode_rgb(out)
+        want = fn(srcpx)
+        assert got.shape == want.shape, label
+        if label == "crop":
+            d = np.abs(got.astype(int) - want.astype(int))
+            assert d[2:-2, 2:-2].max() == 0, label  # interior exact
+            # edge strip: bounded chroma-upsample clamp (content-
+            # dependent; a wrong permutation would blow far past this)
+            assert d.max() <= 32, label
+        else:
+            assert np.array_equal(got, want), label
+
+
+def test_eligibility_gates():
+    """jpegtran perfect-transform rules: mirrors need the folded axis
+    MCU-aligned, crops an MCU-aligned origin, rotations a multiple of
+    90 degrees."""
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    flip_h = NormalizedOp(type=OperationType.FLIP, direction="horizontal")
+    flip_v = NormalizedOp(type=OperationType.FLIP, direction="vertical")
+    # 72 % 16 != 0: horizontal mirror folds a partial MCU — ineligible
+    assert coeftx.eligible_prims(flip_h, (72, 64), s420) is None
+    assert coeftx.eligible_prims(flip_h, (80, 64), s420) == ["flip_h"]
+    # heights: 64 % 16 == 0 eligible, 56 not
+    assert coeftx.eligible_prims(flip_v, (80, 56), s420) is None
+    assert coeftx.eligible_prims(flip_v, (80, 64), s420) == ["flip_v"]
+    # 4:2:2 only needs width % 16 for flip_h, height % 8 for flip_v
+    s422 = [(2, 1), (1, 1), (1, 1)]
+    assert coeftx.eligible_prims(flip_v, (80, 56), s422) == ["flip_v"]
+    rot = lambda a: NormalizedOp(type=OperationType.ROTATE, angle=a)
+    assert coeftx.eligible_prims(rot(45.0), (80, 64), s420) is None
+    assert coeftx.eligible_prims(rot(0.0), (80, 64), s420) == []
+    assert coeftx.eligible_prims(rot(90.0), (72, 64), s420) is None
+    assert coeftx.eligible_prims(rot(270.0), (72, 64), s420) == \
+        ["flip_v", "transpose"]
+    crop = NormalizedOp(type=OperationType.CROP, x=8, y=0,
+                        width=32, height=32)
+    assert coeftx.eligible_prims(crop, (80, 64), s420) is None  # x%16
+    crop2 = NormalizedOp(type=OperationType.CROP, x=16, y=32,
+                         width=32, height=32)
+    assert coeftx.eligible_prims(crop2, (80, 64), s420) == \
+        [("crop", 16, 32, 32, 32)]
+    # clamping mirrors ops/extra.crop_image: oversize rect shrinks
+    big = NormalizedOp(type=OperationType.CROP, x=0, y=0,
+                       width=999, height=999)
+    assert coeftx.eligible_prims(big, (80, 64), s420) == \
+        [("crop", 0, 0, 80, 64)]
+
+
+def _task(ops, fmt="jpeg"):
+    return ProcessingTask(
+        id=str(uuid.uuid4()), image_id=str(uuid.uuid4()),
+        original_path="o.jpg", bucket="b", format=fmt,
+        operations=[OperationParams(t, p) for t, p in ops])
+
+
+def test_engine_serves_transform_plans_without_pixel_decode(tmp_path):
+    """All-coefficient plans (transforms, optionally with a watermark)
+    take the no-pixel-decode shortcut on any backend; ineligible
+    geometry falls back to the pixel path and still completes."""
+    from imageprocessor_tpu.utils.metrics import METRICS
+
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
+    try:
+        src = jpeg_bytes(64, 80)
+        srcpx = np.asarray(PILImage.open(io.BytesIO(src)).convert("RGB"))
+        before = METRICS.snapshot().get(
+            "counters", {}).get("engine_coeftx_images", 0)
+
+        res = eng.process_tasks([
+            (_task([(OperationType.ROTATE, {"angle": 90})]), src)])[0]
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        out = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+            res.result.processed_paths["rotate"]))).convert("RGB"))
+        want = np.rot90(srcpx, 1, (0, 1))
+        assert out.shape == want.shape
+        # integer-decoder rounding asymmetry only (PIL decodes both)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 3
+
+        # mixed transform + watermark plan: both renditions coef-served
+        res = eng.process_tasks([
+            (_task([(OperationType.FLIP, {"direction": "vertical"}),
+                    (OperationType.WATERMARK,
+                     {"text": "hi", "opacity": 0.5})]), src)])[0]
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        out = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+            res.result.processed_paths["flip"]))).convert("RGB"))
+        assert np.array_equal(out, srcpx[::-1])  # flip_v is PIL-exact
+
+        after = METRICS.snapshot().get(
+            "counters", {}).get("engine_coeftx_images", 0)
+        assert after - before >= 2
+
+        # ineligible: arbitrary angle falls back to the pixel path
+        res = eng.process_tasks([
+            (_task([(OperationType.ROTATE, {"angle": 45})]), src)])[0]
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        out = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+            res.result.processed_paths["rotate"]))).convert("RGB"))
+        assert out.shape == srcpx.shape
+
+        # png-format tasks never shortcut (output must be png)
+        res = eng.process_tasks([
+            (_task([(OperationType.FLIP, {"direction": "vertical"})],
+                   fmt="png"), src)])[0]
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        blob = store.get_object(res.result.processed_paths["flip"])
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        eng.close()
+
+
+def test_engine_transforms_progressive_and_grayscale_sources(tmp_path):
+    """Progressive sources re-symbolize from the plain scan; grayscale
+    sources promote to color in the coefficient domain (the same
+    promotion the pixel pipeline performs)."""
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
+    try:
+        for blob in (jpeg_bytes(64, 80, progressive=True),
+                     jpeg_bytes(64, 80, gray=True)):
+            px = np.asarray(PILImage.open(io.BytesIO(blob)).convert("RGB"))
+            res = eng.process_tasks([
+                (_task([(OperationType.FLIP,
+                         {"direction": "horizontal"})]), blob)])[0]
+            assert res.result.status is ImageStatus.COMPLETED, \
+                res.result.error
+            out = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+                res.result.processed_paths["flip"]))).convert("RGB"))
+            assert out.shape == px.shape
+            d = np.abs(out.astype(int) - px[:, ::-1].astype(int))
+            assert d.max() <= 3  # integer-decoder rounding only
+    finally:
+        eng.close()
