@@ -101,16 +101,45 @@ def eligible_prims(op, size, sampling) -> list | None:
     return None
 
 
+def _rot_native(planes, mode: str) -> list | None:
+    """Fused mirror+transpose through the native blocked kernel
+    (nativecodec.coef_rot_i16) — ~6x over the numpy element-wise
+    transpose on 12 MP planes. None when the library lacks it."""
+    from imageprocessor_tpu.runtime import nativecodec
+    try:
+        return [nativecodec.coef_rot_i16(p, mode) for p in planes]
+    except nativecodec.NativeCodecError:
+        return None
+
+
 def apply(ctx: JpegSpliceContext, prims: list) -> JpegSpliceContext:
     """Apply primitives to a context's coefficient planes, returning a
     fresh PSEUDO context (no bit offsets — block order changed, so
     nothing can be bit-copied; the caller re-symbolizes via
-    splice.reencode). Never mutates `ctx`."""
+    splice.reencode). Never mutates `ctx`. Mirror+transpose pairs fuse
+    onto one native blocked pass when the library provides it; the pure
+    numpy path below stays as the behavioral reference (the tests run
+    both)."""
     planes = list(ctx.planes)
     qtabs = np.asarray(ctx.qtabs)
     w, h = ctx.size
     sampling = [tuple(s) for s in ctx.sampling]
-    for pr in prims:
+    i = 0
+    while i < len(prims):
+        pr = prims[i]
+        fuse = (prims[i + 1] if pr in ("flip_h", "flip_v")
+                and i + 1 < len(prims) else None)
+        if fuse == "transpose":
+            fused = _rot_native(planes,
+                                "rot90" if pr == "flip_h" else "rot270")
+            if fused is not None:
+                planes = fused
+                qtabs = np.ascontiguousarray(np.swapaxes(
+                    np.asarray(qtabs).reshape(-1, 8, 8), -1, -2))
+                w, h = h, w
+                sampling = [(v, u) for (u, v) in sampling]
+                i += 2
+                continue
         if pr == "flip_h":
             planes = [_flip_h_plane(p) for p in planes]
         elif pr == "flip_v":
@@ -140,4 +169,5 @@ def apply(ctx: JpegSpliceContext, prims: list) -> JpegSpliceContext:
                               x0:x0 + new_mx * 8 * hc]))
             planes = out
             w, h = cw, ch
+        i += 1
     return splice.coef_context(planes, qtabs, (w, h), sampling)

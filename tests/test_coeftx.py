@@ -239,3 +239,24 @@ def test_engine_transforms_progressive_and_grayscale_sources(tmp_path):
             assert d.max() <= 3  # integer-decoder rounding only
     finally:
         eng.close()
+
+
+def test_native_rot_kernel_matches_numpy_path(monkeypatch):
+    """The fused native blocked-rotation kernel and the pure numpy
+    decomposition must produce byte-identical streams (the numpy path
+    is the behavioral reference and the fallback when the library
+    lacks ip_coef_rot_i16)."""
+    src = jpeg_bytes(64, 80)
+    ctx = nativecodec.scan_jpeg_for_transcode(src)
+    for angle in (90.0, 270.0):
+        op = NormalizedOp(type=OperationType.ROTATE, angle=angle)
+        prims = coeftx.eligible_prims(op, ctx.size, ctx.sampling)
+        native_out = splice.reencode(coeftx.apply(ctx, prims))
+
+        def boom(plane, mode):
+            raise nativecodec.NativeCodecError("forced numpy path")
+
+        monkeypatch.setattr(nativecodec, "coef_rot_i16", boom)
+        numpy_out = splice.reencode(coeftx.apply(ctx, prims))
+        monkeypatch.undo()
+        assert native_out == numpy_out, angle
