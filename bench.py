@@ -475,6 +475,24 @@ def bench_host_codecs(src_hw_px=(3000, 4000), n: int = 4):
                       + out["host_splice_emit_ms"], 1e-9), 1)
     except Exception:  # pragma: no cover — splice scan unavailable
         pass
+    # Lossless coefficient-domain rot90 (late round 5, runtime/coeftx):
+    # the transform stage alone — scan/emit costs are already keyed
+    # above; the pixel-path comparison lives in PERF.md.
+    try:
+        from imageprocessor_tpu.domain import OperationType
+        from imageprocessor_tpu.models.plan import NormalizedOp
+        from imageprocessor_tpu.runtime import coeftx, splice as _sp
+
+        planes, qt, dims, samp = nc.scan_jpeg_coefficients(jpeg)
+        ctx = _sp.coef_context(planes, qt, dims, samp)
+        rot = NormalizedOp(type=OperationType.ROTATE, angle=90.0)
+        prims = coeftx.eligible_prims(rot, ctx.size, ctx.sampling)
+        if prims is not None:
+            coeftx.apply(ctx, prims)  # warm
+            tx_s = _best(lambda: coeftx.apply(ctx, prims))
+            out["host_coeftx_rot90_ms"] = round(tx_s * 1000.0, 2)
+    except Exception:  # pragma: no cover — coeftx unavailable
+        pass
     return out
 
 
