@@ -62,10 +62,29 @@ def _flip_v_plane(p: np.ndarray) -> np.ndarray:
     return v.reshape(hp, wp)
 
 
+def _mirror_prim(dim: int, mcu: int) -> str | None:
+    """Mirror primitive for folding an axis of `dim` pixels with MCU
+    span `mcu`: exact block mirror when the axis is MCU-aligned;
+    otherwise, when the LUMA blocks still align (dim % 8 == 0) but
+    subsampled chroma lands mid-block (dim % 16 == 8), the `_rs`
+    variant mirrors chroma by a DCT-domain half-block shift (two fixed
+    8x8 matrices mixing adjacent blocks) and requantizes ONCE with the
+    source's own table — luma stays bit-exact; this is what makes
+    1920x1080 mirrors expressible (1080 % 16 == 8). None when even the
+    luma folds a partial block."""
+    suffix = ""
+    if dim % mcu:
+        if mcu == 16 and dim % 8 == 0:
+            suffix = "_rs"
+        else:
+            return None
+    return suffix
+
+
 def eligible_prims(op, size, sampling) -> list | None:
-    """Primitive list expressing `op` losslessly on an image of `size`
-    (w, h) with luma `sampling[0]`, or None when inexpressible (odd
-    rotation angles, mirrors folding a partial MCU edge, crops with an
+    """Primitive list expressing `op` on an image of `size` (w, h) with
+    luma `sampling[0]`, or None when inexpressible (odd rotation
+    angles, mirrors folding a partial luma block, crops with an
     unaligned origin). Pure geometry — callers still gate the stream
     itself via splice.coef_reencodable."""
     w, h = size
@@ -74,19 +93,24 @@ def eligible_prims(op, size, sampling) -> list | None:
     t = op.type
     if t is OperationType.FLIP:
         if op.direction == "vertical":
-            return ["flip_v"] if h % mh == 0 else None
-        return ["flip_h"] if w % mw == 0 else None
+            sv = _mirror_prim(h, mh)
+            return None if sv is None else ["flip_v" + sv]
+        sh = _mirror_prim(w, mw)
+        return None if sh is None else ["flip_h" + sh]
     if t is OperationType.ROTATE:
         a = op.angle % 360.0
         if a == 0.0:
             return []
         if a == 90.0:
-            return ["flip_h", "transpose"] if w % mw == 0 else None
+            sh = _mirror_prim(w, mw)
+            return None if sh is None else ["flip_h" + sh, "transpose"]
         if a == 180.0:
-            return (["flip_h", "flip_v"]
-                    if (w % mw == 0 and h % mh == 0) else None)
+            sh, sv = _mirror_prim(w, mw), _mirror_prim(h, mh)
+            return (None if sh is None or sv is None
+                    else ["flip_h" + sh, "flip_v" + sv])
         if a == 270.0:
-            return ["flip_v", "transpose"] if h % mh == 0 else None
+            sv = _mirror_prim(h, mh)
+            return None if sv is None else ["flip_v" + sv, "transpose"]
         return None
     if t is OperationType.CROP:
         # Same clamping as ops/extra.crop_image, so the coefficient
@@ -99,6 +123,97 @@ def eligible_prims(op, size, sampling) -> list | None:
             return None
         return [("crop", x, y, cw, ch)]
     return None
+
+
+def _mirror_blocks(p: np.ndarray, extent: int, axis: int) -> np.ndarray:
+    """Exact block mirror of only the VALID blocks along one axis
+    (extent % 8 == 0); padding blocks beyond the extent zero out (they
+    decode to discarded samples, and zero blocks cost the least to
+    re-symbolize). Distinct from _flip_h/_flip_v_plane, which mirror
+    the WHOLE plane and are only correct when it carries no padding
+    blocks on that axis."""
+    nb = extent // 8
+    out = np.zeros_like(p)
+    if axis == 0:
+        v = p.reshape(-1, 8, p.shape[1])
+        out.reshape(-1, 8, p.shape[1])[:nb] = \
+            v[:nb][::-1] * _SIGN8[None, :, None]
+    else:
+        v = p.reshape(p.shape[0], -1, 8)
+        out.reshape(p.shape[0], -1, 8)[:, :nb] = \
+            v[:, :nb][:, ::-1] * _SIGN8[None, None, :]
+    return out
+
+
+def _shift_mirror(plane: np.ndarray, qtab: np.ndarray, extent: int,
+                  axis: int) -> np.ndarray:
+    """Mirror a component whose sample extent is NOT block-aligned
+    (extent % 8 != 0) entirely in the DCT domain. The sample-domain
+    mirror out[r] = in[extent-1-r] makes each output block a fixed
+    row-selection of TWO adjacent input blocks (split at
+    a = (extent-1) % 8); conjugating those 0/1 selection matrices with
+    the orthonormal DCT basis gives two 8x8 matrices A, B such that
+        out_coef[J] = A @ dq[bh(J)] + B @ dq[bh(J)-1]
+    — two batched matmuls over the whole plane, then ONE
+    requantization with the component's own table (the only loss; the
+    mirror itself is an exact linear map). Output blocks past the
+    extent (padding) zero out; input padding samples are never
+    selected (M1 reads rows <= a of the last partial block — exactly
+    its valid rows)."""
+    d = splice._dct_basis()
+    q = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
+    hp, wp = plane.shape
+    x = plane.reshape(hp // 8, 8, wp // 8, 8).astype(np.float64) \
+        * q[None, :, None, :]
+    a = (extent - 1) % 8
+    m1 = np.zeros((8, 8))
+    m2 = np.zeros((8, 8))
+    for u in range(8):
+        r = a - u
+        if r >= 0:
+            m1[u, r] = 1.0
+        else:
+            m2[u, 8 + r] = 1.0
+    A = d @ m1 @ d.T
+    B = d @ m2 @ d.T
+    nv = -(-extent // 8)
+    J = np.arange(nv)
+    bh = (extent - 1 - 8 * J) // 8
+    lo = np.maximum(bh - 1, 0)
+    out = np.zeros_like(x)
+    if axis == 0:
+        c1 = x[bh]
+        c2 = np.where((bh - 1 >= 0)[:, None, None, None], x[lo], 0.0)
+        out[:nv] = (np.einsum("uk,jkbv->jubv", A, c1)
+                    + np.einsum("uk,jkbv->jubv", B, c2))
+    else:
+        c1 = x[:, :, bh]
+        c2 = np.where((bh - 1 >= 0)[None, None, :, None],
+                      x[:, :, lo], 0.0)
+        out[:, :, :nv] = (np.einsum("hujk,vk->hujv", c1, A)
+                          + np.einsum("hujk,vk->hujv", c2, B))
+    res = np.clip(np.round(out / q[None, :, None, :]), -1023, 1023)
+    return res.astype(np.int16).reshape(hp, wp)
+
+
+def _mirror_rs(planes, qtabs, size, sampling, axis: int) -> list:
+    """Per-component mirror for the `_rs` primitives: components whose
+    sample extent is block-aligned take the exact integer mirror,
+    misaligned ones (subsampled chroma on a %16==8 axis) take the
+    DCT-domain shift mirror + one requantization."""
+    w, h = size
+    hy, vy = sampling[0]
+    dim = h if axis == 0 else w
+    out = []
+    qt = np.asarray(qtabs).reshape(-1, 8, 8)
+    for c, (hc, vc) in enumerate(sampling):
+        f = (vy // vc) if axis == 0 else (hy // hc)
+        ext = -(-dim // f)
+        if ext % 8 == 0:
+            out.append(_mirror_blocks(planes[c], ext, axis))
+        else:
+            out.append(_shift_mirror(planes[c], qt[c], ext, axis))
+    return out
 
 
 def _rot_native(planes, mode: str) -> list | None:
@@ -144,6 +259,10 @@ def apply(ctx: JpegSpliceContext, prims: list) -> JpegSpliceContext:
             planes = [_flip_h_plane(p) for p in planes]
         elif pr == "flip_v":
             planes = [_flip_v_plane(p) for p in planes]
+        elif pr == "flip_h_rs":
+            planes = _mirror_rs(planes, qtabs, (w, h), sampling, axis=1)
+        elif pr == "flip_v_rs":
+            planes = _mirror_rs(planes, qtabs, (w, h), sampling, axis=0)
         elif pr == "transpose":
             planes = [np.ascontiguousarray(p.T) for p in planes]
             # The stored coefficients are QUANTIZED: position (u, v) of

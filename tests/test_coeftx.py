@@ -118,25 +118,33 @@ def test_transforms_bit_exact_and_oracle_pixels(subsampling, hw):
 
 
 def test_eligibility_gates():
-    """jpegtran perfect-transform rules: mirrors need the folded axis
-    MCU-aligned, crops an MCU-aligned origin, rotations a multiple of
-    90 degrees."""
+    """Mirror gates: MCU-aligned axes take the exact block mirror;
+    axes where only the LUMA blocks align (dim % 16 == 8 on a
+    subsampled axis — e.g. 1080) take the `_rs` variant (luma exact,
+    chroma DCT-domain shift + one requant); a partial luma block
+    (dim % 8 != 0) is ineligible. Crops need an MCU-aligned origin,
+    rotations a multiple of 90 degrees."""
     s420 = [(2, 2), (1, 1), (1, 1)]
     flip_h = NormalizedOp(type=OperationType.FLIP, direction="horizontal")
     flip_v = NormalizedOp(type=OperationType.FLIP, direction="vertical")
-    # 72 % 16 != 0: horizontal mirror folds a partial MCU — ineligible
-    assert coeftx.eligible_prims(flip_h, (72, 64), s420) is None
+    # 72 % 16 == 8 but % 8 == 0: chroma-resample mirror
+    assert coeftx.eligible_prims(flip_h, (72, 64), s420) == ["flip_h_rs"]
     assert coeftx.eligible_prims(flip_h, (80, 64), s420) == ["flip_h"]
-    # heights: 64 % 16 == 0 eligible, 56 not
-    assert coeftx.eligible_prims(flip_v, (80, 56), s420) is None
+    # 68 % 8 != 0: partial luma block — ineligible
+    assert coeftx.eligible_prims(flip_h, (68, 64), s420) is None
+    assert coeftx.eligible_prims(flip_v, (80, 56), s420) == ["flip_v_rs"]
     assert coeftx.eligible_prims(flip_v, (80, 64), s420) == ["flip_v"]
+    assert coeftx.eligible_prims(flip_v, (80, 1080), s420) == \
+        ["flip_v_rs"]  # the 1920x1080 case
     # 4:2:2 only needs width % 16 for flip_h, height % 8 for flip_v
     s422 = [(2, 1), (1, 1), (1, 1)]
     assert coeftx.eligible_prims(flip_v, (80, 56), s422) == ["flip_v"]
     rot = lambda a: NormalizedOp(type=OperationType.ROTATE, angle=a)
     assert coeftx.eligible_prims(rot(45.0), (80, 64), s420) is None
     assert coeftx.eligible_prims(rot(0.0), (80, 64), s420) == []
-    assert coeftx.eligible_prims(rot(90.0), (72, 64), s420) is None
+    assert coeftx.eligible_prims(rot(90.0), (72, 64), s420) == \
+        ["flip_h_rs", "transpose"]
+    assert coeftx.eligible_prims(rot(90.0), (68, 64), s420) is None
     assert coeftx.eligible_prims(rot(270.0), (72, 64), s420) == \
         ["flip_v", "transpose"]
     crop = NormalizedOp(type=OperationType.CROP, x=8, y=0,
@@ -260,3 +268,74 @@ def test_native_rot_kernel_matches_numpy_path(monkeypatch):
         numpy_out = splice.reencode(coeftx.apply(ctx, prims))
         monkeypatch.undo()
         assert native_out == numpy_out, angle
+
+
+@pytest.mark.parametrize("direction,hw,axis", [
+    ("vertical", (56, 80), 0),    # 56 % 16 == 8: chroma shift on rows
+    ("horizontal", (64, 72), 1),  # 72 % 16 == 8: chroma shift on cols
+])
+def test_rs_mirror_luma_exact_chroma_single_requant(direction, hw, axis):
+    """The `_rs` mirrors (runtime/coeftx._shift_mirror): LUMA plane is
+    a bit-exact extent-mirror; decoded pixels beat the pixel path's
+    q85 re-encode (which requantizes luma AND chroma) on every source —
+    the chroma pays exactly one requantization with its own table."""
+    h, w = hw
+    src = jpeg_bytes(h, w, subsampling=2)
+    ctx = nativecodec.scan_jpeg_for_transcode(src)
+    op = NormalizedOp(type=OperationType.FLIP, direction=direction)
+    prims = coeftx.eligible_prims(op, ctx.size, ctx.sampling)
+    assert prims == ["flip_v_rs" if axis == 0 else "flip_h_rs"]
+    out = coeftx.apply(ctx, prims)
+    # luma: bit-exact extent-aware block mirror
+    ext = h if axis == 0 else w
+    want_luma = coeftx._mirror_blocks(ctx.planes[0], ext, axis)
+    assert np.array_equal(out.planes[0], want_luma)
+    # pixels: closer to the ideal than the pixel path's q85 re-encode
+    ideal = splice.decode_rgb(ctx)
+    ideal = ideal[::-1] if axis == 0 else ideal[:, ::-1]
+    got = splice.decode_rgb(out)
+    a = nativecodec.decode_jpeg(src)
+    a = a[::-1] if axis == 0 else a[:, ::-1]
+    pix = nativecodec.decode_jpeg(nativecodec.encode_jpeg(
+        np.ascontiguousarray(a), quality=85))
+
+    def psnr(x, y):
+        mse = ((x.astype(np.float64) - y.astype(np.float64)) ** 2).mean()
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    assert psnr(got, ideal) > psnr(pix, ideal)
+    # the emitted stream round-trips bit-exact (coefficients final)
+    p2, _qt, (w2, h2), _s = nativecodec.scan_jpeg_coefficients(
+        splice.reencode(out))
+    assert (w2, h2) == out.size
+    for x, y in zip(p2, out.planes):
+        assert np.array_equal(x, y)
+
+
+def test_rs_mirror_through_engine_1080p_shape(tmp_path):
+    """1920x1080-class sources (h % 16 == 8 at 4:2:0) flip vertically
+    through the engine via the rs path — previously pixel-path-only."""
+    store = LocalFSObjectStore(str(tmp_path / "objects"))
+    eng = ProcessingEngine(store, device_jpeg=False, use_pallas=False)
+    try:
+        src = jpeg_bytes(120, 160)  # 120 % 16 == 8, same class as 1080
+        srcpx = np.asarray(PILImage.open(io.BytesIO(src)).convert("RGB"))
+        res = eng.process_tasks([
+            (_task([(OperationType.FLIP, {"direction": "vertical"}),
+                    (OperationType.ROTATE, {"angle": 180})]), src)])[0]
+        assert res.result.status is ImageStatus.COMPLETED, res.result.error
+        for key, fn in [("flip", lambda a: a[::-1]),
+                        ("rotate", lambda a: np.rot90(a, 2, (0, 1)))]:
+            out = np.asarray(PILImage.open(io.BytesIO(store.get_object(
+                res.result.processed_paths[key]))).convert("RGB"))
+            want = fn(srcpx)
+            assert out.shape == want.shape
+
+            def psnr(x, y):
+                mse = ((x.astype(np.float64)
+                        - y.astype(np.float64)) ** 2).mean()
+                return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+            assert psnr(out, want) > 33.0, key  # chroma requant only
+    finally:
+        eng.close()
