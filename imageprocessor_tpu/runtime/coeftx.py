@@ -37,6 +37,8 @@ pixel path — never a trimmed or shifted output.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from imageprocessor_tpu.domain import OperationType
@@ -62,6 +64,18 @@ def _flip_v_plane(p: np.ndarray) -> np.ndarray:
     return v.reshape(hp, wp)
 
 
+def rs_enabled() -> bool:
+    """Half-MCU (`_rs`) mirrors are a FIDELITY-vs-host-ms tradeoff:
+    luma bit-exact + single chroma requant, but measured ~2.4x the
+    host cost of the SIMD pixel path (PERF.md "Half-MCU mirrors") —
+    the scan+emit pair alone costs what libjpeg-turbo's whole
+    decode+encode does. Default on (the framework is fidelity-first,
+    like the splice quantization choice); IMAGEPROCESSOR_COEF_RS=0
+    reverts those shapes to the pixel path."""
+    return os.environ.get("IMAGEPROCESSOR_COEF_RS", "1").lower() \
+        not in ("0", "false", "no")
+
+
 def _mirror_prim(dim: int, mcu: int) -> str | None:
     """Mirror primitive for folding an axis of `dim` pixels with MCU
     span `mcu`: exact block mirror when the axis is MCU-aligned;
@@ -71,10 +85,10 @@ def _mirror_prim(dim: int, mcu: int) -> str | None:
     8x8 matrices mixing adjacent blocks) and requantizes ONCE with the
     source's own table — luma stays bit-exact; this is what makes
     1920x1080 mirrors expressible (1080 % 16 == 8). None when even the
-    luma folds a partial block."""
+    luma folds a partial block (or rs is disabled by knob)."""
     suffix = ""
     if dim % mcu:
-        if mcu == 16 and dim % 8 == 0:
+        if mcu == 16 and dim % 8 == 0 and rs_enabled():
             suffix = "_rs"
         else:
             return None
@@ -181,17 +195,20 @@ def _shift_mirror(plane: np.ndarray, qtab: np.ndarray, extent: int,
     bh = (extent - 1 - 8 * J) // 8
     lo = np.maximum(bh - 1, 0)
     out = np.zeros_like(x)
+    # tensordot routes through BLAS dgemm (the equivalent einsum runs
+    # ~5x slower as a generic loop on these shapes)
     if axis == 0:
         c1 = x[bh]
         c2 = np.where((bh - 1 >= 0)[:, None, None, None], x[lo], 0.0)
-        out[:nv] = (np.einsum("uk,jkbv->jubv", A, c1)
-                    + np.einsum("uk,jkbv->jubv", B, c2))
+        out[:nv] = (
+            np.tensordot(A, c1, axes=([1], [1]))
+            + np.tensordot(B, c2, axes=([1], [1]))).transpose(1, 0, 2, 3)
     else:
         c1 = x[:, :, bh]
         c2 = np.where((bh - 1 >= 0)[None, None, :, None],
                       x[:, :, lo], 0.0)
-        out[:, :, :nv] = (np.einsum("hujk,vk->hujv", c1, A)
-                          + np.einsum("hujk,vk->hujv", c2, B))
+        out[:, :, :nv] = (np.tensordot(c1, A.T, axes=([3], [0]))
+                          + np.tensordot(c2, B.T, axes=([3], [0])))
     res = np.clip(np.round(out / q[None, :, None, :]), -1023, 1023)
     return res.astype(np.int16).reshape(hp, wp)
 

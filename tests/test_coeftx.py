@@ -339,3 +339,16 @@ def test_rs_mirror_through_engine_1080p_shape(tmp_path):
             assert psnr(out, want) > 33.0, key  # chroma requant only
     finally:
         eng.close()
+
+
+def test_rs_knob_reverts_to_pixel_path(monkeypatch):
+    """IMAGEPROCESSOR_COEF_RS=0: half-MCU mirror shapes fall back to
+    the pixel path (the measured host-cost tradeoff, PERF.md); exact
+    mirrors are unaffected."""
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    flip_v = NormalizedOp(type=OperationType.FLIP, direction="vertical")
+    monkeypatch.setenv("IMAGEPROCESSOR_COEF_RS", "0")
+    assert coeftx.eligible_prims(flip_v, (80, 56), s420) is None
+    assert coeftx.eligible_prims(flip_v, (80, 64), s420) == ["flip_v"]
+    monkeypatch.delenv("IMAGEPROCESSOR_COEF_RS", raising=False)
+    assert coeftx.eligible_prims(flip_v, (80, 56), s420) == ["flip_v_rs"]
