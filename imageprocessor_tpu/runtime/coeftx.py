@@ -28,11 +28,21 @@ the IDCT/upsample exactly), with zero generation loss — strictly more
 faithful than the pixel path's q85 re-encode, the same (documented)
 fidelity divergence as the watermark splice (PARITY.md).
 
-Expressibility follows jpegtran's "perfect transform" rules: a mirror
-is exact only when the axis it folds is a whole number of MCUs (else
-the partial edge block would land on the leading edge, which the JFIF
-block grid cannot represent). Ineligible geometry falls back to the
-pixel path — never a trimmed or shifted output.
+Expressibility starts from jpegtran's "perfect transform" rules: a
+mirror is LOSSLESS only when the axis it folds is a whole number of
+MCUs (else the partial edge block lands on the leading edge, which the
+JFIF block grid cannot represent). The `_rs` extension widens that to
+any axis where the fold is still an exact sample SELECTION per
+component (dim a multiple of every component's subsample factor):
+misaligned components mirror by an exact DCT-domain shift and pay ONE
+requantization with their own source table (see _mirror_prim /
+_shift_mirror) — 1080-class dims keep luma bit-exact, 1366-class even
+dims shift luma too. Odd dims on a subsampled axis, where the mirrored
+chroma lattice falls between source samples, use the exact
+subsample-area two-tap mirror (_shift_mirror frac=r/f) — so every
+mirror/rotation dim is expressible. Ineligible geometry (odd rotation
+angles, unaligned crop origins) falls back to the pixel path — never a
+trimmed or shifted output.
 """
 
 from __future__ import annotations
@@ -65,34 +75,51 @@ def _flip_v_plane(p: np.ndarray) -> np.ndarray:
 
 
 def rs_enabled() -> bool:
-    """Half-MCU (`_rs`) mirrors are a FIDELITY-vs-host-ms tradeoff:
-    luma bit-exact + single chroma requant, but measured ~2.4x the
-    host cost of the SIMD pixel path (PERF.md "Half-MCU mirrors") —
-    the scan+emit pair alone costs what libjpeg-turbo's whole
-    decode+encode does. Default on (the framework is fidelity-first,
-    like the splice quantization choice); IMAGEPROCESSOR_COEF_RS=0
-    reverts those shapes to the pixel path."""
+    """Shift (`_rs`) mirrors are a FIDELITY-vs-host-ms tradeoff:
+    block-aligned components stay bit-exact, shifted ones pay a single
+    source-table requant, but the path measured ~2.4x the host cost of
+    the SIMD pixel path (PERF.md "Half-MCU mirrors") — the scan+emit
+    pair alone costs what libjpeg-turbo's whole decode+encode does.
+    Default on (the framework is fidelity-first, like the splice
+    quantization choice); IMAGEPROCESSOR_COEF_RS=0 reverts those
+    shapes to the pixel path."""
     return os.environ.get("IMAGEPROCESSOR_COEF_RS", "1").lower() \
         not in ("0", "false", "no")
 
 
-def _mirror_prim(dim: int, mcu: int) -> str | None:
-    """Mirror primitive for folding an axis of `dim` pixels with MCU
-    span `mcu`: exact block mirror when the axis is MCU-aligned;
-    otherwise, when the LUMA blocks still align (dim % 8 == 0) but
-    subsampled chroma lands mid-block (dim % 16 == 8), the `_rs`
-    variant mirrors chroma by a DCT-domain half-block shift (two fixed
-    8x8 matrices mixing adjacent blocks) and requantizes ONCE with the
-    source's own table — luma stays bit-exact; this is what makes
-    1920x1080 mirrors expressible (1080 % 16 == 8). None when even the
-    luma folds a partial block (or rs is disabled by knob)."""
-    suffix = ""
-    if dim % mcu:
-        if mcu == 16 and dim % 8 == 0 and rs_enabled():
-            suffix = "_rs"
-        else:
-            return None
-    return suffix
+def _mirror_prim(dim: int, factors: list) -> str | None:
+    """Mirror primitive for folding an axis of `dim` pixels, given each
+    component's subsample factor along that axis: the exact block
+    mirror when every component's sample extent is block-aligned;
+    otherwise the `_rs` variant, valid whenever the fold is still an
+    exact sample SELECTION for every component — i.e. `dim` is a
+    multiple of each factor. Components whose extent stays 8-aligned
+    mirror bit-exact; misaligned ones mirror by a DCT-domain shift (two
+    fixed 8x8 matrices mixing adjacent blocks, _shift_mirror) and
+    requantize ONCE with their own source table. This expresses
+    1920x1080 (chroma shift only, luma bit-exact — 1080 % 16 == 8) and
+    1366/1334-class even dims (luma shifts too — 1366 % 8 == 6), plus
+    ANY dim on axes where nothing is subsampled (4:4:4 both axes,
+    4:2:2 vertically, grayscale). When a subsampled component's
+    lattice does not divide `dim` (odd dim at 4:2:0), the mirrored
+    chroma sample covers a SPLIT of two source samples — still an
+    exact banded linear map (the subsample-area two-tap mirror,
+    _shift_mirror frac=r/f), so every dim is expressible; measured
+    fidelity still beats the pixel path (tests, PERF.md). None only
+    when rs is disabled by knob."""
+    if all(dim % (8 * f) == 0 for f in factors):
+        return ""
+    if rs_enabled():
+        return "_rs"
+    return None
+
+
+def _axis_factors(sampling, axis: int) -> list:
+    """Per-component subsample factor along `axis` (0 = vertical fold,
+    1 = horizontal fold) relative to luma."""
+    hy, vy = sampling[0]
+    return [(vy // vc) if axis == 0 else (hy // hc)
+            for (hc, vc) in sampling]
 
 
 def eligible_prims(op, size, sampling) -> list | None:
@@ -104,26 +131,27 @@ def eligible_prims(op, size, sampling) -> list | None:
     w, h = size
     hy, vy = sampling[0]
     mw, mh = 8 * hy, 8 * vy
+    fw, fh = _axis_factors(sampling, 1), _axis_factors(sampling, 0)
     t = op.type
     if t is OperationType.FLIP:
         if op.direction == "vertical":
-            sv = _mirror_prim(h, mh)
+            sv = _mirror_prim(h, fh)
             return None if sv is None else ["flip_v" + sv]
-        sh = _mirror_prim(w, mw)
+        sh = _mirror_prim(w, fw)
         return None if sh is None else ["flip_h" + sh]
     if t is OperationType.ROTATE:
         a = op.angle % 360.0
         if a == 0.0:
             return []
         if a == 90.0:
-            sh = _mirror_prim(w, mw)
+            sh = _mirror_prim(w, fw)
             return None if sh is None else ["flip_h" + sh, "transpose"]
         if a == 180.0:
-            sh, sv = _mirror_prim(w, mw), _mirror_prim(h, mh)
+            sh, sv = _mirror_prim(w, fw), _mirror_prim(h, fh)
             return (None if sh is None or sv is None
                     else ["flip_h" + sh, "flip_v" + sv])
         if a == 270.0:
-            sv = _mirror_prim(h, mh)
+            sv = _mirror_prim(h, fh)
             return None if sv is None else ["flip_v" + sv, "transpose"]
         return None
     if t is OperationType.CROP:
@@ -160,20 +188,27 @@ def _mirror_blocks(p: np.ndarray, extent: int, axis: int) -> np.ndarray:
 
 
 def _shift_mirror(plane: np.ndarray, qtab: np.ndarray, extent: int,
-                  axis: int) -> np.ndarray:
+                  axis: int, frac: float = 1.0) -> np.ndarray:
     """Mirror a component whose sample extent is NOT block-aligned
-    (extent % 8 != 0) entirely in the DCT domain. The sample-domain
-    mirror out[r] = in[extent-1-r] makes each output block a fixed
-    row-selection of TWO adjacent input blocks (split at
-    a = (extent-1) % 8); conjugating those 0/1 selection matrices with
-    the orthonormal DCT basis gives two 8x8 matrices A, B such that
+    entirely in the DCT domain. The sample-domain mirror
+        out[i] = frac * in[(extent-1)-i] + (1-frac) * in[(extent-2)-i]
+    (frac == 1: the pure selection for axes the component's lattice
+    divides; frac == r/f: the EXACT subsample-area mirror of a
+    component subsampled by f on an axis of f*m+r luma pixels — each
+    mirrored output chroma sample covers r source pixels of in[m-i]
+    and f-r of in[m-1-i]) makes each output block a fixed row-map of
+    TWO adjacent input blocks (split at a = (extent-1) % 8);
+    conjugating those banded matrices with the orthonormal DCT basis
+    gives two 8x8 matrices A, B such that
         out_coef[J] = A @ dq[bh(J)] + B @ dq[bh(J)-1]
     — two batched matmuls over the whole plane, then ONE
     requantization with the component's own table (the only loss; the
-    mirror itself is an exact linear map). Output blocks past the
-    extent (padding) zero out; input padding samples are never
-    selected (M1 reads rows <= a of the last partial block — exactly
-    its valid rows)."""
+    map itself is exact). Output blocks past the extent (padding) zero
+    out; input padding samples are never read (the taps stop at the
+    last partial block's valid rows), and the single sample whose
+    second tap would read in[-1] (i = extent-1, present only when
+    frac < 1) clamps to in[0] — which IS its exact value: the r luma
+    pixels it covers all fall inside source chroma sample 0."""
     d = splice._dct_basis()
     q = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
     hp, wp = plane.shape
@@ -183,11 +218,14 @@ def _shift_mirror(plane: np.ndarray, qtab: np.ndarray, extent: int,
     m1 = np.zeros((8, 8))
     m2 = np.zeros((8, 8))
     for u in range(8):
-        r = a - u
-        if r >= 0:
-            m1[u, r] = 1.0
-        else:
-            m2[u, 8 + r] = 1.0
+        for tap, wgt in ((0, frac), (1, 1.0 - frac)):
+            if wgt == 0.0:
+                continue
+            r = a - u - tap
+            if r >= 0:
+                m1[u, r] += wgt
+            else:
+                m2[u, 8 + r] += wgt
     A = d @ m1 @ d.T
     B = d @ m2 @ d.T
     nv = -(-extent // 8)
@@ -209,15 +247,30 @@ def _shift_mirror(plane: np.ndarray, qtab: np.ndarray, extent: int,
                       x[:, :, lo], 0.0)
         out[:, :, :nv] = (np.tensordot(c1, A.T, axes=([3], [0]))
                           + np.tensordot(c2, B.T, axes=([3], [0])))
+    if frac < 1.0:
+        # the i = extent-1 clamp: re-map the last valid block's row a
+        # with the (1-frac) weight folded onto in[0] (block bh == 0,
+        # whose m2 term the where() above zeroed)
+        m1c = m1.copy()
+        m1c[a, 0] += 1.0 - frac
+        Ac = d @ m1c @ d.T
+        jl = nv - 1
+        if axis == 0:
+            out[jl] = np.tensordot(Ac, x[0], axes=([1], [0]))
+        else:
+            out[:, :, jl] = np.tensordot(x[:, :, 0], Ac.T,
+                                         axes=([2], [0]))
     res = np.clip(np.round(out / q[None, :, None, :]), -1023, 1023)
     return res.astype(np.int16).reshape(hp, wp)
 
 
 def _mirror_rs(planes, qtabs, size, sampling, axis: int) -> list:
     """Per-component mirror for the `_rs` primitives: components whose
-    sample extent is block-aligned take the exact integer mirror,
-    misaligned ones (subsampled chroma on a %16==8 axis) take the
-    DCT-domain shift mirror + one requantization."""
+    sample extent is block-aligned AND whose lattice divides the axis
+    take the exact integer mirror; misaligned ones take the DCT-domain
+    shift mirror + one requantization (pure selection when the lattice
+    divides the axis, the exact subsample-area two-tap map when it
+    does not — odd dims at 4:2:0)."""
     w, h = size
     hy, vy = sampling[0]
     dim = h if axis == 0 else w
@@ -225,11 +278,15 @@ def _mirror_rs(planes, qtabs, size, sampling, axis: int) -> list:
     qt = np.asarray(qtabs).reshape(-1, 8, 8)
     for c, (hc, vc) in enumerate(sampling):
         f = (vy // vc) if axis == 0 else (hy // hc)
+        r = dim % f
         ext = -(-dim // f)
-        if ext % 8 == 0:
+        if r == 0 and ext % 8 == 0:
             out.append(_mirror_blocks(planes[c], ext, axis))
-        else:
+        elif r == 0:
             out.append(_shift_mirror(planes[c], qt[c], ext, axis))
+        else:
+            out.append(_shift_mirror(planes[c], qt[c], ext, axis,
+                                     frac=r / f))
     return out
 
 

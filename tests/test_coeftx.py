@@ -118,11 +118,14 @@ def test_transforms_bit_exact_and_oracle_pixels(subsampling, hw):
 
 
 def test_eligibility_gates():
-    """Mirror gates: MCU-aligned axes take the exact block mirror;
-    axes where only the LUMA blocks align (dim % 16 == 8 on a
-    subsampled axis — e.g. 1080) take the `_rs` variant (luma exact,
-    chroma DCT-domain shift + one requant); a partial luma block
-    (dim % 8 != 0) is ineligible. Crops need an MCU-aligned origin,
+    """Mirror gates: axes where every component's extent is
+    block-aligned take the exact block mirror; any axis where the fold
+    is an exact per-component banded linear map — a sample SELECTION
+    when each component's lattice divides the dim (1080-class %16==8,
+    even %8!=0 like 1366, any dim on unsubsampled axes) or the
+    subsample-area two-tap mirror when it does not (odd dims at
+    4:2:0) — takes the `_rs` variant (aligned components exact,
+    shifted ones one requant). Crops need an MCU-aligned origin,
     rotations a multiple of 90 degrees."""
     s420 = [(2, 2), (1, 1), (1, 1)]
     flip_h = NormalizedOp(type=OperationType.FLIP, direction="horizontal")
@@ -130,21 +133,35 @@ def test_eligibility_gates():
     # 72 % 16 == 8 but % 8 == 0: chroma-resample mirror
     assert coeftx.eligible_prims(flip_h, (72, 64), s420) == ["flip_h_rs"]
     assert coeftx.eligible_prims(flip_h, (80, 64), s420) == ["flip_h"]
-    # 68 % 8 != 0: partial luma block — ineligible
-    assert coeftx.eligible_prims(flip_h, (68, 64), s420) is None
+    # 68 % 8 == 4 but even: luma shifts too (1366-class)
+    assert coeftx.eligible_prims(flip_h, (68, 64), s420) == ["flip_h_rs"]
+    # odd width at 4:2:0: two-tap chroma mirror — still eligible
+    assert coeftx.eligible_prims(flip_h, (67, 64), s420) == ["flip_h_rs"]
+    assert coeftx.eligible_prims(flip_v, (64, 67), s420) == ["flip_v_rs"]
     assert coeftx.eligible_prims(flip_v, (80, 56), s420) == ["flip_v_rs"]
     assert coeftx.eligible_prims(flip_v, (80, 64), s420) == ["flip_v"]
     assert coeftx.eligible_prims(flip_v, (80, 1080), s420) == \
         ["flip_v_rs"]  # the 1920x1080 case
+    assert coeftx.eligible_prims(flip_h, (1366, 768), s420) == \
+        ["flip_h_rs"]  # the 1366x768 case (luma+chroma shift)
     # 4:2:2 only needs width % 16 for flip_h, height % 8 for flip_v
     s422 = [(2, 1), (1, 1), (1, 1)]
     assert coeftx.eligible_prims(flip_v, (80, 56), s422) == ["flip_v"]
+    # ... and vertically nothing is subsampled: ANY height is a
+    # selection (odd included)
+    assert coeftx.eligible_prims(flip_v, (80, 55), s422) == ["flip_v_rs"]
+    # 4:4:4 / grayscale: any dim on any axis
+    s444 = [(1, 1), (1, 1), (1, 1)]
+    assert coeftx.eligible_prims(flip_h, (53, 64), s444) == ["flip_h_rs"]
+    assert coeftx.eligible_prims(flip_h, (53, 64), [(1, 1)]) == \
+        ["flip_h_rs"]
     rot = lambda a: NormalizedOp(type=OperationType.ROTATE, angle=a)
     assert coeftx.eligible_prims(rot(45.0), (80, 64), s420) is None
     assert coeftx.eligible_prims(rot(0.0), (80, 64), s420) == []
     assert coeftx.eligible_prims(rot(90.0), (72, 64), s420) == \
         ["flip_h_rs", "transpose"]
-    assert coeftx.eligible_prims(rot(90.0), (68, 64), s420) is None
+    assert coeftx.eligible_prims(rot(90.0), (67, 64), s420) == \
+        ["flip_h_rs", "transpose"]
     assert coeftx.eligible_prims(rot(270.0), (72, 64), s420) == \
         ["flip_v", "transpose"]
     crop = NormalizedOp(type=OperationType.CROP, x=8, y=0,
@@ -305,6 +322,52 @@ def test_rs_mirror_luma_exact_chroma_single_requant(direction, hw, axis):
 
     assert psnr(got, ideal) > psnr(pix, ideal)
     # the emitted stream round-trips bit-exact (coefficients final)
+    p2, _qt, (w2, h2), _s = nativecodec.scan_jpeg_coefficients(
+        splice.reencode(out))
+    assert (w2, h2) == out.size
+    for x, y in zip(p2, out.planes):
+        assert np.array_equal(x, y)
+
+
+@pytest.mark.parametrize("subsampling,direction,hw", [
+    (2, "horizontal", (64, 70)),   # 4:2:0, 70 % 8 == 6 even: the
+    (2, "vertical", (70, 64)),     # 1366-class (luma + chroma shift)
+    (1, "vertical", (55, 64)),     # 4:2:2: vertical factors all 1 —
+                                   # odd heights are selections too
+    (0, "horizontal", (64, 53)),   # 4:4:4: any dim, 3 shifted comps
+    (2, "horizontal", (64, 67)),   # 4:2:0 odd width: two-tap chroma
+    (2, "vertical", (67, 64)),     # 4:2:0 odd height
+    (1, "horizontal", (64, 67)),   # 4:2:2 odd width: two-tap chroma
+])
+def test_generalized_rs_mirror(subsampling, direction, hw):
+    """Generalized `_rs` mirrors: components whose extent stays
+    8-aligned mirror bit-exact; lattice-dividing misaligned ones take
+    the exact selection shift; odd dims on a subsampled axis take the
+    subsample-area two-tap mirror — each pays exactly one source-table
+    requant. Decoded pixels beat the pixel path's q85 re-encode on
+    every shape (measured up to +10 dB on chroma edges, PERF.md), and
+    the emitted stream round-trips the coefficients bit-exact."""
+    h, w = hw
+    src = jpeg_bytes(h, w, subsampling=subsampling)
+    ctx = nativecodec.scan_jpeg_for_transcode(src)
+    op = NormalizedOp(type=OperationType.FLIP, direction=direction)
+    prims = coeftx.eligible_prims(op, ctx.size, ctx.sampling)
+    axis = 0 if direction == "vertical" else 1
+    assert prims == ["flip_v_rs" if axis == 0 else "flip_h_rs"]
+    out = coeftx.apply(ctx, prims)
+    ideal = splice.decode_rgb(ctx)
+    ideal = ideal[::-1] if axis == 0 else ideal[:, ::-1]
+    got = splice.decode_rgb(out)
+    a = nativecodec.decode_jpeg(src)
+    a = a[::-1] if axis == 0 else a[:, ::-1]
+    pix = nativecodec.decode_jpeg(nativecodec.encode_jpeg(
+        np.ascontiguousarray(a), quality=85))
+
+    def psnr(x, y):
+        mse = ((x.astype(np.float64) - y.astype(np.float64)) ** 2).mean()
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    assert psnr(got, ideal) > psnr(pix, ideal)
     p2, _qt, (w2, h2), _s = nativecodec.scan_jpeg_coefficients(
         splice.reencode(out))
     assert (w2, h2) == out.size
