@@ -18,8 +18,13 @@ classic jpegtran transforms:
 * rot90ccw = transpose(flip_h(.)), rot270 = transpose(flip_v(.)),
   rot180 = flip_h(flip_v(.)) — matching np.rot90's CCW convention used
   by ops/extra.rotate_image;
-* crop: drop whole MCU rows/columns (origin must be MCU-aligned; the
-  right/bottom edges may cut mid-block because JPEG dims already do).
+* crop: drop whole MCU rows/columns when the origin is MCU-aligned
+  (the right/bottom edges may cut mid-block because JPEG dims already
+  do); UNALIGNED origins go through the same banded-shift machinery as
+  the `_rs` mirrors (_crop_shift_axis) — each component shifts by its
+  exact subsample-area map and requantizes once, both axes composed
+  before the single requant, with per-component alignment detection
+  (x % 8 == 0 keeps luma lossless even when chroma shifts).
 
 Serving these from the coefficient stream skips the pixel decode AND
 the re-encode entirely: decoded output pixels are bit-identical to
@@ -125,9 +130,9 @@ def _axis_factors(sampling, axis: int) -> list:
 def eligible_prims(op, size, sampling) -> list | None:
     """Primitive list expressing `op` on an image of `size` (w, h) with
     luma `sampling[0]`, or None when inexpressible (odd rotation
-    angles, mirrors folding a partial luma block, crops with an
-    unaligned origin). Pure geometry — callers still gate the stream
-    itself via splice.coef_reencodable."""
+    angles; with IMAGEPROCESSOR_COEF_RS=0, also non-MCU-aligned
+    mirrors and crop origins). Pure geometry — callers still gate the
+    stream itself via splice.coef_reencodable."""
     w, h = size
     hy, vy = sampling[0]
     mw, mh = 8 * hy, 8 * vy
@@ -161,7 +166,8 @@ def eligible_prims(op, size, sampling) -> list | None:
         y = min(max(op.y, 0), h - 1)
         cw = max(1, min(op.width, w - x))
         ch = max(1, min(op.height, h - y))
-        if x % mw or y % mh:
+        if (x % mw or y % mh) and not rs_enabled():
+            # unaligned origin: servable only through the rs shift path
             return None
         return [("crop", x, y, cw, ch)]
     return None
@@ -264,6 +270,88 @@ def _shift_mirror(plane: np.ndarray, qtab: np.ndarray, extent: int,
     return res.astype(np.int16).reshape(hp, wp)
 
 
+def _crop_shift_axis(xf: np.ndarray, q0: int, frac: float, ext_out: int,
+                     ext_src: int, nbout: int, axis: int) -> np.ndarray:
+    """Banded crop shift along one axis of a DEQUANTIZED block tensor
+    (shape (H8, 8, W8, 8), float64):
+        out[i] = (1-frac) * in[q0+i] + frac * in[q0+i+1]
+    — the exact subsample-area map of cropping a component at sample
+    offset q0 + frac (frac = (x % f)/f for a component subsampled by
+    f; frac == 0 is the pure selection). Same construction as
+    _shift_mirror: per output block J the taps read input blocks
+    b0+J and b0+J+1 through two fixed 8x8 basis-conjugated matrices.
+    Output blocks are padded/truncated to `nbout` (the cropped image's
+    MCU grid); the single output sample whose second tap would read
+    source PADDING (q0+ext_out == ext_src, crop reaching the image
+    edge mid-straddle) clamps that tap onto its first — replicating
+    the final valid sample, exactly what the crop's own edge padding
+    region calls for. Returns floats — the caller requantizes ONCE
+    after composing both axes."""
+    a0, b0 = q0 % 8, q0 // 8
+    nbin = xf.shape[0 if axis == 0 else 2]
+    nv = -(-ext_out // 8)
+    sh = list(xf.shape)
+    sh[0 if axis == 0 else 2] = nbout
+    out = np.zeros(sh)
+    if frac == 0.0 and a0 == 0:
+        take = min(nv, nbin - b0)
+        if axis == 0:
+            out[:take] = xf[b0:b0 + take]
+        else:
+            out[:, :, :take] = xf[:, :, b0:b0 + take]
+        return out
+    d = splice._dct_basis()
+    m1 = np.zeros((8, 8))
+    m2 = np.zeros((8, 8))
+    for u in range(8):
+        for tap, wgt in ((0, 1.0 - frac), (1, frac)):
+            if wgt == 0.0:
+                continue
+            r = a0 + u + tap
+            (m1 if r < 8 else m2)[u, r % 8] += wgt
+    A = d @ m1 @ d.T
+    B = d @ m2 @ d.T
+    J = np.arange(nv)
+    bA = np.minimum(b0 + J, nbin - 1)
+    bB = np.minimum(b0 + J + 1, nbin - 1)
+    mB = b0 + J + 1 <= nbin - 1
+    if axis == 0:
+        c1 = xf[bA]
+        c2 = np.where(mB[:, None, None, None], xf[bB], 0.0)
+        out[:nv] = (
+            np.tensordot(A, c1, axes=([1], [1]))
+            + np.tensordot(B, c2, axes=([1], [1]))).transpose(1, 0, 2, 3)
+    else:
+        c1 = xf[:, :, bA]
+        c2 = np.where(mB[None, None, :, None], xf[:, :, bB], 0.0)
+        out[:, :, :nv] = (np.tensordot(c1, A.T, axes=([3], [0]))
+                          + np.tensordot(c2, B.T, axes=([3], [0])))
+    if frac > 0.0 and q0 + ext_out >= ext_src:
+        # the i = ext_out-1 clamp (see docstring)
+        u_l = (ext_out - 1) % 8
+        m1c, m2c = m1.copy(), m2.copy()
+        r1 = a0 + u_l + 1
+        (m1c if r1 < 8 else m2c)[u_l, r1 % 8] -= frac
+        r0 = a0 + u_l
+        (m1c if r0 < 8 else m2c)[u_l, r0 % 8] += frac
+        Ac = d @ m1c @ d.T
+        Bc = d @ m2c @ d.T
+        jl = nv - 1
+        bAj = min(b0 + jl, nbin - 1)
+        bBj = min(b0 + jl + 1, nbin - 1)
+        okB = b0 + jl + 1 <= nbin - 1
+        if axis == 0:
+            c2b = xf[bBj] if okB else np.zeros_like(xf[bAj])
+            out[jl] = (np.tensordot(Ac, xf[bAj], axes=([1], [0]))
+                       + np.tensordot(Bc, c2b, axes=([1], [0])))
+        else:
+            c2b = xf[:, :, bBj] if okB else np.zeros_like(xf[:, :, bAj])
+            out[:, :, jl] = (
+                np.tensordot(xf[:, :, bAj], Ac.T, axes=([2], [0]))
+                + np.tensordot(c2b, Bc.T, axes=([2], [0])))
+    return out
+
+
 def _mirror_rs(planes, qtabs, size, sampling, axis: int) -> list:
     """Per-component mirror for the `_rs` primitives: components whose
     sample extent is block-aligned AND whose lattice divides the axis
@@ -353,13 +441,33 @@ def apply(ctx: JpegSpliceContext, prims: list) -> JpegSpliceContext:
             hy, vy = sampling[0]
             new_mx = -(-cw // (8 * hy))
             new_my = -(-ch // (8 * vy))
+            qt3 = np.asarray(qtabs).reshape(-1, 8, 8)
             out = []
             for c, (hc, vc) in enumerate(sampling):
-                x0 = x * hc // hy
-                y0 = y * vc // vy
-                out.append(np.ascontiguousarray(
-                    planes[c][y0:y0 + new_my * 8 * vc,
-                              x0:x0 + new_mx * 8 * hc]))
+                fx, fy = hy // hc, vy // vc
+                ox, rx = divmod(x, fx)
+                oy, ry = divmod(y, fy)
+                wb, hb = new_mx * hc, new_my * vc
+                if rx == 0 and ry == 0 and ox % 8 == 0 and oy % 8 == 0:
+                    # MCU-aligned origin for this component: lossless
+                    # integer block slice (the jpegtran-exact path)
+                    out.append(np.ascontiguousarray(
+                        planes[c][oy:oy + hb * 8, ox:ox + wb * 8]))
+                    continue
+                # unaligned origin: compose the banded shifts of both
+                # axes on the dequantized tensor, requantize ONCE
+                p = planes[c]
+                xf = (p.reshape(p.shape[0] // 8, 8, p.shape[1] // 8, 8)
+                      .astype(np.float64) * qt3[c][None, :, None, :])
+                xf = _crop_shift_axis(
+                    xf, ox, rx / fx, -(-cw // fx), -(-w // fx), wb,
+                    axis=1)
+                xf = _crop_shift_axis(
+                    xf, oy, ry / fy, -(-ch // fy), -(-h // fy), hb,
+                    axis=0)
+                res = np.clip(
+                    np.round(xf / qt3[c][None, :, None, :]), -1023, 1023)
+                out.append(res.astype(np.int16).reshape(hb * 8, wb * 8))
             planes = out
             w, h = cw, ch
         i += 1

@@ -166,7 +166,9 @@ def test_eligibility_gates():
         ["flip_v", "transpose"]
     crop = NormalizedOp(type=OperationType.CROP, x=8, y=0,
                         width=32, height=32)
-    assert coeftx.eligible_prims(crop, (80, 64), s420) is None  # x%16
+    # unaligned origin (x % 16): eligible through the rs shift path
+    assert coeftx.eligible_prims(crop, (80, 64), s420) == \
+        [("crop", 8, 0, 32, 32)]
     crop2 = NormalizedOp(type=OperationType.CROP, x=16, y=32,
                          width=32, height=32)
     assert coeftx.eligible_prims(crop2, (80, 64), s420) == \
@@ -375,6 +377,53 @@ def test_generalized_rs_mirror(subsampling, direction, hw):
         assert np.array_equal(x, y)
 
 
+@pytest.mark.parametrize("subsampling", [2, 1, 0])
+@pytest.mark.parametrize("rect", [
+    (8, 8, 33, 23),     # luma block-aligned, chroma shifts (4:2:0)
+    (5, 3, 33, 23),     # fully unaligned, odd offsets (two-tap chroma)
+    (13, 7, 40, 32),
+    (21, 11, 99, 85),   # crop reaching the right/bottom image edge
+                        # (exercises the source-padding tap clamp)
+])
+def test_unaligned_origin_crop(subsampling, rect):
+    """Crops with a non-MCU-aligned origin run through the banded
+    shift machinery: both axes composed on the dequantized planes, one
+    source-table requant per shifted component (components whose own
+    offset stays block-aligned keep the lossless integer slice).
+    Interior pixels beat the pixel path's q85 re-encode on every
+    shape; the emitted stream round-trips the coefficients bit-exact
+    and matches the pixel op's output dims exactly."""
+    x, y, cw, ch = rect
+    h, w = 96, 120
+    src = jpeg_bytes(h, w, subsampling=subsampling)
+    ctx = nativecodec.scan_jpeg_for_transcode(src)
+    op = NormalizedOp(type=OperationType.CROP, x=x, y=y,
+                      width=cw, height=ch)
+    prims = coeftx.eligible_prims(op, ctx.size, ctx.sampling)
+    assert prims == [("crop", x, y, cw, ch)]
+    out = coeftx.apply(ctx, prims)
+    assert out.size == (cw, ch)
+    p2, _qt, (w2, h2), _s = nativecodec.scan_jpeg_coefficients(
+        splice.reencode(out))
+    assert (w2, h2) == (cw, ch)
+    for a, b in zip(p2, out.planes):
+        assert np.array_equal(a, b)
+    ideal = splice.decode_rgb(ctx)[y:y + ch, x:x + cw]
+    got = splice.decode_rgb(out)
+    a0 = nativecodec.decode_jpeg(src)[y:y + ch, x:x + cw]
+    pix = nativecodec.decode_jpeg(nativecodec.encode_jpeg(
+        np.ascontiguousarray(a0), quality=85))
+
+    def psnr(q, r):
+        mse = ((q.astype(np.float64) - r.astype(np.float64)) ** 2).mean()
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+    # interior comparison: edge strips carry the documented <=1-px
+    # chroma-upsample clamp caveat on BOTH paths
+    assert psnr(got[2:-2, 2:-2], ideal[2:-2, 2:-2]) > \
+        psnr(pix[2:-2, 2:-2], ideal[2:-2, 2:-2])
+
+
 def test_rs_mirror_through_engine_1080p_shape(tmp_path):
     """1920x1080-class sources (h % 16 == 8 at 4:2:0) flip vertically
     through the engine via the rs path — previously pixel-path-only."""
@@ -410,8 +459,13 @@ def test_rs_knob_reverts_to_pixel_path(monkeypatch):
     mirrors are unaffected."""
     s420 = [(2, 2), (1, 1), (1, 1)]
     flip_v = NormalizedOp(type=OperationType.FLIP, direction="vertical")
+    crop = NormalizedOp(type=OperationType.CROP, x=5, y=3,
+                        width=32, height=32)
     monkeypatch.setenv("IMAGEPROCESSOR_COEF_RS", "0")
     assert coeftx.eligible_prims(flip_v, (80, 56), s420) is None
     assert coeftx.eligible_prims(flip_v, (80, 64), s420) == ["flip_v"]
+    assert coeftx.eligible_prims(crop, (80, 64), s420) is None
     monkeypatch.delenv("IMAGEPROCESSOR_COEF_RS", raising=False)
     assert coeftx.eligible_prims(flip_v, (80, 56), s420) == ["flip_v_rs"]
+    assert coeftx.eligible_prims(crop, (80, 64), s420) == \
+        [("crop", 5, 3, 32, 32)]
