@@ -235,24 +235,26 @@ def _shift_mirror(plane: np.ndarray, qtab: np.ndarray, extent: int,
     A = d @ m1 @ d.T
     B = d @ m2 @ d.T
     nv = -(-extent // 8)
-    J = np.arange(nv)
-    bh = (extent - 1 - 8 * J) // 8
-    lo = np.maximum(bh - 1, 0)
     out = np.zeros_like(x)
-    # tensordot routes through BLAS dgemm (the equivalent einsum runs
-    # ~5x slower as a generic loop on these shapes)
+    # bh(J) = (extent-1-8J)//8 decreases by exactly 1 per J, so the
+    # "gathers" are reversed slices (views) and the J with bh-1 < 0 is
+    # only the last — a zero pad block instead of an np.where over the
+    # whole plane; matmul batches the 8x8 maps through BLAS (the
+    # equivalent einsum runs ~5x slower as a generic loop)
     if axis == 0:
-        c1 = x[bh]
-        c2 = np.where((bh - 1 >= 0)[:, None, None, None], x[lo], 0.0)
-        out[:nv] = (
-            np.tensordot(A, c1, axes=([1], [1]))
-            + np.tensordot(B, c2, axes=([1], [1]))).transpose(1, 0, 2, 3)
+        c1 = x[nv - 1::-1]
+        c2 = np.zeros((nv,) + x.shape[1:])
+        if nv > 1:
+            c2[:nv - 1] = x[nv - 2::-1]
+        v = np.matmul(A, c1.reshape(nv, 8, -1)) \
+            + np.matmul(B, c2.reshape(nv, 8, -1))
+        out[:nv] = v.reshape((nv,) + x.shape[1:])
     else:
-        c1 = x[:, :, bh]
-        c2 = np.where((bh - 1 >= 0)[None, None, :, None],
-                      x[:, :, lo], 0.0)
-        out[:, :, :nv] = (np.tensordot(c1, A.T, axes=([3], [0]))
-                          + np.tensordot(c2, B.T, axes=([3], [0])))
+        c1 = x[:, :, nv - 1::-1]
+        c2 = np.zeros(x.shape[:2] + (nv, 8))
+        if nv > 1:
+            c2[:, :, :nv - 1] = x[:, :, nv - 2::-1]
+        out[:, :, :nv] = np.matmul(c1, A.T) + np.matmul(c2, B.T)
     if frac < 1.0:
         # the i = extent-1 clamp: re-map the last valid block's row a
         # with the (1-frac) weight folded onto in[0] (block bh == 0,
@@ -311,21 +313,28 @@ def _crop_shift_axis(xf: np.ndarray, q0: int, frac: float, ext_out: int,
             (m1 if r < 8 else m2)[u, r % 8] += wgt
     A = d @ m1 @ d.T
     B = d @ m2 @ d.T
-    J = np.arange(nv)
-    bA = np.minimum(b0 + J, nbin - 1)
-    bB = np.minimum(b0 + J + 1, nbin - 1)
-    mB = b0 + J + 1 <= nbin - 1
+    # contiguous block windows instead of fancy-index gathers (b0+J and
+    # b0+J+1 are plain slices; clamped/missing tail blocks come from a
+    # zero pad) — the gathers + np.where copies dominated the runtime
+    # on 12 MP planes before this
+    t1 = min(nv, nbin - b0)
+    t2 = min(nv, nbin - b0 - 1)
     if axis == 0:
-        c1 = xf[bA]
-        c2 = np.where(mB[:, None, None, None], xf[bB], 0.0)
-        out[:nv] = (
-            np.tensordot(A, c1, axes=([1], [1]))
-            + np.tensordot(B, c2, axes=([1], [1]))).transpose(1, 0, 2, 3)
+        c1 = np.zeros((nv,) + xf.shape[1:])
+        c1[:t1] = xf[b0:b0 + t1]
+        c2 = np.zeros((nv,) + xf.shape[1:])
+        if t2 > 0:
+            c2[:t2] = xf[b0 + 1:b0 + 1 + t2]
+        v = np.matmul(A, c1.reshape(nv, 8, -1)) \
+            + np.matmul(B, c2.reshape(nv, 8, -1))
+        out[:nv] = v.reshape((nv,) + xf.shape[1:])
     else:
-        c1 = xf[:, :, bA]
-        c2 = np.where(mB[None, None, :, None], xf[:, :, bB], 0.0)
-        out[:, :, :nv] = (np.tensordot(c1, A.T, axes=([3], [0]))
-                          + np.tensordot(c2, B.T, axes=([3], [0])))
+        c1 = np.zeros(xf.shape[:2] + (nv, 8))
+        c1[:, :, :t1] = xf[:, :, b0:b0 + t1]
+        c2 = np.zeros(xf.shape[:2] + (nv, 8))
+        if t2 > 0:
+            c2[:, :, :t2] = xf[:, :, b0 + 1:b0 + 1 + t2]
+        out[:, :, :nv] = np.matmul(c1, A.T) + np.matmul(c2, B.T)
     if frac > 0.0 and q0 + ext_out >= ext_src:
         # the i = ext_out-1 clamp (see docstring)
         u_l = (ext_out - 1) % 8
@@ -455,16 +464,26 @@ def apply(ctx: JpegSpliceContext, prims: list) -> JpegSpliceContext:
                         planes[c][oy:oy + hb * 8, ox:ox + wb * 8]))
                     continue
                 # unaligned origin: compose the banded shifts of both
-                # axes on the dequantized tensor, requantize ONCE
+                # axes on the dequantized tensor, requantize ONCE.
+                # Dequantize only the input block WINDOW the output
+                # reads (output blocks + one tap-B block per axis) —
+                # a small crop of a 12 MP source costs its own size,
+                # not the source's.
                 p = planes[c]
-                xf = (p.reshape(p.shape[0] // 8, 8, p.shape[1] // 8, 8)
-                      .astype(np.float64) * qt3[c][None, :, None, :])
+                nbh, nbw = p.shape[0] // 8, p.shape[1] // 8
+                bx0, by0 = ox // 8, oy // 8
+                ext_w, ext_h = -(-cw // fx), -(-ch // fy)
+                tx = min(nbw, bx0 + (-(-ext_w // 8)) + 1) - bx0
+                ty = min(nbh, by0 + (-(-ext_h // 8)) + 1) - by0
+                win = p[8 * by0:8 * (by0 + ty), 8 * bx0:8 * (bx0 + tx)]
+                xf = (win.reshape(ty, 8, tx, 8).astype(np.float64)
+                      * qt3[c][None, :, None, :])
                 xf = _crop_shift_axis(
-                    xf, ox, rx / fx, -(-cw // fx), -(-w // fx), wb,
-                    axis=1)
+                    xf, ox - 8 * bx0, rx / fx, ext_w,
+                    -(-w // fx) - 8 * bx0, wb, axis=1)
                 xf = _crop_shift_axis(
-                    xf, oy, ry / fy, -(-ch // fy), -(-h // fy), hb,
-                    axis=0)
+                    xf, oy - 8 * by0, ry / fy, ext_h,
+                    -(-h // fy) - 8 * by0, hb, axis=0)
                 res = np.clip(
                     np.round(xf / qt3[c][None, :, None, :]), -1023, 1023)
                 out.append(res.astype(np.int16).reshape(hb * 8, wb * 8))
